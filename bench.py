@@ -1,0 +1,78 @@
+"""Benchmark harness: runs the headline query suite at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints one
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Shape mirrors the reference's benchmarks/tpch/tpch.py timing loop:
+per-query wall-clock including planning, excluding session bring-up;
+results are materialized via a count-style terminal action.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from datafusion_python_spark.session import get_spark
+from datafusion_python_spark.suite import ALL_QUERIES
+
+HEADLINE = [
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q5",
+    "tpch_q6",
+    "tpch_q9",
+    "tpch_q13",
+    "tpch_q17",
+    "tpch_q18",
+    "tpch_q21",
+    "evt_sessionize",
+    "evt_topk_per_user",
+    "agg_cube",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("bench")
+
+    # warm the JVM (codegen, parquet reader JIT) with one untimed scan so
+    # per-query numbers measure the query, not first-touch class loading
+    from datafusion_python_spark.tables import load_table
+
+    load_table(spark, sf_dir, "lineitem").groupBy("l_returnflag").count().collect()
+
+    names = [n for n in HEADLINE if n in ALL_QUERIES]
+    extra = [n for n in os.environ.get("SPARK_GRAFT_BENCH_EXTRA", "").split(",") if n]
+    names += [n for n in extra if n in ALL_QUERIES and n not in names]
+
+    timings: dict[str, float] = {}
+    for name in names:
+        fn = ALL_QUERIES[name][0]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        # noop sink: evaluates every output column/row (count() would let
+        # Catalyst prune the projection and under-report work)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 4)
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "suite_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

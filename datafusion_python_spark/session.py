@@ -1,0 +1,48 @@
+"""SparkSession factory tuned for the spark-graft environment.
+
+Local mode is `local[$SPARK_GRAFT_CPUS]` (default 32 threads, single JVM).
+All knobs here are chosen for 100 TB-scale semantics even though tests run
+locally: AQE on (runtime re-planning, skew-join handling, partition
+coalescing), shuffle partitions sized to the local core count (a real
+cluster deployment would raise this or rely on AQE's initial partition
+number), UTC session timezone for deterministic timestamp semantics, and
+Arrow-accelerated Python interchange.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+_DEFAULTS = {
+    "spark.sql.shuffle.partitions": "32",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.parquet.filterPushdown": "true",
+    "spark.sql.parquet.aggregatePushdown": "true",
+    "spark.sql.autoBroadcastJoinThreshold": "64MB",
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
+    "spark.ui.enabled": "false",
+    "spark.sql.files.maxPartitionBytes": "128MB",
+    # Testdata events.parquet uses TIMESTAMP(NANOS); Spark reads it as a
+    # long (ns since epoch) with this flag, and tables.py converts back to
+    # TimestampType at µs precision (same truncation DuckDB applies).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+}
+
+
+def get_spark(app_name: str = "datafusion_python_spark", **overrides: str) -> SparkSession:
+    """Return the shared SparkSession (creates it on first call)."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = SparkSession.builder.master(f"local[{cpus}]").appName(app_name)
+    conf = dict(_DEFAULTS)
+    conf.update({k: str(v) for k, v in overrides.items()})
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,588 @@
+"""Window / analytic / set-op / scalar-function query suite.
+
+Covers the reference surface beyond TPC-H joins+aggs: window functions
+(ref python/datafusion/functions/__init__.py:6553-7053, expr.py:1570
+Window builder), grouping sets / rollup / cube (expr.py:1737-1860), set
+operations (dataframe.py:1289-1420), distinct_on (dataframe.py:1420),
+unnest/explode (dataframe.py:1741), scalar string/date/math functions
+(§2.8 of SURVEY.md), and JSON access (functions/spark.py:997).
+
+Every query is paired with a DuckDB oracle; aliases match exactly.
+All computation is built-in-function / codegen-friendly — no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from .tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# Window: top-3 most recent events per user (row_number over desc order).
+# ref window fns: functions/__init__.py:6702 (row_number)
+def evt_topk_per_user(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("user_id", "event_id", "event_type", "rn")
+    )
+
+
+EVT_TOPK_SQL = """
+SELECT user_id, event_id, event_type, CAST(rn AS INTEGER) AS rn
+FROM (
+  SELECT user_id, event_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) t WHERE rn <= 3
+"""
+
+
+# --------------------------------------------------------------------------
+# Window: running revenue per user (unbounded-preceding frame sum).
+# ref: aggregates over windows, functions.rs:773-816
+def evt_running_sum(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.sum("value").over(w), 2).alias("running_value"),
+    )
+
+
+EVT_RUNNING_SQL = """
+SELECT user_id, event_id,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_value
+FROM events
+"""
+
+
+# --------------------------------------------------------------------------
+# Window: lead/lag — gap in seconds to the previous event of the same user.
+# ref: lead/lag functions/__init__.py:6553,6629
+def evt_gaps(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_us = F.lag(F.unix_micros(F.col("ts"))).over(w)
+    return ev.select(
+        "user_id",
+        "event_id",
+        (F.unix_micros(F.col("ts")) - prev_us).alias("gap_us"),
+    )
+
+
+EVT_GAPS_SQL = """
+SELECT user_id, event_id,
+       epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+FROM events
+"""
+
+
+# --------------------------------------------------------------------------
+# Sessionization: 30-min-gap sessions per user, then per-user session stats.
+# Pure window composition — the Structured Streaming analogue is
+# session_window(); this is the batch form that scales (two window passes
+# over one hash partition by user_id, no Python).
+def evt_sessionize(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+    is_new = F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0)
+    sess = ev.withColumn("is_new", is_new).withColumn(
+        "session_id",
+        F.sum("is_new").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    return (
+        sess.groupBy("user_id")
+        .agg(
+            F.max("session_id").alias("n_sessions"),
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+EVT_SESSIONIZE_SQL = """
+WITH gaps AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, value,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM gaps
+)
+SELECT user_id, CAST(max(session_id) AS BIGINT) AS n_sessions, count(*) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM sess GROUP BY user_id ORDER BY user_id
+"""
+
+
+# --------------------------------------------------------------------------
+# distinct_on: latest event per user (Postgres DISTINCT ON emulation —
+# ref dataframe.py:1420 distinct_on).
+def evt_distinct_on(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type", "value")
+    )
+
+
+EVT_DISTINCT_ON_SQL = """
+SELECT user_id, event_id, event_type, value
+FROM (
+  SELECT user_id, event_id, event_type, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) t WHERE rn = 1
+"""
+
+
+# --------------------------------------------------------------------------
+# Pivot: per-user event-type counts as columns (groupBy().pivot()).
+def evt_pivot(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    types = ["click", "view", "purchase", "signup", "error"]
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .count()
+        .na.fill(0, types)
+        .orderBy("user_id")
+    )
+
+
+EVT_PIVOT_SQL = """
+SELECT user_id,
+       count(*) FILTER (WHERE event_type = 'click')    AS "click",
+       count(*) FILTER (WHERE event_type = 'view')     AS "view",
+       count(*) FILTER (WHERE event_type = 'purchase') AS "purchase",
+       count(*) FILTER (WHERE event_type = 'signup')   AS "signup",
+       count(*) FILTER (WHERE event_type = 'error')    AS "error"
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Time bucketing (date_bin/date_trunc — ref functions/__init__.py:2752,2788).
+def evt_hourly(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour_bucket"))
+        .agg(
+            F.count("*").alias("n_events"),
+            # round the sum first: inputs are 2-decimal, so round(sum,2) is
+            # exact and the subsequent division is bit-identical cross-engine
+            F.round(F.round(F.sum("value"), 2) / F.count("*"), 4).alias("avg_value"),
+        )
+        .orderBy("hour_bucket")
+    )
+
+
+EVT_HOURLY_SQL = """
+SELECT date_trunc('hour', ts) AS hour_bucket, count(*) AS n_events,
+       round(round(sum(value), 2) / count(*), 4) AS avg_value
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# JSON extraction (ref functions/spark.py:997 json_tuple / str_to_map).
+def evt_json(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.sum(k).alias("sum_k"), F.count(F.when(k > 50, 1)).alias("n_big_k"))
+        .orderBy("event_type")
+    )
+
+
+EVT_JSON_SQL = """
+SELECT event_type,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       count(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) > 50 THEN 1 END) AS n_big_k
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# ROLLUP (ref expr.py:1737 GroupingSet.rollup).
+def agg_rollup(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.rollup(F.year("o_orderdate").alias("o_year"), F.col("o_orderstatus"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy("o_year", "o_orderstatus")
+    )
+
+
+AGG_ROLLUP_SQL = """
+SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year, o_orderstatus,
+       count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+FROM orders
+GROUP BY ROLLUP (CAST(year(o_orderdate) AS INTEGER), o_orderstatus)
+ORDER BY o_year, o_orderstatus
+"""
+
+
+# --------------------------------------------------------------------------
+# CUBE (ref expr.py:1790 GroupingSet.cube).
+def agg_cube(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("qty"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+AGG_CUBE_SQL = """
+SELECT l_returnflag, l_linestatus, count(*) AS n, round(sum(l_quantity), 2) AS qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+# --------------------------------------------------------------------------
+# GROUPING SETS + grouping() indicator (ref expr.py:1841, functions:5222).
+def agg_grouping_sets(spark, sf_dir):
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+               CAST(grouping(o_orderstatus) AS INT) AS g_status,
+               CAST(grouping(o_orderpriority) AS INT) AS g_priority
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY o_orderstatus, o_orderpriority
+        """
+    )
+
+
+AGG_GROUPING_SETS_SQL = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+       CAST(grouping(o_orderstatus) AS INTEGER) AS g_status,
+       CAST(grouping(o_orderpriority) AS INTEGER) AS g_priority
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+ORDER BY o_orderstatus, o_orderpriority
+"""
+
+
+# --------------------------------------------------------------------------
+# Statistical aggregates (ref functions/__init__.py:5655-5821,5328).
+def agg_stats(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.stddev_samp("l_quantity"), 3).alias("sd_qty"),
+            F.round(F.var_pop("l_discount"), 6).alias("varp_disc"),
+            F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+            F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("covar_qp"),
+            F.round(F.avg("l_tax"), 4).alias("avg_tax"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+AGG_STATS_SQL = """
+SELECT l_returnflag,
+       round(stddev_samp(l_quantity), 3)            AS sd_qty,
+       round(var_pop(l_discount), 6)                AS varp_disc,
+       round(corr(l_quantity, l_extendedprice), 4)  AS corr_qty_price,
+       round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qp,
+       round(avg(l_tax), 4)                         AS avg_tax
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+# --------------------------------------------------------------------------
+# DISTINCT + FILTER aggregate modifiers (ref expr.py:1020-1056 builder).
+def agg_distinct_filter(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_linestatus")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_suppkey").alias("n_supps"),
+            F.sum(F.when(F.col("l_discount") > 0.05, F.col("l_quantity"))).alias(
+                "qty_high_disc"
+            ),
+            F.round(
+                F.sum_distinct(F.col("l_quantity")),
+                2,
+            ).alias("sum_distinct_qty"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+AGG_DISTINCT_FILTER_SQL = """
+SELECT l_linestatus,
+       count(DISTINCT l_partkey) AS n_parts,
+       count(DISTINCT l_suppkey) AS n_supps,
+       sum(l_quantity) FILTER (WHERE l_discount > 0.05) AS qty_high_disc,
+       round(sum(DISTINCT l_quantity), 2) AS sum_distinct_qty
+FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus
+"""
+
+
+# --------------------------------------------------------------------------
+# Exact percentiles / median (ref functions/__init__.py:5105 percentile_cont,
+# 5363 median).
+def agg_percentiles(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.expr("percentile(l_extendedprice, 0.5)"), 2).alias("p50_price"),
+            F.round(F.expr("percentile(l_extendedprice, 0.9)"), 2).alias("p90_price"),
+            F.round(F.median("l_quantity"), 2).alias("med_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+AGG_PERCENTILES_SQL = """
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.5), 2) AS p50_price,
+       round(quantile_cont(l_extendedprice, 0.9), 2) AS p90_price,
+       round(quantile_cont(l_quantity, 0.5), 2)      AS med_qty
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+# --------------------------------------------------------------------------
+# Ordered string_agg / array_agg(order_by=) (ref functions/__init__.py:7054
+# string_agg, 872 array_agg; order-sensitive rewrite documented SURVEY §7.3).
+def agg_string_agg(spark, sf_dir):
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        nation.groupBy("n_regionkey")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("n_regionkey")
+    )
+
+
+AGG_STRING_AGG_SQL = """
+SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS nations, count(*) AS n
+FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
+"""
+
+
+# --------------------------------------------------------------------------
+# Set operations (ref dataframe.py:1289-1420).
+def setop_union(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    supp = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return cust.union(supp).distinct().orderBy("nationkey")
+
+
+SETOP_UNION_SQL = """
+SELECT nationkey FROM (
+  SELECT c_nationkey AS nationkey FROM customer
+  UNION
+  SELECT s_nationkey AS nationkey FROM supplier
+) t ORDER BY nationkey
+"""
+
+
+def setop_intersect(spark, sf_dir):
+    hi = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 5000)
+        .select(F.col("c_nationkey").alias("nationkey"))
+    )
+    supp = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return hi.intersect(supp).orderBy("nationkey")
+
+
+SETOP_INTERSECT_SQL = """
+SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 5000
+INTERSECT
+SELECT s_nationkey AS nationkey FROM supplier
+ORDER BY nationkey
+"""
+
+
+def setop_except(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    supp = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return cust.exceptAll(supp.distinct()).groupBy("nationkey").agg(
+        F.count("*").alias("n")
+    ).orderBy("nationkey")
+
+
+SETOP_EXCEPT_SQL = """
+SELECT nationkey, count(*) AS n FROM (
+  SELECT c_nationkey AS nationkey FROM customer
+  EXCEPT ALL
+  SELECT DISTINCT s_nationkey AS nationkey FROM supplier
+) t GROUP BY nationkey ORDER BY nationkey
+"""
+
+
+# --------------------------------------------------------------------------
+# Scalar string functions (ref §2.8 string inventory).
+def fn_strings(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 100)
+    return cust.select(
+        "c_custkey",
+        F.upper(F.col("c_name")).alias("up"),
+        F.lower(F.col("c_mktsegment")).alias("lo"),
+        F.length(F.col("c_name")).alias("len"),
+        F.substring(F.col("c_name"), 1, 8).alias("prefix"),
+        F.concat_ws("|", F.col("c_mktsegment"), F.col("c_name")).alias("joined"),
+        F.lpad(F.col("c_custkey").cast("string"), 8, "0").alias("padded"),
+        F.regexp_replace(F.col("c_name"), "[0-9]+", "#").alias("densed"),
+        F.reverse(F.col("c_mktsegment")).alias("rev"),
+        F.md5(F.col("c_name")).alias("h"),
+    ).orderBy("c_custkey")
+
+
+FN_STRINGS_SQL = """
+SELECT c_custkey,
+       upper(c_name)                          AS up,
+       lower(c_mktsegment)                    AS lo,
+       CAST(length(c_name) AS INTEGER)        AS len,
+       substring(c_name, 1, 8)                AS prefix,
+       concat_ws('|', c_mktsegment, c_name)   AS joined,
+       lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded,
+       regexp_replace(c_name, '[0-9]+', '#', 'g') AS densed,
+       reverse(c_mktsegment)                  AS rev,
+       md5(c_name)                            AS h
+FROM customer WHERE c_custkey <= 100 ORDER BY c_custkey
+"""
+
+
+# --------------------------------------------------------------------------
+# Date/time functions (ref §2.8 datetime inventory).
+def fn_datetime(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            F.date_format(F.col("o_orderdate"), "yyyy-MM").alias("ym"),
+            F.dayofweek(F.col("o_orderdate")).alias("dow"),
+            F.col("o_totalprice"),
+        )
+        .groupBy("ym")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            F.count(F.when(F.col("dow") == 1, 1)).alias("n_sunday"),
+        )
+        .orderBy("ym")
+    )
+
+
+FN_DATETIME_SQL = """
+SELECT strftime(o_orderdate, '%Y-%m') AS ym, count(*) AS n,
+       round(sum(o_totalprice), 2) AS total,
+       count(CASE WHEN dayofweek(o_orderdate) = 0 THEN 1 END) AS n_sunday
+FROM orders GROUP BY 1 ORDER BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# Math functions + CASE/cast (ref §2.8 math inventory; expr.py CaseBuilder).
+def fn_math_case(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 2000)
+    bucket = (
+        F.when(F.col("l_extendedprice") < 10000, "low")
+        .when(F.col("l_extendedprice") < 40000, "mid")
+        .otherwise("high")
+    )
+    return (
+        li.select(
+            bucket.alias("bucket"),
+            F.round(F.sqrt(F.col("l_extendedprice")), 4).alias("sq"),
+            F.round(F.log(F.col("l_extendedprice") + 1.0), 6).alias("lg"),
+            F.ceil(F.col("l_quantity")).alias("cq"),
+            F.floor(F.col("l_discount") * 100).alias("fd"),
+            F.abs(F.col("l_tax") - 0.05).alias("ab"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("sq"), 2).alias("sum_sqrt"),
+            F.round(F.sum("lg"), 2).alias("sum_log"),
+            F.sum("cq").alias("sum_ceil"),
+            F.sum("fd").alias("sum_floor"),
+            F.round(F.sum("ab"), 4).alias("sum_abs"),
+        )
+        .orderBy("bucket")
+    )
+
+
+FN_MATH_CASE_SQL = """
+SELECT CASE WHEN l_extendedprice < 10000 THEN 'low'
+            WHEN l_extendedprice < 40000 THEN 'mid'
+            ELSE 'high' END AS bucket,
+       count(*) AS n,
+       round(sum(round(sqrt(l_extendedprice), 4)), 2)   AS sum_sqrt,
+       round(sum(round(ln(l_extendedprice + 1.0), 6)), 2) AS sum_log,
+       CAST(sum(CAST(ceil(l_quantity) AS BIGINT)) AS BIGINT)        AS sum_ceil,
+       CAST(sum(CAST(floor(l_discount * 100) AS BIGINT)) AS BIGINT) AS sum_floor,
+       round(sum(abs(l_tax - 0.05)), 4)                 AS sum_abs
+FROM lineitem WHERE l_orderkey <= 2000
+GROUP BY 1 ORDER BY bucket
+"""
+
+
+ANALYTICS_QUERIES: dict[str, tuple] = {
+    "evt_topk_per_user": (evt_topk_per_user, EVT_TOPK_SQL),
+    "evt_running_sum": (evt_running_sum, EVT_RUNNING_SQL),
+    "evt_gaps": (evt_gaps, EVT_GAPS_SQL),
+    "evt_sessionize": (evt_sessionize, EVT_SESSIONIZE_SQL),
+    "evt_distinct_on": (evt_distinct_on, EVT_DISTINCT_ON_SQL),
+    "evt_pivot": (evt_pivot, EVT_PIVOT_SQL),
+    "evt_hourly": (evt_hourly, EVT_HOURLY_SQL),
+    "evt_json": (evt_json, EVT_JSON_SQL),
+    "agg_rollup": (agg_rollup, AGG_ROLLUP_SQL),
+    "agg_cube": (agg_cube, AGG_CUBE_SQL),
+    "agg_grouping_sets": (agg_grouping_sets, AGG_GROUPING_SETS_SQL),
+    "agg_stats": (agg_stats, AGG_STATS_SQL),
+    "agg_distinct_filter": (agg_distinct_filter, AGG_DISTINCT_FILTER_SQL),
+    "agg_percentiles": (agg_percentiles, AGG_PERCENTILES_SQL),
+    "agg_string_agg": (agg_string_agg, AGG_STRING_AGG_SQL),
+    "setop_union": (setop_union, SETOP_UNION_SQL),
+    "setop_intersect": (setop_intersect, SETOP_INTERSECT_SQL),
+    "setop_except": (setop_except, SETOP_EXCEPT_SQL),
+    "fn_strings": (fn_strings, FN_STRINGS_SQL),
+    "fn_datetime": (fn_datetime, FN_DATETIME_SQL),
+    "fn_math_case": (fn_math_case, FN_MATH_CASE_SQL),
+}

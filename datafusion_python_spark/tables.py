@@ -1,0 +1,70 @@
+"""Loaders for the driver-generated testdata tables.
+
+Reads stay fully distributed (``spark.read.parquet``); the only
+post-processing is a metadata-driven ns→µs timestamp normalization for
+columns Spark surfaces as raw nanosecond longs (see session.py). The
+footer inspection reads one file's schema on the driver — O(KB), not data.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def _ns_timestamp_cols(path: str) -> list[str]:
+    """Column names stored as parquet TIMESTAMP(NANOS) under ``path``."""
+    files = sorted(glob.glob(os.path.join(path, "*.parquet"))) if os.path.isdir(path) else [path]
+    if not files:
+        return []
+    schema = pq.read_schema(files[0])
+    out = []
+    for name, typ in zip(schema.names, schema.types):
+        if str(typ).startswith("timestamp[ns"):
+            out.append(name)
+    return out
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one testdata table, normalizing ns-timestamps to TimestampType."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        # runtime-settable; required when the caller's session (e.g. the
+        # driver's) was not built by session.get_spark()
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+    df = spark.read.parquet(path)
+    for col in _ns_timestamp_cols(path):
+        if col in df.columns and dict(df.dtypes)[col] == "bigint":
+            # integer div — double division loses precision above 2^53 ns
+            df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+    return df
+
+
+def register_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register every testdata table as a temp view; returns the DataFrames."""
+    out = {}
+    for name in TABLE_NAMES:
+        if os.path.exists(os.path.join(sf_dir, f"{name}.parquet")):
+            df = load_table(spark, sf_dir, name)
+            df.createOrReplaceTempView(name)
+            out[name] = df
+    return out

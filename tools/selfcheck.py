@@ -1,0 +1,99 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every suite query on Spark and its oracle on DuckDB at the given
+sf dir, compares row count, sorted column names, and order-insensitive
+values (after per-cell normalization), and prints a PASS/FAIL table.
+
+Usage: python tools/selfcheck.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import traceback
+
+import duckdb
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from datafusion_python_spark.session import get_spark  # noqa: E402
+from datafusion_python_spark.suite import ALL_QUERIES  # noqa: E402
+from datafusion_python_spark.tables import TABLE_NAMES  # noqa: E402
+
+
+def _norm_cell(v):
+    if v is None:
+        return "∅"
+    if isinstance(v, bool):
+        return str(v).lower()
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return f"{v:.6g}"
+    if isinstance(v, int):
+        return str(v)
+    return str(v)
+
+
+def _norm_rows(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(_norm_cell(r[i]) for i in order) for r in rows]
+    out.sort()
+    return [c for c in sorted(cols)], out
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = get_spark("selfcheck")
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+    n_pass = n_fail = 0
+    for name, (fn, sql) in sorted(ALL_QUERIES.items()):
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf_dir)
+            srows = [tuple(r) for r in sdf.collect()]
+            scols = list(sdf.columns)
+            if sql is None:
+                print(f"ROWS-ONLY {name}: {len(srows)} rows")
+                n_pass += 1
+                continue
+            dd = con.execute(sql)
+            dcols = [d[0] for d in dd.description]
+            drows = [tuple(r) for r in dd.fetchall()]
+            sc, sr = _norm_rows(scols, srows)
+            dc, dr = _norm_rows(dcols, drows)
+            if sc != dc:
+                print(f"FAIL {name}: columns {sc} != {dc}")
+                n_fail += 1
+            elif len(sr) != len(dr):
+                print(f"FAIL {name}: rowcount {len(sr)} != {len(dr)}")
+                n_fail += 1
+            elif sr != dr:
+                diff = [i for i, (a, b) in enumerate(zip(sr, dr)) if a != b]
+                print(f"FAIL {name}: {len(diff)} mismatched rows of {len(sr)}")
+                for i in diff[:3]:
+                    print(f"   spark={sr[i]}")
+                    print(f"   duck ={dr[i]}")
+                n_fail += 1
+            else:
+                print(f"PASS {name}: {len(sr)} rows")
+                n_pass += 1
+        except Exception:
+            print(f"ERROR {name}:")
+            traceback.print_exc(limit=4)
+            n_fail += 1
+    print(f"\n{n_pass} pass, {n_fail} fail")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
