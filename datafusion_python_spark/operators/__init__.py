@@ -1,0 +1,39 @@
+"""Beyond-parity operators for large-scale training-data pipelines.
+
+Everything here is built from Spark built-ins (higher-order functions,
+hash functions, window/group ops) so it stays inside whole-stage codegen
+and scales horizontally — no Python in the hot path. The multimodal
+module is the one exception (Pandas-UDF plumbing with stubbed decoders).
+"""
+
+from .dedup import (
+    exact_dedup,
+    minhash_signature,
+    lsh_candidate_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_near_dups,
+)
+from .similarity import cosine_similarity_col, cosine_topk, lsh_bucket_ann
+from .text import (
+    doc_fingerprint,
+    language_id,
+    quality_features,
+    token_count,
+)
+
+__all__ = [
+    "exact_dedup",
+    "minhash_signature",
+    "lsh_candidate_pairs",
+    "ngram_jaccard_pairs",
+    "simhash",
+    "simhash_near_dups",
+    "cosine_similarity_col",
+    "cosine_topk",
+    "lsh_bucket_ann",
+    "doc_fingerprint",
+    "language_id",
+    "quality_features",
+    "token_count",
+]

@@ -1,0 +1,202 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+All variants are pure DataFrame compositions (xxhash64 / higher-order
+functions / shuffle-on-key joins), so at 100 TB they run as ordinary
+shuffles with map-side combine — no driver materialization, no Python
+row loop. Candidate generation (LSH bands / simhash blocks) keeps the
+pair space linear-ish in corpus size instead of the O(n²) self-join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _norm_text(col):
+    """Lowercase, collapse whitespace — the canonical form used for hashing."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep the lowest-id row per exact (normalized) duplicate group.
+
+    Hash-groupBy on a 64-bit+128-bit digest of the normalized text: one
+    shuffle keyed by the digest; at scale, AQE handles skew from heavy
+    duplicate clusters.
+    """
+    key = F.md5(_norm_text(F.col(text_col))).alias("dup_key")
+    return (
+        df.select(key, F.col(id_col))
+        .groupBy("dup_key")
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_dups"))
+    )
+
+
+def _shingles(col, k: int):
+    """Word k-shingles of a text column as array<string> (JVM-side).
+
+    slice+transform over the split words; empty-string tokens dropped.
+    """
+    words = F.filter(F.split(_norm_text(col), " "), lambda w: w != "")
+    n = F.size(words)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    return F.when(n >= k, F.transform(idx, lambda i: F.array_join(F.slice(words, i + 1, k), " "))).otherwise(
+        F.array(F.array_join(words, " "))
+    )
+
+
+def minhash_signature(df: DataFrame, text_col: str, num_hashes: int = 32, shingle_k: int = 3) -> DataFrame:
+    """Append a ``minhash`` array<bigint> column (one min per hash family).
+
+    Hash family i = xxhash64(shingle, seed=i) — evaluated entirely in
+    codegen via transform + array_min; cost O(num_hashes · shingles) per
+    row with zero shuffles.
+    """
+    sh = _shingles(F.col(text_col), shingle_k)
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(F.transform(sh, lambda s: F.xxhash64(s, i))),
+    )
+    return df.withColumn("minhash", sig)
+
+
+def lsh_candidate_pairs(
+    sig_df: DataFrame,
+    id_col: str,
+    num_bands: int = 8,
+    sig_col: str = "minhash",
+) -> DataFrame:
+    """MinHash-LSH candidate pairs: band the signature, bucket-join.
+
+    Explodes each row into ``num_bands`` (band, band_hash) keys, then
+    self-joins within buckets — the classic banding construction; the
+    shuffle is keyed on (band, hash) so only colliding docs ever meet.
+    Output: distinct (id_a, id_b) with id_a < id_b.
+    """
+    n = num_bands
+    banded = sig_df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n - 1)),
+                # hash of one contiguous band slice
+                lambda b: F.xxhash64(
+                    F.array_join(
+                        F.transform(
+                            F.slice(F.col(sig_col), b * (F.size(F.col(sig_col)) / n).cast("int") + 1,
+                                    (F.size(F.col(sig_col)) / n).cast("int")),
+                            lambda v: v.cast("string"),
+                        ),
+                        ",",
+                    )
+                ),
+            )
+        ).alias("band", "band_hash"),
+    )
+    a = banded.select(F.col("band"), F.col("band_hash"), F.col(id_col).alias("id_a"))
+    b = banded.select(F.col("band"), F.col("band_hash"), F.col(id_col).alias("id_b"))
+    return (
+        a.join(b, ["band", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def simhash(df: DataFrame, text_col: str, out_col: str = "simhash") -> DataFrame:
+    """64-bit SimHash of the word stream, computed with nested HOFs.
+
+    For each bit position b: sum over words of ±1 depending on bit b of
+    xxhash64(word); sign of the sum sets bit b. All codegen — the nested
+    transform/aggregate stays JVM-side.
+    """
+    words = F.filter(F.split(_norm_text(F.col(text_col)), " "), lambda w: w != "")
+    hashes = F.transform(words, lambda w: F.xxhash64(w))
+    sums = F.transform(
+        F.sequence(F.lit(0), F.lit(63)),
+        lambda b: F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc + F.when(F.getbit(h, b) == 1, 1).otherwise(-1),
+        ),
+    )
+    out = df.withColumn("_sh_sums", sums)
+    sig = F.lit(0).cast("long")
+    for i in range(64):
+        # two's-complement literal for bit 63 (1<<63 overflows signed long)
+        bitval = (1 << i) if i < 63 else -(1 << 63)
+        sig = sig.bitwiseOR(
+            F.when(F.col("_sh_sums")[i] > 0, F.lit(bitval).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return out.withColumn(out_col, sig).drop("_sh_sums")
+
+
+def simhash_near_dups(df: DataFrame, id_col: str, sim_col: str = "simhash", max_hamming: int = 3) -> DataFrame:
+    """Near-duplicate pairs by SimHash Hamming distance.
+
+    Candidate generation blocks on 16-bit quarters of the signature (a
+    pair within Hamming ≤3 of 64 bits shares at least one exact quarter
+    by pigeonhole), so the join is bucketed, not all-pairs. Verification
+    computes the exact Hamming distance via bit_count(xor).
+    """
+    quarters = F.array(
+        *[
+            F.shiftright(F.col(sim_col), q * 16).bitwiseAND(F.lit(0xFFFF))
+            for q in range(4)
+        ]
+    )
+    blocked = df.select(
+        F.col(id_col), F.col(sim_col), F.posexplode(quarters).alias("q", "qval")
+    )
+    a = blocked.select("q", "qval", F.col(id_col).alias("id_a"), F.col(sim_col).alias("sig_a"))
+    b = blocked.select("q", "qval", F.col(id_col).alias("id_b"), F.col(sim_col).alias("sig_b"))
+    pairs = (
+        a.join(b, ["q", "qval"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return pairs.select("id_a", "id_b", hamming.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, threshold: float = 0.5
+) -> DataFrame:
+    """Exact word-set Jaccard similarity pairs ≥ threshold.
+
+    Inverted-index join: explode distinct tokens, self-join on token
+    (shuffle keyed by token — rare tokens dominate, stop-token skew is
+    the thing to watch at scale), count co-occurrences, then Jaccard =
+    |A∩B| / (|A|+|B|−|A∩B|). Exact — used as the verifier behind the
+    MinHash candidate generator at scale.
+    """
+    words = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(
+            F.array_distinct(F.filter(F.split(_norm_text(F.col(text_col)), " "), lambda w: w != ""))
+        ).alias("w"),
+    )
+    sizes = words.groupBy("doc").agg(F.count("*").alias("sz"))
+    a = words.select(F.col("doc").alias("id_a"), "w")
+    b = words.select(F.col("doc").alias("id_b"), "w")
+    overlap = (
+        a.join(b, "w")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc").alias("id_b"), F.col("sz").alias("sz_b"))
+    jac = F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+    return (
+        overlap.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )

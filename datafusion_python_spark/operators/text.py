@@ -1,0 +1,100 @@
+"""Text analysis operators: token counting, quality scoring, language ID,
+document fingerprinting.
+
+All pure column expressions (split / regexp / higher-order functions) —
+they compose into any scan without shuffles and stay in codegen, which
+is what makes them viable as per-document features over 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_WORD_SPLIT = r"\s+"
+
+# tiny per-language stopword lists for the n-gram/stopword-overlap
+# heuristic; real pipelines would ship fastText — the *shape* (score per
+# language, argmax via greatest-struct) is the part that matters here.
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it", "that", "for"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "por", "con", "los"],
+    "fr": ["le", "la", "de", "et", "un", "les", "des", "en", "du", "que"],
+    "de": ["der", "die", "und", "das", "von", "zu", "mit", "den", "ein", "ist"],
+    "zh": ["的", "是", "了", "在", "和", "有", "我", "他", "这", "中"],
+}
+
+
+def _words(col: Column) -> Column:
+    return F.filter(F.split(F.lower(col), _WORD_SPLIT), lambda w: w != "")
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count (bigint)."""
+    return F.size(_words(col)).cast("long")
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    """Sub-word-ish token estimate: words + punctuation runs + digit runs.
+
+    A cheap proxy for BPE token counts (regexp-based, no vocab): counts
+    maximal runs of letters, digits, or single punctuation marks.
+    """
+    return F.size(
+        F.filter(
+            F.split(F.regexp_replace(F.lower(col), r"([^\p{L}\p{N}\s])", r" $1 "), r"\s+"),
+            lambda w: w != "",
+        )
+    ).cast("long")
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append quality-score features: lengths, ratios, stopword density.
+
+    The standard pre-training quality gates (length bands, symbol ratio,
+    stopword floor) express directly over these columns.
+    """
+    c = F.col(text_col)
+    words = _words(c)
+    n_words = F.size(words)
+    n_chars = F.length(c)
+    en_stop = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    n_stop = F.size(F.filter(words, lambda w: F.array_contains(en_stop, w)))
+    n_punct = n_chars - F.length(F.regexp_replace(c, r"[^\p{L}\p{N}\s]", ""))
+    avg_wlen = F.when(n_words > 0, (F.aggregate(words, F.lit(0), lambda a, w: a + F.length(w)) / n_words)).otherwise(0.0)
+    return (
+        df.withColumn("n_words", n_words.cast("long"))
+        .withColumn("n_chars_m", n_chars.cast("long"))
+        .withColumn("punct_ratio", F.round(n_punct / F.greatest(n_chars, F.lit(1)), 4))
+        .withColumn("stopword_ratio", F.round(n_stop / F.greatest(n_words, F.lit(1)), 4))
+        .withColumn("avg_word_len", F.round(avg_wlen, 4))
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -> DataFrame:
+    """Heuristic language ID: argmax of stopword-overlap scores.
+
+    Builds one score column per language (fraction of tokens found in
+    that language's stopword list) and picks the max via a sorted-struct
+    trick — ties break lexicographically, fully deterministic.
+    """
+    words = _words(F.col(text_col))
+    n = F.greatest(F.size(words), F.lit(1))
+    scored = []
+    for lang, stops in sorted(STOPWORDS.items()):
+        arr = F.array(*[F.lit(w) for w in stops])
+        score = F.size(F.filter(words, lambda w: F.array_contains(arr, w))) / n
+        scored.append(F.struct(score.alias("score"), F.lit(lang).alias("lang")))
+    best = F.reverse(F.array_sort(F.array(*scored)))[0]
+    return df.withColumn(out_col, best["lang"]).withColumn(
+        f"{out_col}_score", F.round(best["score"], 4)
+    )
+
+
+def doc_fingerprint(col: Column, length: int = 16) -> Column:
+    """Deterministic content fingerprint of normalized text (hex).
+
+    md5 over lowercased, whitespace-collapsed text — the exact-dedup key;
+    prefix length trades collision resistance for storage.
+    """
+    return F.substring(F.md5(F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))), 1, length)

@@ -1,0 +1,297 @@
+"""Training-data-pipeline query suite: dedup, similarity search, text
+analysis over the documents/embeddings tables.
+
+Queries wrap the reusable operators in ``operators/`` — oracle-paired
+where the computation is engine-agnostic (md5, set-Jaccard, exact
+cosine), rows-only where it depends on Spark-specific hash functions
+(xxhash64-based MinHash / SimHash — DuckDB has no compatible hash).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators.dedup import (
+    exact_dedup,
+    lsh_candidate_pairs,
+    minhash_signature,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_near_dups,
+)
+from .operators.similarity import cosine_near_dup_pairs, cosine_topk, lsh_bucket_ann
+from .operators.text import (
+    bpe_ish_token_count,
+    doc_fingerprint,
+    language_id,
+    quality_features,
+    token_count,
+)
+from .tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def _query_vec(spark, sf_dir) -> list[float]:
+    """Embedding of vec_id=0 — the fixed ANN probe vector."""
+    row = (
+        _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") == 0).select("embedding").first()
+    )
+    return [float(x) for x in row[0]]
+
+
+# --------------------------------------------------------------------------
+# Exact dedup: hash-groupBy on normalized text (keep lowest doc_id).
+def pipe_dedup_exact(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return exact_dedup(docs, "text", "doc_id").orderBy("keep_id").select(
+        "dup_key", "keep_id", "n_dups"
+    )
+
+
+PIPE_DEDUP_EXACT_SQL = """
+SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS dup_key,
+       min(doc_id) AS keep_id, count(*) AS n_dups
+FROM documents GROUP BY 1 ORDER BY keep_id
+"""
+
+
+# --------------------------------------------------------------------------
+# n-gram (unigram-set) Jaccard near-dup pairs ≥ 0.95 — exact inverted-index
+# join, the verifier behind MinHash at scale.
+def pipe_jaccard_pairs(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.95).orderBy(
+        "id_a", "id_b"
+    )
+
+
+PIPE_JACCARD_SQL = """
+WITH words AS (
+  SELECT doc_id, unnest(list_distinct(list_filter(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '), w -> w != ''))) AS w
+  FROM documents
+), sizes AS (
+  SELECT doc_id, count(*) AS sz FROM words GROUP BY doc_id
+), ov AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM words a JOIN words b USING (w)
+  WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+)
+SELECT id_a, id_b, round(inter * 1.0 / (sa.sz + sb.sz - inter), 4) AS jaccard
+FROM ov JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.95
+ORDER BY id_a, id_b
+"""
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH candidate pairs (xxhash64-based → rows-only check).
+def pipe_minhash_lsh(spark, sf_dir):
+    # unigram shingles so the LSH estimates the same word-set Jaccard that
+    # pipe_jaccard_pairs verifies exactly (8 bands × 4 rows ⇒ s-curve
+    # threshold ≈ 0.59, so jaccard ≥ 0.95 pairs collide w.p. ≈ 1)
+    docs = _t(spark, sf_dir, "documents")
+    sig = minhash_signature(docs, "text", num_hashes=32, shingle_k=1)
+    return lsh_candidate_pairs(sig, "doc_id", num_bands=8).orderBy("id_a", "id_b")
+
+
+# --------------------------------------------------------------------------
+# SimHash near-dup pairs (xxhash64-based → rows-only check).
+def pipe_simhash(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_near_dups(simhash(docs, "text"), "doc_id", max_hamming=8).orderBy(
+        "id_a", "id_b"
+    )
+
+
+# --------------------------------------------------------------------------
+# Exact cosine top-k ANN (brute force baseline).
+def pipe_cosine_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    q = _query_vec(spark, sf_dir)
+    return cosine_topk(emb.filter(F.col("vec_id") != 0), q, k=10)
+
+
+PIPE_COSINE_TOPK_SQL = """
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id, round(list_cosine_similarity(embedding::DOUBLE[], qv), 6) AS cosine
+FROM embeddings, q
+WHERE vec_id <> 0
+ORDER BY cosine DESC, vec_id
+LIMIT 10
+"""
+
+
+# --------------------------------------------------------------------------
+# LSH-bucketed ANN (deterministic hyperplanes; approximate → rows-only).
+def pipe_ann_lsh(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    q = _query_vec(spark, sf_dir)
+    return lsh_bucket_ann(emb.filter(F.col("vec_id") != 0), q, n_planes=4, k=10)
+
+
+# --------------------------------------------------------------------------
+# Embedding near-duplicate pairs, exact O(n²) variant (oracle-paired).
+def pipe_cosine_neardup(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_near_dup_pairs(emb, dim=64, threshold=0.45, exact=True).orderBy(
+        "id_a", "id_b"
+    )
+
+
+PIPE_COSINE_NEARDUP_SQL = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+FROM embeddings a, embeddings b
+WHERE a.vec_id < b.vec_id
+  AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45
+ORDER BY id_a, id_b
+"""
+
+
+# --------------------------------------------------------------------------
+# Per-label embedding centroids (posexplode → group avg).
+def pipe_emb_centroid(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg("v"), 6).alias("c"))
+        .groupBy("label")
+        .agg(F.round(F.sum("c"), 4).alias("centroid_mass"), F.count("*").alias("dims"))
+        .orderBy("label")
+    )
+
+
+PIPE_EMB_CENTROID_SQL = """
+WITH flat AS (
+  SELECT label, generate_subscripts(embedding, 1) - 1 AS pos,
+         unnest(embedding::DOUBLE[]) AS v
+  FROM embeddings
+), cent AS (
+  SELECT label, pos, round(avg(v), 6) AS c FROM flat GROUP BY label, pos
+)
+SELECT label, round(sum(c), 4) AS centroid_mass, count(*) AS dims
+FROM cent GROUP BY label ORDER BY label
+"""
+
+
+# --------------------------------------------------------------------------
+# Token counting per language (whitespace + BPE-ish regex proxy).
+def pipe_text_tokens(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "lang",
+            token_count(F.col("text")).alias("toks"),
+            bpe_ish_token_count(F.col("text")).alias("btoks"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.sum("toks").alias("total_tokens"),
+            F.sum("btoks").alias("total_bpe_tokens"),
+            F.count("*").alias("n_docs"),
+        )
+        .orderBy("lang")
+    )
+
+
+PIPE_TEXT_TOKENS_SQL = """
+SELECT lang,
+       CAST(sum(len(list_filter(string_split(lower(text), ' '), w -> w != ''))) AS BIGINT) AS total_tokens,
+       CAST(sum(len(list_filter(regexp_split_to_array(regexp_replace(lower(text), '([^a-z0-9\\s])', ' \\1 ', 'g'), '\\s+'), w -> w != ''))) AS BIGINT) AS total_bpe_tokens,
+       count(*) AS n_docs
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+# --------------------------------------------------------------------------
+# Quality features aggregated per source.
+def pipe_text_quality(spark, sf_dir):
+    docs = quality_features(_t(spark, sf_dir, "documents"))
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_words").alias("words"),
+            F.round(F.round(F.sum("punct_ratio"), 4) / F.count("*"), 6).alias("avg_punct"),
+            F.round(F.round(F.sum("stopword_ratio"), 4) / F.count("*"), 6).alias("avg_stop"),
+            F.round(F.round(F.sum("avg_word_len"), 4) / F.count("*"), 6).alias("avg_wlen"),
+        )
+        .orderBy("source")
+    )
+
+
+PIPE_TEXT_QUALITY_SQL = """
+WITH feats AS (
+  SELECT source,
+         list_filter(string_split(lower(text), ' '), w -> w != '') AS words,
+         length(text) AS n_chars,
+         length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS n_punct
+  FROM documents
+), per_doc AS (
+  SELECT source, len(words) AS n_words,
+         round(n_punct * 1.0 / greatest(n_chars, 1), 4) AS punct_ratio,
+         round(len(list_filter(words, w -> w IN ('the','and','of','to','a','in','is','it','that','for'))) * 1.0
+               / greatest(len(words), 1), 4) AS stopword_ratio,
+         round(CASE WHEN len(words) > 0
+               THEN list_sum(list_transform(words, w -> length(w))) * 1.0 / len(words)
+               ELSE 0.0 END, 4) AS avg_word_len
+  FROM feats
+)
+SELECT source, count(*) AS n_docs, CAST(sum(n_words) AS BIGINT) AS words,
+       round(round(sum(punct_ratio), 4) / count(*), 6) AS avg_punct,
+       round(round(sum(stopword_ratio), 4) / count(*), 6) AS avg_stop,
+       round(round(sum(avg_word_len), 4) / count(*), 6) AS avg_wlen
+FROM per_doc GROUP BY source ORDER BY source
+"""
+
+
+# --------------------------------------------------------------------------
+# Language-ID heuristic vs labeled lang (confusion counts).
+def pipe_langid(spark, sf_dir):
+    docs = language_id(_t(spark, sf_dir, "documents"))
+    return (
+        docs.groupBy(F.col("lang").alias("true_lang"), F.col("lang_pred"))
+        .agg(F.count("*").alias("n"))
+        .orderBy("true_lang", "lang_pred")
+    )
+
+
+# --------------------------------------------------------------------------
+# Document fingerprinting: distinct fingerprints per source (md5-based).
+def pipe_fingerprint(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select("source", doc_fingerprint(F.col("text")).alias("fp"))
+        .groupBy("source")
+        .agg(F.countDistinct("fp").alias("n_unique"), F.count("*").alias("n_docs"))
+        .orderBy("source")
+    )
+
+
+PIPE_FINGERPRINT_SQL = """
+SELECT source,
+       count(DISTINCT substring(md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))), 1, 16)) AS n_unique,
+       count(*) AS n_docs
+FROM documents GROUP BY source ORDER BY source
+"""
+
+
+PIPELINE_QUERIES: dict[str, tuple] = {
+    "pipe_dedup_exact": (pipe_dedup_exact, PIPE_DEDUP_EXACT_SQL),
+    "pipe_jaccard_pairs": (pipe_jaccard_pairs, PIPE_JACCARD_SQL),
+    "pipe_minhash_lsh": (pipe_minhash_lsh, None),
+    "pipe_simhash": (pipe_simhash, None),
+    "pipe_cosine_topk": (pipe_cosine_topk, PIPE_COSINE_TOPK_SQL),
+    "pipe_ann_lsh": (pipe_ann_lsh, None),
+    "pipe_cosine_neardup": (pipe_cosine_neardup, PIPE_COSINE_NEARDUP_SQL),
+    "pipe_emb_centroid": (pipe_emb_centroid, PIPE_EMB_CENTROID_SQL),
+    "pipe_text_tokens": (pipe_text_tokens, PIPE_TEXT_TOKENS_SQL),
+    "pipe_text_quality": (pipe_text_quality, PIPE_TEXT_QUALITY_SQL),
+    "pipe_langid": (pipe_langid, None),
+    "pipe_fingerprint": (pipe_fingerprint, PIPE_FINGERPRINT_SQL),
+}
