@@ -1,0 +1,260 @@
+"""SessionContext façade over SparkSession.
+
+Reference surface: python/datafusion/context.py (SessionContext :532 —
+sql :692, read_parquet :1912, read_csv :1831, read_json :1787,
+register_* :655-1383, from_pydict/pylist/pandas/arrow :812-1060,
+table :1620, catalog :1660, udf registration :1392, empty_table :1601).
+
+SQL goes straight to spark.sql (Catalyst parses the reference's SQL
+surface); registration maps to temp views over DataSource reads, which
+keeps scans distributed and pushdown-capable at any scale.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterable, Sequence
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from ..session import get_spark
+from .dataframe import DataFrame
+from .expr import Expr, _spark_type
+
+__all__ = ["SessionContext", "SQLOptions"]
+
+
+class SQLOptions:
+    """DDL/DML gating (ref context.py:469-531). Enforced by inspecting the
+    first keyword — Catalyst has no pre-parse hook in PySpark."""
+
+    _DDL = ("create", "drop", "alter")
+    _DML = ("insert", "update", "delete", "copy", "merge")
+
+    def __init__(self) -> None:
+        self._allow_ddl = True
+        self._allow_dml = True
+        self._allow_statements = True
+
+    def with_allow_ddl(self, allow: bool = True) -> "SQLOptions":
+        self._allow_ddl = allow
+        return self
+
+    def with_allow_dml(self, allow: bool = True) -> "SQLOptions":
+        self._allow_dml = allow
+        return self
+
+    def with_allow_statements(self, allow: bool = True) -> "SQLOptions":
+        self._allow_statements = allow
+        return self
+
+    def _check(self, query: str) -> None:
+        head = query.strip().split(None, 1)[0].lower() if query.strip() else ""
+        if not self._allow_ddl and head in self._DDL:
+            raise ValueError(f"DDL not allowed by SQLOptions: {head.upper()}")
+        if not self._allow_dml and head in self._DML:
+            raise ValueError(f"DML not allowed by SQLOptions: {head.upper()}")
+        if not self._allow_statements and head in ("set", "use"):
+            raise ValueError(f"statement not allowed by SQLOptions: {head.upper()}")
+
+
+class SessionContext:
+    def __init__(self, config: dict | None = None, runtime: Any = None) -> None:
+        self.spark: SparkSession = get_spark("datafusion_python_spark")
+        if config:
+            for k, v in config.items():
+                try:
+                    self.spark.conf.set(k, str(v))
+                except Exception:
+                    pass
+
+    # -- SQL ----------------------------------------------------------------
+    def sql(self, query: str, options: SQLOptions | None = None, **named_params) -> DataFrame:
+        if options is not None:
+            options._check(query)
+        if named_params:
+            df = self.spark.sql(query, args=named_params)
+        else:
+            df = self.spark.sql(query)
+        return DataFrame(df)
+
+    def sql_with_options(self, query: str, options: SQLOptions) -> DataFrame:
+        return self.sql(query, options=options)
+
+    def parse_sql_expr(self, sql: str) -> Expr:
+        return Expr(F.expr(sql))
+
+    # -- reads ----------------------------------------------------------------
+    def read_parquet(
+        self,
+        path: str | Sequence[str],
+        table_partition_cols: list | None = None,
+        parquet_pruning: bool = True,
+        file_extension: str = ".parquet",
+        skip_metadata: bool = True,
+        schema=None,
+        **_: Any,
+    ) -> DataFrame:
+        reader = self.spark.read
+        if schema is not None:
+            reader = reader.schema(self._schema(schema))
+        paths = [path] if isinstance(path, str) else list(path)
+        return DataFrame(reader.parquet(*paths))
+
+    def read_csv(
+        self,
+        path: str | Sequence[str],
+        schema=None,
+        has_header: bool = True,
+        delimiter: str = ",",
+        schema_infer_max_records: int = 1000,
+        file_extension: str = ".csv",
+        table_partition_cols: list | None = None,
+        file_compression_type: str | None = None,
+        **_: Any,
+    ) -> DataFrame:
+        reader = self.spark.read.option("header", str(has_header).lower()).option("sep", delimiter)
+        if schema is not None:
+            reader = reader.schema(self._schema(schema))
+        else:
+            reader = reader.option("inferSchema", "true")
+        paths = [path] if isinstance(path, str) else list(path)
+        return DataFrame(reader.csv(*paths))
+
+    def read_json(
+        self,
+        path: str | Sequence[str],
+        schema=None,
+        schema_infer_max_records: int = 1000,
+        file_extension: str = ".json",
+        table_partition_cols: list | None = None,
+        file_compression_type: str | None = None,
+        **_: Any,
+    ) -> DataFrame:
+        reader = self.spark.read
+        if schema is not None:
+            reader = reader.schema(self._schema(schema))
+        paths = [path] if isinstance(path, str) else list(path)
+        return DataFrame(reader.json(*paths))
+
+    def read_avro(self, path: str, schema=None, **_: Any) -> DataFrame:
+        return DataFrame(self.spark.read.format("avro").load(path))
+
+    def read_empty(self) -> DataFrame:
+        return DataFrame(self.spark.range(1).select(F.lit(1).alias("__dummy")).limit(0))
+
+    def empty_table(self) -> DataFrame:
+        return self.read_empty()
+
+    # -- in-memory construction --------------------------------------------------
+    def from_pydict(self, data: dict, name: str | None = None) -> DataFrame:
+        import pyarrow as pa
+
+        return self.from_arrow(pa.Table.from_pydict(data), name)
+
+    def from_pylist(self, data: list[dict], name: str | None = None) -> DataFrame:
+        import pyarrow as pa
+
+        return self.from_arrow(pa.Table.from_pylist(data), name)
+
+    def from_pandas(self, df, name: str | None = None) -> DataFrame:
+        out = DataFrame(self.spark.createDataFrame(df))
+        if name:
+            out.df.createOrReplaceTempView(name)
+        return out
+
+    def from_arrow(self, data, name: str | None = None) -> DataFrame:
+        import pyarrow as pa
+
+        if isinstance(data, pa.RecordBatch):
+            data = pa.Table.from_batches([data])
+        out = DataFrame(self.spark.createDataFrame(data.to_pandas()))
+        if name:
+            out.df.createOrReplaceTempView(name)
+        return out
+
+    create_dataframe_from_logical_plan = None  # plan interchange: unsupported
+
+    def create_dataframe(self, partitions, name: str | None = None, schema=None) -> DataFrame:
+        import pyarrow as pa
+
+        batches = [b for part in partitions for b in part]
+        return self.from_arrow(pa.Table.from_batches(batches), name)
+
+    # -- registration ---------------------------------------------------------------
+    def register_parquet(self, name: str, path: str, **kwargs: Any) -> None:
+        self.read_parquet(path, **kwargs).df.createOrReplaceTempView(name)
+
+    def register_csv(self, name: str, path: str, **kwargs: Any) -> None:
+        self.read_csv(path, **kwargs).df.createOrReplaceTempView(name)
+
+    def register_json(self, name: str, path: str, **kwargs: Any) -> None:
+        self.read_json(path, **kwargs).df.createOrReplaceTempView(name)
+
+    def register_avro(self, name: str, path: str, **kwargs: Any) -> None:
+        self.read_avro(path, **kwargs).df.createOrReplaceTempView(name)
+
+    def register_listing_table(self, name: str, path: str, **kwargs: Any) -> None:
+        self.register_parquet(name, path, **kwargs)
+
+    def register_record_batches(self, name: str, partitions) -> None:
+        self.create_dataframe(partitions, name)
+
+    def register_dataset(self, name: str, dataset) -> None:
+        import pyarrow as pa
+
+        self.from_arrow(dataset.to_table(), name)
+
+    def register_view(self, name: str, df: DataFrame) -> None:
+        df.df.createOrReplaceTempView(name)
+
+    def register_table(self, name: str, table) -> None:
+        if isinstance(table, DataFrame):
+            table.df.createOrReplaceTempView(name)
+        else:
+            raise TypeError("only DataFrame-backed tables are supported")
+
+    def deregister_table(self, name: str) -> None:
+        self.spark.catalog.dropTempView(name)
+
+    # -- catalog ---------------------------------------------------------------------
+    def table(self, name: str) -> DataFrame:
+        return DataFrame(self.spark.table(name))
+
+    def table_exist(self, name: str) -> bool:
+        return self.spark.catalog.tableExists(name)
+
+    def tables(self) -> set[str]:
+        return {t.name for t in self.spark.catalog.listTables()}
+
+    def catalog_names(self) -> set[str]:
+        return {c.name for c in self.spark.catalog.listCatalogs()}
+
+    # -- UDF ---------------------------------------------------------------------------
+    def register_udf(self, udf) -> None:
+        udf._register(self.spark)
+
+    def register_udaf(self, udaf) -> None:
+        udaf._register(self.spark)
+
+    def register_udtf(self, udtf) -> None:
+        udtf._register(self.spark)
+
+    # -- helpers ------------------------------------------------------------------------
+    @staticmethod
+    def _schema(schema):
+        import pyarrow as pa
+        from pyspark.sql import types as T
+
+        if isinstance(schema, T.StructType):
+            return schema
+        if isinstance(schema, pa.Schema):
+            return T.StructType(
+                [
+                    T.StructField(f.name, _spark_type(str(f.type)) if str(f.type) in
+                                  ("int8", "int16", "int32", "int64", "float32", "float64", "string", "bool")
+                                  else T.fromArrow(f.type), f.nullable)
+                    for f in schema
+                ]
+            )
+        return schema

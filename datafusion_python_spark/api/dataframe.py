@@ -1,0 +1,390 @@
+"""DataFrame façade over pyspark.sql.DataFrame.
+
+Reference surface: python/datafusion/dataframe.py (select :552, filter
+:641, aggregate :799, sort :865, limit :906, join :1050, join_on :1153,
+set ops :1289-1420, distinct_on :1420, unnest :1741, window :611,
+repartition :1260, writers :1482-1659, exports :1673-1827).
+
+Lazy like the reference: every method wraps one more Catalyst node and
+returns a new immutable DataFrame; nothing executes until collect/show/
+count/write. Plan introspection maps to Spark's queryExecution.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterable, Sequence
+
+from pyspark.sql import Column
+from pyspark.sql import DataFrame as SparkDF
+from pyspark.sql import Window as SparkWindow
+from pyspark.sql import functions as F
+
+from .expr import Expr, SortExpr, _c, _spark_type, to_sort_expr
+
+__all__ = ["DataFrame", "ParquetWriterOptions", "DataFrameWriteOptions"]
+
+_JOIN_HOW = {
+    "inner": "inner",
+    "left": "left",
+    "right": "right",
+    "full": "full",
+    "outer": "full",
+    "semi": "left_semi",
+    "left_semi": "left_semi",
+    "anti": "left_anti",
+    "left_anti": "left_anti",
+}
+
+
+class ParquetWriterOptions:
+    """Subset of the reference's parquet writer knobs (dataframe.py:169)."""
+
+    def __init__(self, compression: str = "zstd", compression_level: int | None = None) -> None:
+        self.compression = compression
+        self.compression_level = compression_level
+
+
+class DataFrameWriteOptions:
+    """ref dataframe.py:1879 — insert_operation/partition_by/sort_by."""
+
+    def __init__(
+        self,
+        insert_operation: str = "append",
+        single_file_output: bool = False,
+        partition_by: Sequence[str] | None = None,
+        sort_by: Sequence[Any] | None = None,
+    ) -> None:
+        self.insert_operation = insert_operation
+        self.single_file_output = single_file_output
+        self.partition_by = list(partition_by or [])
+        self.sort_by = list(sort_by or [])
+
+
+def _join_how(how: str) -> str:
+    try:
+        return _JOIN_HOW[how]
+    except KeyError:
+        raise ValueError(
+            f"invalid join type {how!r}; expected one of {sorted(_JOIN_HOW)}"
+        ) from None
+
+
+def _cols(exprs: Iterable[Any]) -> list[Column]:
+    out = []
+    for e in exprs:
+        if isinstance(e, str):
+            out.append(F.col(e))
+        else:
+            out.append(_c(e))
+    return out
+
+
+class DataFrame:
+    def __init__(self, sdf: SparkDF) -> None:
+        self.df = sdf
+
+    # -- schema / introspection -------------------------------------------
+    def schema(self):
+        """pyarrow schema of the relation (ref dataframe.py:430)."""
+        import pyarrow as pa
+
+        return pa.schema(self.df.limit(0).toArrow().schema)
+
+    @property
+    def columns(self) -> list[str]:
+        return self.df.columns
+
+    def logical_plan(self) -> str:
+        return self.df._jdf.queryExecution().logical().toString()
+
+    def optimized_logical_plan(self) -> str:
+        return self.df._jdf.queryExecution().optimizedPlan().toString()
+
+    def execution_plan(self) -> str:
+        return self.df._jdf.queryExecution().executedPlan().toString()
+
+    def explain(self, verbose: bool = False, analyze: bool = False) -> None:
+        self.df.explain(extended=verbose)
+
+    def __repr__(self) -> str:
+        return f"DataFrame({self.df.schema.simpleString()})"
+
+    # -- projections -------------------------------------------------------
+    def select(self, *exprs) -> "DataFrame":
+        return DataFrame(self.df.select(*_cols(exprs)))
+
+    def select_exprs(self, *sql_exprs: str) -> "DataFrame":
+        return DataFrame(self.df.selectExpr(*sql_exprs))
+
+    def select_columns(self, *names: str) -> "DataFrame":
+        return DataFrame(self.df.select(*names))
+
+    def drop(self, *names: str) -> "DataFrame":
+        return DataFrame(self.df.drop(*names))
+
+    def with_column(self, name: str, expr) -> "DataFrame":
+        return DataFrame(self.df.withColumn(name, _c(expr)))
+
+    def with_columns(self, *exprs, **named) -> "DataFrame":
+        out = self.df
+        for e in exprs:
+            if isinstance(e, (list, tuple)):
+                for sub in e:
+                    out = self._add_aliased(out, sub)
+            else:
+                out = self._add_aliased(out, e)
+        for name, e in named.items():
+            out = out.withColumn(name, _c(e))
+        return DataFrame(out)
+
+    @staticmethod
+    def _add_aliased(sdf: SparkDF, expr) -> SparkDF:
+        c = _c(expr)
+        name = sdf.select(c).columns[0]
+        return sdf.withColumn(name, c)
+
+    def with_column_renamed(self, old: str, new: str) -> "DataFrame":
+        return DataFrame(self.df.withColumnRenamed(old, new))
+
+    def cast(self, mapping: dict) -> "DataFrame":
+        out = self.df
+        for name, typ in mapping.items():
+            out = out.withColumn(name, F.col(name).cast(_spark_type(typ)))
+        return DataFrame(out)
+
+    # -- filters -----------------------------------------------------------
+    def filter(self, *predicates) -> "DataFrame":
+        out = self.df
+        for p in predicates:
+            out = out.filter(F.expr(p) if isinstance(p, str) else _c(p))
+        return DataFrame(out)
+
+    where = filter
+
+    def parse_sql_expr(self, sql: str) -> Expr:
+        return Expr(F.expr(sql))
+
+    # -- aggregation ---------------------------------------------------------
+    def aggregate(self, group_by, aggs) -> "DataFrame":
+        if isinstance(group_by, (Expr, str, Column)):
+            group_by = [group_by]
+        if isinstance(aggs, (Expr, Column)):
+            aggs = [aggs]
+        agg_cols = [_c(a) for a in aggs]
+        if not group_by:
+            return DataFrame(self.df.agg(*agg_cols))
+        return DataFrame(self.df.groupBy(*_cols(group_by)).agg(*agg_cols))
+
+    def count(self) -> int:
+        return self.df.count()
+
+    def describe(self) -> "DataFrame":
+        return DataFrame(self.df.describe())
+
+    # -- sorting / limits -----------------------------------------------------
+    def sort(self, *keys) -> "DataFrame":
+        spark_keys = [to_sort_expr(k)._to_spark() for k in keys]
+        return DataFrame(self.df.orderBy(*spark_keys))
+
+    order_by = sort
+
+    def sort_by(self, *exprs) -> "DataFrame":
+        return self.sort(*exprs)
+
+    def limit(self, count: int, offset: int = 0) -> "DataFrame":
+        out = self.df
+        if offset:
+            out = out.offset(offset)
+        return DataFrame(out.limit(count))
+
+    def head(self, n: int = 5) -> "DataFrame":
+        return self.limit(n)
+
+    def tail(self, n: int = 5) -> "DataFrame":
+        total = self.df.count()
+        return self.limit(n, max(total - n, 0))
+
+    # -- joins ----------------------------------------------------------------
+    def join(
+        self,
+        right: "DataFrame",
+        on: str | Sequence[str] | None = None,
+        how: str = "inner",
+        left_on: str | Sequence[str] | None = None,
+        right_on: str | Sequence[str] | None = None,
+        join_keys: tuple | None = None,
+        coalesce_duplicate_keys: bool = True,
+    ) -> "DataFrame":
+        """Key-based join (ref dataframe.py:1050).
+
+        ``on`` (same-named keys) coalesces duplicates like SQL USING —
+        Spark's list-of-names join form has exactly those semantics.
+        ``left_on``/``right_on`` keeps both key columns.
+        """
+        how_s = _join_how(how)
+        if join_keys is not None:  # legacy tuple form
+            left_on, right_on = join_keys
+        if on is not None:
+            keys = [on] if isinstance(on, str) else list(on)
+            if coalesce_duplicate_keys:
+                return DataFrame(self.df.join(right.df, keys, how_s))
+            cond = None
+            for k in keys:
+                c = self.df[k] == right.df[k]
+                cond = c if cond is None else (cond & c)
+            return DataFrame(self.df.join(right.df, cond, how_s))
+        if left_on is not None and right_on is not None:
+            lks = [left_on] if isinstance(left_on, str) else list(left_on)
+            rks = [right_on] if isinstance(right_on, str) else list(right_on)
+            cond = None
+            for lk, rk in zip(lks, rks):
+                c = self.df[lk] == right.df[rk]
+                cond = c if cond is None else (cond & c)
+            return DataFrame(self.df.join(right.df, cond, how_s))
+        raise ValueError("join requires on= or left_on=/right_on=")
+
+    def join_on(self, right: "DataFrame", *on_exprs, how: str = "inner") -> "DataFrame":
+        """Expression join (ref dataframe.py:1153); predicates AND-ed."""
+        cond = None
+        for e in on_exprs:
+            c = _c(e)
+            cond = c if cond is None else (cond & c)
+        if cond is None:
+            return DataFrame(self.df.crossJoin(right.df))
+        return DataFrame(self.df.join(right.df, cond, _join_how(how)))
+
+    def cross_join(self, right: "DataFrame") -> "DataFrame":
+        return DataFrame(self.df.crossJoin(right.df))
+
+    # -- set ops ---------------------------------------------------------------
+    def union(self, other: "DataFrame", distinct: bool = False) -> "DataFrame":
+        out = self.df.union(other.df)
+        return DataFrame(out.distinct() if distinct else out)
+
+    def union_distinct(self, other: "DataFrame") -> "DataFrame":
+        return self.union(other, distinct=True)
+
+    def union_by_name(self, other: "DataFrame", distinct: bool = False) -> "DataFrame":
+        out = self.df.unionByName(other.df)
+        return DataFrame(out.distinct() if distinct else out)
+
+    def intersect(self, other: "DataFrame", distinct: bool = True) -> "DataFrame":
+        return DataFrame(self.df.intersect(other.df) if distinct else self.df.intersectAll(other.df))
+
+    def except_all(self, other: "DataFrame") -> "DataFrame":
+        return DataFrame(self.df.exceptAll(other.df))
+
+    def distinct(self) -> "DataFrame":
+        return DataFrame(self.df.distinct())
+
+    def distinct_on(self, on_exprs: Sequence, select_exprs: Sequence, sort_exprs: Sequence | None = None) -> "DataFrame":
+        """Postgres DISTINCT ON (ref dataframe.py:1420): first row per key
+        under the given ordering — window row_number emulation."""
+        keys = _cols(on_exprs)
+        order = [to_sort_expr(k)._to_spark() for k in (sort_exprs or [])] or [
+            F.monotonically_increasing_id().asc()
+        ]
+        w = SparkWindow.partitionBy(*keys).orderBy(*order)
+        tagged = self.df.withColumn("__rn", F.row_number().over(w))
+        return DataFrame(
+            tagged.filter(F.col("__rn") == 1).select(*_cols(select_exprs))
+        )
+
+    # -- unnest -----------------------------------------------------------------
+    def unnest_columns(self, *cols: str, preserve_nulls: bool = True) -> "DataFrame":
+        out = self.df
+        explode = F.explode_outer if preserve_nulls else F.explode
+        for c in cols:
+            others = [F.col(x) for x in out.columns if x != c]
+            out = out.select(*others, explode(F.col(c)).alias(c))
+        return DataFrame(out)
+
+    # -- partitioning -------------------------------------------------------------
+    def repartition(self, num: int) -> "DataFrame":
+        return DataFrame(self.df.repartition(num))
+
+    def repartition_by_hash(self, *exprs, num: int) -> "DataFrame":
+        return DataFrame(self.df.repartition(num, *_cols(exprs)))
+
+    def cache(self) -> "DataFrame":
+        return DataFrame(self.df.cache())
+
+    # -- window -------------------------------------------------------------------
+    def window(self, *window_exprs) -> "DataFrame":
+        """Append window-function columns (ref dataframe.py:611)."""
+        out = self.df
+        for e in window_exprs:
+            c = _c(e)
+            name = out.select(c).columns[0]
+            out = out.withColumn(name, c)
+        return DataFrame(out)
+
+    # -- execution / export ---------------------------------------------------------
+    def collect(self):
+        """list[pyarrow.RecordBatch] like the reference (dataframe.py:959)."""
+        tbl = self.df.toArrow()
+        return tbl.to_batches()
+
+    def to_arrow_table(self):
+        return self.df.toArrow()
+
+    def to_pandas(self):
+        return self.df.toPandas()
+
+    def to_pydict(self) -> dict:
+        return self.df.toArrow().to_pydict()
+
+    def to_pylist(self) -> list[dict]:
+        return self.df.toArrow().to_pylist()
+
+    def show(self, num: int = 20) -> None:
+        self.df.show(num)
+
+    def to_polars(self):
+        raise NotImplementedError("polars is not available in this environment")
+
+    def execute_stream(self):
+        """Incremental results (ref dataframe.py:1681) → local iterator."""
+        return self.df.toLocalIterator()
+
+    def __iter__(self):
+        return iter(self.collect())
+
+    def __arrow_c_stream__(self, requested_schema=None):
+        return self.df.toArrow().__arrow_c_stream__(requested_schema)
+
+    # -- writers -----------------------------------------------------------------
+    def write_parquet(
+        self,
+        path: str,
+        compression: str | ParquetWriterOptions = "zstd",
+        compression_level: int | None = None,
+        write_options: DataFrameWriteOptions | None = None,
+    ) -> None:
+        codec = compression.compression if isinstance(compression, ParquetWriterOptions) else compression
+        writer = self.df.write.mode("overwrite")
+        if write_options and write_options.partition_by:
+            writer = writer.partitionBy(*write_options.partition_by)
+        writer.option("compression", codec).parquet(path)
+
+    def write_csv(self, path: str, with_header: bool = False, write_options=None) -> None:
+        self.df.write.mode("overwrite").option("header", str(with_header).lower()).csv(path)
+
+    def write_json(self, path: str, write_options=None) -> None:
+        self.df.write.mode("overwrite").json(path)
+
+    def write_table(self, name: str, write_options: DataFrameWriteOptions | None = None) -> None:
+        mode = "append"
+        if write_options and write_options.insert_operation in ("overwrite", "replace"):
+            mode = "overwrite"
+        self.df.write.mode(mode).saveAsTable(name)
+
+    # -- misc ---------------------------------------------------------------------
+    def fill_null(self, value, subset: Sequence[str] | None = None) -> "DataFrame":
+        return DataFrame(self.df.na.fill(value, subset=list(subset) if subset else None))
+
+    def fill_nan(self, value, subset: Sequence[str] | None = None) -> "DataFrame":
+        return DataFrame(self.df.na.fill(value, subset=list(subset) if subset else None))
+
+    def into_view(self, name: str) -> None:
+        self.df.createOrReplaceTempView(name)

@@ -1,0 +1,372 @@
+"""Expr: the reference's expression tree, backed by pyspark Column.
+
+Reference surface: python/datafusion/expr.py (Expr class :449, operator
+overloads :658-832, predicates :898-972, sort :889, alias :877, builder
+methods :1020-1074) and the Window/WindowFrame classes (:1570,:1594).
+
+An Expr is an immutable wrapper over a Column; every method returns a
+new Expr. Aggregate-builder state (distinct/filter/order_by) is carried
+on the wrapper and consumed by functions.py when the aggregate is
+finalized — mirroring the reference's ExprFuncBuilder.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterable, Sequence
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import Window as SparkWindow
+from pyspark.sql import types as T
+
+__all__ = [
+    "Expr",
+    "CaseBuilder",
+    "Window",
+    "WindowFrame",
+    "SortExpr",
+    "col",
+    "column",
+    "lit",
+    "literal",
+]
+
+_TYPE_ALIASES = {
+    "int8": T.ByteType(),
+    "int16": T.ShortType(),
+    "int32": T.IntegerType(),
+    "int64": T.LongType(),
+    # unsigned Arrow types widen (SURVEY §1.3): u8→i16, u16→i32, u32→i64,
+    # u64→decimal(20,0) — documented silent-overflow hazard
+    "uint8": T.ShortType(),
+    "uint16": T.IntegerType(),
+    "uint32": T.LongType(),
+    "uint64": T.DecimalType(20, 0),
+    "float16": T.FloatType(),
+    "float32": T.FloatType(),
+    "float64": T.DoubleType(),
+    "utf8": T.StringType(),
+    "large_utf8": T.StringType(),
+    "string": T.StringType(),
+    "bool": T.BooleanType(),
+    "boolean": T.BooleanType(),
+    "date32": T.DateType(),
+    "date64": T.DateType(),
+    "binary": T.BinaryType(),
+    "timestamp": T.TimestampType(),
+}
+
+
+def _spark_type(t: Any):
+    """Accept Spark DataType, pyarrow DataType, or a name string."""
+    if isinstance(t, T.DataType):
+        return t
+    try:
+        import pyarrow as pa
+
+        if isinstance(t, pa.DataType):
+            return _TYPE_ALIASES.get(str(t), T.StringType()) if str(t) in _TYPE_ALIASES else T.fromArrow(t)
+    except ImportError:
+        pass
+    if isinstance(t, str):
+        key = t.lower()
+        if key in _TYPE_ALIASES:
+            return _TYPE_ALIASES[key]
+        return t  # let Spark's DDL parser handle it ("decimal(10,2)" etc.)
+    raise TypeError(f"unsupported type spec: {t!r}")
+
+
+def _c(v: Any) -> Column:
+    """Unwrap Expr | Column | python literal → Column."""
+    if isinstance(v, Expr):
+        return v.expr
+    if isinstance(v, Column):
+        return v
+    return F.lit(v)
+
+
+def _e(c: Column) -> "Expr":
+    return Expr(c)
+
+
+class Expr:
+    """Expression wrapper (ref expr.py:449)."""
+
+    def __init__(self, expr: Column) -> None:
+        self.expr = expr
+        # aggregate-builder state (ref expr.py:1020-1056)
+        self._distinct: bool = False
+        self._filter: Column | None = None
+        self._order_by: list["SortExpr"] | None = None
+        self._null_treatment: str | None = None
+
+    # -- python dunder surface -------------------------------------------
+    def __repr__(self) -> str:
+        return f"Expr({self.expr})"
+
+    def __add__(self, o): return _e(self.expr + _c(o))
+    def __radd__(self, o): return _e(_c(o) + self.expr)
+    def __sub__(self, o): return _e(self.expr - _c(o))
+    def __rsub__(self, o): return _e(_c(o) - self.expr)
+    def __mul__(self, o): return _e(self.expr * _c(o))
+    def __rmul__(self, o): return _e(_c(o) * self.expr)
+    def __truediv__(self, o): return _e(self.expr / _c(o))
+    def __rtruediv__(self, o): return _e(_c(o) / self.expr)
+    def __mod__(self, o): return _e(self.expr % _c(o))
+    def __rmod__(self, o): return _e(_c(o) % self.expr)
+    def __and__(self, o): return _e(self.expr & _c(o))
+    def __rand__(self, o): return _e(_c(o) & self.expr)
+    def __or__(self, o): return _e(self.expr | _c(o))
+    def __ror__(self, o): return _e(_c(o) | self.expr)
+    def __invert__(self): return _e(~self.expr)
+    def __neg__(self): return _e(-self.expr)
+    def __pow__(self, o): return _e(F.pow(self.expr, _c(o)))
+
+    def __eq__(self, o): return _e(self.expr == _c(o))  # type: ignore[override]
+    def __ne__(self, o): return _e(self.expr != _c(o))  # type: ignore[override]
+    def __lt__(self, o): return _e(self.expr < _c(o))
+    def __le__(self, o): return _e(self.expr <= _c(o))
+    def __gt__(self, o): return _e(self.expr > _c(o))
+    def __ge__(self, o): return _e(self.expr >= _c(o))
+
+    def __getitem__(self, key):
+        """Index into list/struct/map (ref expr.py:560 __getitem__)."""
+        if isinstance(key, str):
+            return _e(self.expr.getField(key))
+        # DataFusion list indexing is 0-based; Spark element_at is 1-based
+        return _e(F.element_at(self.expr, key + 1 if isinstance(key, int) and key >= 0 else key))
+
+    def __bool__(self):
+        raise ValueError(
+            "Expr cannot be evaluated to a boolean; use & | ~ for logic"
+        )
+
+    # -- naming / casting --------------------------------------------------
+    def alias(self, name: str, metadata: dict | None = None) -> "Expr":
+        if metadata:
+            return _e(self.expr.alias(name, metadata=metadata))
+        return _e(self.expr.alias(name))
+
+    def cast(self, to: Any) -> "Expr":
+        return _e(self.expr.cast(_spark_type(to)))
+
+    def try_cast(self, to: Any) -> "Expr":
+        return _e(self.expr.try_cast(_spark_type(to)))
+
+    # -- predicates (ref expr.py:898-972) ---------------------------------
+    def is_null(self) -> "Expr":
+        return _e(self.expr.isNull())
+
+    def is_not_null(self) -> "Expr":
+        return _e(self.expr.isNotNull())
+
+    def is_true(self) -> "Expr":
+        return _e(self.expr == F.lit(True))
+
+    def is_not_true(self) -> "Expr":
+        return _e(~(self.expr.eqNullSafe(F.lit(True))))
+
+    def is_false(self) -> "Expr":
+        return _e(self.expr == F.lit(False))
+
+    def is_not_false(self) -> "Expr":
+        return _e(~(self.expr.eqNullSafe(F.lit(False))))
+
+    def is_unknown(self) -> "Expr":
+        return _e(self.expr.isNull())
+
+    def is_not_unknown(self) -> "Expr":
+        return _e(self.expr.isNotNull())
+
+    def between(self, low: Any, high: Any, negated: bool = False) -> "Expr":
+        out = self.expr.between(_c(low), _c(high))
+        return _e(~out if negated else out)
+
+    def in_list(self, values: Sequence[Any], negated: bool = False) -> "Expr":
+        out = self.expr.isin([_c(v) if isinstance(v, (Expr, Column)) else v for v in values])
+        return _e(~out if negated else out)
+
+    def like(self, pattern: str, escape: str | None = None) -> "Expr":
+        return _e(self.expr.like(pattern))
+
+    def ilike(self, pattern: str, escape: str | None = None) -> "Expr":
+        return _e(self.expr.ilike(pattern))
+
+    def rex_match(self, pattern: str) -> "Expr":
+        return _e(self.expr.rlike(pattern))
+
+    # -- null handling ------------------------------------------------------
+    def fill_null(self, value: Any) -> "Expr":
+        return _e(F.coalesce(self.expr, _c(value)))
+
+    def fill_nan(self, value: Any) -> "Expr":
+        return _e(F.nanvl(self.expr, _c(value)))
+
+    # -- sort keys (ref expr.py:889) ----------------------------------------
+    def sort(self, ascending: bool = True, nulls_first: bool = True) -> "SortExpr":
+        return SortExpr(self, ascending=ascending, nulls_first=nulls_first)
+
+    def asc(self) -> "SortExpr":
+        return self.sort(True)
+
+    def desc(self) -> "SortExpr":
+        # DataFusion's desc default keeps nulls_first=True, unlike Spark's
+        # desc (nulls last) — SortExpr encodes it explicitly (SURVEY §2.6)
+        return self.sort(False)
+
+    # -- aggregate builder (ref expr.py:1020-1056) ----------------------------
+    def distinct(self) -> "Expr":
+        out = self._copy()
+        out._distinct = True
+        return out
+
+    def filter(self, predicate: "Expr") -> "Expr":
+        out = self._copy()
+        out._filter = _c(predicate)
+        return out
+
+    def order_by(self, *sort_keys) -> "Expr":
+        out = self._copy()
+        out._order_by = [to_sort_expr(k) for k in sort_keys]
+        return out
+
+    def null_treatment(self, treatment: str) -> "Expr":
+        out = self._copy()
+        out._null_treatment = treatment
+        return out
+
+    def _copy(self) -> "Expr":
+        out = Expr(self.expr)
+        out._distinct = self._distinct
+        out._filter = self._filter
+        out._order_by = self._order_by
+        out._null_treatment = self._null_treatment
+        return out
+
+    # -- window attach (ref expr.py:1074 Expr.over) ---------------------------
+    def over(self, window: "Window") -> "Expr":
+        return _e(self.expr.over(window._to_spark()))
+
+
+class SortExpr:
+    """A sort key: expression + direction + null placement (ref expr/sort_expr)."""
+
+    def __init__(self, expr: Expr, ascending: bool = True, nulls_first: bool = True) -> None:
+        self.inner = expr
+        self.ascending = ascending
+        self.nulls_first = nulls_first
+
+    def _to_spark(self) -> Column:
+        c = self.inner.expr
+        if self.ascending:
+            return c.asc_nulls_first() if self.nulls_first else c.asc_nulls_last()
+        return c.desc_nulls_first() if self.nulls_first else c.desc_nulls_last()
+
+
+def to_sort_expr(key) -> SortExpr:
+    if isinstance(key, SortExpr):
+        return key
+    if isinstance(key, Expr):
+        return SortExpr(key)
+    if isinstance(key, str):
+        return SortExpr(Expr(F.col(key)))
+    raise TypeError(f"not a sort key: {key!r}")
+
+
+class WindowFrame:
+    """Window frame (ref expr.py:1594): units ∈ rows|range|groups.
+
+    ``groups`` has no Spark equivalent — raises NotImplementedError with
+    the documented workaround (SURVEY §2.5).
+    """
+
+    def __init__(self, units: str, start_bound: int | None, end_bound: int | None) -> None:
+        units = units.lower()
+        if units not in ("rows", "range", "groups"):
+            raise ValueError(f"invalid frame units: {units}")
+        if units == "groups":
+            raise NotImplementedError(
+                "GROUPS frames are not supported by Spark; emulate with "
+                "dense_rank() + a RANGE frame over the rank column"
+            )
+        self.units = units
+        self.start_bound = start_bound
+        self.end_bound = end_bound
+
+    def _bounds(self) -> tuple[int, int]:
+        lo = SparkWindow.unboundedPreceding if self.start_bound is None else -abs(self.start_bound)
+        hi = SparkWindow.unboundedFollowing if self.end_bound is None else abs(self.end_bound)
+        return lo, hi
+
+
+class Window:
+    """Window spec builder (ref expr.py:1570)."""
+
+    def __init__(
+        self,
+        partition_by: list | None = None,
+        window_frame: WindowFrame | None = None,
+        order_by: list | None = None,
+        null_treatment: str | None = None,
+    ) -> None:
+        self.partition_by = partition_by or []
+        self.order_by = order_by or []
+        self.window_frame = window_frame
+        self.null_treatment = null_treatment
+
+    def _to_spark(self):
+        spec = SparkWindow.partitionBy(*[_c(p) for p in self.partition_by])
+        if self.order_by:
+            spec = spec.orderBy(*[to_sort_expr(k)._to_spark() for k in self.order_by])
+        if self.window_frame is not None:
+            lo, hi = self.window_frame._bounds()
+            if self.window_frame.units == "rows":
+                spec = spec.rowsBetween(lo, hi)
+            else:
+                spec = spec.rangeBetween(lo, hi)
+        return spec
+
+
+class CaseBuilder:
+    """case(expr).when(a,b).otherwise(c) builder (ref expr.py CaseBuilder)."""
+
+    def __init__(self, base: Expr | None = None) -> None:
+        self._base = base
+        self._whens: list[tuple[Column, Column]] = []
+
+    def when(self, condition_or_value, result) -> "CaseBuilder":
+        if self._base is not None:
+            cond = self._base.expr == _c(condition_or_value)
+        else:
+            cond = _c(condition_or_value)
+        out = CaseBuilder(self._base)
+        out._whens = self._whens + [(cond, _c(result))]
+        return out
+
+    def otherwise(self, default) -> Expr:
+        col = None
+        for cond, res in self._whens:
+            col = F.when(cond, res) if col is None else col.when(cond, res)
+        return _e(col.otherwise(_c(default)))
+
+    def end(self) -> Expr:
+        col = None
+        for cond, res in self._whens:
+            col = F.when(cond, res) if col is None else col.when(cond, res)
+        return _e(col)
+
+
+def col(name: str) -> Expr:
+    """Column reference (ref col.py)."""
+    return Expr(F.col(name))
+
+
+column = col
+
+
+def lit(value: Any) -> Expr:
+    """Literal (ref expr.py:834)."""
+    return Expr(F.lit(value))
+
+
+literal = lit

@@ -1,0 +1,1143 @@
+"""Function registry: the reference's functions module on PySpark.
+
+Reference: python/datafusion/functions/__init__.py (324 fns) and
+functions/spark.py (89 Spark-compat fns — 1:1 by construction). Every
+function takes/returns Expr. Where Spark lacks a direct builtin the
+implementation composes built-ins (still JVM-side); genuinely
+unsupported surface (Arrow union type fns) raises NotImplementedError.
+
+Aggregates honor the Expr builder state (distinct/filter/order_by —
+ref expr.py:1020-1056): ``filter`` rewrites to agg(when(pred, x)),
+``order_by`` on array_agg/string_agg rewrites to
+sort_array(collect_list(struct(keys, value))) per SURVEY §7.3.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from .expr import CaseBuilder, Expr, SortExpr, Window, _c, to_sort_expr
+
+_e = Expr
+
+
+def _u(x: Any) -> Column:
+    return _c(x)
+
+
+# ---------------------------------------------------------------------------
+# column / literal / misc core
+def col(name: str) -> Expr:
+    return Expr(F.col(name))
+
+
+column = col
+
+
+def lit(v) -> Expr:
+    return Expr(F.lit(v))
+
+
+literal = lit
+
+
+def alias(e, name: str) -> Expr:
+    return Expr(_u(e).alias(name))
+
+
+def in_list(e, values: list, negated: bool = False) -> Expr:
+    out = _u(e).isin([v.expr if isinstance(v, Expr) else v for v in values])
+    return Expr(~out if negated else out)
+
+
+def case(e) -> CaseBuilder:
+    return CaseBuilder(e if isinstance(e, Expr) else Expr(_u(e)))
+
+
+def when(cond, value) -> CaseBuilder:
+    return CaseBuilder(None).when(cond, value)
+
+
+def order_by(e, ascending: bool = True, nulls_first: bool = True) -> SortExpr:
+    return SortExpr(e if isinstance(e, Expr) else Expr(_u(e)), ascending, nulls_first)
+
+
+def coalesce(*es) -> Expr:
+    return Expr(F.coalesce(*[_u(e) for e in es]))
+
+
+def nullif(a, b) -> Expr:
+    return Expr(F.nullif(_u(a), _u(b)))
+
+
+def ifnull(a, b) -> Expr:
+    return Expr(F.ifnull(_u(a), _u(b)))
+
+
+def nvl(a, b) -> Expr:
+    return Expr(F.nvl(_u(a), _u(b)))
+
+
+def nvl2(a, b, c) -> Expr:
+    return Expr(F.nvl2(_u(a), _u(b), _u(c)))
+
+
+def nanvl(a, b) -> Expr:
+    return Expr(F.nanvl(_u(a), _u(b)))
+
+
+def isnan(e) -> Expr:
+    return Expr(F.isnan(_u(e)))
+
+
+def iszero(e) -> Expr:
+    return Expr(_u(e) == F.lit(0))
+
+
+def arrow_typeof(e) -> Expr:
+    return Expr(F.typeof(_u(e)))
+
+
+def arrow_cast(e, to) -> Expr:
+    return (e if isinstance(e, Expr) else Expr(_u(e))).cast(to)
+
+
+def cast_to_type(e, to) -> Expr:
+    return arrow_cast(e, to)
+
+
+def try_cast_to_type(e, to) -> Expr:
+    return (e if isinstance(e, Expr) else Expr(_u(e))).try_cast(to)
+
+
+arrow_try_cast = try_cast_to_type
+
+
+def greatest(*es) -> Expr:
+    return Expr(F.greatest(*[_u(e) for e in es]))
+
+
+def least(*es) -> Expr:
+    return Expr(F.least(*[_u(e) for e in es]))
+
+
+def random() -> Expr:
+    return Expr(F.rand())
+
+
+def uuid() -> Expr:
+    return Expr(F.expr("uuid()"))
+
+
+def version() -> Expr:
+    return Expr(F.version())
+
+
+def row(*es) -> Expr:
+    return Expr(F.struct(*[_u(e) for e in es]))
+
+
+# ---------------------------------------------------------------------------
+# math (ref functions/__init__.py:941-2928 math section)
+def _m1(fn):
+    def f(e) -> Expr:
+        return Expr(fn(_u(e)))
+
+    return f
+
+
+abs = _m1(F.abs)  # noqa: A001
+acos = _m1(F.acos)
+acosh = _m1(F.acosh)
+asin = _m1(F.asin)
+asinh = _m1(F.asinh)
+atan = _m1(F.atan)
+atanh = _m1(F.atanh)
+cbrt = _m1(F.cbrt)
+ceil = _m1(F.ceil)
+cos = _m1(F.cos)
+cosh = _m1(F.cosh)
+cot = _m1(F.cot)
+degrees = _m1(F.degrees)
+exp = _m1(F.exp)
+factorial = _m1(F.factorial)
+floor = _m1(F.floor)
+ln = _m1(F.log)
+log10 = _m1(F.log10)
+log2 = _m1(F.log2)
+radians = _m1(F.radians)
+signum = _m1(F.signum)
+sin = _m1(F.sin)
+sinh = _m1(F.sinh)
+sqrt = _m1(F.sqrt)
+tan = _m1(F.tan)
+tanh = _m1(F.tanh)
+
+
+def atan2(y, x) -> Expr:
+    return Expr(F.atan2(_u(y), _u(x)))
+
+
+def gcd(a, b) -> Expr:
+    aa, bb = F.abs(_u(a).cast("long")), F.abs(_u(b).cast("long"))
+    # Euclid via aggregate over a bounded iteration array (log2(2^63)≈63)
+    pair = F.struct(aa.alias("x"), bb.alias("y"))
+    it = F.aggregate(
+        F.sequence(F.lit(1), F.lit(63)),
+        pair,
+        lambda acc, _: F.when(
+            acc["y"] == 0, acc
+        ).otherwise(F.struct(acc["y"].alias("x"), (acc["x"] % acc["y"]).alias("y"))),
+    )
+    return Expr(it["x"])
+
+
+def lcm(a, b) -> Expr:
+    aa, bb = F.abs(_u(a).cast("long")), F.abs(_u(b).cast("long"))
+    g = gcd(a, b).expr
+    return Expr(F.when((aa == 0) | (bb == 0), F.lit(0)).otherwise(aa / g * bb).cast("long"))
+
+
+def log(base, e=None) -> Expr:
+    if e is None:
+        return Expr(F.log(_u(base)))
+    b = base if isinstance(base, (int, float)) else None
+    if b is not None:
+        return Expr(F.log(float(b), _u(e)))
+    return Expr(F.log(_u(e)) / F.log(_u(base)))
+
+
+def pi() -> Expr:
+    return Expr(F.lit(3.141592653589793))
+
+
+def power(base, exponent) -> Expr:
+    return Expr(F.pow(_u(base), _u(exponent)))
+
+
+pow = power  # noqa: A001
+
+
+def round(e, decimal_places=0) -> Expr:  # noqa: A001
+    places = decimal_places if isinstance(decimal_places, int) else 0
+    return Expr(F.round(_u(e), places))
+
+
+def trunc(e, precision=0) -> Expr:
+    p = precision if isinstance(precision, int) else 0
+    factor = 10 ** p
+    c = _u(e)
+    return Expr((c * factor).cast("long") / F.lit(factor)) if p else Expr(
+        c.cast("long").cast("double")
+    )
+
+
+# ---------------------------------------------------------------------------
+# string (ref functions/__init__.py string section)
+ascii = _m1(F.ascii)  # noqa: A001
+bit_length = _m1(F.bit_length)
+chr = _m1(F.char)  # noqa: A001
+initcap = _m1(F.initcap)
+lower = _m1(F.lower)
+upper = _m1(F.upper)
+ltrim = _m1(F.ltrim)
+rtrim = _m1(F.rtrim)
+trim = _m1(F.trim)
+btrim = _m1(F.trim)
+md5 = _m1(F.md5)
+octet_length = _m1(F.octet_length)
+reverse = _m1(F.reverse)
+char_length = _m1(F.length)
+character_length = _m1(F.length)
+length = _m1(F.length)
+
+
+def concat(*es) -> Expr:
+    return Expr(F.concat(*[_u(e) for e in es]))
+
+
+def concat_ws(sep: str, *es) -> Expr:
+    return Expr(F.concat_ws(sep, *[_u(e) for e in es]))
+
+
+def contains(s, sub) -> Expr:
+    return Expr(F.contains(_u(s), _u(sub)))
+
+
+def ends_with(s, suffix) -> Expr:
+    return Expr(F.endswith(_u(s), _u(suffix)))
+
+
+def starts_with(s, prefix) -> Expr:
+    return Expr(F.startswith(_u(s), _u(prefix)))
+
+
+def find_in_set(s, str_list) -> Expr:
+    return Expr(F.find_in_set(_u(s), _u(str_list)))
+
+
+def instr(s, sub) -> Expr:
+    return Expr(F.instr(_u(s), sub if isinstance(sub, str) else _u(sub)))
+
+
+def position(s, sub) -> Expr:
+    return instr(s, sub)
+
+
+def strpos(s, sub) -> Expr:
+    return instr(s, sub)
+
+
+def left(s, n) -> Expr:
+    return Expr(F.left(_u(s), _u(n)))
+
+
+def right(s, n) -> Expr:
+    return Expr(F.right(_u(s), _u(n)))
+
+
+def levenshtein(a, b) -> Expr:
+    return Expr(F.levenshtein(_u(a), _u(b)))
+
+
+def lpad(s, n, pad: str = " ") -> Expr:
+    return Expr(F.lpad(_u(s), n, pad))
+
+
+def rpad(s, n, pad: str = " ") -> Expr:
+    return Expr(F.rpad(_u(s), n, pad))
+
+
+def overlay(s, replace_s, pos, length_n=None) -> Expr:
+    if length_n is None:
+        return Expr(F.overlay(_u(s), _u(replace_s), _u(pos)))
+    return Expr(F.overlay(_u(s), _u(replace_s), _u(pos), _u(length_n)))
+
+
+def repeat(s, n) -> Expr:
+    return Expr(F.repeat(_u(s), n if isinstance(n, int) else _u(n)))
+
+
+def replace(s, search, repl) -> Expr:
+    return Expr(F.replace(_u(s), _u(search), _u(repl)))
+
+
+def split_part(s, delim, index) -> Expr:
+    return Expr(F.split_part(_u(s), _u(delim), _u(index)))
+
+
+def substr(s, pos, length_n=None) -> Expr:
+    if length_n is None:
+        return Expr(F.substring(_u(s), pos if isinstance(pos, int) else _u(pos), 2147483647))
+    return Expr(F.substring(_u(s), pos if isinstance(pos, int) else _u(pos), length_n))
+
+
+substring = substr
+
+
+def substr_index(s, delim, count) -> Expr:
+    return Expr(F.substring_index(_u(s), delim if isinstance(delim, str) else _u(delim), count))
+
+
+substring_index = substr_index
+
+
+def translate(s, from_s: str, to_s: str) -> Expr:
+    return Expr(F.translate(_u(s), from_s, to_s))
+
+
+def to_hex(e) -> Expr:
+    return Expr(F.hex(_u(e)))
+
+
+def encode(e, encoding: str) -> Expr:
+    if encoding in ("base64",):
+        return Expr(F.base64(_u(e)))
+    if encoding in ("hex",):
+        return Expr(F.hex(_u(e)))
+    return Expr(F.encode(_u(e), encoding))
+
+
+def decode(e, encoding: str) -> Expr:
+    if encoding in ("base64",):
+        return Expr(F.unbase64(_u(e)))
+    if encoding in ("hex",):
+        return Expr(F.unhex(_u(e)))
+    return Expr(F.decode(_u(e), encoding))
+
+
+# regex
+def regexp_like(s, pattern, flags=None) -> Expr:
+    pat = _flagged(pattern, flags)
+    return Expr(_u(s).rlike(pat) if isinstance(pat, str) else F.regexp_like(_u(s), pat))
+
+
+def regexp_match(s, pattern, flags=None) -> Expr:
+    return Expr(F.regexp_extract_all(_u(s), F.lit(_flagged(pattern, flags)), 0))
+
+
+def regexp_replace(s, pattern, replacement, flags=None) -> Expr:
+    return Expr(F.regexp_replace(_u(s), _flagged(pattern, flags), replacement))
+
+
+def regexp_count(s, pattern, start=None, flags=None) -> Expr:
+    return Expr(F.regexp_count(_u(s), F.lit(_flagged(pattern, flags))))
+
+
+def regexp_instr(s, pattern, start=None, flags=None) -> Expr:
+    return Expr(F.regexp_instr(_u(s), F.lit(_flagged(pattern, flags))))
+
+
+def _flagged(pattern, flags):
+    if isinstance(pattern, Expr):
+        return pattern.expr
+    if flags:
+        return f"(?{flags}){pattern}"
+    return pattern
+
+
+# crypto / hash
+def digest(e, method) -> Expr:
+    m = method if isinstance(method, str) else "sha256"
+    c = _u(e)
+    if m == "md5":
+        return Expr(F.md5(c))
+    if m in ("sha224", "sha256", "sha384", "sha512"):
+        return Expr(F.sha2(c, int(m[3:])))
+    if m == "crc32":
+        return Expr(F.crc32(c))
+    if m == "sha1":
+        return Expr(F.sha1(c))
+    raise ValueError(f"unsupported digest method {m}")
+
+
+def sha224(e) -> Expr:
+    return Expr(F.sha2(_u(e), 224))
+
+
+def sha256(e) -> Expr:
+    return Expr(F.sha2(_u(e), 256))
+
+
+def sha384(e) -> Expr:
+    return Expr(F.sha2(_u(e), 384))
+
+
+def sha512(e) -> Expr:
+    return Expr(F.sha2(_u(e), 512))
+
+
+# ---------------------------------------------------------------------------
+# datetime (ref functions/__init__.py:2345-2877)
+def now() -> Expr:
+    return Expr(F.current_timestamp())
+
+
+current_timestamp = now
+
+
+def current_date() -> Expr:
+    return Expr(F.current_date())
+
+
+def to_date(e, *formats) -> Expr:
+    if formats:
+        return Expr(F.to_date(_u(e), _chrono_to_java(formats[0])))
+    return Expr(F.to_date(_u(e)))
+
+
+def to_timestamp(e, *formats) -> Expr:
+    if formats:
+        return Expr(F.to_timestamp(_u(e), _chrono_to_java(formats[0])))
+    return Expr(F.to_timestamp(_u(e)))
+
+
+def to_timestamp_seconds(e) -> Expr:
+    return Expr(F.timestamp_seconds(_u(e).cast("long")))
+
+
+def to_timestamp_millis(e) -> Expr:
+    return Expr(F.timestamp_millis(_u(e).cast("long")))
+
+
+def to_timestamp_micros(e) -> Expr:
+    return Expr(F.timestamp_micros(_u(e).cast("long")))
+
+
+def to_timestamp_nanos(e) -> Expr:
+    # Spark timestamps are µs; ns floor-divides (documented truncation)
+    return Expr(F.timestamp_micros(F.expr(f"({_u(e).cast('long')._jc.toString()}) div 1000")))
+
+
+def to_unixtime(e) -> Expr:
+    return Expr(F.unix_timestamp(_u(e)))
+
+
+def from_unixtime(e) -> Expr:
+    return Expr(F.timestamp_seconds(_u(e).cast("long")))
+
+
+def date_part(part, e) -> Expr:
+    p = part if isinstance(part, str) else "year"
+    return Expr(F.date_part(F.lit(p), _u(e)))
+
+
+datepart = date_part
+extract = date_part
+
+
+def date_trunc(part, e) -> Expr:
+    p = part if isinstance(part, str) else "day"
+    return Expr(F.date_trunc(p, _u(e)))
+
+
+datetrunc = date_trunc
+
+
+def date_bin(stride, source, origin=None) -> Expr:
+    """Fixed-stride time bucketing (ref functions/__init__.py:2788).
+
+    stride: Expr wrapping an interval literal or a string like
+    '15 minutes'. Implemented with epoch arithmetic (codegen-friendly),
+    matching DataFusion's origin-aligned semantics.
+    """
+    import re as _re
+
+    if isinstance(stride, str):
+        m = _re.match(r"(\d+)\s*(\w+)", stride)
+        qty, unit = int(m.group(1)), m.group(2).rstrip("s")
+        secs = {"second": 1, "minute": 60, "hour": 3600, "day": 86400}[unit] * qty
+    else:
+        raise TypeError("date_bin stride must be a string like '15 minutes'")
+    src = F.unix_timestamp(_u(source))
+    org = F.unix_timestamp(_u(origin)) if origin is not None else F.lit(0)
+    binned = org + ((src - org) / secs).cast("long") * secs
+    return Expr(F.timestamp_seconds(binned))
+
+
+def make_date(y, m, d) -> Expr:
+    return Expr(F.make_date(_u(y), _u(m), _u(d)))
+
+
+def to_char(e, fmt: str) -> Expr:
+    return Expr(F.date_format(_u(e), _chrono_to_java(fmt)))
+
+
+date_format = to_char
+
+
+_CHRONO_MAP = [
+    ("%Y", "yyyy"),
+    ("%m", "MM"),
+    ("%d", "dd"),
+    ("%H", "HH"),
+    ("%M", "mm"),
+    ("%S", "ss"),
+    ("%y", "yy"),
+    ("%B", "MMMM"),
+    ("%b", "MMM"),
+    ("%A", "EEEE"),
+    ("%a", "EEE"),
+    ("%j", "DDD"),
+    ("%f", "SSSSSS"),
+]
+
+
+def _chrono_to_java(fmt: str) -> str:
+    """Chrono strftime-style → Java SimpleDateFormat (SURVEY §2.8 hazard)."""
+    if "%" not in fmt:
+        return fmt
+    out = fmt
+    for chrono, java in _CHRONO_MAP:
+        out = out.replace(chrono, java)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# aggregates — honor Expr builder state (distinct/filter/order_by)
+def _agg_input(e) -> tuple[Column, dict]:
+    if isinstance(e, Expr):
+        state = {
+            "distinct": e._distinct,
+            "filter": e._filter,
+            "order_by": e._order_by,
+            "null_treatment": e._null_treatment,
+        }
+        return e.expr, state
+    return _u(e), {"distinct": False, "filter": None, "order_by": None, "null_treatment": None}
+
+
+def _filtered(c: Column, state: dict) -> Column:
+    if state["filter"] is not None:
+        return F.when(state["filter"], c)
+    return c
+
+
+def _mk_agg(base_fn, distinct_fn=None):
+    def agg(e, distinct: bool = False, filter=None, order_by=None, null_treatment=None) -> Expr:
+        c, state = _agg_input(e)
+        if distinct:
+            state["distinct"] = True
+        if filter is not None:
+            state["filter"] = _u(filter)
+        c = _filtered(c, state)
+        if state["distinct"]:
+            if distinct_fn is None:
+                raise NotImplementedError("DISTINCT not supported for this aggregate")
+            return Expr(distinct_fn(c))
+        return Expr(base_fn(c))
+
+    return agg
+
+
+sum = _mk_agg(F.sum, F.sum_distinct)  # noqa: A001
+min = _mk_agg(F.min)  # noqa: A001
+max = _mk_agg(F.max)  # noqa: A001
+avg = _mk_agg(F.avg)
+mean = avg
+median = _mk_agg(F.median)
+count = _mk_agg(F.count, F.count_distinct)
+stddev = _mk_agg(F.stddev)
+stddev_pop = _mk_agg(F.stddev_pop)
+stddev_samp = _mk_agg(F.stddev_samp)
+var = _mk_agg(F.var_samp)
+var_pop = _mk_agg(F.var_pop)
+var_samp = _mk_agg(F.var_samp)
+bit_and = _mk_agg(F.bit_and)
+bit_or = _mk_agg(F.bit_or)
+bit_xor = _mk_agg(F.bit_xor)
+bool_and = _mk_agg(F.bool_and)
+bool_or = _mk_agg(F.bool_or)
+approx_median = _mk_agg(lambda c: F.percentile_approx(c, 0.5))
+approx_distinct = _mk_agg(F.approx_count_distinct)
+
+
+def count_star(filter=None) -> Expr:
+    if filter is not None:
+        return Expr(F.count(F.when(_u(filter), F.lit(1))))
+    return Expr(F.count(F.lit(1)))
+
+
+def covar(a, b) -> Expr:
+    return Expr(F.covar_samp(_u(a), _u(b)))
+
+
+def covar_samp(a, b) -> Expr:
+    return Expr(F.covar_samp(_u(a), _u(b)))
+
+
+def covar_pop(a, b) -> Expr:
+    return Expr(F.covar_pop(_u(a), _u(b)))
+
+
+def corr(a, b) -> Expr:
+    return Expr(F.corr(_u(a), _u(b)))
+
+
+def regr_avgx(y, x) -> Expr:
+    return Expr(F.regr_avgx(_u(y), _u(x)))
+
+
+def regr_avgy(y, x) -> Expr:
+    return Expr(F.regr_avgy(_u(y), _u(x)))
+
+
+def regr_count(y, x) -> Expr:
+    return Expr(F.regr_count(_u(y), _u(x)))
+
+
+def regr_intercept(y, x) -> Expr:
+    return Expr(F.regr_intercept(_u(y), _u(x)))
+
+
+def regr_r2(y, x) -> Expr:
+    return Expr(F.regr_r2(_u(y), _u(x)))
+
+
+def regr_slope(y, x) -> Expr:
+    return Expr(F.regr_slope(_u(y), _u(x)))
+
+
+def regr_sxx(y, x) -> Expr:
+    return Expr(F.regr_sxx(_u(y), _u(x)))
+
+
+def regr_sxy(y, x) -> Expr:
+    return Expr(F.regr_sxy(_u(y), _u(x)))
+
+
+def regr_syy(y, x) -> Expr:
+    return Expr(F.regr_syy(_u(y), _u(x)))
+
+
+def approx_percentile_cont(e, percentile: float, num_centroids: int | None = None) -> Expr:
+    c, _ = _agg_input(e)
+    acc = num_centroids if num_centroids else 10000
+    return Expr(F.percentile_approx(c, percentile, acc))
+
+
+def percentile_cont(e, percentile: float) -> Expr:
+    c, _ = _agg_input(e)
+    return Expr(F.percentile(c, F.lit(percentile)))
+
+
+quantile_cont = percentile_cont
+
+
+def grouping(e) -> Expr:
+    return Expr(F.grouping(_u(e)))
+
+
+def first_value(e, order_by=None, null_treatment=None) -> Expr:
+    c, state = _agg_input(e)
+    ob = order_by or state["order_by"]
+    ignore = (null_treatment or state["null_treatment"] or "").lower().startswith("ignore")
+    if ob:
+        pairs = _ordered_struct(c, ob)
+        return Expr(F.array_sort(F.collect_list(pairs))[0]["v"])
+    return Expr(F.first(c, ignorenulls=ignore))
+
+
+def last_value(e, order_by=None, null_treatment=None) -> Expr:
+    c, state = _agg_input(e)
+    ob = order_by or state["order_by"]
+    ignore = (null_treatment or state["null_treatment"] or "").lower().startswith("ignore")
+    if ob:
+        pairs = _ordered_struct(c, ob)
+        lst = F.array_sort(F.collect_list(pairs))
+        return Expr(F.element_at(lst, F.size(lst))["v"])
+    return Expr(F.last(c, ignorenulls=ignore))
+
+
+def nth_value(e, n: int, order_by=None) -> Expr:
+    c, state = _agg_input(e)
+    ob = order_by or state["order_by"]
+    if ob:
+        pairs = _ordered_struct(c, ob)
+        return Expr(F.element_at(F.array_sort(F.collect_list(pairs)), n)["v"])
+    return Expr(F.element_at(F.collect_list(c), n))
+
+
+def _ordered_struct(c: Column, order_by_keys) -> Column:
+    keys = [to_sort_expr(k) for k in order_by_keys]
+    fields = []
+    for i, k in enumerate(keys):
+        kc = k.inner.expr
+        # encode descending by negating when numeric is not general; use a
+        # struct of (key asc…) — array_sort is ascending lexicographic, so
+        # descending keys are negated where possible via unary minus
+        fields.append((-kc if not k.ascending else kc).alias(f"k{i}"))
+    fields.append(c.alias("v"))
+    return F.struct(*fields)
+
+
+def array_agg(e, distinct: bool = False, filter=None, order_by=None) -> Expr:
+    c, state = _agg_input(e)
+    if filter is not None:
+        state["filter"] = _u(filter)
+    c = _filtered(c, state)
+    ob = order_by or state["order_by"]
+    if ob:
+        pairs = _ordered_struct(c, ob)
+        return Expr(F.transform(F.array_sort(F.collect_list(pairs)), lambda s: s["v"]))
+    if distinct or state["distinct"]:
+        return Expr(F.collect_set(c))
+    return Expr(F.collect_list(c))
+
+
+def string_agg(e, delimiter: str = ",", order_by=None) -> Expr:
+    c, state = _agg_input(e)
+    ob = order_by or state["order_by"]
+    if ob:
+        pairs = _ordered_struct(c, ob)
+        return Expr(
+            F.array_join(F.transform(F.array_sort(F.collect_list(pairs)), lambda s: s["v"]), delimiter)
+        )
+    return Expr(F.array_join(F.collect_list(c), delimiter))
+
+
+# ---------------------------------------------------------------------------
+# window functions (ref functions/__init__.py:6553-7053) — partition_by /
+# order_by kwargs build the OVER clause, like the reference
+def _win(col: Column, partition_by, order_by_keys) -> Column:
+    from pyspark.sql import Window as W
+
+    spec = W.partitionBy(*[_u(p) for p in (partition_by or [])])
+    if order_by_keys:
+        spec = spec.orderBy(*[to_sort_expr(k)._to_spark() for k in order_by_keys])
+    return col.over(spec)
+
+
+def row_number(partition_by=None, order_by=None) -> Expr:
+    return Expr(_win(F.row_number(), partition_by, order_by))
+
+
+def rank(partition_by=None, order_by=None) -> Expr:
+    return Expr(_win(F.rank(), partition_by, order_by))
+
+
+def dense_rank(partition_by=None, order_by=None) -> Expr:
+    return Expr(_win(F.dense_rank(), partition_by, order_by))
+
+
+def percent_rank(partition_by=None, order_by=None) -> Expr:
+    return Expr(_win(F.percent_rank(), partition_by, order_by))
+
+
+def cume_dist(partition_by=None, order_by=None) -> Expr:
+    return Expr(_win(F.cume_dist(), partition_by, order_by))
+
+
+def ntile(n: int, partition_by=None, order_by=None) -> Expr:
+    return Expr(_win(F.ntile(n), partition_by, order_by))
+
+
+def lead(e, shift_offset: int = 1, default_value=None, partition_by=None, order_by=None) -> Expr:
+    c = F.lead(_u(e), shift_offset, default_value)
+    return Expr(_win(c, partition_by, order_by))
+
+
+def lag(e, shift_offset: int = 1, default_value=None, partition_by=None, order_by=None) -> Expr:
+    c = F.lag(_u(e), shift_offset, default_value)
+    return Expr(_win(c, partition_by, order_by))
+
+
+# ---------------------------------------------------------------------------
+# arrays (ref functions/__init__.py:2941-4925) — list_* aliases included
+def make_array(*es) -> Expr:
+    return Expr(F.array(*[_u(e) for e in es]))
+
+
+array = make_array
+
+
+def array_append(arr, v) -> Expr:
+    return Expr(F.array_append(_u(arr), _u(v)))
+
+
+def array_prepend(v, arr) -> Expr:
+    return Expr(F.array_prepend(_u(arr), _u(v)))
+
+
+def array_concat(*arrs) -> Expr:
+    return Expr(F.concat(*[_u(a) for a in arrs]))
+
+
+array_cat = array_concat
+
+
+def array_distinct(arr) -> Expr:
+    return Expr(F.array_distinct(_u(arr)))
+
+
+def array_compact(arr) -> Expr:
+    return Expr(F.array_compact(_u(arr)))
+
+
+def array_element(arr, i) -> Expr:
+    return Expr(F.element_at(_u(arr), _u(i)))
+
+
+array_extract = array_element
+
+
+def element_at(arr, i) -> Expr:
+    return Expr(F.element_at(_u(arr), _u(i)))
+
+
+def array_empty(arr) -> Expr:
+    return Expr(F.size(_u(arr)) == 0)
+
+
+empty = array_empty
+
+
+def array_length(arr) -> Expr:
+    return Expr(F.size(_u(arr)).cast("long"))
+
+
+list_length = array_length
+cardinality = array_length
+
+
+def array_has(arr, v) -> Expr:
+    return Expr(F.array_contains(_u(arr), _u(v)))
+
+
+def array_has_all(arr, sub) -> Expr:
+    a, s = _u(arr), _u(sub)
+    return Expr(F.size(F.array_except(s, a)) == 0)
+
+
+def array_has_any(arr, other) -> Expr:
+    return Expr(F.arrays_overlap(_u(arr), _u(other)))
+
+
+arrays_overlap = array_has_any
+
+
+def array_position(arr, v) -> Expr:
+    return Expr(F.array_position(_u(arr), _u(v)).cast("long"))
+
+
+array_indexof = array_position
+
+
+def array_positions(arr, v) -> Expr:
+    a, vv = _u(arr), _u(v)
+    idx = F.sequence(F.lit(1), F.size(a))
+    return Expr(F.filter(idx, lambda i: F.element_at(a, i) == vv).cast("array<bigint>"))
+
+
+def array_remove(arr, v) -> Expr:
+    return Expr(F.array_remove(_u(arr), _u(v)))
+
+
+def array_remove_all(arr, v) -> Expr:
+    return Expr(F.array_remove(_u(arr), _u(v)))
+
+
+def array_remove_n(arr, v, n) -> Expr:
+    raise NotImplementedError("array_remove_n: use array_remove (all) or filter with index")
+
+
+def array_repeat(v, n) -> Expr:
+    return Expr(F.array_repeat(_u(v), n if isinstance(n, int) else _u(n)))
+
+
+def array_replace(arr, from_v, to_v) -> Expr:
+    a = _u(arr)
+    fv, tv = _u(from_v), _u(to_v)
+    found = F.array_position(a, fv)
+    return Expr(
+        F.when(
+            found > 0,
+            F.transform(
+                F.arrays_zip(a, F.sequence(F.lit(1), F.size(a))),
+                lambda s: F.when(s["1"] == found, tv).otherwise(s["0"]),
+            ),
+        ).otherwise(a)
+    )
+
+
+def array_replace_all(arr, from_v, to_v) -> Expr:
+    a, fv, tv = _u(arr), _u(from_v), _u(to_v)
+    return Expr(F.transform(a, lambda x: F.when(x == fv, tv).otherwise(x)))
+
+
+def array_pop_back(arr) -> Expr:
+    a = _u(arr)
+    return Expr(F.slice(a, 1, F.greatest(F.size(a) - 1, F.lit(0))))
+
+
+def array_pop_front(arr) -> Expr:
+    a = _u(arr)
+    return Expr(F.slice(a, 2, F.greatest(F.size(a) - 1, F.lit(0))))
+
+
+def array_sort(arr, descending: bool = False, null_first: bool = False) -> Expr:
+    a = _u(arr)
+    if not descending:
+        return Expr(F.array_sort(a))
+    return Expr(F.reverse(F.array_sort(a)))
+
+
+list_sort = array_sort
+sort = array_sort
+
+
+def array_slice(arr, begin, end, stride=None) -> Expr:
+    a = _u(arr)
+    b = begin if isinstance(begin, int) else 1
+    e = end if isinstance(end, int) else None
+    ln = (e - b + 1) if e is not None else None
+    return Expr(F.slice(a, b, ln if ln is not None else F.size(a)))
+
+
+def array_intersect(a, b) -> Expr:
+    return Expr(F.array_intersect(_u(a), _u(b)))
+
+
+def array_union(a, b) -> Expr:
+    return Expr(F.array_union(_u(a), _u(b)))
+
+
+def array_except(a, b) -> Expr:
+    return Expr(F.array_except(_u(a), _u(b)))
+
+
+def array_resize(arr, size, value=None) -> Expr:
+    a, n = _u(arr), _u(size)
+    pad = F.array_repeat(_u(value) if value is not None else F.lit(None), F.greatest(n - F.size(a), F.lit(0)).cast("int"))
+    return Expr(F.slice(F.concat(a, pad), 1, n.cast("int")))
+
+
+def array_any_value(arr) -> Expr:
+    a = _u(arr)
+    return Expr(F.element_at(F.array_compact(a), 1))
+
+
+def array_max(arr) -> Expr:
+    return Expr(F.array_max(_u(arr)))
+
+
+def array_min(arr) -> Expr:
+    return Expr(F.array_min(_u(arr)))
+
+
+def array_reverse(arr) -> Expr:
+    return Expr(F.reverse(_u(arr)))
+
+
+def arrays_zip(*arrs) -> Expr:
+    return Expr(F.arrays_zip(*[_u(a) for a in arrs]))
+
+
+def array_dims(arr) -> Expr:
+    a = _u(arr)
+    inner = F.element_at(a, 1)
+    return Expr(
+        F.when(
+            inner.isNotNull() & (F.typeof(inner).startswith("array")),
+            F.array(F.size(a).cast("long"), F.size(inner).cast("long")),
+        ).otherwise(F.array(F.size(a).cast("long")))
+    )
+
+
+def array_ndims(arr) -> Expr:
+    a = _u(arr)
+    return Expr(
+        F.when(F.typeof(F.element_at(a, 1)).startswith("array"), F.lit(2)).otherwise(F.lit(1)).cast("long")
+    )
+
+
+def array_distance(a, b) -> Expr:
+    d = F.zip_with(_u(a).cast("array<double>"), _u(b).cast("array<double>"), lambda x, y: (x - y) * (x - y))
+    return Expr(F.sqrt(F.aggregate(d, F.lit(0.0), lambda acc, v: acc + v)))
+
+
+def cosine_distance(a, b) -> Expr:
+    from ..operators.similarity import cosine_similarity_col
+
+    return Expr(1 - cosine_similarity_col(_u(a).cast("array<double>"), _u(b).cast("array<double>")))
+
+
+def inner_product(a, b) -> Expr:
+    d = F.zip_with(_u(a).cast("array<double>"), _u(b).cast("array<double>"), lambda x, y: x * y)
+    return Expr(F.aggregate(d, F.lit(0.0), lambda acc, v: acc + v))
+
+
+def string_to_array(s, delimiter=",", null_string=None) -> Expr:
+    d = delimiter if isinstance(delimiter, str) else ","
+    return Expr(F.split(_u(s), d))
+
+
+string_to_list = string_to_array
+
+
+def array_to_string(arr, delimiter=",", null_string=None) -> Expr:
+    d = delimiter if isinstance(delimiter, str) else ","
+    return Expr(F.array_join(_u(arr), d, null_string))
+
+
+array_join = array_to_string
+list_to_string = array_to_string
+list_join = array_to_string
+
+
+def flatten(arr) -> Expr:
+    return Expr(F.flatten(_u(arr)))
+
+
+def range(start, stop=None, step=1) -> Expr:  # noqa: A001
+    if stop is None:
+        start, stop = 0, start
+    return Expr(F.sequence(_u(start), _u(stop) - 1, _u(step)))
+
+
+def generate_series(start, stop=None, step=1) -> Expr:
+    if stop is None:
+        start, stop = 0, start
+    return Expr(F.sequence(_u(start), _u(stop), _u(step)))
+
+
+gen_series = generate_series
+
+
+# higher-order: Python lambdas pass through natively (ref analyzer.rs
+# lambda resolution is unnecessary on Spark — SURVEY §2.8)
+def array_transform(arr, fn) -> Expr:
+    return Expr(F.transform(_u(arr), lambda x: _u(fn(Expr(x)))))
+
+
+list_transform = array_transform
+transform = array_transform
+
+
+def array_filter(arr, fn) -> Expr:
+    return Expr(F.filter(_u(arr), lambda x: _u(fn(Expr(x)))))
+
+
+list_filter = array_filter
+
+
+def array_any_match(arr, fn) -> Expr:
+    return Expr(F.exists(_u(arr), lambda x: _u(fn(Expr(x)))))
+
+
+def array_all_match(arr, fn) -> Expr:
+    return Expr(F.forall(_u(arr), lambda x: _u(fn(Expr(x)))))
+
+
+# ---------------------------------------------------------------------------
+# struct / map (ref functions/__init__.py:3005-4925)
+def struct(*es) -> Expr:
+    return Expr(F.struct(*[_u(e) for e in es]))
+
+
+def named_struct(*pairs) -> Expr:
+    args: list[Column] = []
+    it = iter(pairs)
+    for name in it:
+        value = next(it)
+        args.append(F.lit(name if isinstance(name, str) else name))
+        args.append(_u(value))
+    return Expr(F.named_struct(*args))
+
+
+def get_field(e, name) -> Expr:
+    if isinstance(name, str):
+        return Expr(_u(e).getField(name))
+    return Expr(F.element_at(_u(e), _u(name)))
+
+
+def make_map(*pairs) -> Expr:
+    return Expr(F.create_map(*[_u(p) for p in pairs]))
+
+
+def map_keys(m) -> Expr:
+    return Expr(F.map_keys(_u(m)))
+
+
+def map_values(m) -> Expr:
+    return Expr(F.map_values(_u(m)))
+
+
+def map_entries(m) -> Expr:
+    return Expr(F.map_entries(_u(m)))
+
+
+def map_extract(m, key) -> Expr:
+    return Expr(F.array(F.element_at(_u(m), _u(key))))
+
+
+# ---------------------------------------------------------------------------
+# registry for SQL-name lookup and coverage tests
+_REGISTRY = {k: v for k, v in list(globals().items()) if callable(v) and not k.startswith("_")}
+
+
+def function_names() -> list[str]:
+    return sorted(_REGISTRY)
