@@ -1,0 +1,18 @@
+"""Structured Streaming extensions.
+
+The reference is batch-only (SURVEY §2.11) — this module is the
+beyond-parity streaming surface: windowed aggregation with watermarks,
+session windows, and a stateful custom operator via
+applyInPandasWithState. Each helper returns an unstarted streaming
+DataFrame/query so callers choose sink + trigger.
+"""
+
+from .windows import sessionized_counts, sliding_counts, tumbling_counts
+from .stateful import running_total_per_key
+
+__all__ = [
+    "tumbling_counts",
+    "sliding_counts",
+    "sessionized_counts",
+    "running_total_per_key",
+]

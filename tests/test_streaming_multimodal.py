@@ -1,0 +1,96 @@
+"""Streaming + multimodal: drive each helper end-to-end (memory sink for
+streams; real mapInPandas execution for media)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from datafusion_python_spark.operators.multimodal import (
+    extract_features,
+    frame_sample,
+    resize_meta,
+    synthetic_media,
+)
+from datafusion_python_spark.streaming import (
+    running_total_per_key,
+    sessionized_counts,
+    tumbling_counts,
+)
+from datafusion_python_spark.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def events_stream(spark, sf_dir):
+    # replay the batch events table as a bounded stream: one parquet dir
+    batch = load_table(spark, sf_dir, "events")
+    path = "/tmp/_stream_events_src"
+    batch.write.mode("overwrite").parquet(path)
+    return spark.readStream.schema(batch.schema).parquet(path)
+
+
+def _run_to_memory(sdf, name: str):
+    q = sdf.writeStream.format("memory").queryName(name).outputMode("complete").start()
+    q.processAllAvailable()
+    q.stop()
+    return name
+
+
+def _run_update_to_memory(sdf, name: str):
+    q = sdf.writeStream.format("memory").queryName(name).outputMode("update").start()
+    q.processAllAvailable()
+    q.stop()
+    return name
+
+
+def test_tumbling_counts(spark, events_stream):
+    out = tumbling_counts(events_stream, window="1 hour")
+    _run_to_memory(out, "tumbling")
+    rows = spark.sql("SELECT * FROM tumbling").collect()
+    assert rows and all(r.n > 0 for r in rows)
+    total = sum(r.n for r in rows)
+    assert total == 1000  # sf0.001 events rows, each in exactly one window
+
+
+def test_sessionized_counts(spark, events_stream):
+    out = sessionized_counts(events_stream, gap="30 minutes")
+    _run_to_memory(out, "sessions")
+    rows = spark.sql("SELECT * FROM sessions").collect()
+    assert rows
+    assert sum(r.n_events for r in rows) == 1000
+    assert all(r.session_end > r.session_start for r in rows)
+
+
+def test_stateful_running_total(spark, events_stream):
+    out = running_total_per_key(events_stream)
+    _run_update_to_memory(out, "running")
+    rows = spark.sql("SELECT * FROM running").collect()
+    assert rows
+    got = sum(r.n_events for r in rows)
+    assert got == 1000
+
+
+def test_media_features(spark):
+    media = synthetic_media(spark, n=32)
+    feats = extract_features(media, dim=16).collect()
+    assert len(feats) == 32
+    assert all(f.feat_dim == 16 and len(f.feature) == 16 for f in feats)
+    # deterministic: same payload → same feature
+    again = extract_features(synthetic_media(spark, n=32), dim=16).collect()
+    assert [f.feature for f in feats] == [f.feature for f in again]
+
+
+def test_media_decoder_stub_raises(spark):
+    media = synthetic_media(spark, n=2)
+    with pytest.raises(NotImplementedError, match="codec"):
+        extract_features(media, decoder="pil")
+
+
+def test_frame_sample_and_resize(spark):
+    media = synthetic_media(spark, n=8, kind="video")
+    frames = frame_sample(media, every_n=2)
+    rows = frames.collect()
+    assert all(r.frame_no % 2 == 0 for r in rows)
+    geom = resize_meta(media, max_side=32).collect()
+    assert all(r.dst_w <= 32 and r.dst_h <= 32 for r in geom)
