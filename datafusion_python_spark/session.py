@@ -19,6 +19,10 @@ _DEFAULTS = {
     "spark.sql.shuffle.partitions": "32",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    # size-driven coalescing (docs-recommended for busy clusters): target
+    # the advisory partition size instead of max parallelism — fewer,
+    # fuller reduce tasks both locally and at 100 TB
+    "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
