@@ -11,7 +11,17 @@ compositions where Spark lacks a 1:1 builtin).
 from .context import SQLOptions, SessionContext
 from .dataframe import DataFrame
 from .expr import CaseBuilder, Expr, Window, WindowFrame, col, column, lit, literal
-from .udf import Accumulator, ScalarUDF, udaf, udf
+from .udf import (
+    Accumulator,
+    ScalarUDF,
+    TableFunction,
+    WindowEvaluator,
+    WindowUDF,
+    udaf,
+    udf,
+    udtf,
+    udwf,
+)
 
 from . import functions
 
@@ -30,6 +40,11 @@ __all__ = [
     "functions",
     "udf",
     "udaf",
+    "udwf",
+    "udtf",
     "ScalarUDF",
     "Accumulator",
+    "WindowEvaluator",
+    "WindowUDF",
+    "TableFunction",
 ]

@@ -22,7 +22,18 @@ from pyspark.sql import types as T
 
 from .expr import Expr, _c, _spark_type
 
-__all__ = ["udf", "udaf", "ScalarUDF", "Accumulator", "AggregateUDF"]
+__all__ = [
+    "udf",
+    "udaf",
+    "udwf",
+    "udtf",
+    "ScalarUDF",
+    "Accumulator",
+    "AggregateUDF",
+    "WindowEvaluator",
+    "WindowUDF",
+    "TableFunction",
+]
 
 
 class ScalarUDF:
@@ -142,3 +153,99 @@ class AggregateUDF:
 def udaf(accum, input_types=None, return_type=None, state_type=None, volatility: str = "immutable", name: str | None = None):
     """ref user_defined.py:358-706."""
     return AggregateUDF(accum, input_types, return_type, state_type, volatility, name)
+
+
+class WindowEvaluator:
+    """UDWF contract (ref user_defined.py:709-1029): subclass and override
+    ``evaluate_all(values: list[pa.Array], num_rows) -> pa.Array``.
+
+    Spark has no native Python UDWF — emulation runs the evaluator per
+    partition group via applyInPandas (SURVEY §2.12/§7.3): one shuffle on
+    the partition keys, rows ordered within the group, evaluator output
+    zipped back positionally.
+    """
+
+    def evaluate_all(self, values: list, num_rows: int):
+        raise NotImplementedError
+
+    # frame-aware single-range evaluation (bounded frames)
+    def evaluate(self, values: list, eval_range: tuple[int, int]):
+        raise NotImplementedError
+
+    def supports_bounded_execution(self) -> bool:
+        return False
+
+    def uses_window_frame(self) -> bool:
+        return False
+
+    def include_rank(self) -> bool:
+        return False
+
+
+class WindowUDF:
+    def __init__(self, evaluator: Callable[[], WindowEvaluator], input_types, return_type, volatility: str = "immutable", name: str | None = None):
+        self.evaluator = evaluator
+        self.input_types = input_types
+        self.return_type = return_type
+        self.name = name or getattr(evaluator, "__name__", "udwf")
+        self._spark_ret = _spark_type(ScalarUDF._type_name(return_type))
+
+    def apply(self, df, partition_by: list[str], order_by: list[str], input_cols: list[str], out_col: str):
+        """Append the window column: shuffle on partition keys, sort within
+        group, run the evaluator once per group (unbounded-frame UDWF)."""
+        import pyarrow as pa
+
+        factory = self.evaluator
+        ret_t = self._spark_ret
+        schema = T.StructType(list(df.df.schema.fields) + [T.StructField(out_col, ret_t)])
+
+        def run(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values(order_by, kind="mergesort") if order_by else pdf
+            ev = factory()
+            arrays = [pa.Array.from_pandas(pdf[c]) for c in input_cols]
+            out = ev.evaluate_all(arrays, len(pdf))
+            vals = out.to_pandas() if hasattr(out, "to_pandas") else pd.Series(list(out))
+            pdf = pdf.copy()
+            pdf[out_col] = vals.values
+            return pdf
+
+        from .dataframe import DataFrame as DF
+
+        return DF(df.df.groupBy(*partition_by).applyInPandas(run, schema=schema))
+
+
+def udwf(evaluator, input_types=None, return_type=None, volatility: str = "immutable", name: str | None = None):
+    """ref user_defined.py:709 — returns a WindowUDF whose ``apply`` emulates
+    ``expr.over(window)`` for unbounded frames."""
+    return WindowUDF(evaluator, input_types, return_type, volatility, name)
+
+
+class TableFunction:
+    """UDTF (ref user_defined.py TableFunction / udtf.rs): a class with an
+    ``eval`` yielding rows, registered for SQL ``SELECT * FROM fn(...)``
+    via Spark 3.5+ Python UDTFs."""
+
+    def __init__(self, cls, return_type: str, name: str | None = None):
+        from pyspark.sql.functions import udtf as spark_udtf
+
+        self.name = name or cls.__name__
+        self._udtf = spark_udtf(cls, returnType=return_type)
+
+    def __call__(self, *args):
+        return self._udtf(*[_c(a) for a in args])
+
+    def _register(self, spark) -> None:
+        spark.udtf.register(self.name, self._udtf)
+
+
+def udtf(cls=None, return_type: str | None = None, name: str | None = None):
+    """Decorator/factory: ``@udtf(return_type="a int, b string")``."""
+    if cls is not None and return_type is None:
+        raise TypeError("udtf requires return_type='col type, ...'")
+    if cls is not None:
+        return TableFunction(cls, return_type, name)
+
+    def deco(c):
+        return TableFunction(c, return_type, name)
+
+    return deco
