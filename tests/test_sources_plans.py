@@ -1,0 +1,55 @@
+"""Listing-table partitioning + plan introspection, driven on real data."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from datafusion_python_spark.plans import (
+    explain_str,
+    physical_join_strategies,
+    pushed_filters,
+    sql_metrics,
+)
+from datafusion_python_spark.sources import (
+    partitioned_write,
+    read_listing_table,
+    read_partitioned,
+)
+from datafusion_python_spark.tables import load_table
+
+
+def test_partitioned_roundtrip_and_pruning(spark, sf_dir, tmp_path):
+    path = str(tmp_path / "orders_part")
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "o_year", F.year("o_orderdate")
+    )
+    partitioned_write(orders, path, ["o_year"])
+    back = read_listing_table(spark, path)
+    assert back.count() == orders.count()
+    assert "o_year" in back.columns  # discovered partition column
+
+    pruned = read_partitioned(spark, path, "o_year = 1996")
+    plan = explain_str(pruned)
+    assert "PartitionFilters" in plan and "1996" in plan
+    assert pruned.count() == orders.filter("o_year = 1996").count()
+
+
+def test_pushed_filters_and_join_strategy(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") < 10)
+    pf = pushed_filters(li)
+    assert pf and any("l_quantity" in p for p in pf)
+
+    nation = load_table(spark, sf_dir, "nation")
+    supp = load_table(spark, sf_dir, "supplier")
+    j = supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+    assert "BroadcastHashJoin" in physical_join_strategies(j)
+
+
+def test_sql_metrics_after_action(spark, sf_dir):
+    df = load_table(spark, sf_dir, "lineitem").groupBy("l_returnflag").count()
+    df.collect()
+    m = sql_metrics(df)
+    assert m, "no metrics collected"
+    total_out = sum(v.get("numOutputRows", 0) for v in m.values())
+    assert total_out > 0
+    assert any(k.startswith("Scan parquet") for k in m)
