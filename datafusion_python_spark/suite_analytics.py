@@ -563,7 +563,286 @@ GROUP BY 1 ORDER BY bucket
 """
 
 
+# --------------------------------------------------------------------------
+# Window frames: rows-frame moving sum + range-frame cumulative count
+# (ref WindowFrame expr.py:1594; units rows|range).
+def win_frames(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    wrows = W.partitionBy("user_id").orderBy("event_id").rowsBetween(-2, 0)
+    wrange = W.partitionBy("user_id").orderBy("event_id").rangeBetween(-100, 0)
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.sum("value").over(wrows), 2).alias("moving3"),
+        F.count("*").over(wrange).alias("in_range100"),
+    )
+
+
+WIN_FRAMES_SQL = """
+SELECT user_id, event_id,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY event_id
+                              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS moving3,
+       count(*) OVER (PARTITION BY user_id ORDER BY event_id
+                      RANGE BETWEEN 100 PRECEDING AND CURRENT ROW) AS in_range100
+FROM events
+"""
+
+
+# --------------------------------------------------------------------------
+# Ranking family over per-user totals (ref functions/__init__.py:6702-7053).
+def win_rank_family(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    totals = ev.groupBy("user_id").agg(F.round(F.sum("value"), 2).alias("total"))
+    w = W.orderBy(F.desc("total"), F.asc("user_id"))
+    return totals.select(
+        "user_id",
+        "total",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.round(F.percent_rank().over(w), 6).alias("prnk"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+WIN_RANK_FAMILY_SQL = """
+WITH totals AS (
+  SELECT user_id, round(sum(value), 2) AS total FROM events GROUP BY user_id
+)
+SELECT user_id, total,
+       CAST(rank() OVER w AS INTEGER)        AS rnk,
+       CAST(dense_rank() OVER w AS INTEGER)  AS drnk,
+       round(percent_rank() OVER w, 6)       AS prnk,
+       round(cume_dist() OVER w, 6)          AS cdist,
+       CAST(ntile(4) OVER w AS INTEGER)      AS quartile
+FROM totals
+WINDOW w AS (ORDER BY total DESC, user_id ASC)
+"""
+
+
+# --------------------------------------------------------------------------
+# first/last/nth value over ordered frames (ref functions/__init__.py:6193).
+def win_value_fns(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.first("event_type").over(w).alias("first_type"),
+        F.last("event_type").over(w).alias("last_type"),
+        F.nth_value("event_type", 2).over(w).alias("second_type"),
+    )
+
+
+WIN_VALUE_FNS_SQL = """
+SELECT user_id, event_id,
+       first_value(event_type) OVER w AS first_type,
+       last_value(event_type)  OVER w AS last_type,
+       nth_value(event_type, 2) OVER w AS second_type
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
+# --------------------------------------------------------------------------
+# Regression aggregates (ref functions/__init__.py:5822-6192).
+def agg_regr(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    y, x = F.col("l_extendedprice"), F.col("l_quantity")
+    return (
+        li.groupBy("l_linestatus")
+        .agg(
+            F.round(F.regr_slope(y, x), 4).alias("slope"),
+            F.round(F.regr_intercept(y, x), 2).alias("intercept"),
+            F.round(F.regr_r2(y, x), 6).alias("r2"),
+            F.regr_count(y, x).alias("n"),
+            F.round(F.regr_avgx(y, x), 4).alias("avgx"),
+            F.round(F.regr_avgy(y, x), 2).alias("avgy"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+AGG_REGR_SQL = """
+SELECT l_linestatus,
+       round(regr_slope(l_extendedprice, l_quantity), 4)     AS slope,
+       round(regr_intercept(l_extendedprice, l_quantity), 2) AS intercept,
+       round(regr_r2(l_extendedprice, l_quantity), 6)        AS r2,
+       CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n,
+       round(regr_avgx(l_extendedprice, l_quantity), 4)      AS avgx,
+       round(regr_avgy(l_extendedprice, l_quantity), 2)      AS avgy
+FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus
+"""
+
+
+# --------------------------------------------------------------------------
+# Full outer join with coalesced keys (ref dataframe.py:1050 how='full').
+def join_full_outer(spark, sf_dir):
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count("*").alias("n_cust"))
+        .filter(F.col("nationkey") < 10)
+    )
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count("*").alias("n_supp"))
+        .filter(F.col("nationkey") >= 5)
+    )
+    return (
+        cust.join(supp, ["nationkey"], "full")
+        .select(
+            "nationkey",
+            F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+            F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+JOIN_FULL_OUTER_SQL = """
+SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey,
+       COALESCE(n_cust, 0) AS n_cust, COALESCE(n_supp, 0) AS n_supp
+FROM (SELECT c_nationkey AS nationkey, count(*) AS n_cust FROM customer
+      GROUP BY 1 HAVING c_nationkey < 10) c
+FULL OUTER JOIN
+     (SELECT s_nationkey AS nationkey, count(*) AS n_supp FROM supplier
+      GROUP BY 1 HAVING s_nationkey >= 5) s
+USING (nationkey)
+ORDER BY nationkey
+"""
+
+
+# --------------------------------------------------------------------------
+# Cross join (ref dataframe.py cross_join / SQL CROSS JOIN).
+def join_cross(spark, sf_dir):
+    region = _t(spark, sf_dir, "region")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        region.crossJoin(nation)
+        .groupBy("r_name")
+        .agg(F.count("*").alias("n_pairs"))
+        .orderBy("r_name")
+    )
+
+
+JOIN_CROSS_SQL = """
+SELECT r_name, count(*) AS n_pairs
+FROM region CROSS JOIN nation
+GROUP BY r_name ORDER BY r_name
+"""
+
+
+# --------------------------------------------------------------------------
+# union_by_name with reordered columns (ref dataframe.py:1388).
+def setop_union_by_name(spark, sf_dir):
+    a = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"), F.col("c_acctbal").alias("bal")
+    ).filter(F.col("id") <= 50)
+    b = _t(spark, sf_dir, "supplier").select(
+        F.col("s_acctbal").alias("bal"), F.col("s_suppkey").alias("id")
+    ).filter(F.col("id") <= 50)
+    return a.unionByName(b).groupBy().agg(
+        F.count("*").alias("n"), F.round(F.sum("bal"), 2).alias("total_bal")
+    )
+
+
+SETOP_UNION_BY_NAME_SQL = """
+SELECT count(*) AS n, round(sum(bal), 2) AS total_bal FROM (
+  SELECT c_custkey AS id, c_acctbal AS bal FROM customer WHERE c_custkey <= 50
+  UNION ALL BY NAME
+  SELECT s_acctbal AS bal, s_suppkey AS id FROM supplier WHERE s_suppkey <= 50
+) t
+"""
+
+
+# --------------------------------------------------------------------------
+# Conditional functions (ref functions/__init__.py:422-1627).
+def fn_conditional(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    status_or_null = F.nullif(F.col("o_orderstatus"), F.lit("O"))
+    return (
+        orders.select(
+            F.coalesce(status_or_null, F.lit("OPEN")).alias("status2"),
+            F.nvl2(status_or_null, F.lit("closed"), F.lit("open")).alias("oc"),
+            F.greatest(F.col("o_totalprice"), F.lit(100000.0)).alias("gp"),
+            F.least(F.col("o_totalprice"), F.lit(100000.0)).alias("lp"),
+        )
+        .groupBy("status2", "oc")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("gp"), 2).alias("sum_gp"),
+            F.round(F.sum("lp"), 2).alias("sum_lp"),
+        )
+        .orderBy("status2", "oc")
+    )
+
+
+FN_CONDITIONAL_SQL = """
+SELECT COALESCE(nullif(o_orderstatus, 'O'), 'OPEN') AS status2,
+       CASE WHEN nullif(o_orderstatus, 'O') IS NOT NULL THEN 'closed' ELSE 'open' END AS oc,
+       count(*) AS n,
+       round(sum(greatest(o_totalprice, 100000.0)), 2) AS sum_gp,
+       round(sum(least(o_totalprice, 100000.0)), 2) AS sum_lp
+FROM orders GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# Array functions over split text (ref §2.8 array inventory).
+def fn_array_ops(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    words = F.filter(F.split(F.col("text"), " "), lambda w: w != "")
+    uniq = F.array_distinct(words)
+    return (
+        docs.select(
+            "doc_id",
+            F.size(words).cast("long").alias("n_words"),
+            F.size(uniq).cast("long").alias("n_uniq"),
+            F.element_at(F.array_sort(uniq), 1).alias("first_word"),
+            F.element_at(F.array_sort(uniq), -1).alias("last_word"),
+            F.array_contains(words, "spark").alias("has_spark"),
+            F.array_join(F.slice(F.array_sort(uniq), 1, 3), "|").alias("top3"),
+        )
+        .filter(F.col("doc_id") < 50)
+        .orderBy("doc_id")
+    )
+
+
+FN_ARRAY_OPS_SQL = """
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), x -> x != '') AS words,
+         list_distinct(list_filter(string_split(text, ' '), x -> x != '')) AS uniq
+  FROM documents WHERE doc_id < 50
+)
+SELECT doc_id,
+       CAST(len(words) AS BIGINT) AS n_words,
+       CAST(len(uniq) AS BIGINT)  AS n_uniq,
+       list_sort(uniq)[1]  AS first_word,
+       list_sort(uniq)[-1] AS last_word,
+       list_contains(words, 'spark') AS has_spark,
+       array_to_string(list_sort(uniq)[1:3], '|') AS top3
+FROM w ORDER BY doc_id
+"""
+
+
 ANALYTICS_QUERIES: dict[str, tuple] = {
+    "win_frames": (win_frames, WIN_FRAMES_SQL),
+    "win_rank_family": (win_rank_family, WIN_RANK_FAMILY_SQL),
+    "win_value_fns": (win_value_fns, WIN_VALUE_FNS_SQL),
+    "agg_regr": (agg_regr, AGG_REGR_SQL),
+    "join_full_outer": (join_full_outer, JOIN_FULL_OUTER_SQL),
+    "join_cross": (join_cross, JOIN_CROSS_SQL),
+    "setop_union_by_name": (setop_union_by_name, SETOP_UNION_BY_NAME_SQL),
+    "fn_conditional": (fn_conditional, FN_CONDITIONAL_SQL),
+    "fn_array_ops": (fn_array_ops, FN_ARRAY_OPS_SQL),
     "evt_topk_per_user": (evt_topk_per_user, EVT_TOPK_SQL),
     "evt_running_sum": (evt_running_sum, EVT_RUNNING_SQL),
     "evt_gaps": (evt_gaps, EVT_GAPS_SQL),
