@@ -230,6 +230,11 @@ class SessionContext:
     def catalog_names(self) -> set[str]:
         return {c.name for c in self.spark.catalog.listCatalogs()}
 
+    def catalog(self, name: str = "spark_catalog"):
+        from .catalog import Catalog
+
+        return Catalog(self.spark, name)
+
     # -- UDF ---------------------------------------------------------------------------
     def register_udf(self, udf) -> None:
         udf._register(self.spark)

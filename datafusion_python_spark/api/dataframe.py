@@ -179,7 +179,39 @@ class DataFrame:
         return self.df.count()
 
     def describe(self) -> "DataFrame":
-        return DataFrame(self.df.describe())
+        """Reference-shaped describe (ref dataframe.py:417 / dataframe.rs:554):
+        one row per statistic — count, null_count, mean, std, min, max,
+        median — over the numeric columns; non-numeric stats are null."""
+        num_cols = [
+            f.name
+            for f in self.df.schema.fields
+            if f.dataType.typeName()
+            in ("byte", "short", "integer", "long", "float", "double", "decimal")
+        ]
+        if not num_cols:
+            return DataFrame(self.df.describe())
+        aggs = []
+        for c in num_cols:
+            aggs += [
+                F.count(F.col(c)).cast("double").alias(f"{c}__count"),
+                F.count(F.when(F.col(c).isNull(), 1)).cast("double").alias(f"{c}__null_count"),
+                F.avg(F.col(c)).alias(f"{c}__mean"),
+                F.stddev(F.col(c)).alias(f"{c}__std"),
+                F.min(F.col(c)).cast("double").alias(f"{c}__min"),
+                F.max(F.col(c)).cast("double").alias(f"{c}__max"),
+                F.median(F.col(c)).alias(f"{c}__median"),
+            ]
+        wide = self.df.agg(*aggs)
+        stats = ["count", "null_count", "mean", "std", "min", "max", "median"]
+        rows = [
+            F.struct(
+                F.lit(s).alias("describe"),
+                *[F.col(f"{c}__{s}").alias(c) for c in num_cols],
+            )
+            for s in stats
+        ]
+        exploded = wide.select(F.explode(F.array(*rows)).alias("r")).select("r.*")
+        return DataFrame(exploded)
 
     # -- sorting / limits -----------------------------------------------------
     def sort(self, *keys) -> "DataFrame":

@@ -468,8 +468,10 @@ def to_timestamp_micros(e) -> Expr:
 
 
 def to_timestamp_nanos(e) -> Expr:
-    # Spark timestamps are µs; ns floor-divides (documented truncation)
-    return Expr(F.timestamp_micros(F.expr(f"({_u(e).cast('long')._jc.toString()}) div 1000")))
+    # Spark timestamps are µs; ns floor-divides (documented truncation).
+    # decimal division keeps exactness above 2^53 where double would drift
+    ns = _u(e).cast("decimal(30,0)")
+    return Expr(F.timestamp_micros(F.floor(ns / 1000).cast("long")))
 
 
 def to_unixtime(e) -> Expr:

@@ -299,6 +299,27 @@ def test_udaf_grouped(ctx):
     assert out == {"g": ["a", "b"], "m": [2.0, 5.0]}
 
 
+def test_describe_reference_shape(ctx):
+    d = ctx.from_pydict({"a": [1.0, 2.0, None, 4.0], "s": ["x", "y", "z", "w"]})
+    out = d.describe().to_pydict()
+    stats = dict(zip(out["describe"], out["a"]))
+    assert stats["count"] == 3.0
+    assert stats["null_count"] == 1.0
+    assert abs(stats["mean"] - 7.0 / 3) < 1e-9
+    assert stats["min"] == 1.0 and stats["max"] == 4.0
+    assert stats["median"] == 2.0
+
+
+def test_catalog_navigation(ctx, df):
+    cat = ctx.catalog()
+    assert "default" in cat.names()
+    sch = cat.schema("default")
+    assert "t_abc" in sch.names()
+    t = sch.table("t_abc")
+    assert t.to_df().count() == 3
+    assert [f.name for f in t.schema()] == ["a", "b", "c"]
+
+
 def test_explain_plans(df):
     assert "Project" in df.select(col("a")).optimized_logical_plan() or True
     assert isinstance(df.logical_plan(), str)
