@@ -95,11 +95,16 @@ class SessionContext:
         schema=None,
         **_: Any,
     ) -> DataFrame:
+        from ..tables import enable_ns_reads, fix_ns_timestamps
+
+        enable_ns_reads(self.spark)
         reader = self.spark.read
         if schema is not None:
             reader = reader.schema(self._schema(schema))
         paths = [path] if isinstance(path, str) else list(path)
-        return DataFrame(reader.parquet(*paths))
+        df = reader.parquet(*paths)
+        df = fix_ns_timestamps(df, paths[0])
+        return DataFrame(df)
 
     def read_csv(
         self,

@@ -1,0 +1,151 @@
+"""Spark-compat function module (ref python/datafusion/functions/spark.py,
+1,826 LoC, 89 registrations; enabled in the reference via
+ctx.enable_spark_functions(), context.py:1408).
+
+The reference added these to *match Spark semantics* — here they ARE
+Spark, so each name binds 1:1 to pyspark.sql.functions (wrapped in our
+Expr). Exposed both as this module and for SQL via plain spark.sql.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .expr import Expr, _c
+
+
+def _w1(fn):
+    def g(e):
+        return Expr(fn(_c(e)))
+
+    return g
+
+
+def _w2(fn):
+    def g(a, b):
+        return Expr(fn(_c(a), _c(b)))
+
+    return g
+
+
+# aggregates
+avg = _w1(F.avg)
+try_sum = _w1(F.try_sum)
+collect_list = _w1(F.collect_list)
+collect_set = _w1(F.collect_set)
+
+# arrays
+array_contains = _w2(F.array_contains)
+def array(*es): return Expr(F.array(*[_c(e) for e in es]))
+shuffle = _w1(F.shuffle)
+def array_repeat(e, n): return Expr(F.array_repeat(_c(e), n))
+def slice(arr, start, length): return Expr(F.slice(_c(arr), start, length))  # noqa: A001
+size = _w1(F.size)
+
+# bits
+def bit_get(e, pos): return Expr(F.getbit(_c(e), _c(pos)))
+bit_count = _w1(F.bit_count)
+bitwise_not = _w1(F.bitwise_not)
+shiftleft = _w2(F.shiftleft)
+shiftright = _w2(F.shiftright)
+shiftrightunsigned = _w2(F.shiftrightunsigned)
+
+# conditional
+def if_(cond, a, b): return Expr(F.when(_c(cond), _c(a)).otherwise(_c(b)))
+def spark_cast(e, t): return Expr(_c(e).cast(t))
+
+# datetime
+add_months = _w2(F.add_months)
+date_add = _w2(F.date_add)
+date_sub = _w2(F.date_sub)
+hour = _w1(F.hour)
+minute = _w1(F.minute)
+second = _w1(F.second)
+last_day = _w1(F.last_day)
+def next_day(e, day): return Expr(F.next_day(_c(e), day))
+date_diff = _w2(F.datediff)
+def date_trunc(fmt, e): return Expr(F.date_trunc(fmt, _c(e)))
+def trunc(e, fmt): return Expr(F.trunc(_c(e), fmt))
+def date_part(part, e): return Expr(F.date_part(F.lit(part), _c(e)))
+from_utc_timestamp = _w2(F.from_utc_timestamp)
+to_utc_timestamp = _w2(F.to_utc_timestamp)
+unix_date = _w1(F.unix_date)
+unix_micros = _w1(F.unix_micros)
+unix_millis = _w1(F.unix_millis)
+unix_seconds = _w1(F.unix_seconds)
+def make_interval(years=0, months=0, weeks=0, days=0, hours=0, mins=0, secs=0):
+    return Expr(F.make_interval(_c(years), _c(months), _c(weeks), _c(days), _c(hours), _c(mins), _c(secs)))
+def make_dt_interval(days=0, hours=0, mins=0, secs=0):
+    return Expr(F.make_dt_interval(_c(days), _c(hours), _c(mins), _c(secs)))
+
+# hash
+crc32 = _w1(F.crc32)
+sha1 = _w1(F.sha1)
+def sha2(e, bits): return Expr(F.sha2(_c(e), bits))
+def xxhash64(*es): return Expr(F.xxhash64(*[_c(e) for e in es]))
+
+# json / map
+def json_tuple(e, *fields): return Expr(F.json_tuple(_c(e), *fields))
+map_from_arrays = _w2(F.map_from_arrays)
+map_from_entries = _w1(F.map_from_entries)
+def str_to_map(e, pair_delim=",", kv_delim=":"):
+    return Expr(F.str_to_map(_c(e), F.lit(pair_delim), F.lit(kv_delim)))
+
+# math
+abs = _w1(F.abs)  # noqa: A001
+ceil = _w1(F.ceil)
+expm1 = _w1(F.expm1)
+factorial = _w1(F.factorial)
+floor = _w1(F.floor)
+hex = _w1(F.hex)  # noqa: A001
+def modulus(a, b): return Expr(_c(a) % _c(b))
+pmod = _w2(F.pmod)
+rint = _w1(F.rint)
+def round(e, scale=0): return Expr(F.round(_c(e), scale))  # noqa: A001
+unhex = _w1(F.unhex)
+def width_bucket(v, lo, hi, n): return Expr(F.width_bucket(_c(v), _c(lo), _c(hi), _c(n)))
+csc = _w1(F.csc)
+sec = _w1(F.sec)
+def negative(e): return Expr(-_c(e))
+bin = _w1(F.bin)  # noqa: A001
+
+# strings
+ascii = _w1(F.ascii)  # noqa: A001
+base64 = _w1(F.base64)
+char = _w1(F.char)
+def concat(*es): return Expr(F.concat(*[_c(e) for e in es]))
+def elt(n, *es): return Expr(F.elt(_c(n), *[_c(e) for e in es]))
+def ilike(s, pat): return Expr(_c(s).ilike(pat))
+length = _w1(F.length)
+def like(s, pat): return Expr(_c(s).like(pat))
+def luhn_check(e): return Expr(F.call_function("luhn_check", _c(e)))
+def format_string(fmt, *es): return Expr(F.format_string(fmt, *[_c(e) for e in es]))
+def space(n): return Expr(F.call_function("space", _c(n)))
+def substring(s, pos, ln): return Expr(F.substring(_c(s), pos, ln))
+unbase64 = _w1(F.unbase64)
+soundex = _w1(F.soundex)
+def is_valid_utf8(e): return Expr(F.is_valid_utf8(_c(e)))
+def make_valid_utf8(e): return Expr(F.make_valid_utf8(_c(e)))
+def parse_url(e, part, key=None):
+    if key is not None:
+        return Expr(F.parse_url(_c(e), F.lit(part), F.lit(key)))
+    return Expr(F.parse_url(_c(e), F.lit(part)))
+def try_parse_url(e, part, key=None):
+    try:
+        if key is not None:
+            return Expr(F.try_parse_url(_c(e), F.lit(part), F.lit(key)))
+        return Expr(F.try_parse_url(_c(e), F.lit(part)))
+    except AttributeError:  # pyspark < 4.0
+        return parse_url(e, part, key)
+def url_decode(e): return Expr(F.url_decode(_c(e)))
+def url_encode(e): return Expr(F.url_encode(_c(e)))
+def try_url_decode(e):
+    try:
+        return Expr(F.try_url_decode(_c(e)))
+    except AttributeError:
+        return url_decode(e)
+
+
+SPARK_FN_NAMES = sorted(
+    k for k, v in list(globals().items()) if callable(v) and not k.startswith("_")
+)

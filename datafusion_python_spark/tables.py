@@ -42,21 +42,30 @@ def _ns_timestamp_cols(path: str) -> list[str]:
     return out
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one testdata table, normalizing ns-timestamps to TimestampType."""
-    path = os.path.join(sf_dir, f"{name}.parquet")
+def enable_ns_reads(spark: SparkSession) -> None:
+    """Allow reading TIMESTAMP(NANOS) parquet as ns-longs (runtime conf);
+    required when the caller's session (e.g. the driver's) was not built
+    by session.get_spark()."""
     try:
-        # runtime-settable; required when the caller's session (e.g. the
-        # driver's) was not built by session.get_spark()
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:
         pass
-    df = spark.read.parquet(path)
+
+
+def fix_ns_timestamps(df: DataFrame, path: str) -> DataFrame:
+    """Convert columns read as ns-longs back to TimestampType (µs)."""
     for col in _ns_timestamp_cols(path):
         if col in df.columns and dict(df.dtypes)[col] == "bigint":
             # integer div — double division loses precision above 2^53 ns
             df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
     return df
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one testdata table, normalizing ns-timestamps to TimestampType."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    enable_ns_reads(spark)
+    return fix_ns_timestamps(spark.read.parquet(path), path)
 
 
 def register_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

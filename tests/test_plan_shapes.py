@@ -1,0 +1,61 @@
+"""Plan-shape audit: the scale invariants behind SURVEY §4.
+
+Not timing tests — structural assertions on the physical plan: filters
+reach the parquet scan, dimension joins broadcast (no shuffle of the
+fact side against small dims), sort+limit fuses to
+TakeOrderedAndProject, and no Python UDFs appear in any suite query.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from datafusion_python_spark.plans import (
+    explain_str,
+    physical_join_strategies,
+    pushed_filters,
+)
+from datafusion_python_spark.suite import ALL_QUERIES
+from datafusion_python_spark.suite_tpch import q1, q3, q5, q6, q9
+
+
+def test_q6_filters_pushed(spark, sf_dir):
+    df = q6(spark, sf_dir)
+    pf = " ".join(pushed_filters(df))
+    assert "l_shipdate" in pf and "l_discount" in pf and "l_quantity" in pf
+
+
+def test_dim_joins_broadcast(spark, sf_dir):
+    for q in (q3, q5, q9):
+        strategies = set(physical_join_strategies(q(spark, sf_dir)))
+        assert "BroadcastHashJoin" in strategies, q.__name__
+        # no cartesian products anywhere
+        assert "CartesianProduct" not in strategies, q.__name__
+
+
+def test_topk_fuses(spark, sf_dir):
+    plan = explain_str(q3(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_no_python_udf_in_suite(spark, sf_dir):
+    # the entire correctness suite must stay JVM-side (SURVEY §4.2);
+    # BatchEvalPython / ArrowEvalPython in a plan means a Python UDF crept in
+    offenders = []
+    for name, (fn, _sql) in sorted(ALL_QUERIES.items()):
+        plan = explain_str(fn(spark, sf_dir))
+        if "EvalPython" in plan:
+            offenders.append(name)
+    assert not offenders, offenders
+
+
+def test_wholestage_codegen_on_q1(spark, sf_dir):
+    plan = explain_str(q1(spark, sf_dir), mode="codegen")
+    assert "WholeStageCodegen" in plan
+
+
+def test_q1_partial_aggregation_and_pruning(spark, sf_dir):
+    plan = explain_str(q1(spark, sf_dir))
+    assert "partial_sum" in plan  # map-side combine before the shuffle
+    # column pruning: unreferenced lineitem columns absent from ReadSchema
+    assert "l_orderkey" not in plan.split("ReadSchema")[1].split("\n")[0]
