@@ -143,7 +143,18 @@ class SessionContext:
         return DataFrame(reader.json(*paths))
 
     def read_avro(self, path: str, schema=None, **_: Any) -> DataFrame:
-        return DataFrame(self.spark.read.format("avro").load(path))
+        """ref context.py:1994. Requires the spark-avro module on the
+        cluster classpath (external module since Spark 2.4); raises a
+        clear error when it is absent, as in this test container."""
+        try:
+            return DataFrame(self.spark.read.format("avro").load(path))
+        except Exception as ex:
+            if "Failed to find data source: avro" in str(ex):
+                raise NotImplementedError(
+                    "avro reads need org.apache.spark:spark-avro on the "
+                    "classpath (--packages); not bundled in this environment"
+                ) from ex
+            raise
 
     def read_empty(self) -> DataFrame:
         return DataFrame(self.spark.range(1).select(F.lit(1).alias("__dummy")).limit(0))
