@@ -1,0 +1,89 @@
+"""Property-based tests (hypothesis): engine results vs Python ground
+truth on randomized inputs — the fuzz layer the reference lacks
+(SURVEY §5 notes no property testing upstream)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from datafusion_python_spark.api import SessionContext, col, functions as f
+
+_SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+
+@pytest.fixture(scope="module")
+def ctx():
+    return SessionContext()
+
+
+@given(xs=st.lists(st.integers(min_value=-(2**31), max_value=2**31), min_size=1, max_size=50))
+@settings(**_SETTINGS)
+def test_agg_matches_python(ctx, xs):
+    d = ctx.from_pydict({"x": xs})
+    out = d.aggregate(
+        [],
+        [
+            f.sum(col("x")).alias("s"),
+            f.min(col("x")).alias("mn"),
+            f.max(col("x")).alias("mx"),
+            f.count(col("x")).alias("n"),
+        ],
+    ).to_pylist()[0]
+    assert out["s"] == sum(xs)
+    assert out["mn"] == min(xs)
+    assert out["mx"] == max(xs)
+    assert out["n"] == len(xs)
+
+
+@given(
+    xs=st.lists(st.integers(min_value=-1000, max_value=1000), min_size=1, max_size=30),
+    nulls_first=st.booleans(),
+    ascending=st.booleans(),
+)
+@settings(**_SETTINGS)
+def test_sort_total_order(ctx, xs, nulls_first, ascending):
+    vals = xs + [None]
+    d = ctx.from_pydict({"x": vals})
+    got = d.sort(col("x").sort(ascending=ascending, nulls_first=nulls_first)).to_pydict()["x"]
+    expected = sorted(xs, reverse=not ascending)
+    expected = ([None] + expected) if nulls_first else (expected + [None])
+    assert got == expected
+
+
+@given(
+    a=st.sets(st.sampled_from([f"w{i}" for i in range(30)]), min_size=1, max_size=20),
+    b=st.sets(st.sampled_from([f"w{i}" for i in range(30)]), min_size=1, max_size=20),
+)
+@settings(**_SETTINGS)
+def test_minhash_estimates_jaccard(ctx, a, b):
+    """128-hash MinHash estimate within 0.3 of true Jaccard (Chernoff
+    bound at n=128 makes larger deviation vanishingly unlikely)."""
+    from datafusion_python_spark.operators.dedup import minhash_signature
+
+    true_j = len(a & b) / len(a | b)
+    d = ctx.from_pydict({"doc_id": [1, 2], "text": [" ".join(sorted(a)), " ".join(sorted(b))]})
+    sig = minhash_signature(d.df, "text", num_hashes=128, shingle_k=1)
+    rows = {r.doc_id: r.minhash for r in sig.select("doc_id", "minhash").collect()}
+    est = sum(1 for x, y in zip(rows[1], rows[2]) if x == y) / 128
+    assert abs(est - true_j) <= 0.3, (true_j, est)
+
+
+@given(s=st.text(alphabet=st.characters(codec="ascii"), max_size=40))
+@settings(**_SETTINGS)
+def test_string_roundtrip(ctx, s):
+    d = ctx.from_pydict({"s": [s, s]})
+    out = d.select(
+        f.reverse(f.reverse(col("s"))).alias("rr"),
+        f.length(col("s")).alias("n"),
+        f.upper(f.lower(col("s"))).alias("ul"),
+    ).to_pylist()[0]
+    assert out["rr"] == s
+    assert out["n"] == len(s)
+    assert out["ul"] == s.lower().upper()
