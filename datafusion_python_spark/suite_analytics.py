@@ -833,7 +833,119 @@ FROM w ORDER BY doc_id
 """
 
 
+# --------------------------------------------------------------------------
+# date_bin: 15-minute origin-aligned buckets (ref functions/__init__.py:2788)
+# — epoch arithmetic form, identical to api.functions.date_bin.
+def evt_date_bin(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    secs = 900
+    binned = F.timestamp_seconds((F.unix_timestamp(F.col("ts")) / secs).cast("long") * secs)
+    return (
+        ev.groupBy(binned.alias("bucket"))
+        .agg(F.count("*").alias("n"))
+        .orderBy("bucket")
+        .limit(200)
+    )
+
+
+EVT_DATE_BIN_SQL = """
+SELECT CAST(to_timestamp((epoch_us(ts) // 1000000 // 900) * 900) AS TIMESTAMP) AS bucket,
+       count(*) AS n
+FROM events GROUP BY 1 ORDER BY 1 LIMIT 200
+"""
+
+
+# --------------------------------------------------------------------------
+# Crypto/hash functions (ref functions/__init__.py:742,1573,2095-2140).
+def fn_hash(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 200)
+    return cust.select(
+        "c_custkey",
+        F.md5(F.col("c_name")).alias("h_md5"),
+        F.sha2(F.col("c_name"), 256).alias("h_sha256"),
+    ).orderBy("c_custkey")
+
+
+FN_HASH_SQL = """
+SELECT c_custkey, md5(c_name) AS h_md5, sha256(c_name) AS h_sha256
+FROM customer WHERE c_custkey <= 200 ORDER BY c_custkey
+"""
+
+
+# --------------------------------------------------------------------------
+# Bitwise operators (ref functions/spark.py:342-417 bit family).
+def fn_bits(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 500)
+    x = F.col("event_id")
+    y = F.col("user_id")
+    return ev.select(
+        "event_id",
+        x.bitwiseAND(y).alias("b_and"),
+        x.bitwiseOR(y).alias("b_or"),
+        x.bitwiseXOR(y).alias("b_xor"),
+        F.shiftleft(x, 3).alias("shl"),
+        F.shiftright(x, 2).alias("shr"),
+        F.bit_count(x).alias("nbits"),
+    ).orderBy("event_id")
+
+
+FN_BITS_SQL = """
+SELECT event_id,
+       event_id & user_id AS b_and,
+       event_id | user_id AS b_or,
+       xor(event_id, user_id) AS b_xor,
+       CAST(event_id << 3 AS BIGINT) AS shl,
+       CAST(event_id >> 2 AS BIGINT) AS shr,
+       CAST(bit_count(event_id) AS INTEGER) AS nbits
+FROM events WHERE event_id < 500 ORDER BY event_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Epoch conversions (ref functions/spark.py:861-913 unix_* family).
+def fn_epoch(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 300)
+    return ev.select(
+        "event_id",
+        F.unix_seconds(F.col("ts")).alias("es"),
+        F.unix_millis(F.col("ts")).alias("ems"),
+        F.unix_micros(F.col("ts")).alias("eus"),
+        F.unix_date(F.col("ts").cast("date")).alias("ed"),
+    ).orderBy("event_id")
+
+
+FN_EPOCH_SQL = """
+SELECT event_id,
+       epoch_us(ts) // 1000000 AS es,
+       epoch_ms(ts) AS ems,
+       epoch_us(ts) AS eus,
+       CAST(date_diff('day', DATE '1970-01-01', ts::DATE) AS INTEGER) AS ed
+FROM events WHERE event_id < 300 ORDER BY event_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Approximate aggregates (HLL / t-digest) — engine-specific sketches, no
+# cross-engine oracle; rows-only check (ref functions/__init__.py:4926).
+def agg_approx(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey").alias("apx_parts"),
+            F.round(F.percentile_approx("l_extendedprice", 0.5), 2).alias("apx_p50"),
+            F.round(F.percentile_approx("l_extendedprice", 0.99), 2).alias("apx_p99"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 ANALYTICS_QUERIES: dict[str, tuple] = {
+    "evt_date_bin": (evt_date_bin, EVT_DATE_BIN_SQL),
+    "fn_hash": (fn_hash, FN_HASH_SQL),
+    "fn_bits": (fn_bits, FN_BITS_SQL),
+    "fn_epoch": (fn_epoch, FN_EPOCH_SQL),
+    "agg_approx": (agg_approx, None),
     "win_frames": (win_frames, WIN_FRAMES_SQL),
     "win_rank_family": (win_rank_family, WIN_RANK_FAMILY_SQL),
     "win_value_fns": (win_value_fns, WIN_VALUE_FNS_SQL),
