@@ -42,7 +42,11 @@ def array_repeat(e, n): return Expr(F.array_repeat(_c(e), n))
 def slice(arr, start, length): return Expr(F.slice(_c(arr), start, length))  # noqa: A001
 size = _w1(F.size)
 
-# bits
+# bits / bitmaps
+bitmap_count = _w1(F.bitmap_count)
+bitmap_bit_position = _w1(F.bitmap_bit_position)
+bitmap_bucket_number = _w1(F.bitmap_bucket_number)
+bitmap_construct_agg = _w1(F.bitmap_construct_agg)
 def bit_get(e, pos): return Expr(F.getbit(_c(e), _c(pos)))
 bit_count = _w1(F.bit_count)
 bitwise_not = _w1(F.bitwise_not)
