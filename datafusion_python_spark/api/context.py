@@ -25,8 +25,15 @@ __all__ = ["SessionContext", "SQLOptions"]
 
 
 class SQLOptions:
-    """DDL/DML gating (ref context.py:469-531). Enforced by inspecting the
-    first keyword — Catalyst has no pre-parse hook in PySpark."""
+    """DDL/DML gating (ref context.py:469-531).
+
+    Best-effort textual gate: the reference enforces this on the parsed
+    logical plan; PySpark exposes no pre-parse hook, so we strip string
+    literals and comments, then scan ALL keywords (not just the first) so
+    ``WITH t AS (...) INSERT INTO ...``, leading comments, or parenthesized
+    statements are still caught. A quoted identifier spelled like a DDL/DML
+    keyword can false-positive — acceptable for a deny-by-default gate.
+    """
 
     _DDL = ("create", "drop", "alter")
     _DML = ("insert", "update", "delete", "copy", "merge")
@@ -49,13 +56,31 @@ class SQLOptions:
         return self
 
     def _check(self, query: str) -> None:
-        head = query.strip().split(None, 1)[0].lower() if query.strip() else ""
-        if not self._allow_ddl and head in self._DDL:
-            raise ValueError(f"DDL not allowed by SQLOptions: {head.upper()}")
-        if not self._allow_dml and head in self._DML:
-            raise ValueError(f"DML not allowed by SQLOptions: {head.upper()}")
-        if not self._allow_statements and head in ("set", "use"):
-            raise ValueError(f"statement not allowed by SQLOptions: {head.upper()}")
+        import re
+
+        q = re.sub(r"'(?:[^']|'')*'", "''", query)  # string literal bodies
+        q = re.sub(r'"(?:[^"]|"")*"', '""', q)  # quoted identifiers
+        q = re.sub(r"--[^\n]*", " ", q)  # line comments
+        q = re.sub(r"/\*.*?\*/", " ", q, flags=re.S)  # block comments
+        words = set(re.findall(r"[a-zA-Z_]+", q.lower()))
+        if not self._allow_ddl:
+            hit = words & set(self._DDL)
+            if hit:
+                raise ValueError(
+                    f"DDL not allowed by SQLOptions: {sorted(hit)[0].upper()}"
+                )
+        if not self._allow_dml:
+            hit = words & set(self._DML)
+            if hit:
+                raise ValueError(
+                    f"DML not allowed by SQLOptions: {sorted(hit)[0].upper()}"
+                )
+        if not self._allow_statements:
+            head = q.strip().split(None, 1)[0].lower() if q.strip() else ""
+            if head in ("set", "use"):
+                raise ValueError(
+                    f"statement not allowed by SQLOptions: {head.upper()}"
+                )
 
 
 class SessionContext:
@@ -184,7 +209,16 @@ class SessionContext:
 
         if isinstance(data, pa.RecordBatch):
             data = pa.Table.from_batches([data])
-        out = DataFrame(self.spark.createDataFrame(data.to_pandas()))
+        if not isinstance(data, pa.Table) and hasattr(data, "__arrow_c_stream__"):
+            data = pa.table(data)
+        try:
+            # Spark 4 accepts a pyarrow Table directly — Arrow-native path,
+            # no pandas round-trip (which loses ns-timestamp/decimal
+            # fidelity and is slow for large in-memory tables)
+            sdf = self.spark.createDataFrame(data)
+        except Exception:
+            sdf = self.spark.createDataFrame(data.to_pandas())
+        out = DataFrame(sdf)
         if name:
             out.df.createOrReplaceTempView(name)
         return out

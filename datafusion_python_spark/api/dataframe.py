@@ -166,14 +166,94 @@ class DataFrame:
 
     # -- aggregation ---------------------------------------------------------
     def aggregate(self, group_by, aggs) -> "DataFrame":
+        from .udf import _UdafCall
+
         if isinstance(group_by, (Expr, str, Column)):
             group_by = [group_by]
-        if isinstance(aggs, (Expr, Column)):
+        if isinstance(aggs, (Expr, Column, _UdafCall)):
             aggs = [aggs]
+        udaf_calls = [a for a in aggs if isinstance(a, _UdafCall)]
+        if udaf_calls:
+            return self._aggregate_with_udafs(group_by or [], aggs)
         agg_cols = [_c(a) for a in aggs]
         if not group_by:
             return DataFrame(self.df.agg(*agg_cols))
         return DataFrame(self.df.groupBy(*_cols(group_by)).agg(*agg_cols))
+
+    def _aggregate_with_udafs(self, group_by, aggs) -> "DataFrame":
+        """Mixed native + Python-UDAF aggregation.
+
+        UDAF calls run via applyInPandas grouped on the same keys (one
+        shuffle — identical topology to a native UDAF); native aggregates
+        run JVM-side in parallel and the two results join on the group
+        keys (a broadcast-able join: one row per group on both sides).
+        Each group's values are materialized in one executor's memory —
+        fine for aggregation states, not for giant groups.
+        """
+        import pandas as pd
+        import pyarrow as pa
+
+        from pyspark.sql import types as T
+
+        from .udf import _UdafCall
+
+        base = self.df
+        gb_names: list[str] = []
+        renames: list[tuple[str, str]] = []  # (internal, output) key names
+        for i, g in enumerate(group_by):
+            if isinstance(g, str):
+                gb_names.append(g)
+            else:
+                c = _c(g)
+                try:
+                    disp = c._jc.toString()
+                except Exception:
+                    disp = f"group_{i}"
+                name = f"__gb{i}"
+                base = base.withColumn(name, c)
+                gb_names.append(name)
+                renames.append((name, disp))
+        if not gb_names:  # global aggregate: constant key, dropped at the end
+            base = base.withColumn("__gb_const", F.lit(1))
+            gb_names = ["__gb_const"]
+
+        # materialize each UDAF argument as a named column
+        plan = []  # (accum_factory, [arg col names], out name)
+        udaf_calls = [a for a in aggs if isinstance(a, _UdafCall)]
+        for i, call in enumerate(udaf_calls):
+            argnames = []
+            for j, a in enumerate(call.args):
+                name = f"__u{i}_{j}"
+                base = base.withColumn(name, _c(a) if not isinstance(a, str) else F.col(a))
+                argnames.append(name)
+            plan.append((call.udf.accum, argnames, call.alias_name))
+
+        key_fields = [base.schema[c] for c in gb_names]
+        out_fields = [
+            T.StructField(out, call.udf._spark_ret)
+            for call, (_f, _a, out) in zip(udaf_calls, plan)
+        ]
+        schema = T.StructType(key_fields + out_fields)
+
+        def run(pdf: "pd.DataFrame") -> "pd.DataFrame":
+            out = {k: [pdf[k].iloc[0]] for k in gb_names}
+            for accum_factory, argnames, outname in plan:
+                acc = accum_factory()
+                acc.update(*[pa.Array.from_pandas(pdf[c]) for c in argnames])
+                r = acc.evaluate()
+                out[outname] = [r.as_py() if hasattr(r, "as_py") else r]
+            return pd.DataFrame(out)
+
+        result = base.groupBy(*gb_names).applyInPandas(run, schema=schema)
+
+        native = [_c(a) for a in aggs if not isinstance(a, _UdafCall)]
+        if native:
+            result = result.join(base.groupBy(*gb_names).agg(*native), on=gb_names)
+        for internal, out in renames:
+            result = result.withColumnRenamed(internal, out)
+        if "__gb_const" in gb_names:
+            result = result.drop("__gb_const")
+        return DataFrame(result)
 
     def count(self) -> int:
         return self.df.count()
@@ -416,7 +496,20 @@ class DataFrame:
         return DataFrame(self.df.na.fill(value, subset=list(subset) if subset else None))
 
     def fill_nan(self, value, subset: Sequence[str] | None = None) -> "DataFrame":
-        return DataFrame(self.df.na.fill(value, subset=list(subset) if subset else None))
+        # NaN only — nulls stay null (Spark's na.fill replaces both, the
+        # reference's fill_nan does not; ref dataframe.py fill_nan docs).
+        # nanvl(col, value) returns col unless it is NaN; nulls pass through.
+        targets = set(subset) if subset else None
+        out = self.df
+        for name, dtype in out.dtypes:
+            if dtype in ("double", "float") and (targets is None or name in targets):
+                out = out.withColumn(
+                    name,
+                    F.when(
+                        F.isnan(F.col(name)), F.lit(value).cast(dtype)
+                    ).otherwise(F.col(name)),
+                )
+        return DataFrame(out)
 
     def into_view(self, name: str) -> None:
         self.df.createOrReplaceTempView(name)

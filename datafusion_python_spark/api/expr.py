@@ -54,6 +54,16 @@ _TYPE_ALIASES = {
     "date64": T.DateType(),
     "binary": T.BinaryType(),
     "timestamp": T.TimestampType(),
+    # Spark DDL names (so string specs round-trip to real DataTypes)
+    "tinyint": T.ByteType(),
+    "smallint": T.ShortType(),
+    "int": T.IntegerType(),
+    "integer": T.IntegerType(),
+    "bigint": T.LongType(),
+    "long": T.LongType(),
+    "float": T.FloatType(),
+    "double": T.DoubleType(),
+    "date": T.DateType(),
 }
 
 
@@ -83,6 +93,30 @@ def _c(v: Any) -> Column:
     if isinstance(v, Column):
         return v
     return F.lit(v)
+
+
+def _rewrite_like_escape(pattern: str, escape: str | None) -> str:
+    """Rewrite a LIKE pattern using a custom escape char into Spark's
+    default backslash-escape form (ref: DataFusion expr/like.rs honors
+    ``escape_char``; Spark's Column.like only understands ``\\``)."""
+    if escape is None:
+        return pattern
+    if len(escape) != 1:
+        raise ValueError(f"LIKE escape must be a single character, got {escape!r}")
+    out = []
+    i = 0
+    while i < len(pattern):
+        ch = pattern[i]
+        if ch == escape and i + 1 < len(pattern):
+            out.append("\\" + pattern[i + 1])
+            i += 2
+        elif ch == "\\":
+            out.append("\\\\")
+            i += 1
+        else:
+            out.append(ch)
+            i += 1
+    return "".join(out)
 
 
 def _e(c: Column) -> "Expr":
@@ -187,10 +221,10 @@ class Expr:
         return _e(~out if negated else out)
 
     def like(self, pattern: str, escape: str | None = None) -> "Expr":
-        return _e(self.expr.like(pattern))
+        return _e(self.expr.like(_rewrite_like_escape(pattern, escape)))
 
     def ilike(self, pattern: str, escape: str | None = None) -> "Expr":
-        return _e(self.expr.ilike(pattern))
+        return _e(self.expr.ilike(_rewrite_like_escape(pattern, escape)))
 
     def rex_match(self, pattern: str) -> "Expr":
         return _e(self.expr.rlike(pattern))

@@ -183,10 +183,12 @@ def atan2(y, x) -> Expr:
 
 def gcd(a, b) -> Expr:
     aa, bb = F.abs(_u(a).cast("long")), F.abs(_u(b).cast("long"))
-    # Euclid via aggregate over a bounded iteration array (log2(2^63)≈63)
+    # Euclid via aggregate over a bounded iteration array. Worst case for
+    # 64-bit inputs is consecutive Fibonacci numbers (~F(91)) needing ~90
+    # modulo steps, so bound at 92; the fold short-circuits on y==0.
     pair = F.struct(aa.alias("x"), bb.alias("y"))
     it = F.aggregate(
-        F.sequence(F.lit(1), F.lit(63)),
+        F.sequence(F.lit(1), F.lit(92)),
         pair,
         lambda acc, _: F.when(
             acc["y"] == 0, acc
@@ -511,12 +513,22 @@ def date_bin(stride, source, origin=None) -> Expr:
     if isinstance(stride, str):
         m = _re.match(r"(\d+)\s*(\w+)", stride)
         qty, unit = int(m.group(1)), m.group(2).rstrip("s")
-        secs = {"second": 1, "minute": 60, "hour": 3600, "day": 86400}[unit] * qty
+        fixed = {"second": 1, "minute": 60, "hour": 3600, "day": 86400, "week": 604800}
+        if unit not in fixed:
+            # calendar-length strides need interval arithmetic, not epoch
+            # math — DataFusion supports them; not implemented here yet
+            raise NotImplementedError(
+                f"date_bin stride unit {unit!r} (calendar-length strides like "
+                "month/year are not supported; use date_trunc for those)"
+            )
+        secs = fixed[unit] * qty
     else:
         raise TypeError("date_bin stride must be a string like '15 minutes'")
     src = F.unix_timestamp(_u(source))
     org = F.unix_timestamp(_u(origin)) if origin is not None else F.lit(0)
-    binned = org + ((src - org) / secs).cast("long") * secs
+    # floor, not truncate-toward-zero: sources before the origin must bin
+    # to the stride boundary at-or-below them (DataFusion floor semantics)
+    binned = org + F.floor((src - org) / secs).cast("long") * secs
     return Expr(F.timestamp_seconds(binned))
 
 
@@ -698,8 +710,7 @@ def first_value(e, order_by=None, null_treatment=None) -> Expr:
     ob = order_by or state["order_by"]
     ignore = (null_treatment or state["null_treatment"] or "").lower().startswith("ignore")
     if ob:
-        pairs = _ordered_struct(c, ob)
-        return Expr(F.array_sort(F.collect_list(pairs))[0]["v"])
+        return Expr(_ordered_values(c, ob)[0]["v"])
     return Expr(F.first(c, ignorenulls=ignore))
 
 
@@ -708,8 +719,7 @@ def last_value(e, order_by=None, null_treatment=None) -> Expr:
     ob = order_by or state["order_by"]
     ignore = (null_treatment or state["null_treatment"] or "").lower().startswith("ignore")
     if ob:
-        pairs = _ordered_struct(c, ob)
-        lst = F.array_sort(F.collect_list(pairs))
+        lst = _ordered_values(c, ob)
         return Expr(F.element_at(lst, F.size(lst))["v"])
     return Expr(F.last(c, ignorenulls=ignore))
 
@@ -718,22 +728,41 @@ def nth_value(e, n: int, order_by=None) -> Expr:
     c, state = _agg_input(e)
     ob = order_by or state["order_by"]
     if ob:
-        pairs = _ordered_struct(c, ob)
-        return Expr(F.element_at(F.array_sort(F.collect_list(pairs)), n)["v"])
+        return Expr(F.element_at(_ordered_values(c, ob), n)["v"])
     return Expr(F.element_at(F.collect_list(c), n))
 
 
-def _ordered_struct(c: Column, order_by_keys) -> Column:
+def _ordered_values(c: Column, order_by_keys) -> Column:
+    """Collect ``(keys…, value)`` structs and sort by the keys with an
+    explicit comparator honoring per-key direction and null placement.
+
+    Works for ANY orderable key type (strings, dates, timestamps) in any
+    direction — unlike unary-minus negation, which only works on numerics.
+    Runs inside codegen (higher-order array_sort), one aggregation state
+    per group — scale behavior identical to collect_list.
+    """
     keys = [to_sort_expr(k) for k in order_by_keys]
-    fields = []
-    for i, k in enumerate(keys):
-        kc = k.inner.expr
-        # encode descending by negating when numeric is not general; use a
-        # struct of (key asc…) — array_sort is ascending lexicographic, so
-        # descending keys are negated where possible via unary minus
-        fields.append((-kc if not k.ascending else kc).alias(f"k{i}"))
+    fields = [k.inner.expr.alias(f"k{i}") for i, k in enumerate(keys)]
     fields.append(c.alias("v"))
-    return F.struct(*fields)
+    pairs = F.struct(*fields)
+
+    def cmp(left: Column, right: Column) -> Column:
+        res = F.lit(0)
+        for i, k in reversed(list(enumerate(keys))):
+            lk, rk = left[f"k{i}"], right[f"k{i}"]
+            lt, gt = (F.lit(-1), F.lit(1)) if k.ascending else (F.lit(1), F.lit(-1))
+            nf = F.lit(-1) if k.nulls_first else F.lit(1)
+            res = (
+                F.when(lk.isNull() & rk.isNull(), res)
+                .when(lk.isNull(), nf)
+                .when(rk.isNull(), -nf)
+                .when(lk < rk, lt)
+                .when(lk > rk, gt)
+                .otherwise(res)
+            )
+        return res
+
+    return F.array_sort(F.collect_list(pairs), cmp)
 
 
 def array_agg(e, distinct: bool = False, filter=None, order_by=None) -> Expr:
@@ -743,8 +772,7 @@ def array_agg(e, distinct: bool = False, filter=None, order_by=None) -> Expr:
     c = _filtered(c, state)
     ob = order_by or state["order_by"]
     if ob:
-        pairs = _ordered_struct(c, ob)
-        return Expr(F.transform(F.array_sort(F.collect_list(pairs)), lambda s: s["v"]))
+        return Expr(F.transform(_ordered_values(c, ob), lambda s: s["v"]))
     if distinct or state["distinct"]:
         return Expr(F.collect_set(c))
     return Expr(F.collect_list(c))
@@ -754,9 +782,8 @@ def string_agg(e, delimiter: str = ",", order_by=None) -> Expr:
     c, state = _agg_input(e)
     ob = order_by or state["order_by"]
     if ob:
-        pairs = _ordered_struct(c, ob)
         return Expr(
-            F.array_join(F.transform(F.array_sort(F.collect_list(pairs)), lambda s: s["v"]), delimiter)
+            F.array_join(F.transform(_ordered_values(c, ob), lambda s: s["v"]), delimiter)
         )
     return Expr(F.array_join(F.collect_list(c), delimiter))
 
@@ -1055,9 +1082,16 @@ def flatten(arr) -> Expr:
 
 
 def range(start, stop=None, step=1) -> Expr:  # noqa: A001
+    # half-open [start, stop): offset the inclusive sequence() endpoint by
+    # sign(step) so negative steps exclude `stop` from the correct side,
+    # e.g. range(10, 4, -2) -> [10, 8, 6], not [10, 8, 6, 4]
     if stop is None:
         start, stop = 0, start
-    return Expr(F.sequence(_u(start), _u(stop) - 1, _u(step)))
+    if isinstance(step, int):
+        off = F.lit(1 if step >= 0 else -1)
+    else:
+        off = F.signum(_u(step)).cast("long")
+    return Expr(F.sequence(_u(start), _u(stop) - off, _u(step)))
 
 
 def generate_series(start, stop=None, step=1) -> Expr:
@@ -1134,6 +1168,221 @@ def map_entries(m) -> Expr:
 
 def map_extract(m, key) -> Expr:
     return Expr(F.array(F.element_at(_u(m), _u(key))))
+
+
+# ---------------------------------------------------------------------------
+# Name-completion sweep vs the reference's functions/__init__.py (324 defs).
+# Everything below is either a thin alias (the reference itself aliases
+# list_* → array_* — functions/__init__.py:3690-4120), a real Spark-side
+# implementation, or an EXPLICIT documented stub for things Spark's type
+# system cannot represent (union type, per-expression Arrow field metadata).
+
+
+def array_normalize(arr) -> Expr:
+    """Scale a numeric array to Euclidean length 1 (ref
+    functions/__init__.py:3547). Zero vectors pass through unchanged."""
+    a = _u(arr)
+    norm = F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
+    )
+    return Expr(
+        F.when(norm == 0, a).otherwise(F.transform(a, lambda x: x.cast("double") / norm))
+    )
+
+
+def array_replace_n(arr, from_val, to_val, n) -> Expr:
+    """Replace the first ``n`` occurrences of ``from_val`` (ref
+    functions/__init__.py array_replace_n). Implemented with indexed
+    ``transform`` + a rank check over the prefix — O(len²) per array,
+    fine for row-level arrays, runs fully inside codegen."""
+    a, f_, t_, n_ = _u(arr), _u(from_val), _u(to_val), _u(n)
+    return Expr(
+        F.transform(
+            a,
+            lambda x, i: F.when(
+                (x == f_)
+                & (F.size(F.filter(F.slice(a, 1, i + 1), lambda y: y == f_)) <= n_),
+                t_,
+            ).otherwise(x),
+        )
+    )
+
+
+def to_local_time(e) -> Expr:
+    """Instant → wall-clock in the session timezone, dropping the zone
+    (ref functions/__init__.py:2442). Spark's TimestampType is an instant;
+    TimestampNTZ is the naive local result — the cast applies the session
+    timezone, including DST rules."""
+    return Expr(_u(e).cast("timestamp_ntz"))
+
+
+# Spark has no TIME type (SURVEY §1.3): times-of-day are represented as
+# TimestampType anchored at 1970-01-01, which preserves comparison,
+# arithmetic, and formatting semantics. Documented deviation.
+def to_time(e, *formatters) -> Expr:
+    s = _u(e)
+    if formatters:
+        fmt = formatters[0]
+        fmt_s = fmt if isinstance(fmt, str) else None
+        return Expr(
+            F.to_timestamp(
+                F.concat(F.lit("1970-01-01 "), s),
+                "yyyy-MM-dd " + _chrono_to_java(fmt_s) if fmt_s else None,
+            )
+        )
+    return Expr(F.to_timestamp(F.concat(F.lit("1970-01-01 "), s)))
+
+
+def make_time(hour, minute, second) -> Expr:
+    """ref functions/__init__.py:2851; anchored-timestamp TIME encoding."""
+    total = (
+        _u(hour).cast("long") * 3600 + _u(minute).cast("long") * 60 + _u(second).cast("long")
+    )
+    return Expr(F.timestamp_seconds(total))
+
+
+def current_time() -> Expr:
+    """Current UTC time-of-day (ref functions/__init__.py:2689), anchored
+    at the epoch day."""
+    return Expr(F.timestamp_seconds(F.unix_timestamp(F.current_timestamp()) % 86400))
+
+
+def with_metadata(e, metadata: dict) -> Expr:
+    """Attach field metadata (ref functions/__init__.py:3256). Spark
+    carries metadata on named fields, so this aliases the column to its
+    current name with the metadata attached."""
+    if not metadata:
+        return e if isinstance(e, Expr) else Expr(_u(e))
+    if any(not k for k in metadata):
+        raise ValueError("metadata keys must be non-empty strings")
+    c = _u(e)
+    try:
+        name = c._jc.toString().rsplit(" AS ", 1)[-1].strip("`")
+    except Exception:  # pragma: no cover - py4j detail
+        name = "col"
+    return Expr(c.alias(name, metadata=dict(metadata)))
+
+
+def arrow_field(e) -> Expr:
+    """Unsupported: Spark resolves schema at the DataFrame level, not per
+    expression (ref functions/__init__.py:3150). Use
+    ``df.schema[name].metadata`` / ``dataType`` instead."""
+    raise NotImplementedError(
+        "arrow_field: per-expression field introspection is not available in "
+        "Spark; read df.schema[<name>] on the DataFrame instead"
+    )
+
+
+def arrow_metadata(e, key=None) -> Expr:
+    """Unsupported: see arrow_field (ref functions/__init__.py:3222). Use
+    ``df.schema[<name>].metadata``."""
+    raise NotImplementedError(
+        "arrow_metadata: per-expression metadata introspection is not "
+        "available in Spark; read df.schema[<name>].metadata instead"
+    )
+
+
+def union_extract(union_expr, field_name) -> Expr:
+    """Unsupported: Spark has no Arrow union type (ref
+    functions/__init__.py:3348). Model variants as a struct of nullable
+    fields and use get_field()."""
+    raise NotImplementedError(
+        "union_extract: Spark has no union type; model variants as a struct "
+        "of nullable fields + a tag column"
+    )
+
+
+def union_tag(union_expr) -> Expr:
+    """Unsupported: Spark has no Arrow union type (ref
+    functions/__init__.py:3375)."""
+    raise NotImplementedError(
+        "union_tag: Spark has no union type; model variants as a struct of "
+        "nullable fields + a tag column"
+    )
+
+
+def approx_percentile_cont_with_weight(e, weight, percentile) -> Expr:
+    """Unsupported: Spark's percentile_approx has no weight argument (ref
+    functions/__init__.py approx_percentile_cont_with_weight). For integer
+    weights, explode the rows by weight and use approx_percentile_cont."""
+    raise NotImplementedError(
+        "approx_percentile_cont_with_weight: Spark has no weighted sketch "
+        "percentile; explode rows by integer weight + approx_percentile_cont"
+    )
+
+
+def lambda_var(name: str) -> Expr:
+    """Unsupported explicit-lambda form (ref functions/__init__.py:512):
+    Spark's higher-order functions bind Python callables, which is the
+    supported path here (e.g. array_transform(arr, lambda x: ...))."""
+    raise NotImplementedError(
+        "lambda_var: pass a Python callable to the higher-order function "
+        "instead (Spark HOFs bind lambdas natively)"
+    )
+
+
+def lambda_(params, body) -> Expr:
+    """Unsupported explicit-lambda form (ref functions/__init__.py:535);
+    pass a Python callable to the higher-order function instead."""
+    raise NotImplementedError(
+        "lambda_: pass a Python callable to the higher-order function "
+        "instead (Spark HOFs bind lambdas natively)"
+    )
+
+
+# aliases matching the reference's own alias surface
+any_match = array_any_match
+array_contains = array_has
+array_push_back = array_append
+array_push_front = array_prepend
+dot_product = inner_product
+is_nan = isnan
+make_list = make_array
+var_population = var_pop
+var_sample = var_samp
+list_any_match = array_any_match
+list_any_value = array_any_value
+list_append = array_append
+list_cat = array_cat
+list_compact = array_compact
+list_concat = array_concat
+list_contains = array_has
+list_dims = array_dims
+list_distance = array_distance
+list_distinct = array_distinct
+list_element = array_element
+list_empty = array_empty
+list_except = array_except
+list_extract = array_extract
+list_has = array_has
+list_has_all = array_has_all
+list_has_any = array_has_any
+list_indexof = array_indexof
+list_intersect = array_intersect
+list_max = array_max
+list_min = array_min
+list_ndims = array_ndims
+list_normalize = array_normalize
+list_overlap = arrays_overlap
+list_pop_back = array_pop_back
+list_pop_front = array_pop_front
+list_position = array_position
+list_positions = array_positions
+list_prepend = array_prepend
+list_push_back = array_append
+list_push_front = array_prepend
+list_remove = array_remove
+list_remove_all = array_remove_all
+list_remove_n = array_remove_n
+list_repeat = array_repeat
+list_replace = array_replace
+list_replace_all = array_replace_all
+list_replace_n = array_replace_n
+list_resize = array_resize
+list_reverse = array_reverse
+list_slice = array_slice
+list_union = array_union
+list_zip = arrays_zip
 
 
 # ---------------------------------------------------------------------------

@@ -140,14 +140,33 @@ class AggregateUDF:
 
         return DF(df.df.groupBy(*group_cols).applyInPandas(run, schema=schema))
 
-    def __call__(self, *args) -> Expr:
-        raise NotImplementedError(
-            "column-position UDAFs need DataFrame.aggregate integration; "
-            "use AggregateUDF.apply_grouped(df, group_cols, value_cols, out)"
-        )
+    def __call__(self, *args) -> "_UdafCall":
+        """Column-position call, usable directly inside
+        ``DataFrame.aggregate(group_by, [my_udaf(col("x"))])`` — matches the
+        reference's AggregateUDF.__call__ (ref user_defined.py:392).
+        Routed through applyInPandas by DataFrame.aggregate.
+        """
+        return _UdafCall(self, list(args))
 
     def _register(self, spark) -> None:
         pass  # name-based SQL registration unsupported for the emulation
+
+
+class _UdafCall:
+    """A pending UDAF invocation: (udf, arg columns, output alias).
+
+    DataFrame.aggregate detects these among its aggs and evaluates them
+    via applyInPandas (one shuffle on the group keys), joining with any
+    native aggregates computed alongside.
+    """
+
+    def __init__(self, udf: AggregateUDF, args, alias: str | None = None) -> None:
+        self.udf = udf
+        self.args = args
+        self.alias_name = alias or udf.name
+
+    def alias(self, name: str) -> "_UdafCall":
+        return _UdafCall(self.udf, self.args, name)
 
 
 def udaf(accum, input_types=None, return_type=None, state_type=None, volatility: str = "immutable", name: str | None = None):

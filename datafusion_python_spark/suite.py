@@ -4,6 +4,14 @@
 DuckDB evaluates over the same parquet tables for the driver's
 correctness gate. Entries with ``None`` oracle are non-SQL-expressible
 (approx sketches, hash-function-specific ops) and get rows-only checks.
+
+Ordering matters: the driver records correctness rows for (at most) the
+first 50 entries, so the registry is ordered to put the queries that
+most need an on-record gate first — the pipeline (dedup / similarity /
+text) operators, gates added this round, and previously-unwindowed fn_*
+/ setop_* queries — then the TPC-H suite, then queries that already have
+a recorded driver pass from round 1. Every query not in the window is
+still verified by ``tools/selfcheck.py`` (same DuckDB comparison).
 """
 
 from __future__ import annotations
@@ -11,16 +19,91 @@ from __future__ import annotations
 from .suite_analytics import ANALYTICS_QUERIES
 from .suite_tpch import TPCH_QUERIES
 
-ALL_QUERIES: dict[str, tuple] = {}
-ALL_QUERIES.update(TPCH_QUERIES)
-ALL_QUERIES.update(ANALYTICS_QUERIES)
+_MERGED: dict[str, tuple] = {}
+_MERGED.update(TPCH_QUERIES)
+_MERGED.update(ANALYTICS_QUERIES)
 
 try:  # beyond-parity pipeline ops (dedup / similarity / text analysis)
     from .suite_pipeline import PIPELINE_QUERIES
 
-    ALL_QUERIES.update(PIPELINE_QUERIES)
+    _MERGED.update(PIPELINE_QUERIES)
 except ImportError:  # module lands later in the build
     pass
+
+try:  # UDF/UDAF gate queries
+    from .suite_udf import UDF_QUERIES
+
+    _MERGED.update(UDF_QUERIES)
+except ImportError:
+    pass
+
+# Names to place at the front of the registry (driver windows the first
+# 50). Unlisted names follow in their module order.
+_PRIORITY = [
+    # pipeline operators (no driver rows in round 1)
+    "pipe_dedup_exact",
+    "pipe_jaccard_pairs",
+    "pipe_minhash_lsh",
+    "pipe_simhash",
+    "pipe_cosine_topk",
+    "pipe_ann_lsh",
+    "pipe_cosine_neardup",
+    "pipe_emb_centroid",
+    "pipe_text_tokens",
+    "pipe_text_quality",
+    "pipe_langid",
+    "pipe_fingerprint",
+    # gates added in round 2
+    "tpch_q2",
+    "tpch_q11",
+    "agg_approx",
+    "agg_string_agg_desc",
+    "fn_like_escape",
+    "udaf_geomean",
+    # passed only by local selfcheck in round 1 (outside driver window)
+    "setop_intersect",
+    "setop_except",
+    "fn_strings",
+    "fn_datetime",
+    "fn_math_case",
+    # TPC-H parity suite
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q4",
+    "tpch_q5",
+    "tpch_q6",
+    "tpch_q7",
+    "tpch_q8",
+    "tpch_q9",
+    "tpch_q10",
+    "tpch_q12",
+    "tpch_q13",
+    "tpch_q14",
+    "tpch_q15",
+    "tpch_q16",
+    "tpch_q17",
+    "tpch_q18",
+    "tpch_q19",
+    "tpch_q20",
+    "tpch_q21",
+    "tpch_q22",
+    # bench-headline analytics
+    "evt_sessionize",
+    "evt_topk_per_user",
+    "agg_cube",
+    "win_frames",
+    "agg_string_agg",
+    "evt_date_bin",
+    "evt_json",
+]
+
+ALL_QUERIES: dict[str, tuple] = {}
+for _name in _PRIORITY:
+    if _name in _MERGED:
+        ALL_QUERIES[_name] = _MERGED[_name]
+for _name, _entry in _MERGED.items():
+    if _name not in ALL_QUERIES:
+        ALL_QUERIES[_name] = _entry
 
 
 def queries():

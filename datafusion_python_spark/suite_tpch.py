@@ -754,8 +754,137 @@ ORDER BY nationkey
 """
 
 
+# --------------------------------------------------------------------------
+# q2 (adapted): minimum-cost supplier.
+# ref: examples/tpch/q02_minimum_cost_supplier.py. The driver testdata has
+# no partsupp table, so the (part, supplier) bridge with a supply cost is
+# SYNTHESIZED from lineitem: supplycost(part, supp) = min unit price
+# (l_extendedprice / l_quantity) ever charged for that pair. The query
+# keeps q2's shape: for parts of one type+size band, find the suppliers in
+# one region charging the region-wide minimum cost for that part
+# (correlated-min subquery → aggregate + equality join back).
+# Scale: the bridge agg shuffles once on (partkey, suppkey); region/nation/
+# supplier dims broadcast; the per-part min is a second one-key shuffle.
+def q2(spark, sf_dir):
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "LARGE") & (F.col("p_size") <= 15)
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    li = _t(spark, sf_dir, "lineitem")
+
+    eu_nations = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select("n_nationkey", "n_name")
+    eu_supp = supp.join(
+        F.broadcast(eu_nations), supp.s_nationkey == eu_nations.n_nationkey
+    ).select("s_suppkey", "s_name", "s_acctbal", "n_name")
+
+    cost = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("supplycost")
+    )
+    eu_cost = cost.join(eu_supp, cost.l_suppkey == eu_supp.s_suppkey).join(
+        F.broadcast(part), cost.l_partkey == part.p_partkey
+    )
+    min_cost = eu_cost.groupBy(F.col("l_partkey").alias("mc_partkey")).agg(
+        F.min("supplycost").alias("min_cost")
+    )
+    return (
+        eu_cost.join(
+            min_cost,
+            (eu_cost.l_partkey == min_cost.mc_partkey)
+            & (eu_cost.supplycost == min_cost.min_cost),
+        )
+        .select(
+            F.round("s_acctbal", 2).alias("s_acctbal"),
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_name",
+            F.round("supplycost", 2).alias("supplycost"),
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+Q2_SQL = """
+WITH cost AS (
+  SELECT l_partkey, l_suppkey, min(l_extendedprice / l_quantity) AS supplycost
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+), eu_cost AS (
+  SELECT c.l_partkey, s.s_name, s.s_acctbal, n.n_name, p.p_partkey, p.p_name,
+         c.supplycost
+  FROM cost c
+  JOIN supplier s ON c.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey AND r.r_name = 'EUROPE'
+  JOIN part p ON c.l_partkey = p.p_partkey
+  WHERE p.p_type = 'LARGE' AND p.p_size <= 15
+)
+SELECT round(s_acctbal, 2) AS s_acctbal, s_name, n_name, p_partkey, p_name,
+       round(supplycost, 2) AS supplycost
+FROM eu_cost e
+WHERE supplycost = (SELECT min(supplycost) FROM eu_cost m
+                    WHERE m.l_partkey = e.l_partkey)
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+
+# --------------------------------------------------------------------------
+# q11 (adapted): important stock identification.
+# ref: examples/tpch/q11_important_stock_identification.py. No partsupp in
+# the testdata, so per-part "stock value" is synthesized from lineitem:
+# value(part) = sum(l_extendedprice * l_quantity) over lines supplied by
+# suppliers of one nation; parts whose value exceeds fraction * total are
+# reported. Keeps q11's shape (group-agg + scalar subquery threshold).
+# Scale: one shuffle on l_partkey; the nation-filtered supplier dim
+# broadcasts; the grand total is a 1-row DF broadcast-cross-joined (no
+# driver collect).
+def q11(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+
+    n_supp = supp.join(
+        F.broadcast(nation), supp.s_nationkey == nation.n_nationkey
+    ).select("s_suppkey")
+    value = (
+        li.join(F.broadcast(n_supp), li.l_suppkey == n_supp.s_suppkey)
+        .groupBy("l_partkey")
+        .agg(F.sum(F.col("l_extendedprice") * F.col("l_quantity")).alias("value_raw"))
+    )
+    total = value.agg((F.sum("value_raw") * F.lit(0.001)).alias("threshold"))
+    return (
+        value.join(F.broadcast(total))
+        .filter(F.col("value_raw") > F.col("threshold"))
+        .select("l_partkey", F.round("value_raw", 2).alias("value"))
+        .orderBy(F.desc("value"), "l_partkey")
+    )
+
+
+Q11_SQL = """
+WITH v AS (
+  SELECT l_partkey, sum(l_extendedprice * l_quantity) AS value_raw
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_7'
+  GROUP BY l_partkey
+)
+SELECT l_partkey, round(value_raw, 2) AS value
+FROM v
+WHERE value_raw > (SELECT sum(value_raw) * 0.001 FROM v)
+ORDER BY value DESC, l_partkey
+"""
+
+
 TPCH_QUERIES: dict[str, tuple] = {
     "tpch_q1": (q1, Q1_SQL),
+    "tpch_q2": (q2, Q2_SQL),
+    "tpch_q11": (q11, Q11_SQL),
     "tpch_q3": (q3, Q3_SQL),
     "tpch_q4": (q4, Q4_SQL),
     "tpch_q5": (q5, Q5_SQL),
