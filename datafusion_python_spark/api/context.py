@@ -97,11 +97,51 @@ class SessionContext:
     def sql(self, query: str, options: SQLOptions | None = None, **named_params) -> DataFrame:
         if options is not None:
             options._check(query)
+        if getattr(self, "_url_table", False):
+            query = self._rewrite_url_tables(query)
         if named_params:
             df = self.spark.sql(query, args=named_params)
         else:
             df = self.spark.sql(query)
         return DataFrame(df)
+
+    @staticmethod
+    def _rewrite_url_tables(query: str) -> str:
+        """Rewrite ``FROM 'path/file.parquet'`` into Spark's native
+        direct-file table form ``FROM parquet.`path```(same for csv/json
+        — ref context.py:584 enable_url_table)."""
+        import re
+
+        def repl(m):
+            path = m.group(2)
+            ext = path.rsplit(".", 1)[-1].lower()
+            fmt = {"parquet": "parquet", "csv": "csv", "json": "json"}.get(ext)
+            if fmt is None:
+                return m.group(0)
+            return f"{m.group(1)} {fmt}.`{path}`"
+
+        return re.sub(
+            r"(?i)\b(FROM|JOIN)\s+'([^']+)'",
+            repl,
+            query,
+        )
+
+    def enable_url_table(self) -> "SessionContext":
+        """Allow ``SELECT * FROM 'data.parquet'`` (ref context.py:584);
+        returns a context with the rewrite enabled, leaving this one
+        untouched like the reference."""
+        out = SessionContext.__new__(SessionContext)
+        out.spark = self.spark
+        out._url_table = True
+        return out
+
+    def register_object_store(self, schema: str, store, host: str | None = None) -> None:
+        """Register cloud storage credentials/endpoints (ref context.py:595,
+        object_store.py:21-27) by applying the store's Hadoop FS configs to
+        the live SparkContext — see sources/object_store.py."""
+        from ..sources.object_store import apply_store
+
+        apply_store(self.spark, store)
 
     def sql_with_options(self, query: str, options: SQLOptions) -> DataFrame:
         return self.sql(query, options=options)
@@ -251,8 +291,20 @@ class SessionContext:
         self.create_dataframe(partitions, name)
 
     def register_dataset(self, name: str, dataset) -> None:
-        import pyarrow as pa
+        """Register a pyarrow dataset (ref context.py register_dataset).
 
+        File-backed parquet datasets register their files directly with
+        Spark's native reader, so predicate pushdown / column pruning /
+        partition pruning happen at the scan (the reference routes these
+        through a Dataset provider with pushdown). Only in-memory or
+        non-parquet datasets fall back to materializing to_table().
+        """
+        files = list(getattr(dataset, "files", None) or [])
+        fmt = getattr(getattr(dataset, "format", None), "default_extname", None)
+        if files and fmt == "parquet":
+            df = self.spark.read.parquet(*files)
+            df.createOrReplaceTempView(name)
+            return
         self.from_arrow(dataset.to_table(), name)
 
     def register_view(self, name: str, df: DataFrame) -> None:
@@ -288,12 +340,24 @@ class SessionContext:
     # -- UDF ---------------------------------------------------------------------------
     def register_udf(self, udf) -> None:
         udf._register(self.spark)
+        self._udf_names().add(getattr(udf, "name", getattr(udf, "_name", "udf")))
 
     def register_udaf(self, udaf) -> None:
         udaf._register(self.spark)
+        self._udf_names().add(getattr(udaf, "name", "udaf"))
 
     def register_udtf(self, udtf) -> None:
         udtf._register(self.spark)
+        self._udf_names().add(getattr(udtf, "name", "udtf"))
+
+    def _udf_names(self) -> set:
+        if not hasattr(self, "_registered_udfs"):
+            self._registered_udfs: set[str] = set()
+        return self._registered_udfs
+
+    def udfs(self) -> set[str]:
+        """Names of registered UDFs/UDAFs/UDTFs (ref context.py udfs())."""
+        return set(self._udf_names())
 
     # -- helpers ------------------------------------------------------------------------
     @staticmethod

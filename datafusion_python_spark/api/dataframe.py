@@ -36,12 +36,134 @@ _JOIN_HOW = {
 }
 
 
-class ParquetWriterOptions:
-    """Subset of the reference's parquet writer knobs (dataframe.py:169)."""
+class ParquetColumnOptions:
+    """Per-column parquet writer options (ref dataframe.py:296).
 
-    def __init__(self, compression: str = "zstd", compression_level: int | None = None) -> None:
-        self.compression = compression
+    Maps to parquet-mr's ``<option>#<column>`` config form, which Spark
+    passes through to the writer: bloom filter enable/fpp/ndv and
+    dictionary enable are supported; per-column ``encoding``,
+    ``compression`` and ``statistics_enabled`` have no parquet-mr
+    equivalent and raise if set (silently ignoring them would corrupt
+    user expectations about the written files).
+    """
+
+    def __init__(
+        self,
+        encoding: str | None = None,
+        dictionary_enabled: bool | None = None,
+        compression: str | None = None,
+        statistics_enabled: str | None = None,
+        bloom_filter_enabled: bool | None = None,
+        bloom_filter_fpp: float | None = None,
+        bloom_filter_ndv: int | None = None,
+    ) -> None:
+        for unsupported, label in (
+            (encoding, "encoding"),
+            (compression, "compression"),
+            (statistics_enabled, "statistics_enabled"),
+        ):
+            if unsupported is not None:
+                raise NotImplementedError(
+                    f"per-column {label} is not configurable through Spark's "
+                    "parquet writer (parquet-mr supports per-column config "
+                    "only for bloom filters and dictionary encoding)"
+                )
+        self.dictionary_enabled = dictionary_enabled
+        self.bloom_filter_enabled = bloom_filter_enabled
+        self.bloom_filter_fpp = bloom_filter_fpp
+        self.bloom_filter_ndv = bloom_filter_ndv
+
+
+class ParquetWriterOptions:
+    """Parquet writer knobs (ref dataframe.py:169), mapped to Spark /
+    parquet-mr writer options. DataFusion-internal buffering knobs
+    (write_batch_size, parallel writer counts, created_by) have no Spark
+    equivalent and are accepted but inert; ``max_row_group_size`` is rows
+    in the reference vs bytes in parquet-mr, so it maps to
+    ``parquet.block.size`` only when ``row_group_size_bytes`` semantics
+    are acceptable (documented)."""
+
+    def __init__(
+        self,
+        data_pagesize_limit: int = 1024 * 1024,
+        write_batch_size: int = 1024,
+        writer_version: str = "1.0",
+        skip_arrow_metadata: bool = False,
+        compression: str | None = "zstd(3)",
+        compression_level: int | None = None,
+        dictionary_enabled: bool | None = True,
+        dictionary_page_size_limit: int = 1024 * 1024,
+        statistics_enabled: str | None = "page",
+        max_row_group_size: int = 1024 * 1024,
+        created_by: str = "datafusion-python-spark",
+        column_index_truncate_length: int | None = 64,
+        statistics_truncate_length: int | None = None,
+        data_page_row_count_limit: int = 20_000,
+        encoding: str | None = None,
+        bloom_filter_on_write: bool = False,
+        bloom_filter_fpp: float | None = None,
+        bloom_filter_ndv: int | None = None,
+        allow_single_file_parallelism: bool = True,
+        maximum_parallel_row_group_writers: int = 1,
+        maximum_buffered_record_batches_per_stream: int = 2,
+        column_specific_options: dict[str, "ParquetColumnOptions"] | None = None,
+    ) -> None:
+        self.compression = compression or "uncompressed"
         self.compression_level = compression_level
+        self.data_pagesize_limit = data_pagesize_limit
+        self.writer_version = writer_version
+        self.dictionary_enabled = dictionary_enabled
+        self.dictionary_page_size_limit = dictionary_page_size_limit
+        self.max_row_group_size = max_row_group_size
+        self.data_page_row_count_limit = data_page_row_count_limit
+        self.bloom_filter_on_write = bloom_filter_on_write
+        self.bloom_filter_fpp = bloom_filter_fpp
+        self.bloom_filter_ndv = bloom_filter_ndv
+        self.column_specific_options = dict(column_specific_options or {})
+
+    def _codec(self) -> tuple[str, int | None]:
+        """Split 'zstd(3)'-style specs into (codec, level)."""
+        spec = self.compression.lower()
+        if "(" in spec and spec.endswith(")"):
+            name, level = spec[:-1].split("(", 1)
+            return name, int(level)
+        return spec, self.compression_level
+
+    def _spark_options(self) -> dict[str, str]:
+        codec, level = self._codec()
+        opts: dict[str, str] = {"compression": codec}
+        if level is not None and codec == "zstd":
+            opts["parquet.compression.codec.zstd.level"] = str(level)
+        opts["parquet.page.size"] = str(self.data_pagesize_limit)
+        opts["parquet.page.row.count.limit"] = str(self.data_page_row_count_limit)
+        opts["parquet.writer.version"] = (
+            "PARQUET_2_0" if self.writer_version.startswith("2") else "PARQUET_1_0"
+        )
+        if self.dictionary_enabled is not None:
+            opts["parquet.enable.dictionary"] = str(self.dictionary_enabled).lower()
+        opts["parquet.dictionary.page.size"] = str(self.dictionary_page_size_limit)
+        if self.bloom_filter_on_write:
+            opts["parquet.bloom.filter.enabled"] = "true"
+            if self.bloom_filter_fpp is not None:
+                opts["parquet.bloom.filter.fpp"] = str(self.bloom_filter_fpp)
+            if self.bloom_filter_ndv is not None:
+                opts["parquet.bloom.filter.expected.ndv"] = str(self.bloom_filter_ndv)
+        for col, copts in self.column_specific_options.items():
+            if copts.bloom_filter_enabled is not None:
+                opts[f"parquet.bloom.filter.enabled#{col}"] = str(
+                    copts.bloom_filter_enabled
+                ).lower()
+            if copts.bloom_filter_fpp is not None:
+                opts[f"parquet.bloom.filter.fpp#{col}"] = str(copts.bloom_filter_fpp)
+            if copts.bloom_filter_ndv is not None:
+                opts[f"parquet.bloom.filter.expected.ndv#{col}"] = str(
+                    copts.bloom_filter_ndv
+                )
+            if copts.dictionary_enabled is not None:
+                opts[f"parquet.enable.dictionary#{col}"] = str(
+                    copts.dictionary_enabled
+                ).lower()
+        return opts
 
 
 class DataFrameWriteOptions:
@@ -403,12 +525,19 @@ class DataFrame:
         )
 
     # -- unnest -----------------------------------------------------------------
-    def unnest_columns(self, *cols: str, preserve_nulls: bool = True) -> "DataFrame":
+    def unnest_columns(
+        self, *cols: str, preserve_nulls: bool = True, recursions: int = 1
+    ) -> "DataFrame":
+        """Explode list columns; ``recursions`` unnests nested lists that
+        many levels deep (ref dataframe.py:1741)."""
         out = self.df
         explode = F.explode_outer if preserve_nulls else F.explode
-        for c in cols:
-            others = [F.col(x) for x in out.columns if x != c]
-            out = out.select(*others, explode(F.col(c)).alias(c))
+        for _ in range(max(1, recursions)):
+            for c in cols:
+                if not dict(out.dtypes)[c].startswith("array"):
+                    continue  # fully unnested before recursions ran out
+                others = [F.col(x) for x in out.columns if x != c]
+                out = out.select(*others, explode(F.col(c)).alias(c))
         return DataFrame(out)
 
     # -- partitioning -------------------------------------------------------------
@@ -453,11 +582,54 @@ class DataFrame:
         self.df.show(num)
 
     def to_polars(self):
-        raise NotImplementedError("polars is not available in this environment")
+        """ref dataframe.py:1722 — zero-copy via Arrow when polars exists."""
+        try:
+            import polars as pl
+        except ImportError as exc:
+            raise NotImplementedError(
+                "polars is not installed in this environment"
+            ) from exc
+        return pl.from_arrow(self.df.toArrow())
 
-    def execute_stream(self):
-        """Incremental results (ref dataframe.py:1681) → local iterator."""
-        return self.df.toLocalIterator()
+    def execute_stream(self, rows_per_batch: int = 8192):
+        """Incremental RecordBatchStream (ref dataframe.py:1681). Pulls one
+        partition at a time to the driver — memory stays flat for results
+        far larger than driver RAM."""
+        from .record_batch import RecordBatchStream, arrow_batch_iter
+
+        return RecordBatchStream(arrow_batch_iter(self.df, rows_per_batch))
+
+    def execute_stream_partitioned(self, rows_per_batch: int = 8192):
+        """One RecordBatchStream per partition (ref dataframe.py:1689).
+
+        Rows are tagged with spark_partition_id in a single evaluation of
+        the plan, materialized as Arrow, and split by tag — preserving
+        executor partitioning in the returned streams. Unlike
+        execute_stream this materializes the full result on the driver
+        (the reference streams each partition; Spark exposes no public
+        per-partition Arrow stream), so use execute_stream for
+        larger-than-driver results.
+        """
+        from .record_batch import RecordBatchStream
+
+        tagged = self.df.withColumn("__pid", F.spark_partition_id())
+        tbl = tagged.toArrow()
+        pids = tbl.column("__pid").to_pylist()
+        import pyarrow as pa
+
+        order: list[int] = []
+        masks: dict[int, list[int]] = {}
+        for i, pid in enumerate(pids):
+            if pid not in masks:
+                masks[pid] = []
+                order.append(pid)
+            masks[pid].append(i)
+        tbl = tbl.drop_columns(["__pid"])
+        streams = []
+        for pid in order:
+            part = tbl.take(pa.array(masks[pid]))
+            streams.append(RecordBatchStream(iter(part.to_batches(rows_per_batch))))
+        return streams
 
     def __iter__(self):
         return iter(self.collect())
@@ -473,11 +645,32 @@ class DataFrame:
         compression_level: int | None = None,
         write_options: DataFrameWriteOptions | None = None,
     ) -> None:
-        codec = compression.compression if isinstance(compression, ParquetWriterOptions) else compression
+        if isinstance(compression, ParquetWriterOptions):
+            return self.write_parquet_with_options(path, compression, write_options)
         writer = self.df.write.mode("overwrite")
         if write_options and write_options.partition_by:
             writer = writer.partitionBy(*write_options.partition_by)
-        writer.option("compression", codec).parquet(path)
+        if compression_level is not None and compression == "zstd":
+            writer = writer.option(
+                "parquet.compression.codec.zstd.level", str(compression_level)
+            )
+        writer.option("compression", compression).parquet(path)
+
+    def write_parquet_with_options(
+        self,
+        path: str,
+        options: ParquetWriterOptions,
+        write_options: DataFrameWriteOptions | None = None,
+    ) -> None:
+        """Write parquet with full writer options, including per-column
+        bloom-filter/dictionary settings (ref dataframe.py:1583;
+        ParquetColumnOptions ref dataframe.py:296)."""
+        writer = self.df.write.mode("overwrite")
+        if write_options and write_options.partition_by:
+            writer = writer.partitionBy(*write_options.partition_by)
+        for k, v in options._spark_options().items():
+            writer = writer.option(k, v)
+        writer.parquet(path)
 
     def write_csv(self, path: str, with_header: bool = False, write_options=None) -> None:
         self.df.write.mode("overwrite").option("header", str(with_header).lower()).csv(path)
@@ -510,6 +703,11 @@ class DataFrame:
                     ).otherwise(F.col(name)),
                 )
         return DataFrame(out)
+
+    def transform(self, func, *args) -> "DataFrame":
+        """Chain a user function func(df, *args) -> DataFrame
+        (ref dataframe.py:1829)."""
+        return func(self, *args)
 
     def into_view(self, name: str) -> None:
         self.df.createOrReplaceTempView(name)

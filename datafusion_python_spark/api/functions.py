@@ -1221,16 +1221,10 @@ def to_local_time(e) -> Expr:
 # arithmetic, and formatting semantics. Documented deviation.
 def to_time(e, *formatters) -> Expr:
     s = _u(e)
-    if formatters:
-        fmt = formatters[0]
-        fmt_s = fmt if isinstance(fmt, str) else None
-        return Expr(
-            F.to_timestamp(
-                F.concat(F.lit("1970-01-01 "), s),
-                "yyyy-MM-dd " + _chrono_to_java(fmt_s) if fmt_s else None,
-            )
-        )
-    return Expr(F.to_timestamp(F.concat(F.lit("1970-01-01 "), s)))
+    anchored = F.concat(F.lit("1970-01-01 "), s)
+    if formatters and isinstance(formatters[0], str):
+        return Expr(F.to_timestamp(anchored, "yyyy-MM-dd " + _chrono_to_java(formatters[0])))
+    return Expr(F.to_timestamp(anchored))
 
 
 def make_time(hour, minute, second) -> Expr:

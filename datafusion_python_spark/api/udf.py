@@ -191,6 +191,11 @@ class WindowEvaluator:
     def evaluate(self, values: list, eval_range: tuple[int, int]):
         raise NotImplementedError
 
+    # rank-aware evaluation: ranked is a list of (start, stop) runs of
+    # order-key ties in sorted order (ref user_defined.py evaluate_all_with_rank)
+    def evaluate_all_with_rank(self, num_rows: int, ranked: list):
+        raise NotImplementedError
+
     def supports_bounded_execution(self) -> bool:
         return False
 
@@ -209,9 +214,27 @@ class WindowUDF:
         self.name = name or getattr(evaluator, "__name__", "udwf")
         self._spark_ret = _spark_type(ScalarUDF._type_name(return_type))
 
-    def apply(self, df, partition_by: list[str], order_by: list[str], input_cols: list[str], out_col: str):
+    def apply(
+        self,
+        df,
+        partition_by: list[str],
+        order_by: list[str],
+        input_cols: list[str],
+        out_col: str,
+        frame: tuple[int | None, int | None] | None = None,
+    ):
         """Append the window column: shuffle on partition keys, sort within
-        group, run the evaluator once per group (unbounded-frame UDWF)."""
+        group, run the evaluator per group.
+
+        Dispatch mirrors the reference's evaluator modes
+        (user_defined.py:709-1029):
+        - ``uses_window_frame()`` → per-row ``evaluate(values, (start, stop))``
+          over a rows frame; ``frame`` is (preceding, following) row offsets
+          with None = unbounded (matches WindowFrame(rows) semantics).
+        - ``include_rank()`` → ``evaluate_all_with_rank(n, ranked)`` where
+          ranked holds the (start, stop) runs of order-key ties.
+        - otherwise → one ``evaluate_all(values, n)`` per group.
+        """
         import pyarrow as pa
 
         factory = self.evaluator
@@ -221,9 +244,35 @@ class WindowUDF:
         def run(pdf: pd.DataFrame) -> pd.DataFrame:
             pdf = pdf.sort_values(order_by, kind="mergesort") if order_by else pdf
             ev = factory()
+            n = len(pdf)
             arrays = [pa.Array.from_pandas(pdf[c]) for c in input_cols]
-            out = ev.evaluate_all(arrays, len(pdf))
-            vals = out.to_pandas() if hasattr(out, "to_pandas") else pd.Series(list(out))
+            if ev.uses_window_frame():
+                lo, hi = frame if frame is not None else (None, None)
+                out_vals = []
+                for i in range(n):
+                    s = 0 if lo is None else max(0, i - lo)
+                    e = n if hi is None else min(n, i + hi + 1)
+                    r = ev.evaluate(arrays, (s, e))
+                    out_vals.append(r.as_py() if hasattr(r, "as_py") else r)
+                vals = pd.Series(out_vals)
+            elif ev.include_rank():
+                ranked = []
+                if order_by:
+                    keys = pdf[order_by].itertuples(index=False, name=None)
+                    prev, start = None, 0
+                    for i, k in enumerate(keys):
+                        if prev is not None and k != prev:
+                            ranked.append((start, i))
+                            start = i
+                        prev = k
+                    ranked.append((start, n))
+                else:
+                    ranked = [(0, n)] if n else []
+                out = ev.evaluate_all_with_rank(n, ranked)
+                vals = out.to_pandas() if hasattr(out, "to_pandas") else pd.Series(list(out))
+            else:
+                out = ev.evaluate_all(arrays, n)
+                vals = out.to_pandas() if hasattr(out, "to_pandas") else pd.Series(list(out))
             pdf = pdf.copy()
             pdf[out_col] = vals.values
             return pdf

@@ -30,10 +30,15 @@ def main() -> None:
     if not os.path.isdir(f"{out}/lineitem.parquet"):
         shutil.rmtree(out, ignore_errors=True)
         reps = F.explode(F.sequence(F.lit(0), F.lit(factor - 1))).alias("rep")
+        # stride must exceed the max base key or replicated keys collide and
+        # silently corrupt FK joins (safe at any SF, not just sf0.1)
+        stride = (
+            load_table(spark, base, "orders").agg(F.max("o_orderkey")).first()[0] + 1
+        )
         for t, key in (("lineitem", "l_orderkey"), ("orders", "o_orderkey")):
             df = load_table(spark, base, t)
             big = df.select("*", reps).withColumn(
-                key, F.col(key) + F.col("rep") * 10_000_000
+                key, F.col(key) + F.col("rep") * F.lit(stride)
             ).drop("rep")
             big.write.mode("overwrite").parquet(f"{out}/{t}.parquet")
         for t in ("customer", "supplier", "nation", "region", "part"):
