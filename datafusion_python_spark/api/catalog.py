@@ -69,6 +69,120 @@ class Schema:
         return f"Schema({self.name})"
 
 
+class SchemaProvider:
+    """Python schema provider contract (ref catalog.py:332-374): subclass
+    and implement table_names/table/table_exist; register_table and
+    deregister_table are optional. Tables returned may be this package's
+    DataFrame, a pyspark DataFrame, or a pyarrow Table."""
+
+    def owner_name(self) -> str | None:
+        return None
+
+    def table_names(self) -> set[str]:
+        raise NotImplementedError
+
+    def table(self, name: str):
+        raise NotImplementedError
+
+    def table_exist(self, name: str) -> bool:
+        return name in self.table_names()
+
+    def register_table(self, name: str, table) -> None:  # optional
+        raise NotImplementedError("this schema provider is read-only")
+
+    def deregister_table(self, name: str, cascade: bool = False) -> None:  # optional
+        raise NotImplementedError("this schema provider is read-only")
+
+
+class CatalogProvider:
+    """Python catalog provider contract (ref catalog.py:289-320)."""
+
+    def schema_names(self) -> set[str]:
+        raise NotImplementedError
+
+    def schema(self, name: str) -> SchemaProvider | None:
+        raise NotImplementedError
+
+    def register_schema(self, name: str, schema) -> None:  # optional
+        raise NotImplementedError("this catalog provider is read-only")
+
+    def deregister_schema(self, name: str, cascade: bool = False) -> None:  # optional
+        raise NotImplementedError("this catalog provider is read-only")
+
+
+class InMemorySchemaProvider(SchemaProvider):
+    """Dict-backed schema provider (ref in-memory providers catalog.rs:122)."""
+
+    def __init__(self, tables: dict | None = None) -> None:
+        self._tables = dict(tables or {})
+
+    def table_names(self) -> set[str]:
+        return set(self._tables)
+
+    def table(self, name: str):
+        return self._tables.get(name)
+
+    def table_exist(self, name: str) -> bool:
+        return name in self._tables
+
+    def register_table(self, name: str, table) -> None:
+        self._tables[name] = table
+
+    def deregister_table(self, name: str, cascade: bool = False) -> None:
+        self._tables.pop(name, None)
+
+
+class InMemoryCatalogProvider(CatalogProvider):
+    """Dict-backed catalog provider."""
+
+    def __init__(self, schemas: dict | None = None) -> None:
+        self._schemas = dict(schemas or {})
+
+    def schema_names(self) -> set[str]:
+        return set(self._schemas)
+
+    def schema(self, name: str):
+        return self._schemas.get(name)
+
+    def register_schema(self, name: str, schema) -> None:
+        self._schemas[name] = schema
+
+    def deregister_schema(self, name: str, cascade: bool = False) -> None:
+        self._schemas.pop(name, None)
+
+
+class ProviderCatalog:
+    """Navigation adapter presenting a registered Python CatalogProvider
+    through the same surface as :class:`Catalog`. SQL access to provider
+    tables goes through ``SessionContext.materialize_provider_tables``
+    (Spark temp views are single-part names — documented deviation from
+    the reference's three-part SQL resolution)."""
+
+    def __init__(self, spark: SparkSession, name: str, provider: CatalogProvider) -> None:
+        self._spark = spark
+        self.name = name
+        self.provider = provider
+
+    def names(self) -> set[str]:
+        return set(self.provider.schema_names())
+
+    schema_names = names
+
+    def schema(self, name: str = "default"):
+        return self.provider.schema(name)
+
+    database = schema
+
+    def register_schema(self, name: str, schema) -> None:
+        self.provider.register_schema(name, schema)
+
+    def deregister_schema(self, name: str, cascade: bool = False) -> None:
+        self.provider.deregister_schema(name, cascade)
+
+    def __repr__(self) -> str:
+        return f"ProviderCatalog({self.name})"
+
+
 class Catalog:
     """Top-level catalog (ref catalog.py:51)."""
 

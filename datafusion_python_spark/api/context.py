@@ -99,11 +99,56 @@ class SessionContext:
             options._check(query)
         if getattr(self, "_url_table", False):
             query = self._rewrite_url_tables(query)
+        copy = self._parse_copy_to(query)
+        if copy is not None:
+            return self._run_copy_to(*copy)
         if named_params:
             df = self.spark.sql(query, args=named_params)
         else:
             df = self.spark.sql(query)
         return DataFrame(df)
+
+    @staticmethod
+    def _parse_copy_to(query: str):
+        """Recognize DataFusion's ``COPY <table|(query)> TO 'path'
+        [STORED AS fmt] [PARTITIONED BY (cols)]`` statement form
+        (ref: DataFusion COPY; Spark SQL has no COPY, so this routes to
+        the DataFrame writers). Returns None for non-COPY statements."""
+        import re
+
+        m = re.match(
+            r"(?is)^\s*COPY\s+(\(.*\)|[\w.]+)\s+TO\s+'([^']+)'"
+            r"(?:\s+STORED\s+AS\s+(\w+))?"
+            r"(?:\s+PARTITIONED\s+BY\s+\(([^)]*)\))?\s*;?\s*$",
+            query,
+        )
+        if not m:
+            return None
+        source, path, fmt, part = m.groups()
+        if fmt is None:
+            ext = path.rsplit(".", 1)[-1].lower()
+            fmt = ext if ext in ("parquet", "csv", "json") else "parquet"
+        part_cols = [c.strip() for c in part.split(",") if c.strip()] if part else []
+        return source, path, fmt.lower(), part_cols
+
+    def _run_copy_to(self, source: str, path: str, fmt: str, part_cols) -> DataFrame:
+        sql = source[1:-1] if source.startswith("(") else f"SELECT * FROM {source}"
+        df = self.spark.sql(sql)
+        writer = df.write.mode("overwrite")
+        if part_cols:
+            writer = writer.partitionBy(*part_cols)
+        if fmt == "parquet":
+            writer.parquet(path)
+        elif fmt == "csv":
+            writer.option("header", "true").csv(path)
+        elif fmt == "json":
+            writer.json(path)
+        else:
+            raise ValueError(f"COPY TO: unsupported format {fmt!r}")
+        # DataFusion's COPY returns the written row count
+        return DataFrame(
+            self.spark.createDataFrame([(df.count(),)], "count: bigint")
+        )
 
     @staticmethod
     def _rewrite_url_tables(query: str) -> str:
@@ -333,9 +378,41 @@ class SessionContext:
         return {c.name for c in self.spark.catalog.listCatalogs()}
 
     def catalog(self, name: str = "spark_catalog"):
-        from .catalog import Catalog
+        from .catalog import Catalog, ProviderCatalog
 
+        providers = getattr(self, "_catalog_providers", {})
+        if name in providers:
+            return ProviderCatalog(self.spark, name, providers[name])
         return Catalog(self.spark, name)
+
+    def register_catalog_provider(self, name: str, provider) -> None:
+        """Register a Python CatalogProvider (ref context.py:948,
+        catalog.py:289). Navigable via ctx.catalog(name); for SQL access
+        call materialize_provider_tables (Spark temp views are
+        single-part — documented deviation)."""
+        if not hasattr(self, "_catalog_providers"):
+            self._catalog_providers: dict = {}
+        self._catalog_providers[name] = provider
+
+    def catalog_provider_names(self) -> set[str]:
+        return set(getattr(self, "_catalog_providers", {}))
+
+    def materialize_provider_tables(self, catalog_name: str) -> list[str]:
+        """Expose every table of a registered provider to SQL as temp views
+        named ``<catalog>__<schema>__<table>``; returns the view names."""
+        provider = getattr(self, "_catalog_providers", {})[catalog_name]
+        out = []
+        for schema_name in provider.schema_names():
+            schema = provider.schema(schema_name)
+            for tname in schema.table_names():
+                tbl = schema.table(tname)
+                sdf = getattr(tbl, "df", tbl)
+                if not hasattr(sdf, "createOrReplaceTempView"):
+                    sdf = self.from_arrow(sdf).df
+                view = f"{catalog_name}__{schema_name}__{tname}"
+                sdf.createOrReplaceTempView(view)
+                out.append(view)
+        return out
 
     # -- UDF ---------------------------------------------------------------------------
     def register_udf(self, udf) -> None:

@@ -59,6 +59,7 @@ _PRIORITY = [
     "agg_approx",
     "agg_string_agg_desc",
     "fn_like_escape",
+    "sql_recursive_cte",
     "udaf_geomean",
     # passed only by local selfcheck in round 1 (outside driver window)
     "setop_intersect",

@@ -980,6 +980,34 @@ FROM events WHERE event_id < 300 ORDER BY event_id
 
 
 # --------------------------------------------------------------------------
+# Recursive CTE (ref: DataFusion supports WITH RECURSIVE; Spark 4.0+ does
+# natively too — previously documented-deferred in SURVEY §7.3, now live).
+def sql_recursive_cte(spark, sf_dir):
+    nation = _t(spark, sf_dir, "nation")
+    nation.createOrReplaceTempView("nation_rcte")
+    return spark.sql(
+        """
+        WITH RECURSIVE seq(n) AS (
+          SELECT 0 UNION ALL SELECT n + 1 FROM seq WHERE n < 24
+        )
+        SELECT CAST(n AS INT) AS n_nationkey, n_name
+        FROM seq JOIN nation_rcte ON n = n_nationkey
+        ORDER BY n_nationkey
+        """
+    )
+
+
+SQL_RECURSIVE_CTE_SQL = """
+WITH RECURSIVE seq(n) AS (
+  SELECT 0 UNION ALL SELECT n + 1 FROM seq WHERE n < 24
+)
+SELECT CAST(n AS INT) AS n_nationkey, n_name
+FROM seq JOIN nation ON n = n_nationkey
+ORDER BY n_nationkey
+"""
+
+
+# --------------------------------------------------------------------------
 # Approximate aggregates (HLL / t-digest) — engine-specific sketches, so the
 # oracle gates on exact values plus Spark-side tolerance checks: the query
 # emits the EXACT aggregates alongside booleans asserting the sketch is
@@ -1048,6 +1076,7 @@ ANALYTICS_QUERIES: dict[str, tuple] = {
     "agg_string_agg": (agg_string_agg, AGG_STRING_AGG_SQL),
     "agg_string_agg_desc": (agg_string_agg_desc, AGG_STRING_AGG_DESC_SQL),
     "fn_like_escape": (fn_like_escape, FN_LIKE_ESCAPE_SQL),
+    "sql_recursive_cte": (sql_recursive_cte, SQL_RECURSIVE_CTE_SQL),
     "setop_union": (setop_union, SETOP_UNION_SQL),
     "setop_intersect": (setop_intersect, SETOP_INTERSECT_SQL),
     "setop_except": (setop_except, SETOP_EXCEPT_SQL),

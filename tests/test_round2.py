@@ -313,6 +313,46 @@ def test_udwf_with_rank(spark):
     assert sorted(r["r"] for r in out.df.collect()) == [1, 1, 3]
 
 
+def test_recursive_cte(ctx):
+    rows = ctx.sql(
+        "WITH RECURSIVE t(n) AS (SELECT 1 UNION ALL SELECT n + 1 FROM t WHERE n < 4) "
+        "SELECT n FROM t ORDER BY n"
+    ).df.collect()
+    assert [r["n"] for r in rows] == [1, 2, 3, 4]
+
+
+def test_copy_to(ctx, spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("copy") / "n.parquet")
+    spark.range(7).createOrReplaceTempView("copy_src")
+    res = ctx.sql(f"COPY (SELECT id FROM copy_src WHERE id < 5) TO '{out}' STORED AS parquet")
+    assert res.df.first()["count"] == 5
+    assert spark.read.parquet(out).count() == 5
+    # DML gate still blocks COPY
+    from datafusion_python_spark.api.context import SQLOptions
+
+    with pytest.raises(ValueError):
+        ctx.sql(
+            f"COPY copy_src TO '{out}'", options=SQLOptions().with_allow_dml(False)
+        )
+
+
+def test_catalog_provider(ctx, spark):
+    from datafusion_python_spark.api.catalog import (
+        InMemoryCatalogProvider,
+        InMemorySchemaProvider,
+    )
+
+    schema = InMemorySchemaProvider({"vals": DataFrame(spark.range(3))})
+    provider = InMemoryCatalogProvider({"main": schema})
+    ctx.register_catalog_provider("mycat", provider)
+    cat = ctx.catalog("mycat")
+    assert cat.names() == {"main"}
+    assert cat.schema("main").table_exist("vals")
+    views = ctx.materialize_provider_tables("mycat")
+    assert views == ["mycat__main__vals"]
+    assert ctx.sql("SELECT count(*) AS n FROM mycat__main__vals").df.first()["n"] == 3
+
+
 def test_sql_options_with_cte_dml(ctx):
     from datafusion_python_spark.api.context import SQLOptions
 
