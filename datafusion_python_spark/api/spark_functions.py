@@ -150,6 +150,17 @@ def try_url_decode(e):
         return url_decode(e)
 
 
+def time_trunc(unit, t):
+    """Spark ``time_trunc`` (ref functions/spark.py:762) over the
+    anchored-timestamp TIME encoding (see api.functions.to_time):
+    date_trunc on the epoch-day anchor preserves hour/minute/second
+    truncation. Takes a literal unit string (documented deviation: the
+    reference also accepts a column)."""
+    if not isinstance(unit, str):
+        raise NotImplementedError("time_trunc requires a literal unit string here")
+    return Expr(F.date_trunc(unit.lower(), _c(t)))
+
+
 SPARK_FN_NAMES = sorted(
     k for k, v in list(globals().items()) if callable(v) and not k.startswith("_")
 )

@@ -89,6 +89,31 @@ def lsh_signature(
     return df.withColumn("bucket", _signature(emb, _planes(dim, n_planes)))
 
 
+def _probe_signatures(query_vec, planes, n_probes: int) -> list[int]:
+    """Multi-probe sequence: the query's bucket first, then buckets
+    reached by flipping the planes the query is CLOSEST to (smallest
+    |margin| — most likely to hold near neighbors), then the cheapest
+    double flips. Standard multi-probe LSH perturbation ordering."""
+    import itertools
+
+    margins = [sum(a * b for a, b in zip(query_vec, pl)) for pl in planes]
+    qs = 0
+    for i, m in enumerate(margins):
+        if m >= 0:
+            qs |= 1 << i
+    order = sorted(range(len(planes)), key=lambda i: abs(margins[i]))
+    probes = [qs]
+    for i in order:
+        if len(probes) >= n_probes:
+            return probes
+        probes.append(qs ^ (1 << i))
+    for i, j in itertools.combinations(order, 2):
+        if len(probes) >= n_probes:
+            return probes
+        probes.append(qs ^ (1 << i) ^ (1 << j))
+    return probes
+
+
 def lsh_bucket_ann(
     df: DataFrame,
     query_vec: list[float],
@@ -96,23 +121,108 @@ def lsh_bucket_ann(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_probes: int = 1,
 ) -> DataFrame:
-    """Approximate top-k: probe only the query's LSH bucket, exact rerank.
+    """Approximate top-k: probe the query's LSH bucket(s), exact rerank.
 
-    Candidate set shrinks ~2^n_planes-fold vs brute force; recall can be
-    raised with multi-probe (also scan buckets at Hamming distance 1 —
-    pass the same query with flipped signature bits).
+    Candidate set shrinks ~2^n_planes/n_probes-fold vs brute force.
+    ``n_probes > 1`` raises recall by also scanning the buckets whose
+    separating hyperplanes the query sits closest to (multi-probe LSH) —
+    the probe set is a literal IN filter on the bucket column, so with a
+    bucketed/partitioned corpus the scan stays partition-local at scale.
     """
     planes = _planes(len(query_vec), n_planes)
-    qs = 0
-    for i, pl in enumerate(planes):
-        if sum(a * b for a, b in zip(query_vec, pl)) >= 0:
-            qs |= 1 << i
+    probes = _probe_signatures(query_vec, planes, max(1, n_probes))
     q = F.array(*[F.lit(float(v)) for v in query_vec])
     emb = F.col(vec_col).cast("array<double>")
+    bucket_filter = (
+        F.col("bucket") == F.lit(probes[0])
+        if len(probes) == 1
+        else F.col("bucket").isin(probes)
+    )
     return (
         df.withColumn("bucket", _signature(emb, planes))
-        .filter(F.col("bucket") == F.lit(qs))
+        .filter(bucket_filter)
+        .select(F.col(id_col), F.round(cosine_similarity_col(emb, q), 6).alias("cosine"))
+        .orderBy(F.desc("cosine"), id_col)
+        .limit(k)
+    )
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    cell_col: str = "ivf_cell",
+) -> DataFrame:
+    """Append the IVF coarse-cell id: argmax cosine over the centroid list.
+
+    Centroids are compiled into the expression (array_sort over an array
+    of (−cos, cell) structs — pure codegen, no UDF, no broadcast state),
+    so assignment is a map-only pass: at ingest scale the cell id becomes
+    the partition/bucket key exactly like the LSH signature.
+    """
+    emb = F.col(vec_col).cast("array<double>")
+    entries = []
+    for ci, c in enumerate(centroids):
+        arr = F.array(*[F.lit(float(v)) for v in c])
+        entries.append(
+            F.struct((-cosine_similarity_col(emb, arr)).alias("d"), F.lit(ci).alias("c"))
+        )
+    best = F.array_sort(F.array(*entries))[0]["c"]
+    return df.withColumn(cell_col, best)
+
+
+def ivf_centroids(
+    df: DataFrame, n_list: int = 16, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> list[list[float]]:
+    """Deterministic coarse-quantizer seeds: the first n_list vectors by
+    id. A bounded driver fetch (n_list rows — same class as a probe
+    vector); k-means refinement over these seeds is a straightforward
+    aggregate loop but unnecessary for bucketing to be effective."""
+    rows = df.select(F.col(vec_col).cast("array<double>").alias("v")).orderBy(
+        id_col
+    ).limit(n_list).collect()
+    return [list(r["v"]) for r in rows]
+
+
+def ivf_ann(
+    df: DataFrame,
+    query_vec: list[float],
+    n_list: int = 16,
+    n_probe: int = 2,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """IVF approximate top-k: assign the corpus to coarse cells, scan only
+    the ``n_probe`` cells nearest the query, exact cosine rerank inside.
+
+    The probe set is a literal IN filter on the cell column — with the
+    corpus bucketed by cell (the ingest-time layout at 100 TB), a query
+    touches n_probe/n_list of the data and the rerank fuses to
+    TakeOrderedAndProject per-partition heaps.
+    """
+    cents = centroids if centroids is not None else ivf_centroids(df, n_list, id_col, vec_col)
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        den = (sum(x * x for x in a) ** 0.5) * (sum(y * y for y in b) ** 0.5)
+        return num / den if den else 0.0
+
+    ranked = sorted(range(len(cents)), key=lambda ci: -cos(query_vec, cents[ci]))
+    probe_cells = ranked[: max(1, n_probe)]
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    emb = F.col(vec_col).cast("array<double>")
+    assigned = ivf_assign(df, cents, vec_col=vec_col)
+    cell_filter = (
+        F.col("ivf_cell") == F.lit(probe_cells[0])
+        if len(probe_cells) == 1
+        else F.col("ivf_cell").isin(probe_cells)
+    )
+    return (
+        assigned.filter(cell_filter)
         .select(F.col(id_col), F.round(cosine_similarity_col(emb, q), 6).alias("cosine"))
         .orderBy(F.desc("cosine"), id_col)
         .limit(k)

@@ -47,6 +47,7 @@ _PRIORITY = [
     "pipe_simhash",
     "pipe_cosine_topk",
     "pipe_ann_lsh",
+    "pipe_ann_ivf",
     "pipe_cosine_neardup",
     "pipe_emb_centroid",
     "pipe_text_tokens",

@@ -134,6 +134,19 @@ def pipe_ann_lsh(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# IVF-bucketed ANN: coarse cells from deterministic centroid seeds, probe
+# the 2 nearest cells, exact rerank inside (approximate → rows-only;
+# exactness vs brute force when probing all cells is pinned in
+# tests/test_round2.test_ivf_full_probe_equals_exact).
+def pipe_ann_ivf(spark, sf_dir):
+    from .operators.similarity import ivf_ann
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = _query_vec(spark, sf_dir)
+    return ivf_ann(emb.filter(F.col("vec_id") != 0), q, n_list=8, n_probe=2, k=10)
+
+
+# --------------------------------------------------------------------------
 # Embedding near-duplicate pairs, exact O(n²) variant (oracle-paired).
 def pipe_cosine_neardup(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
@@ -288,6 +301,7 @@ PIPELINE_QUERIES: dict[str, tuple] = {
     "pipe_simhash": (pipe_simhash, None),
     "pipe_cosine_topk": (pipe_cosine_topk, PIPE_COSINE_TOPK_SQL),
     "pipe_ann_lsh": (pipe_ann_lsh, None),
+    "pipe_ann_ivf": (pipe_ann_ivf, None),
     "pipe_cosine_neardup": (pipe_cosine_neardup, PIPE_COSINE_NEARDUP_SQL),
     "pipe_emb_centroid": (pipe_emb_centroid, PIPE_EMB_CENTROID_SQL),
     "pipe_text_tokens": (pipe_text_tokens, PIPE_TEXT_TOKENS_SQL),

@@ -353,6 +353,45 @@ def test_catalog_provider(ctx, spark):
     assert ctx.sql("SELECT count(*) AS n FROM mycat__main__vals").df.first()["n"] == 3
 
 
+def test_ivf_full_probe_equals_exact(spark):
+    from datafusion_python_spark.operators.similarity import cosine_topk, ivf_ann
+    from datafusion_python_spark.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = [float(v) for v in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    corpus = emb.filter(F.col("vec_id") != 0)
+    exact = [(r["vec_id"], r["cosine"]) for r in cosine_topk(corpus, q, k=10).collect()]
+    # probing every cell makes IVF exhaustive — must equal brute force
+    full = [
+        (r["vec_id"], r["cosine"])
+        for r in ivf_ann(corpus, q, n_list=8, n_probe=8, k=10).collect()
+    ]
+    assert full == exact
+    # partial probe returns k rows (approximate path)
+    part = ivf_ann(corpus, q, n_list=8, n_probe=2, k=10).collect()
+    assert len(part) == 10
+
+
+def test_lsh_multi_probe_recall(spark):
+    from datafusion_python_spark.operators.similarity import cosine_topk, lsh_bucket_ann
+    from datafusion_python_spark.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = [float(v) for v in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    corpus = emb.filter(F.col("vec_id") != 0)
+    exact_ids = {r["vec_id"] for r in cosine_topk(corpus, q, k=10).collect()}
+
+    def recall(n_probes):
+        got = {
+            r["vec_id"]
+            for r in lsh_bucket_ann(corpus, q, n_planes=4, k=10, n_probes=n_probes).collect()
+        }
+        return len(got & exact_ids)
+
+    # multi-probe recall is monotone in the probe count
+    assert recall(8) >= recall(1)
+
+
 def test_sql_options_with_cte_dml(ctx):
     from datafusion_python_spark.api.context import SQLOptions
 
