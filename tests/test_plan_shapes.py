@@ -33,6 +33,19 @@ def test_dim_joins_broadcast(spark, sf_dir):
         assert "CartesianProduct" not in strategies, q.__name__
 
 
+def test_q2_q11_plan_shapes(spark, sf_dir):
+    from datafusion_python_spark.suite_tpch import q2, q11
+
+    s2 = physical_join_strategies(q2(spark, sf_dir))
+    assert "BroadcastHashJoin" in set(s2)
+    assert "CartesianProduct" not in set(s2)
+    # q11's only nested-loop is the broadcast of the 1-row grand total
+    s11 = physical_join_strategies(q11(spark, sf_dir))
+    assert "CartesianProduct" not in set(s11)
+    pf = " ".join(pushed_filters(q11(spark, sf_dir)))
+    assert "NATION_7" in pf  # nation filter reaches the scan
+
+
 def test_topk_fuses(spark, sf_dir):
     plan = explain_str(q3(spark, sf_dir))
     assert "TakeOrderedAndProject" in plan
