@@ -710,7 +710,7 @@ def first_value(e, order_by=None, null_treatment=None) -> Expr:
     ob = order_by or state["order_by"]
     ignore = (null_treatment or state["null_treatment"] or "").lower().startswith("ignore")
     if ob:
-        return Expr(_ordered_values(c, ob)[0]["v"])
+        return Expr(_ordered_values(c, ob, skip_null_values=ignore)[0]["v"])
     return Expr(F.first(c, ignorenulls=ignore))
 
 
@@ -719,7 +719,7 @@ def last_value(e, order_by=None, null_treatment=None) -> Expr:
     ob = order_by or state["order_by"]
     ignore = (null_treatment or state["null_treatment"] or "").lower().startswith("ignore")
     if ob:
-        lst = _ordered_values(c, ob)
+        lst = _ordered_values(c, ob, skip_null_values=ignore)
         return Expr(F.element_at(lst, F.size(lst))["v"])
     return Expr(F.last(c, ignorenulls=ignore))
 
@@ -732,7 +732,7 @@ def nth_value(e, n: int, order_by=None) -> Expr:
     return Expr(F.element_at(F.collect_list(c), n))
 
 
-def _ordered_values(c: Column, order_by_keys) -> Column:
+def _ordered_values(c: Column, order_by_keys, skip_null_values: bool = False) -> Column:
     """Collect ``(keys…, value)`` structs and sort by the keys with an
     explicit comparator honoring per-key direction and null placement.
 
@@ -745,6 +745,10 @@ def _ordered_values(c: Column, order_by_keys) -> Column:
     fields = [k.inner.expr.alias(f"k{i}") for i, k in enumerate(keys)]
     fields.append(c.alias("v"))
     pairs = F.struct(*fields)
+    if skip_null_values:
+        # a null struct is dropped by collect_list — this is how IGNORE
+        # NULLS removes rows (a struct with a null field is NOT null)
+        pairs = F.when(c.isNotNull(), pairs)
 
     def cmp(left: Column, right: Column) -> Column:
         res = F.lit(0)
@@ -765,17 +769,28 @@ def _ordered_values(c: Column, order_by_keys) -> Column:
     return F.array_sort(F.collect_list(pairs), cmp)
 
 
-def array_agg(e, distinct: bool = False, filter=None, order_by=None) -> Expr:
+def array_agg(e, distinct: bool = False, filter=None, order_by=None, null_treatment=None) -> Expr:
+    """DataFusion semantics (ref functions/__init__.py:872): nulls are KEPT
+    unless null_treatment ignores them. Spark's collect_list always drops
+    nulls, so the respect-nulls path collects single-field structs (never
+    null themselves) and unwraps — same state size, still codegen."""
     c, state = _agg_input(e)
     if filter is not None:
         state["filter"] = _u(filter)
+    ignore = str(null_treatment or state["null_treatment"] or "").lower().startswith("ignore")
     c = _filtered(c, state)
     ob = order_by or state["order_by"]
     if ob:
-        return Expr(F.transform(_ordered_values(c, ob), lambda s: s["v"]))
+        return Expr(
+            F.transform(_ordered_values(c, ob, skip_null_values=ignore), lambda s: s["v"])
+        )
     if distinct or state["distinct"]:
-        return Expr(F.collect_set(c))
-    return Expr(F.collect_list(c))
+        return Expr(F.collect_set(c))  # set semantics: nulls excluded (documented)
+    if ignore:
+        return Expr(F.collect_list(c))
+    return Expr(
+        F.transform(F.collect_list(F.struct(c.alias("v"))), lambda s: s["v"])
+    )
 
 
 def string_agg(e, delimiter: str = ",", order_by=None) -> Expr:
@@ -1296,12 +1311,14 @@ def union_tag(union_expr) -> Expr:
 
 
 def approx_percentile_cont_with_weight(e, weight, percentile) -> Expr:
-    """Unsupported: Spark's percentile_approx has no weight argument (ref
-    functions/__init__.py approx_percentile_cont_with_weight). For integer
-    weights, explode the rows by weight and use approx_percentile_cont."""
-    raise NotImplementedError(
-        "approx_percentile_cont_with_weight: Spark has no weighted sketch "
-        "percentile; explode rows by integer weight + approx_percentile_cont"
+    """Weighted percentile aggregate (ref functions/__init__.py
+    approx_percentile_cont_with_weight). Spark's ``percentile`` takes an
+    integral frequency column — EXACT weighted percentile where the
+    reference's is a t-digest approximation (strictly tighter, documented
+    deviation). Weights are cast to int (frequencies)."""
+    p = percentile if isinstance(percentile, (int, float)) else _u(percentile)
+    return Expr(
+        F.percentile(_u(e), F.lit(p) if isinstance(p, (int, float)) else p, _u(weight).cast("int"))
     )
 
 

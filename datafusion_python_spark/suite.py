@@ -61,6 +61,8 @@ _PRIORITY = [
     "agg_string_agg_desc",
     "fn_like_escape",
     "sql_recursive_cte",
+    "agg_weighted_pct",
+    "fn_time",
     "udaf_geomean",
     # passed only by local selfcheck in round 1 (outside driver window)
     "setop_intersect",

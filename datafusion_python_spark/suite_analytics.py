@@ -980,6 +980,67 @@ FROM events WHERE event_id < 300 ORDER BY event_id
 
 
 # --------------------------------------------------------------------------
+# Weighted percentile (ref functions/__init__.py
+# approx_percentile_cont_with_weight): Spark's exact percentile-with-
+# frequency vs DuckDB quantile over weight-exploded rows.
+def agg_weighted_pct(spark, sf_dir):
+    from .api.expr import Expr
+    from .api.functions import approx_percentile_cont_with_weight
+
+    li = _t(spark, sf_dir, "lineitem")
+    wp = approx_percentile_cont_with_weight(
+        Expr(F.col("l_extendedprice")), Expr(F.col("l_quantity")), 0.5
+    ).expr
+    return (
+        li.groupBy("l_returnflag")
+        .agg(F.round(wp, 2).alias("wp50"))
+        .orderBy("l_returnflag")
+    )
+
+
+AGG_WEIGHTED_PCT_SQL = """
+SELECT l_returnflag, round(quantile_cont(l_extendedprice, 0.5), 2) AS wp50
+FROM (SELECT l_returnflag, l_extendedprice,
+             unnest(generate_series(1, CAST(l_quantity AS INT)))
+      FROM lineitem)
+GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+# --------------------------------------------------------------------------
+# TIME-of-day emulation (ref functions/__init__.py:2450 to_time, 2851
+# make_time; SURVEY §1.3: Spark has no TIME type — times anchor at the
+# epoch day). Gated through string round-trips so both engines compare
+# wall-clock semantics, not storage types.
+def fn_time(spark, sf_dir):
+    from .api.expr import Expr
+    from .api.functions import make_time, to_time
+    from .api.spark_functions import time_trunc
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 100)
+    hhmmss = F.date_format(F.col("ts"), "HH:mm:ss")
+    parsed = to_time(Expr(hhmmss)).expr
+    made = make_time(
+        Expr(F.hour(F.col("ts"))), Expr(F.minute(F.col("ts"))), Expr(F.lit(0))
+    ).expr
+    return ev.select(
+        "event_id",
+        hhmmss.alias("hhmmss"),
+        F.date_format(time_trunc("hour", Expr(parsed)).expr, "HH:mm:ss").alias("hr"),
+        F.date_format(made, "HH:mm:ss").alias("made"),
+    ).orderBy("event_id")
+
+
+FN_TIME_SQL = """
+SELECT event_id,
+       strftime(ts, '%H:%M:%S') AS hhmmss,
+       strftime(date_trunc('hour', ts), '%H:%M:%S') AS hr,
+       CAST(make_time(hour(ts), minute(ts), 0) AS VARCHAR) AS made
+FROM events WHERE event_id < 100 ORDER BY event_id
+"""
+
+
+# --------------------------------------------------------------------------
 # Recursive CTE (ref: DataFusion supports WITH RECURSIVE; Spark 4.0+ does
 # natively too — previously documented-deferred in SURVEY §7.3, now live).
 def sql_recursive_cte(spark, sf_dir):
@@ -1077,6 +1138,8 @@ ANALYTICS_QUERIES: dict[str, tuple] = {
     "agg_string_agg_desc": (agg_string_agg_desc, AGG_STRING_AGG_DESC_SQL),
     "fn_like_escape": (fn_like_escape, FN_LIKE_ESCAPE_SQL),
     "sql_recursive_cte": (sql_recursive_cte, SQL_RECURSIVE_CTE_SQL),
+    "agg_weighted_pct": (agg_weighted_pct, AGG_WEIGHTED_PCT_SQL),
+    "fn_time": (fn_time, FN_TIME_SQL),
     "setop_union": (setop_union, SETOP_UNION_SQL),
     "setop_intersect": (setop_intersect, SETOP_INTERSECT_SQL),
     "setop_except": (setop_except, SETOP_EXCEPT_SQL),

@@ -205,6 +205,31 @@ def test_ordered_agg_desc_timestamp_key(spark):
     assert out["vals"] == [2, 1, 3]
 
 
+def test_array_agg_null_treatment(spark):
+    df = spark.createDataFrame([(1,), (None,), (3,)], ["v"])
+    out = df.agg(
+        dpf.array_agg(col("v"), order_by=[col("v").sort(nulls_first=False)]).expr.alias("keep"),
+        dpf.array_agg(
+            col("v"),
+            order_by=[col("v").sort(nulls_first=False)],
+            null_treatment="ignore nulls",
+        ).expr.alias("drop"),
+        dpf.array_agg(col("v"), null_treatment="ignore nulls").expr.alias("drop_unord"),
+    ).first()
+    # DataFusion keeps nulls by default (Spark's collect_list would drop them)
+    assert out["keep"] == [1, 3, None]
+    assert out["drop"] == [1, 3]
+    assert sorted(out["drop_unord"]) == [1, 3]
+
+
+def test_weighted_percentile(spark):
+    df = spark.createDataFrame([(1.0, 1), (2.0, 3), (10.0, 1)], ["x", "w"])
+    got = df.agg(
+        dpf.approx_percentile_cont_with_weight(col("x"), col("w"), 0.5).expr.alias("p")
+    ).first()["p"]
+    assert got == 2.0
+
+
 def test_like_escape(spark):
     df = spark.createDataFrame([("100%_x",), ("100ab",)], ["s"])
     e = Expr(F.col("s")).like("100!%!_%", escape="!").expr
