@@ -5,9 +5,173 @@ The reference (read-only at /root/reference) defines *what* to compute:
 a SessionContext/DataFrame/Expr API over a batch columnar engine. Here
 the execution engine is Apache Spark — logical plans are declared with
 the PySpark DataFrame/SQL API and optimized by Catalyst/Tungsten/AQE.
+
+Top-level surface mirrors the reference's ``datafusion`` package
+(`python/datafusion/__init__.py` __all__): a user can switch their
+imports from ``datafusion`` to ``datafusion_python_spark`` and keep
+``SessionContext``, ``col``/``lit``, ``functions``, ``udf``/``udaf``/
+``udwf``/``udtf``, writer options, catalog and object-store types, and
+the ``read_*`` convenience functions.
 """
 
+from . import common
+from .api import catalog, substrait
+from .api import expr as expr
+from .api import functions as functions
+from .api import spark_functions
+from .api.catalog import (
+    Catalog,
+    CatalogProvider,
+    InMemoryCatalogProvider,
+    InMemorySchemaProvider,
+    Schema,
+    SchemaProvider,
+    Table,
+)
+from .api.config import (
+    CsvReadOptions,
+    ExplainFormat,
+    InsertOp,
+    RuntimeEnvBuilder,
+    SessionConfig,
+)
+from .api.context import SessionContext, SQLOptions
+from .api.dataframe import (
+    DataFrame,
+    DataFrameWriteOptions,
+    ParquetColumnOptions,
+    ParquetWriterOptions,
+)
+from .api.expr import Expr, SortExpr, Window, WindowFrame, col, lit
+from .api.plan import ExecutionPlan, LogicalPlan, Metric, MetricsSet
+from .api.record_batch import RecordBatch, RecordBatchStream
+from .api.substrait import Unparser as unparser  # module-shaped alias
+from .api.udf import (
+    Accumulator,
+    AggregateUDF,
+    ScalarUDF,
+    TableFunction,
+    WindowEvaluator,
+    WindowUDF,
+    udaf,
+    udf,
+    udtf,
+    udwf,
+)
+from .common import DFSchema, NullTreatment
 from .session import get_spark
+from .sources import object_store
 
-__all__ = ["get_spark"]
-__version__ = "0.1.0"
+column = col
+literal = lit
+
+_DEFAULT_CTX: SessionContext | None = None
+
+
+def _default_ctx() -> SessionContext:
+    global _DEFAULT_CTX
+    if _DEFAULT_CTX is None:
+        _DEFAULT_CTX = SessionContext()
+    return _DEFAULT_CTX
+
+
+def read_parquet(path, *args, **kwargs) -> DataFrame:
+    """Module-level convenience (ref io.py:37): read with a default ctx."""
+    return _default_ctx().read_parquet(path, *args, **kwargs)
+
+
+def read_csv(path, *args, options: CsvReadOptions | None = None, **kwargs) -> DataFrame:
+    """ref io.py:122; accepts CsvReadOptions or the reference kwargs."""
+    if options is not None:
+        merged = options.kwargs()
+        merged.update(kwargs)
+        kwargs = merged
+    return _default_ctx().read_csv(path, *args, **kwargs)
+
+
+def read_json(path, *args, **kwargs) -> DataFrame:
+    """ref io.py:83."""
+    return _default_ctx().read_json(path, *args, **kwargs)
+
+
+def read_avro(path, *args, **kwargs) -> DataFrame:
+    """ref io.py:172."""
+    return _default_ctx().read_avro(path, *args, **kwargs)
+
+
+_FORMATTER_OPTIONS: dict = {}
+
+
+def configure_formatter(**kwargs) -> None:
+    """ref dataframe_formatter: record display options (max rows etc.);
+    applied to Spark's show/repr settings where equivalents exist."""
+    _FORMATTER_OPTIONS.update(kwargs)
+    ctx = _default_ctx()
+    if "max_rows" in kwargs:
+        try:
+            ctx.spark.conf.set("spark.sql.repl.eagerEval.maxNumRows", str(kwargs["max_rows"]))
+        except Exception:
+            pass
+
+
+__all__ = [
+    "Accumulator",
+    "AggregateUDF",
+    "Catalog",
+    "CatalogProvider",
+    "CsvReadOptions",
+    "DFSchema",
+    "DataFrame",
+    "DataFrameWriteOptions",
+    "ExecutionPlan",
+    "ExplainFormat",
+    "Expr",
+    "InMemoryCatalogProvider",
+    "InMemorySchemaProvider",
+    "InsertOp",
+    "LogicalPlan",
+    "Metric",
+    "MetricsSet",
+    "NullTreatment",
+    "ParquetColumnOptions",
+    "ParquetWriterOptions",
+    "RecordBatch",
+    "RecordBatchStream",
+    "RuntimeEnvBuilder",
+    "SQLOptions",
+    "ScalarUDF",
+    "Schema",
+    "SchemaProvider",
+    "SessionConfig",
+    "SessionContext",
+    "SortExpr",
+    "Table",
+    "TableFunction",
+    "Window",
+    "WindowEvaluator",
+    "WindowFrame",
+    "WindowUDF",
+    "catalog",
+    "col",
+    "column",
+    "common",
+    "configure_formatter",
+    "expr",
+    "functions",
+    "get_spark",
+    "lit",
+    "literal",
+    "object_store",
+    "read_avro",
+    "read_csv",
+    "read_json",
+    "read_parquet",
+    "spark_functions",
+    "substrait",
+    "udaf",
+    "udf",
+    "udtf",
+    "udwf",
+    "unparser",
+]
+__version__ = "0.2.0"

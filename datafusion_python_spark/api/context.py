@@ -84,14 +84,27 @@ class SQLOptions:
 
 
 class SessionContext:
-    def __init__(self, config: dict | None = None, runtime: Any = None) -> None:
+    def __init__(self, config: Any = None, runtime: Any = None) -> None:
+        """Accepts a plain conf dict, a SessionConfig builder, and an
+        optional RuntimeEnvBuilder (ref context.py SessionContext.__init__);
+        runtime-settable confs apply to the shared Spark session."""
         self.spark: SparkSession = get_spark("datafusion_python_spark")
-        if config:
-            for k, v in config.items():
-                try:
-                    self.spark.conf.set(k, str(v))
-                except Exception:
-                    pass
+        conf: dict[str, str] = {}
+        if config is not None:
+            conf.update(getattr(config, "spark_conf", None) or (config if isinstance(config, dict) else {}))
+        if runtime is not None:
+            conf.update(getattr(runtime, "spark_conf", {}) or {})
+        for k, v in conf.items():
+            try:
+                self.spark.conf.set(k, str(v))
+            except Exception:
+                pass  # static confs can't change on a live session
+        default_schema = getattr(config, "default_schema", None)
+        if default_schema and default_schema != "default":
+            try:
+                self.spark.catalog.setCurrentDatabase(default_schema)
+            except Exception:
+                pass
 
     # -- SQL ----------------------------------------------------------------
     def sql(self, query: str, options: SQLOptions | None = None, **named_params) -> DataFrame:

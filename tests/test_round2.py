@@ -417,6 +417,47 @@ def test_lsh_multi_probe_recall(spark):
     assert recall(8) >= recall(1)
 
 
+def test_top_level_package_surface():
+    import datafusion_python_spark as d
+
+    assert not [n for n in d.__all__ if not hasattr(d, n)]
+    # reference-style workflow through top-level names only
+    df = d.read_parquet("/root/testdata/sf0.001/nation.parquet")
+    out = df.aggregate(
+        [d.col("n_regionkey")], [d.functions.count(d.lit(1)).alias("n")]
+    )
+    assert out.count() == 5
+    lp = d.LogicalPlan(out)
+    assert "Aggregate" in lp.display()
+    ep = d.ExecutionPlan(out)
+    assert ep.display()
+    assert d.NullTreatment.IGNORE_NULLS.value == "ignore nulls"
+
+
+def test_session_config_applied():
+    from datafusion_python_spark import SessionConfig, SessionContext
+
+    cfg = SessionConfig().with_target_partitions(24).with_batch_size(4096)
+    c = SessionContext(cfg)
+    assert c.spark.conf.get("spark.sql.shuffle.partitions") == "24"
+    # restore the session default for other tests
+    c.spark.conf.set("spark.sql.shuffle.partitions", "32")
+
+
+def test_csv_read_options(ctx, spark, tmp_path_factory):
+    import datafusion_python_spark as d
+
+    p = str(tmp_path_factory.mktemp("csvopts") / "t.csv")
+    spark.createDataFrame([(1, "a"), (2, "b")], ["i", "s"]).coalesce(1).write.mode(
+        "overwrite"
+    ).option("header", "true").csv(p)
+    opts = d.CsvReadOptions(has_header=True, delimiter=",")
+    df = d.read_csv(p, options=opts)
+    assert df.count() == 2
+    with pytest.raises(ValueError):
+        d.CsvReadOptions(delimiter=",,")
+
+
 def test_sql_options_with_cte_dml(ctx):
     from datafusion_python_spark.api.context import SQLOptions
 
