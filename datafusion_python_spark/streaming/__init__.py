@@ -7,12 +7,16 @@ applyInPandasWithState. Each helper returns an unstarted streaming
 DataFrame/query so callers choose sink + trigger.
 """
 
-from .windows import sessionized_counts, sliding_counts, tumbling_counts
+from .dedup_join import dedup_stream, dedup_stream_by_fingerprint, interval_join_streams
 from .stateful import running_total_per_key
+from .windows import sessionized_counts, sliding_counts, tumbling_counts
 
 __all__ = [
     "tumbling_counts",
     "sliding_counts",
     "sessionized_counts",
     "running_total_per_key",
+    "dedup_stream",
+    "dedup_stream_by_fingerprint",
+    "interval_join_streams",
 ]

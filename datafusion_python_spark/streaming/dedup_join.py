@@ -1,0 +1,84 @@
+"""Streaming deduplication and stream-stream joins.
+
+Beyond-parity operators (the reference has no streaming engine) built on
+Structured Streaming primitives — these are the streaming halves of the
+training-data-pipeline ops in ``operators/dedup.py``:
+
+- exact dedup over an unbounded stream with bounded state
+  (``dropDuplicatesWithinWatermark``: state for a key is dropped once the
+  watermark passes, so memory is O(keys-per-watermark-window), not O(all
+  keys ever) — the property that makes streaming dedup viable at 100 TB/day)
+- fingerprint dedup: content hash (md5 of normalized text) as the dedup
+  key, same bounded-state mechanics
+- watermarked stream-stream inner join with a bounded time range (state
+  on both sides is purged past the watermark; the range condition bounds
+  how long a row waits for its match)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def dedup_stream(
+    events: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Exact streaming dedup on ``keys`` with bounded state.
+
+    Late duplicates arriving within the watermark are dropped; state for
+    a key is reclaimed once the watermark passes its event time.
+    """
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def dedup_stream_by_fingerprint(
+    docs: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming content dedup: md5 over whitespace-normalized lowercase
+    text (same fingerprint as operators/text.py doc_fingerprint), then
+    bounded-state dedup on the fingerprint."""
+    fp = F.md5(F.lower(F.regexp_replace(F.col(text_col), r"\s+", " ")))
+    tagged = docs.withColumn("__fp", fp)
+    return (
+        tagged.withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["__fp"])
+        .drop("__fp")
+    )
+
+
+def interval_join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    watermark: str = "10 minutes",
+    max_delay: str = "5 minutes",
+) -> DataFrame:
+    """Watermarked stream-stream inner join: right rows must fall within
+    (left_ts, left_ts + max_delay]. Both state stores are purged past the
+    watermark + range bound — join state stays bounded regardless of
+    stream length."""
+    # rename the right side BEFORE watermarking: copying a watermarked
+    # column would create a second event-time column, which Structured
+    # Streaming rejects (one event-time column per stream)
+    renamed = right.select(
+        F.col(key).alias("__rkey"),
+        F.col(right_ts).alias("__rts"),
+        *[F.col(c).alias(f"r_{c}") for c in right.columns if c not in (key, right_ts)],
+    )
+    lw = left.withWatermark(left_ts, watermark)
+    rw = renamed.withWatermark("__rts", watermark)
+    cond = (
+        (lw[key] == rw["__rkey"])
+        & (rw["__rts"] > lw[left_ts])
+        & (rw["__rts"] <= lw[left_ts] + F.expr(f"INTERVAL {max_delay}"))
+    )
+    return lw.join(rw, cond, "inner").drop("__rkey", "__rts")

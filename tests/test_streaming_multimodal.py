@@ -71,6 +71,67 @@ def test_stateful_running_total(spark, events_stream):
     assert got == 1000
 
 
+def _run_append_to_memory(sdf, name: str):
+    q = sdf.writeStream.format("memory").queryName(name).outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    return name
+
+
+@pytest.fixture(scope="module")
+def dup_events_stream(spark, sf_dir):
+    # events replayed with every row duplicated — dedup input
+    batch = load_table(spark, sf_dir, "events")
+    path = "/tmp/_stream_events_dup_src"
+    batch.union(batch).write.mode("overwrite").parquet(path)
+    return spark.readStream.schema(batch.schema).parquet(path)
+
+
+def test_dedup_stream(spark, dup_events_stream):
+    from datafusion_python_spark.streaming.dedup_join import dedup_stream
+
+    out = dedup_stream(dup_events_stream, ["event_id"], watermark="1 hour")
+    _run_append_to_memory(out, "dedup")
+    rows = spark.sql("SELECT count(*) AS n, count(DISTINCT event_id) AS d FROM dedup").first()
+    assert rows.n == 1000 and rows.d == 1000  # 2000 in, duplicates dropped
+
+
+def test_dedup_stream_by_fingerprint(spark, sf_dir):
+    from datafusion_python_spark.streaming.dedup_join import dedup_stream_by_fingerprint
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "ts", F.col("event_type").alias("text")
+    )
+    path = "/tmp/_stream_fp_src"
+    ev.write.mode("overwrite").parquet(path)
+    stream = spark.readStream.schema(ev.schema).parquet(path)
+    out = dedup_stream_by_fingerprint(stream, text_col="text", watermark="365 days")
+    _run_append_to_memory(out, "fpdedup")
+    n = spark.sql("SELECT count(*) AS n FROM fpdedup").first().n
+    # one row per distinct event_type content fingerprint
+    assert n == ev.select("text").distinct().count()
+
+
+def test_interval_join_streams(spark, sf_dir):
+    from datafusion_python_spark.streaming.dedup_join import interval_join_streams
+
+    left_b = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 50)
+    right_b = left_b.withColumn("ts", F.col("ts") + F.expr("INTERVAL 1 MINUTE")).select(
+        "event_id", "ts", F.col("value").alias("rv")
+    )
+    lp, rp = "/tmp/_stream_join_l", "/tmp/_stream_join_r"
+    left_b.write.mode("overwrite").parquet(lp)
+    right_b.write.mode("overwrite").parquet(rp)
+    ls = spark.readStream.schema(left_b.schema).parquet(lp)
+    rs = spark.readStream.schema(right_b.schema).parquet(rp)
+    out = interval_join_streams(
+        ls, rs, key="event_id", watermark="1 hour", max_delay="5 minutes"
+    )
+    _run_append_to_memory(out, "sjoin")
+    n = spark.sql("SELECT count(*) AS n FROM sjoin").first().n
+    assert n == 50  # every left row matches exactly its +1min twin
+
+
 def test_media_features(spark):
     media = synthetic_media(spark, n=32)
     feats = extract_features(media, dim=16).collect()
