@@ -174,16 +174,41 @@ def ivf_assign(
 
 
 def ivf_centroids(
-    df: DataFrame, n_list: int = 16, id_col: str = "vec_id", vec_col: str = "embedding"
+    df: DataFrame,
+    n_list: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    refine_iters: int = 0,
 ) -> list[list[float]]:
     """Deterministic coarse-quantizer seeds: the first n_list vectors by
-    id. A bounded driver fetch (n_list rows — same class as a probe
-    vector); k-means refinement over these seeds is a straightforward
-    aggregate loop but unnecessary for bucketing to be effective."""
+    id, optionally refined with ``refine_iters`` k-means passes.
+
+    Each refinement pass is one distributed job — assign (codegen argmax,
+    map-only) then posexplode+avg (one shuffle on (cell, dim)) — and
+    pulls only n_list centroid rows to the driver, the same bounded
+    footprint as the seed fetch. Empty cells keep their previous
+    centroid.
+    """
     rows = df.select(F.col(vec_col).cast("array<double>").alias("v")).orderBy(
         id_col
     ).limit(n_list).collect()
-    return [list(r["v"]) for r in rows]
+    cents = [list(r["v"]) for r in rows]
+    for _ in range(max(0, refine_iters)):
+        assigned = ivf_assign(df, cents, vec_col=vec_col)
+        means = (
+            assigned.select(
+                "ivf_cell", F.posexplode(F.col(vec_col).cast("array<double>"))
+            )
+            .groupBy("ivf_cell", "pos")
+            .agg(F.avg("col").alias("m"))
+            .groupBy("ivf_cell")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select("ivf_cell", F.transform("pm", lambda s: s["m"]).alias("centroid"))
+            .collect()
+        )
+        for r in means:
+            cents[r["ivf_cell"]] = list(r["centroid"])
+    return cents
 
 
 def ivf_ann(

@@ -397,6 +397,20 @@ def test_ivf_full_probe_equals_exact(spark):
     assert len(part) == 10
 
 
+def test_ivf_kmeans_refinement(spark):
+    from datafusion_python_spark.operators.similarity import ivf_assign, ivf_centroids
+    from datafusion_python_spark.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    seeds = ivf_centroids(emb, n_list=4)
+    refined = ivf_centroids(emb, n_list=4, refine_iters=1)
+    assert len(refined) == 4 and len(refined[0]) == 64
+    assert refined != seeds  # the k-means pass moved the centroids
+    # refined centroids still produce a full assignment
+    cells = ivf_assign(emb, refined).select("ivf_cell").distinct().count()
+    assert 1 <= cells <= 4
+
+
 def test_lsh_multi_probe_recall(spark):
     from datafusion_python_spark.operators.similarity import cosine_topk, lsh_bucket_ann
     from datafusion_python_spark.tables import load_table
