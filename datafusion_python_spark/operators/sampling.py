@@ -1,0 +1,80 @@
+"""Corpus-shaping operators for training-data pipelines: deterministic
+sampling, per-domain caps, and token-budget packing.
+
+All are single-pass DataFrame compositions (hash filters and window
+functions) — no randomness (reproducible across runs and engines), no
+driver state, no Python UDFs.  Reference parity: none of these exist in
+apache/datafusion-python; they extend the suite for the data-curation
+workloads the engine targets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def hash_sample(df: DataFrame, id_col: str, rate: float) -> DataFrame:
+    """Deterministic ~``rate`` sample: keep rows whose md5(id) hex prefix
+    falls below the rate threshold.
+
+    Unlike ``df.sample()`` this is stable across runs, engines, partition
+    layouts, and cluster sizes — the property a reproducible training-data
+    pipeline needs. Pure map-side filter: no shuffle, pushes nothing to
+    the driver, and composes with column pruning.
+    """
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError("rate must be in [0, 1]")
+    if rate == 1.0:  # 0x10000 is 5 hex chars and breaks the prefix compare
+        return df
+    threshold = format(int(rate * 0x10000), "04x")
+    prefix = F.substring(F.md5(F.col(id_col).cast("string")), 1, 4)
+    return df.filter(prefix < F.lit(threshold))
+
+
+def domain_cap(
+    df: DataFrame,
+    domain_col: str,
+    n: int,
+    order_by: list | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep at most ``n`` rows per domain, best-first.
+
+    One shuffle keyed on the domain; rank + filter fuse into a single
+    window stage. ``order_by`` defaults to descending ``n_chars`` with
+    ``id_col`` as the deterministic tie-break — at scale a skewed domain
+    (one host with 10^9 pages) is the hazard, and Spark's WindowExec
+    handles it with rank-based early pruning under AQE.
+    """
+    order = order_by or [F.col("n_chars").desc()]
+    w = Window.partitionBy(domain_col).orderBy(*order, F.col(id_col))
+    return df.withColumn("rank_in_domain", F.row_number().over(w)).filter(
+        F.col("rank_in_domain") <= n
+    )
+
+
+def token_pack(
+    df: DataFrame,
+    tokens_col: str,
+    budget: int,
+    group_col: str | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Assign docs to fixed-token-budget bins (context-window packing).
+
+    Docs are laid out in ``id_col`` order (within ``group_col`` if
+    given); a doc goes into the bin where its start offset lands:
+    ``bin = floor((cumsum - tokens) / budget)``.  Bins may overflow by
+    at most one doc — the streaming-friendly relaxation of greedy bin
+    packing, computable as one window cumsum instead of a sequential
+    scan, so it parallelizes per group across the cluster.
+    """
+    keys = [group_col] if group_col else []
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = F.sum(tokens_col).over(w) - F.col(tokens_col)
+    return df.withColumn("pack_bin", F.floor(start / F.lit(budget)))

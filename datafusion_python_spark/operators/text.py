@@ -91,6 +91,39 @@ def language_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred
     )
 
 
+def repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition signals: duplicate word / bigram fractions.
+
+    ``dup_word_frac``  = 1 − |distinct words| / |words|
+    ``dup_2gram_frac`` = 1 − |distinct bigrams| / |bigrams|
+
+    High values flag boilerplate / keyword-stuffed / looping documents —
+    a standard pre-training quality gate (Gopher §A1.1, C4). Pure
+    JVM-side array math per row (split → slice/zip_with → array_distinct);
+    no shuffle, no UDF, scales as a map-only stage.
+    """
+    words = _words(F.col(text_col))
+    n_w = F.size(words)
+    dup_w = F.when(
+        n_w > 0, 1.0 - F.size(F.array_distinct(words)) / n_w
+    ).otherwise(0.0)
+    # bigrams: zip each word with its successor (length max(n-1, 0))
+    m = F.greatest(n_w - 1, F.lit(0))
+    bigrams = F.zip_with(
+        F.slice(words, 1, m),
+        F.slice(words, 2, m),
+        lambda a, b: F.concat(a, F.lit("_"), b),
+    )
+    n_b = F.size(bigrams)
+    dup_b = F.when(
+        n_b > 0, 1.0 - F.size(F.array_distinct(bigrams)) / n_b
+    ).otherwise(0.0)
+    return (
+        df.withColumn("dup_word_frac", F.round(dup_w, 4))
+        .withColumn("dup_2gram_frac", F.round(dup_b, 4))
+    )
+
+
 def doc_fingerprint(col: Column, length: int = 16) -> Column:
     """Deterministic content fingerprint of normalized text (hex).
 

@@ -54,6 +54,11 @@ _PRIORITY = [
     "pipe_text_quality",
     "pipe_langid",
     "pipe_fingerprint",
+    "pipe_dedup_cluster",
+    "pipe_sample_hash",
+    "pipe_domain_cap",
+    "pipe_token_pack",
+    "pipe_repetition",
     # gates added in round 2
     "tpch_q2",
     "tpch_q11",

@@ -294,6 +294,160 @@ FROM documents GROUP BY source ORDER BY source
 """
 
 
+# --------------------------------------------------------------------------
+# Transitive dedup clustering: connected components over near-dup pairs
+# (Jaccard >= 0.8), every doc assigned min-reachable-id as its cluster.
+# Spark side is iterative min-label propagation (operators/cluster.py);
+# oracle is a DuckDB recursive-CTE reachability closure — same fixpoint.
+def pipe_dedup_cluster(spark, sf_dir):
+    from .operators.cluster import dedup_clusters
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.8)
+    return dedup_clusters(docs, pairs).orderBy("doc_id")
+
+
+_JACCARD_PAIRS_08 = """
+  WITH words AS (
+    SELECT doc_id, unnest(list_distinct(list_filter(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '), w -> w != ''))) AS w
+    FROM documents
+  ), sizes AS (
+    SELECT doc_id, count(*) AS sz FROM words GROUP BY doc_id
+  ), ov AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+    FROM words a JOIN words b USING (w)
+    WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+  )
+  SELECT id_a, id_b
+  FROM ov JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+  WHERE round(inter / (sa.sz + sb.sz - inter), 4) >= 0.8
+"""
+
+PIPE_DEDUP_CLUSTER_SQL = f"""
+WITH RECURSIVE pairs AS ({_JACCARD_PAIRS_08}),
+edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+walk AS (
+  SELECT s AS n, s AS r FROM edges
+  UNION
+  SELECT w.n, e.d FROM walk w JOIN edges e ON e.s = w.r
+)
+SELECT d.doc_id, coalesce(min(w.r), d.doc_id) AS cluster_id
+FROM documents d LEFT JOIN walk w ON w.n = d.doc_id
+GROUP BY d.doc_id ORDER BY d.doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Deterministic hash sampling: ~10% of docs by md5(doc_id) hex prefix —
+# reproducible across runs, engines, and partition layouts (df.sample is
+# none of those). Map-only filter.
+def pipe_sample_hash(spark, sf_dir):
+    from .operators.sampling import hash_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return hash_sample(docs, "doc_id", 0.1).select("doc_id", "source").orderBy("doc_id")
+
+
+PIPE_SAMPLE_HASH_SQL = """
+SELECT doc_id, source FROM documents
+WHERE substr(md5(doc_id::VARCHAR), 1, 4) < '1999'
+ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Per-domain cap: keep the 5 largest docs per source (rank window, one
+# shuffle on source) — the per-host cap step of a crawl-curation pipeline.
+def pipe_domain_cap(spark, sf_dir):
+    from .operators.sampling import domain_cap
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        domain_cap(docs, "source", 5)
+        .select("source", "doc_id", "n_chars", "rank_in_domain")
+        .orderBy("source", "rank_in_domain")
+    )
+
+
+PIPE_DOMAIN_CAP_SQL = """
+SELECT source, doc_id, n_chars, rank_in_domain FROM (
+  SELECT source, doc_id, n_chars,
+         row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rank_in_domain
+  FROM documents
+) WHERE rank_in_domain <= 5
+ORDER BY source, rank_in_domain
+"""
+
+
+# --------------------------------------------------------------------------
+# Token-budget packing: docs laid out in id order per source, assigned to
+# 2000-token context-window bins by start offset (window cumsum — the
+# parallelizable relaxation of greedy packing).
+def pipe_token_pack(spark, sf_dir):
+    from .operators.sampling import token_pack
+
+    docs = _t(spark, sf_dir, "documents").withColumn("tokens", token_count(F.col("text")))
+    return (
+        token_pack(docs, "tokens", 2000, group_col="source")
+        .select("doc_id", "source", "tokens", "pack_bin")
+        .orderBy("doc_id")
+    )
+
+
+PIPE_TOKEN_PACK_SQL = """
+WITH toks AS (
+  SELECT doc_id, source,
+         len(list_filter(string_split(lower(text), ' '), w -> w != '')) AS tokens
+  FROM documents
+)
+SELECT doc_id, source, tokens,
+       CAST(floor((sum(tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                     ROWS UNBOUNDED PRECEDING) - tokens) / 2000.0) AS BIGINT) AS pack_bin
+FROM toks ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Repetition signals (Gopher-style): duplicate word / bigram fractions per
+# doc, aggregated per source with a flag count at the 0.2 threshold.
+def pipe_repetition(spark, sf_dir):
+    from .operators.text import repetition_features
+
+    docs = repetition_features(_t(spark, sf_dir, "documents"))
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.round(F.round(F.sum("dup_word_frac"), 4) / F.count("*"), 6).alias("avg_dup_word"),
+            F.round(F.round(F.sum("dup_2gram_frac"), 4) / F.count("*"), 6).alias("avg_dup_2gram"),
+            F.sum(F.when(F.col("dup_word_frac") > 0.2, 1).otherwise(0)).alias("n_flagged"),
+        )
+        .orderBy("source")
+    )
+
+
+PIPE_REPETITION_SQL = """
+WITH per_doc AS (
+  SELECT source,
+         list_filter(string_split(lower(text), ' '), w -> w != '') AS w
+  FROM documents
+), feats AS (
+  SELECT source,
+         CASE WHEN len(w) > 0
+              THEN round(1.0 - len(list_distinct(w)) / len(w), 4) ELSE 0.0 END AS dup_word_frac,
+         CASE WHEN len(w) > 1
+              THEN round(1.0 - len(list_distinct(list_transform(range(1, len(w)), i -> w[i] || '_' || w[i+1])))
+                         / (len(w) - 1), 4) ELSE 0.0 END AS dup_2gram_frac
+  FROM per_doc
+)
+SELECT source,
+       round(round(sum(dup_word_frac), 4) / count(*), 6) AS avg_dup_word,
+       round(round(sum(dup_2gram_frac), 4) / count(*), 6) AS avg_dup_2gram,
+       CAST(sum(CASE WHEN dup_word_frac > 0.2 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+FROM feats GROUP BY source ORDER BY source
+"""
+
+
 PIPELINE_QUERIES: dict[str, tuple] = {
     "pipe_dedup_exact": (pipe_dedup_exact, PIPE_DEDUP_EXACT_SQL),
     "pipe_jaccard_pairs": (pipe_jaccard_pairs, PIPE_JACCARD_SQL),
@@ -308,4 +462,9 @@ PIPELINE_QUERIES: dict[str, tuple] = {
     "pipe_text_quality": (pipe_text_quality, PIPE_TEXT_QUALITY_SQL),
     "pipe_langid": (pipe_langid, None),
     "pipe_fingerprint": (pipe_fingerprint, PIPE_FINGERPRINT_SQL),
+    "pipe_dedup_cluster": (pipe_dedup_cluster, PIPE_DEDUP_CLUSTER_SQL),
+    "pipe_sample_hash": (pipe_sample_hash, PIPE_SAMPLE_HASH_SQL),
+    "pipe_domain_cap": (pipe_domain_cap, PIPE_DOMAIN_CAP_SQL),
+    "pipe_token_pack": (pipe_token_pack, PIPE_TOKEN_PACK_SQL),
+    "pipe_repetition": (pipe_repetition, PIPE_REPETITION_SQL),
 }

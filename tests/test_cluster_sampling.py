@@ -1,0 +1,99 @@
+"""Tests for the corpus-shaping operators added late in round 2:
+connected-components dedup clustering, deterministic hash sampling,
+per-domain caps, token-budget packing, repetition signals."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from datafusion_python_spark.operators.cluster import (
+    canonical_docs,
+    connected_components,
+    dedup_clusters,
+)
+from datafusion_python_spark.operators.sampling import domain_cap, hash_sample, token_pack
+from datafusion_python_spark.operators.text import repetition_features
+
+
+def test_connected_components_chain(spark):
+    # 1-2-3-4 chain (diameter 3, needs >1 iteration) plus isolated pair 10-11
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long"
+    )
+    out = {r["node"]: r["component"] for r in connected_components(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_bridge_merge(spark):
+    # two cliques joined by one bridge edge collapse into one component
+    edges = [(1, 2), (1, 3), (2, 3), (5, 6), (5, 7), (6, 7), (3, 5)]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    comps = set(
+        r["component"] for r in connected_components(pairs).collect()
+    )
+    assert comps == {1}
+
+
+def test_dedup_clusters_and_canonical(spark):
+    docs = spark.createDataFrame(
+        [(i, f"doc{i}") for i in range(6)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(1, 4), (4, 5)], "id_a long, id_b long")
+    clustered = {
+        r["doc_id"]: r["cluster_id"] for r in dedup_clusters(docs, pairs).collect()
+    }
+    assert clustered == {0: 0, 1: 1, 2: 2, 3: 3, 4: 1, 5: 1}
+    kept = sorted(r["doc_id"] for r in canonical_docs(docs, pairs).collect())
+    assert kept == [0, 1, 2, 3]
+
+
+def test_hash_sample_deterministic_and_partition_invariant(spark):
+    df = spark.range(0, 2000).withColumnRenamed("id", "k")
+    a = sorted(r["k"] for r in hash_sample(df, "k", 0.2).collect())
+    b = sorted(r["k"] for r in hash_sample(df.repartition(7), "k", 0.2).collect())
+    assert a == b  # layout-independent
+    assert 0.1 < len(a) / 2000 < 0.3  # ~rate
+    assert hash_sample(df, "k", 0.0).count() == 0
+    assert hash_sample(df, "k", 1.0).count() == 2000
+    with pytest.raises(ValueError):
+        hash_sample(df, "k", 1.5)
+
+
+def test_domain_cap(spark):
+    rows = [(d, i, 100 - i) for d in ("a", "b") for i in range(10)]
+    df = spark.createDataFrame(rows, "source string, doc_id long, n_chars long")
+    out = domain_cap(df, "source", 3)
+    per = out.groupBy("source").count().collect()
+    assert all(r["count"] == 3 for r in per)
+    # best-first: largest n_chars kept
+    kept_a = sorted(
+        r["doc_id"] for r in out.filter(F.col("source") == "a").collect()
+    )
+    assert kept_a == [0, 1, 2]
+
+
+def test_token_pack_bins(spark):
+    df = spark.createDataFrame(
+        [(i, "s", 700) for i in range(10)], "doc_id long, source string, tokens long"
+    )
+    out = token_pack(df, "tokens", 2000, group_col="source").orderBy("doc_id").collect()
+    bins = [r["pack_bin"] for r in out]
+    # starts: 0,700,1400,2100,... -> bins 0,0,0,1,1,1,2,2,2,3
+    assert bins == [0, 0, 0, 1, 1, 1, 2, 2, 2, 3]
+    # bins are contiguous from 0 and non-decreasing in doc order
+    assert bins[0] == 0 and all(b2 - b1 in (0, 1) for b1, b2 in zip(bins, bins[1:]))
+
+
+def test_repetition_features(spark):
+    df = spark.createDataFrame(
+        [(1, "a a a a"), (2, "w x y z"), (3, "go go go stop stop go"), (4, "")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in repetition_features(df).collect()}
+    assert out[1]["dup_word_frac"] == 0.75  # 1 distinct of 4
+    assert out[2]["dup_word_frac"] == 0.0
+    assert out[2]["dup_2gram_frac"] == 0.0
+    assert out[1]["dup_2gram_frac"] == pytest.approx(2 / 3, abs=1e-4)  # a_a ×3
+    assert out[3]["dup_word_frac"] == pytest.approx(1 - 2 / 6, abs=1e-4)
+    assert out[4]["dup_word_frac"] == 0.0 and out[4]["dup_2gram_frac"] == 0.0
