@@ -124,6 +124,37 @@ def repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+_PII_PATTERNS = [
+    # (tag, java-regex) — deliberately conservative patterns; RE2/Java-compatible
+    ("EMAIL", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("PHONE", r"\+?\d{1,2}[-. ]?\(?\d{3}\)?[-. ]?\d{3}[-. ]?\d{4}"),
+    ("SSN", r"\b\d{3}-\d{2}-\d{4}\b"),
+    ("IP", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"),
+]
+
+
+def redact_pii(df: DataFrame, text_col: str = "text", count: bool = True) -> DataFrame:
+    """Redact common PII shapes (emails, phone numbers, SSNs, IPs) with
+    ``[TAG]`` placeholders; optionally append per-tag match counts.
+
+    Chained ``regexp_replace`` — one codegen'd projection, map-only, no
+    shuffle; at 100 TB this runs at scan speed. Patterns are a
+    conservative regex baseline (a production pipeline would follow with
+    an NER pass — that is a model inference step, out of engine scope).
+    """
+    out = F.col(text_col)
+    for tag, pat in _PII_PATTERNS:
+        out = F.regexp_replace(out, pat, f"[{tag}]")
+    res = df.withColumn(f"{text_col}_redacted", out)
+    if count:
+        for tag, pat in _PII_PATTERNS:
+            res = res.withColumn(
+                f"n_{tag.lower()}",
+                F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), 0)).cast("long"),
+            )
+    return res
+
+
 def doc_fingerprint(col: Column, length: int = 16) -> Column:
     """Deterministic content fingerprint of normalized text (hex).
 

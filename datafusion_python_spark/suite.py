@@ -59,6 +59,7 @@ _PRIORITY = [
     "pipe_domain_cap",
     "pipe_token_pack",
     "pipe_repetition",
+    "pipe_minhash_cluster",
     # gates added in round 2
     "tpch_q2",
     "tpch_q11",

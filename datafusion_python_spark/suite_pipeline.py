@@ -448,6 +448,35 @@ FROM feats GROUP BY source ORDER BY source
 """
 
 
+# --------------------------------------------------------------------------
+# The full scale-path dedup, end to end: MinHash signatures → LSH banding
+# → candidate pairs → connected components → canonical doc per cluster →
+# per-source survival counts. This is the pipeline that replaces the
+# O(n²) exact join at 100 TB; xxhash64-based, so rows-only check (the
+# exact-Jaccard + recursive-CTE pair is the oracle-backed twin).
+def pipe_minhash_cluster(spark, sf_dir):
+    from .operators.cluster import dedup_clusters
+
+    docs = _t(spark, sf_dir, "documents")
+    sig = minhash_signature(docs, "text", num_hashes=32, shingle_k=1)
+    pairs = lsh_candidate_pairs(sig, "doc_id", num_bands=8)
+    clustered = dedup_clusters(docs, pairs)
+    survived = F.sum(
+        F.when(F.col("doc_id") == F.col("cluster_id"), 1).otherwise(0)
+    )
+    return (
+        docs.select("doc_id", "source")
+        .join(clustered, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            survived.alias("n_kept"),
+            F.countDistinct("cluster_id").alias("n_clusters"),
+        )
+        .orderBy("source")
+    )
+
+
 PIPELINE_QUERIES: dict[str, tuple] = {
     "pipe_dedup_exact": (pipe_dedup_exact, PIPE_DEDUP_EXACT_SQL),
     "pipe_jaccard_pairs": (pipe_jaccard_pairs, PIPE_JACCARD_SQL),
@@ -467,4 +496,5 @@ PIPELINE_QUERIES: dict[str, tuple] = {
     "pipe_domain_cap": (pipe_domain_cap, PIPE_DOMAIN_CAP_SQL),
     "pipe_token_pack": (pipe_token_pack, PIPE_TOKEN_PACK_SQL),
     "pipe_repetition": (pipe_repetition, PIPE_REPETITION_SQL),
+    "pipe_minhash_cluster": (pipe_minhash_cluster, None),
 }

@@ -1,0 +1,85 @@
+"""End-to-end training-data curation pipeline over the documents table:
+
+  quality gates  →  repetition gates  →  PII redaction  →
+  MinHash-LSH dedup clustering (keep canonical)  →
+  per-domain cap  →  deterministic 50% sample  →  token-budget packing
+
+Every stage is a pure DataFrame transformation — the whole pipeline is
+ONE Catalyst plan (lazily composed, map-side where possible, shuffles
+only on dedup-bucket / domain / pack keys), so at 100 TB it executes as
+a handful of stages instead of seven materialized passes.
+
+Run: python examples/curation_pipeline.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from datafusion_python_spark.operators.cluster import canonical_docs
+from datafusion_python_spark.operators.dedup import lsh_candidate_pairs, minhash_signature
+from datafusion_python_spark.operators.sampling import domain_cap, hash_sample, token_pack
+from datafusion_python_spark.operators.text import (
+    quality_features,
+    redact_pii,
+    repetition_features,
+    token_count,
+)
+from datafusion_python_spark.session import get_spark
+from datafusion_python_spark.tables import load_table
+
+sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+spark = get_spark("curation-pipeline")
+
+docs = load_table(spark, sf_dir, "documents")
+n0 = docs.count()
+
+# 1-2. quality + repetition gates (map-only projections and filters)
+# thresholds here are tuned DOWN for the synthetic small-vocab corpus
+# (its dup_word_frac is naturally ~0.9); production values would be the
+# Gopher/C4 ones (e.g. dup_word_frac < 0.3).
+gated = (
+    repetition_features(quality_features(docs))
+    .filter((F.col("n_words") >= 5) & (F.col("punct_ratio") < 0.3))
+    .filter(F.col("dup_2gram_frac") < 0.9)
+)
+
+# 3. PII redaction (map-only regexp projection)
+clean = redact_pii(gated, count=False).drop("text").withColumnRenamed(
+    "text_redacted", "text"
+)
+
+# 4. MinHash → LSH → connected components → canonical doc per cluster.
+# 3-word shingles: near-dup means shared PHRASES. (Unigram shingles on
+# this synthetic corpus — one 30-word vocab — would mark everything a
+# near-dup of everything and keep a single canonical doc.)
+sig = minhash_signature(clean, "text", num_hashes=32, shingle_k=3)
+pairs = lsh_candidate_pairs(sig, "doc_id", num_bands=8)
+deduped = canonical_docs(clean, pairs)
+
+# 5-6. per-domain cap, deterministic sample
+capped = domain_cap(deduped, "source", 20)
+sampled = hash_sample(capped, "doc_id", 0.5)
+
+# 7. token-budget packing into 2048-token bins per source
+packed = token_pack(
+    sampled.withColumn("tokens", token_count(F.col("text"))),
+    "tokens",
+    2048,
+    group_col="source",
+)
+
+summary = packed.groupBy("source").agg(
+    F.count("*").alias("docs"),
+    F.sum("tokens").alias("tokens"),
+    (F.max("pack_bin") + 1).alias("bins"),
+)
+summary.show(5, truncate=False)
+n1 = packed.count()
+print(f"{n0} docs in -> {n1} curated docs out")
+packed.select("doc_id", "source", "tokens", "pack_bin").explain("simple")

@@ -85,6 +85,70 @@ def test_token_pack_bins(spark):
     assert bins[0] == 0 and all(b2 - b1 in (0, 1) for b1, b2 in zip(bins, bins[1:]))
 
 
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 15), st.integers(0, 15)).filter(lambda e: e[0] != e[1]),
+        min_size=1,
+        max_size=12,
+    )
+)
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+def test_connected_components_matches_union_find(spark, edges):
+    # oracle: plain union-find with min-id canonicalization
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {n: find(n) for n in parent}
+
+    pairs = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in edges], "id_a long, id_b long"
+    )
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(pairs).collect()
+    }
+    assert got == expected
+
+
+def test_redact_pii(spark):
+    from datafusion_python_spark.operators.text import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail bob@example.com or call +1 (555) 123-4567 now"),
+            (2, "ssn 123-45-6789 from 10.0.0.1"),
+            (3, "clean text no pii"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in redact_pii(df).collect()}
+    assert "[EMAIL]" in out[1]["text_redacted"]
+    assert "[PHONE]" in out[1]["text_redacted"]
+    assert "bob@" not in out[1]["text_redacted"]
+    assert "[SSN]" in out[2]["text_redacted"]
+    assert "[IP]" in out[2]["text_redacted"]
+    assert out[1]["n_email"] == 1 and out[1]["n_phone"] == 1
+    assert out[3]["text_redacted"] == "clean text no pii"
+    assert out[3]["n_email"] == out[3]["n_ssn"] == out[3]["n_ip"] == 0
+
+
 def test_repetition_features(spark):
     df = spark.createDataFrame(
         [(1, "a a a a"), (2, "w x y z"), (3, "go go go stop stop go"), (4, "")],
