@@ -16,6 +16,7 @@ the ``read_*`` convenience functions.
 
 from . import common
 from .api import catalog, substrait
+from .api import ipc, options
 from .api import expr as expr
 from .api import functions as functions
 from .api import spark_functions
@@ -27,6 +28,8 @@ from .api.catalog import (
     Schema,
     SchemaProvider,
     Table,
+    TableProviderFactory,
+    TableProviderFactoryExportable,
 )
 from .api.config import (
     CsvReadOptions,
@@ -82,11 +85,7 @@ def read_parquet(path, *args, **kwargs) -> DataFrame:
 
 def read_csv(path, *args, options: CsvReadOptions | None = None, **kwargs) -> DataFrame:
     """ref io.py:122; accepts CsvReadOptions or the reference kwargs."""
-    if options is not None:
-        merged = options.kwargs()
-        merged.update(kwargs)
-        kwargs = merged
-    return _default_ctx().read_csv(path, *args, **kwargs)
+    return _default_ctx().read_csv(path, *args, options=options, **kwargs)
 
 
 def read_json(path, *args, **kwargs) -> DataFrame:
@@ -147,6 +146,8 @@ __all__ = [
     "SortExpr",
     "Table",
     "TableFunction",
+    "TableProviderFactory",
+    "TableProviderFactoryExportable",
     "Window",
     "WindowEvaluator",
     "WindowFrame",
@@ -159,9 +160,11 @@ __all__ = [
     "expr",
     "functions",
     "get_spark",
+    "ipc",
     "lit",
     "literal",
     "object_store",
+    "options",
     "read_avro",
     "read_csv",
     "read_json",

@@ -10,7 +10,13 @@ from __future__ import annotations
 
 from pyspark.sql import SparkSession
 
-__all__ = ["Catalog", "Schema", "Table"]
+__all__ = [
+    "Catalog",
+    "Schema",
+    "Table",
+    "TableProviderFactory",
+    "TableProviderFactoryExportable",
+]
 
 
 class Table:
@@ -92,6 +98,31 @@ class SchemaProvider:
 
     def deregister_table(self, name: str, cascade: bool = False) -> None:  # optional
         raise NotImplementedError("this schema provider is read-only")
+
+
+class TableProviderFactory:
+    """Factory contract for CREATE EXTERNAL TABLE handling (ref
+    catalog.py:237-243): subclass and implement ``create(cmd)`` returning
+    a table (this package's DataFrame, a pyspark DataFrame, or a pyarrow
+    Table). ``cmd`` carries the statement's name/location/options. In the
+    Spark mapping, factories are invoked by
+    ``SessionContext.register_table_provider_factory`` consumers; native
+    ``CREATE TABLE ... USING ... LOCATION`` handles the built-in formats.
+    """
+
+    def create(self, cmd):
+        raise NotImplementedError
+
+
+class TableProviderFactoryExportable:
+    """Typing protocol for objects exposing a table-provider-factory
+    capsule (ref catalog.py:246-252). The FFI capsule itself is a Rust
+    ABI detail with no Spark analogue — objects implementing
+    ``__datafusion_table_provider_factory__`` are accepted wherever a
+    :class:`TableProviderFactory` is, for signature compatibility."""
+
+    def __datafusion_table_provider_factory__(self, session=None) -> object:
+        raise NotImplementedError
 
 
 class CatalogProvider:

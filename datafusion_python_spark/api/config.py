@@ -158,6 +158,53 @@ class CsvReadOptions:
         self.null_regex = null_regex
         self.truncated_rows = truncated_rows
 
+    # reference-style with_* chaining (options.py builder pattern)
+    def _with(self, **kv) -> "CsvReadOptions":
+        for k, v in kv.items():
+            setattr(self, k, v)
+        return self
+
+    def with_has_header(self, has_header: bool = True) -> "CsvReadOptions":
+        return self._with(has_header=has_header)
+
+    def with_delimiter(self, delimiter: str) -> "CsvReadOptions":
+        _single_char("delimiter", delimiter)
+        return self._with(delimiter=delimiter)
+
+    def with_quote(self, quote: str) -> "CsvReadOptions":
+        _single_char("quote", quote)
+        return self._with(quote=quote)
+
+    def with_escape(self, escape: str | None) -> "CsvReadOptions":
+        _single_char("escape", escape)
+        return self._with(escape=escape)
+
+    def with_comment(self, comment: str | None) -> "CsvReadOptions":
+        _single_char("comment", comment)
+        return self._with(comment=comment)
+
+    def with_terminator(self, terminator: str | None) -> "CsvReadOptions":
+        _single_char("terminator", terminator)
+        return self._with(terminator=terminator)
+
+    def with_newlines_in_values(self, newlines_in_values: bool = True) -> "CsvReadOptions":
+        return self._with(newlines_in_values=newlines_in_values)
+
+    def with_schema(self, schema) -> "CsvReadOptions":
+        return self._with(schema=schema)
+
+    def with_file_extension(self, file_extension: str) -> "CsvReadOptions":
+        return self._with(file_extension=file_extension)
+
+    def with_file_compression_type(self, t: str) -> "CsvReadOptions":
+        return self._with(file_compression_type=t)
+
+    def with_null_regex(self, null_regex: str | None) -> "CsvReadOptions":
+        return self._with(null_regex=null_regex)
+
+    def with_truncated_rows(self, truncated_rows: bool = True) -> "CsvReadOptions":
+        return self._with(truncated_rows=truncated_rows)
+
     def spark_options(self) -> dict[str, str]:
         opts = {
             "header": str(self.has_header).lower(),
@@ -175,8 +222,15 @@ class CsvReadOptions:
         if self.truncated_rows:
             opts["mode"] = "PERMISSIVE"
         if self.null_regex:
-            # Spark matches literal null tokens, not regex; pass through as
-            # nullValue when the regex is a plain literal
+            # Spark matches literal null tokens, not regex; accept a plain
+            # literal, reject actual regex syntax rather than mis-match
+            import re as _re
+
+            if not _re.fullmatch(r"[A-Za-z0-9 _\-.]*", self.null_regex):
+                raise NotImplementedError(
+                    "Spark's nullValue matches a literal string; regex null "
+                    f"markers are not supported (got {self.null_regex!r})"
+                )
             opts["nullValue"] = self.null_regex
         return opts
 

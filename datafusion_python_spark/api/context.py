@@ -239,9 +239,14 @@ class SessionContext:
         file_extension: str = ".csv",
         table_partition_cols: list | None = None,
         file_compression_type: str | None = None,
+        options=None,
         **_: Any,
     ) -> DataFrame:
         reader = self.spark.read.option("header", str(has_header).lower()).option("sep", delimiter)
+        if options is not None:  # CsvReadOptions: full option translation
+            schema = options.schema if schema is None else schema
+            for k, v in options.spark_options().items():
+                reader = reader.option(k, v)
         if schema is not None:
             reader = reader.schema(self._schema(schema))
         else:

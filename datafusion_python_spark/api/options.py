@@ -1,0 +1,15 @@
+"""File-format read options module (reference: python/datafusion/options.py).
+
+The reference exposes ``CsvReadOptions`` from a dedicated ``options``
+module; the implementation here lives in :mod:`.config` (it shares the
+builder conventions of ``SessionConfig``). This module mirrors the
+reference's import path: ``from datafusion_python_spark import options``.
+"""
+
+from __future__ import annotations
+
+from .config import CsvReadOptions
+
+__all__ = ["CsvReadOptions"]
+
+DEFAULT_MAX_INFER_SCHEMA = 1000

@@ -349,3 +349,40 @@ def test_function_registry_coverage():
         "list_distance", "list_zip", "union_extract", "union_tag",
     ]:
         assert expected in names, expected
+
+
+def test_top_level_all_matches_reference():
+    """Every name in the reference's datafusion.__init__.__all__ resolves
+    on this package (full drop-in import surface)."""
+    import ast
+
+    import datafusion_python_spark as m
+
+    src = open("/root/reference/python/datafusion/__init__.py").read()
+    ref_all = None
+    for node in ast.walk(ast.parse(src)):
+        if isinstance(node, ast.Assign) and any(
+            getattr(t, "id", None) == "__all__" for t in node.targets
+        ):
+            ref_all = ast.literal_eval(node.value)
+    assert ref_all, "could not parse reference __all__"
+    missing = [n for n in ref_all if not hasattr(m, n)]
+    assert missing == []
+
+
+def test_csv_read_options_builder_chain(tmp_path):
+    from datafusion_python_spark import CsvReadOptions, SessionContext
+
+    p = tmp_path / "t.csv"
+    p.write_text("a;b\n1;x\n2;NA\n")
+    opts = CsvReadOptions().with_delimiter(";").with_null_regex("NA")
+    ctx = SessionContext()
+    df = ctx.read_csv(str(p), options=opts)
+    rows = sorted(df.to_pylist(), key=lambda r: r["a"])
+    assert rows[1]["b"] is None
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        CsvReadOptions().with_null_regex(r"N/?A").spark_options()
+    with _pytest.raises(ValueError):
+        CsvReadOptions().with_delimiter(";;")
