@@ -433,17 +433,81 @@ class SessionContext:
         return out
 
     # -- UDF ---------------------------------------------------------------------------
+    def _udf_registry(self, kind: str) -> dict:
+        reg = getattr(self, "_udf_regs", None)
+        if reg is None:
+            reg = self._udf_regs = {"udf": {}, "udaf": {}, "udwf": {}, "udtf": {}}
+        return reg[kind]
+
     def register_udf(self, udf) -> None:
         udf._register(self.spark)
-        self._udf_names().add(getattr(udf, "name", getattr(udf, "_name", "udf")))
+        name = getattr(udf, "name", getattr(udf, "_name", "udf"))
+        self._udf_names().add(name)
+        self._udf_registry("udf")[name] = udf
 
     def register_udaf(self, udaf) -> None:
         udaf._register(self.spark)
-        self._udf_names().add(getattr(udaf, "name", "udaf"))
+        name = getattr(udaf, "name", "udaf")
+        self._udf_names().add(name)
+        self._udf_registry("udaf")[name] = udaf
 
     def register_udtf(self, udtf) -> None:
         udtf._register(self.spark)
-        self._udf_names().add(getattr(udtf, "name", "udtf"))
+        name = getattr(udtf, "name", "udtf")
+        self._udf_names().add(name)
+        self._udf_registry("udtf")[name] = udtf
+
+    def register_udwf(self, udwf) -> None:
+        """Register a window UDF (ref context.py register_udwf). Spark has
+        no SQL registration for window UDFs; the wrapper is tracked for
+        :meth:`udwf` lookup and DataFrame-side use."""
+        if hasattr(udwf, "_register"):
+            udwf._register(self.spark)
+        name = getattr(udwf, "name", "udwf")
+        self._udf_names().add(name)
+        self._udf_registry("udwf")[name] = udwf
+
+    def _deregister(self, kind: str, name: str) -> None:
+        self._udf_registry(kind).pop(name, None)
+        self._udf_names().discard(name)
+        try:
+            self.spark.sql(f"DROP TEMPORARY FUNCTION IF EXISTS {name}")
+        except Exception:
+            pass  # window UDFs and some wrappers have no SQL registration
+
+    def deregister_udf(self, name: str) -> None:
+        self._deregister("udf", name)
+
+    def deregister_udaf(self, name: str) -> None:
+        self._deregister("udaf", name)
+
+    def deregister_udwf(self, name: str) -> None:
+        self._deregister("udwf", name)
+
+    def deregister_udtf(self, name: str) -> None:
+        self._deregister("udtf", name)
+
+    def udf(self, name: str):
+        """Look up a registered scalar UDF wrapper by name (ref
+        context.py udf)."""
+        try:
+            return self._udf_registry("udf")[name]
+        except KeyError:
+            raise KeyError(f"no scalar UDF registered as {name!r}") from None
+
+    def udaf(self, name: str):
+        """Look up a registered aggregate UDF wrapper by name."""
+        try:
+            return self._udf_registry("udaf")[name]
+        except KeyError:
+            raise KeyError(f"no aggregate UDF registered as {name!r}") from None
+
+    def udwf(self, name: str):
+        """Look up a registered window UDF wrapper by name."""
+        try:
+            return self._udf_registry("udwf")[name]
+        except KeyError:
+            raise KeyError(f"no window UDF registered as {name!r}") from None
 
     def _udf_names(self) -> set:
         if not hasattr(self, "_registered_udfs"):
@@ -453,6 +517,18 @@ class SessionContext:
     def udfs(self) -> set[str]:
         """Names of registered UDFs/UDAFs/UDTFs (ref context.py udfs())."""
         return set(self._udf_names())
+
+    def udafs(self) -> list[str]:
+        """Sorted names of registered aggregate UDFs (ref udafs())."""
+        return sorted(self._udf_registry("udaf"))
+
+    def udwfs(self) -> list[str]:
+        """Sorted names of registered window UDFs (ref udwfs())."""
+        return sorted(self._udf_registry("udwf"))
+
+    def udtfs(self) -> list[str]:
+        """Sorted names of registered table UDFs."""
+        return sorted(self._udf_registry("udtf"))
 
     # -- helpers ------------------------------------------------------------------------
     @staticmethod

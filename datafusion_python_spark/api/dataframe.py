@@ -550,6 +550,25 @@ class DataFrame:
     def cache(self) -> "DataFrame":
         return DataFrame(self.df.cache())
 
+    def alias(self, alias: str) -> "DataFrame":
+        """Table alias for self-joins / qualified references (ref
+        dataframe.py alias)."""
+        return DataFrame(self.df.alias(alias))
+
+    def column(self, name: str) -> Expr:
+        """Qualified column expression bound to THIS DataFrame (ref
+        dataframe.py column) — disambiguates same-named columns after
+        joins: ``a.column("x") == b.column("x")``."""
+        return Expr(self.df[name])
+
+    def col(self, name: str) -> Expr:
+        """Alias of :meth:`column` (ref dataframe.py col)."""
+        return self.column(name)
+
+    def find_qualified_columns(self, *names: str) -> list[Expr]:
+        """Batch :meth:`column` (ref dataframe.py find_qualified_columns)."""
+        return [self.column(n) for n in names]
+
     # -- window -------------------------------------------------------------------
     def window(self, *window_exprs) -> "DataFrame":
         """Append window-function columns (ref dataframe.py:611)."""
@@ -568,6 +587,38 @@ class DataFrame:
 
     def to_arrow_table(self):
         return self.df.toArrow()
+
+    def collect_column(self, column_name: str):
+        """Execute for a single column → pyarrow ChunkedArray (ref
+        dataframe.py collect_column). Column pruning reaches the scan —
+        only the requested column is read."""
+        return self.df.select(column_name).toArrow().column(0)
+
+    def collect_partitioned(self) -> list[list]:
+        """list[list[RecordBatch]] preserving input partitioning (ref
+        dataframe.py collect_partitioned). One evaluation of the plan;
+        rows are tagged with spark_partition_id and split by tag."""
+        tagged = self.df.withColumn("__pid", F.spark_partition_id()).toArrow()
+        import pyarrow.compute as pc
+
+        pids = tagged.column("__pid")
+        out = []
+        for pid in sorted(set(pids.to_pylist())):
+            part = tagged.filter(pc.equal(pids, pid)).drop_columns(["__pid"])
+            out.append(part.to_batches())
+        return out
+
+    @staticmethod
+    def default_str_repr(batches, schema, has_more: bool, table_uuid: str | None = None) -> str:
+        """Default tabular string form of a batch list (ref
+        dataframe.py default_str_repr)."""
+        import pyarrow as _pa
+
+        if not batches:
+            return f"DataFrame()\n{schema}"
+        tbl = _pa.Table.from_batches(batches, schema=schema)
+        s = str(tbl)
+        return s + ("\n..." if has_more else "")
 
     def to_pandas(self):
         return self.df.toPandas()

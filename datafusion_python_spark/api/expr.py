@@ -133,6 +133,9 @@ class Expr:
         self._filter: Column | None = None
         self._order_by: list["SortExpr"] | None = None
         self._null_treatment: str | None = None
+        # window-builder state (ref ExprFuncBuilder)
+        self._partition_by: list[Column] | None = None
+        self._window_frame: "WindowFrame" | None = None
 
     # -- python dunder surface -------------------------------------------
     def __repr__(self) -> str:
@@ -275,11 +278,198 @@ class Expr:
         out._filter = self._filter
         out._order_by = self._order_by
         out._null_treatment = self._null_treatment
+        out._partition_by = getattr(self, "_partition_by", None)
+        out._window_frame = getattr(self, "_window_frame", None)
         return out
+
+    # -- window builder chain (ref expr.py:1056-1068, ExprFuncBuilder) --------
+    def partition_by(self, *partition_by: "Expr") -> "Expr":
+        """Builder form: set window partitioning; finish with ``build()``."""
+        out = self._copy()
+        out._partition_by = [_c(p) for p in partition_by]
+        return out
+
+    def window_frame(self, window_frame: "WindowFrame") -> "Expr":
+        """Builder form: set the window frame; finish with ``build()``."""
+        out = self._copy()
+        out._window_frame = window_frame
+        return out
+
+    def build(self) -> "Expr":
+        """Materialize a window expression from the builder chain
+        (``expr.partition_by(...).order_by(...).window_frame(...).build()``
+        — ref ExprFuncBuilder.build()). With no window state this returns
+        the expression unchanged (aggregate-builder state is consumed by
+        ``DataFrame.aggregate``)."""
+        pb = getattr(self, "_partition_by", None)
+        wf = getattr(self, "_window_frame", None)
+        if pb is None and wf is None and self._order_by is None:
+            return self
+        w = Window(
+            partition_by=[_e(c) for c in (pb or [])],
+            order_by=self._order_by,
+            window_frame=wf,
+        )
+        return _e(self.expr.over(w._to_spark()))
 
     # -- window attach (ref expr.py:1074 Expr.over) ---------------------------
     def over(self, window: "Window") -> "Expr":
         return _e(self.expr.over(window._to_spark()))
+
+    # -- constructors (ref Expr.column / Expr.literal / Expr.string_literal) --
+    @staticmethod
+    def column(value: str) -> "Expr":
+        return Expr(F.col(value))
+
+    @staticmethod
+    def literal(value: Any, metadata: dict | None = None) -> "Expr":
+        c = value.expr if isinstance(value, Expr) else F.lit(value)
+        if metadata:
+            c = c.alias("literal", metadata=metadata)
+        return Expr(c)
+
+    @staticmethod
+    def literal_with_metadata(value: Any, metadata: dict) -> "Expr":
+        return Expr.literal(value, metadata=metadata)
+
+    @staticmethod
+    def string_literal(value: str) -> "Expr":
+        return Expr.literal(str(value))
+
+    # -- introspection (ref Expr.column_name/canonical_name/schema_name) ------
+    def _jexpr(self):
+        return self.expr._jc.expr()
+
+    def column_name(self, plan=None) -> str:
+        """Output column name of this expression (the name a projection
+        would produce). ``plan`` is accepted for reference signature
+        compatibility; Spark resolves names from the expression itself."""
+        try:
+            j = self._jexpr()
+            # NamedExpression (alias / attribute) has .name()
+            return j.name()
+        except Exception:
+            try:
+                return self._jexpr().sql()
+            except Exception:
+                return str(self.expr)
+
+    def schema_name(self) -> str:
+        """Name of this expression as it appears in a schema (ref
+        expr.py schema_name — Spark's canonical SQL form)."""
+        try:
+            return self._jexpr().sql()
+        except Exception:
+            return str(self.expr)
+
+    def canonical_name(self) -> str:
+        """Canonicalized form of the expression (stable across
+        cosmetic variations — Spark's Expression.canonicalized)."""
+        try:
+            return self._jexpr().canonicalized().toString()
+        except Exception:
+            return str(self.expr)
+
+    def rex_type(self):
+        """Coarse expression kind (ref RexType): Literal, Reference
+        (column), Call (function/operator), or Other."""
+        from ..common import RexType
+
+        try:
+            cls = self._jexpr().getClass().getSimpleName()
+        except Exception:
+            return RexType.Other
+        if cls == "Literal":
+            return RexType.Literal
+        if cls in ("AttributeReference", "UnresolvedAttribute"):
+            return RexType.Reference
+        try:
+            if self._jexpr().children().size() > 0:
+                return RexType.Call
+        except Exception:
+            pass
+        return RexType.Other
+
+    def rex_call_operator(self) -> str:
+        """Operator/function name of a call expression (ref
+        rex_call_operator)."""
+        return self._jexpr().prettyName()
+
+    def rex_call_operands(self) -> list["Expr"]:
+        """Child expressions of a call (ref rex_call_operands)."""
+        j = self._jexpr()
+        kids = j.children()
+        out = []
+        for i in range(kids.size()):
+            sql = kids.apply(i).sql()
+            out.append(Expr(F.expr(sql)))
+        return out
+
+    def python_value(self) -> Any:
+        """Extract the Python value of a literal expression (ref
+        python_value; raises ValueError for non-literals)."""
+        j = self._jexpr()
+        if j.getClass().getSimpleName() != "Literal":
+            raise ValueError(f"not a literal expression: {self.expr}")
+        v = j.value()
+        if v is None:
+            return None
+        # UTF8String and friends stringify; py4j auto-converts primitives
+        return v if isinstance(v, (int, float, bool, bytes)) else str(v)
+
+    def variant_name(self) -> str:
+        """Name of the underlying expression variant (Catalyst class)."""
+        try:
+            return self._jexpr().getClass().getSimpleName()
+        except Exception:
+            return type(self.expr).__name__
+
+    def to_variant(self):
+        """The reference downcasts to a Rust expression variant; the
+        Spark analogue is the Catalyst expression, exposed here via the
+        introspection methods (variant_name / rex_*). Returns self."""
+        return self
+
+    def types(self):
+        """Resolved Spark data type of this expression when derivable
+        without a plan; None otherwise (ref types() returns DataTypeMap)."""
+        try:
+            return self._jexpr().dataType()
+        except Exception:
+            return None
+
+    # -- serialization (ref Expr.to_bytes/from_bytes, ipc shipping) -----------
+    def to_bytes(self, ctx=None) -> bytes:
+        """Serialize for shipping to another process: the expression's
+        canonical SQL form, version-stamped. Built-in functions travel
+        by name inside the SQL; UDFs must be registered on the receiving
+        session (see :mod:`..api.ipc`). Round-trip via
+        :meth:`from_bytes` / :func:`pickle.loads`."""
+        import json
+        import sys as _sys
+
+        try:
+            sql = self._jexpr().sql()
+        except Exception as exc:  # unresolved / exotic expressions
+            raise ValueError(f"expression is not serializable to SQL: {exc}") from exc
+        payload = {"v": 1, "py": list(_sys.version_info[:2]), "sql": sql}
+        return json.dumps(payload).encode()
+
+    @staticmethod
+    def from_bytes(data: bytes) -> "Expr":
+        """Reconstruct an expression serialized by :meth:`to_bytes`.
+        Resolves against the worker context installed via
+        :func:`..api.ipc.set_worker_ctx` when present (for UDF lookup),
+        else the active SparkSession."""
+        import json
+
+        payload = json.loads(data.decode())
+        if payload.get("v") != 1:
+            raise ValueError(f"unsupported expr payload version: {payload.get('v')}")
+        return Expr(F.expr(payload["sql"]))
+
+    def __reduce__(self):
+        return (Expr.from_bytes, (self.to_bytes(),))
 
 
 class SortExpr:

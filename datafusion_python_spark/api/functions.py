@@ -1403,3 +1403,51 @@ _REGISTRY = {k: v for k, v in list(globals().items()) if callable(v) and not k.s
 
 def function_names() -> list[str]:
     return sorted(_REGISTRY)
+
+
+# ---------------------------------------------------------------------------
+# Expr method forms (ref expr.py: the reference attaches method versions of
+# many scalar functions to Expr — `col("x").abs()`, `.sha256()`,
+# `.array_length()`, ... — so expression chains read left-to-right).
+# Delegate each to the module-level function; skip names Expr defines
+# itself (alias/filter/order_by/cast/... keep their builder semantics).
+_EXPR_METHOD_NAMES = [
+    "abs", "acos", "acosh", "array_dims", "array_distinct", "array_empty",
+    "array_length", "array_ndims", "array_pop_back", "array_pop_front",
+    "arrow_typeof", "ascii", "asin", "asinh", "atan", "atanh", "bit_length",
+    "btrim", "cardinality", "cbrt", "ceil", "char_length", "character_length",
+    "chr", "cos", "cosh", "cot", "degrees", "exp", "factorial", "flatten",
+    "floor", "from_unixtime", "initcap", "isnan", "iszero", "length",
+    "list_dims", "list_distinct", "list_length", "list_ndims", "ln", "log10",
+    "log2", "lower", "ltrim", "md5", "octet_length", "radians", "reverse",
+    "rtrim", "sha224", "sha256", "sha384", "sha512", "signum", "sin", "sinh",
+    "sqrt", "tan", "tanh", "to_hex", "trim", "upper",
+]
+_EXPR_METHOD_ALIASES = {
+    "empty": "array_empty",  # ref Expr.empty()
+    "is_nan": "isnan",
+}
+
+
+def _attach_expr_methods() -> None:
+    from .expr import Expr as _Expr
+
+    def make(fn, name):
+        def method(self, *args, **kwargs):
+            return fn(self, *args, **kwargs)
+
+        method.__name__ = name
+        method.__doc__ = f"Method form of ``functions.{fn.__name__}`` (ref Expr.{name})."
+        return method
+
+    for name in _EXPR_METHOD_NAMES:
+        fn = _REGISTRY.get(name)
+        if fn is not None and not hasattr(_Expr, name):
+            setattr(_Expr, name, make(fn, name))
+    for name, target in _EXPR_METHOD_ALIASES.items():
+        fn = _REGISTRY.get(target)
+        if fn is not None and not hasattr(_Expr, name):
+            setattr(_Expr, name, make(fn, name))
+
+
+_attach_expr_methods()

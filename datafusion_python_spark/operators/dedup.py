@@ -46,19 +46,52 @@ def _shingles(col, k: int):
     )
 
 
+def _shingle_hashes_from_words(words, k: int):
+    """64-bit hash per word k-shingle from a MATERIALIZED words column.
+
+    ``xxhash64(words[i], …, words[i+k-1])`` hashes the k words directly —
+    no shingle-string concat. ``words`` must be a staged attribute (not
+    the split expression itself): higher-order functions evaluate
+    interpreted with no common-subexpression elimination, so an inlined
+    split would re-run per element per lambda reference.
+    """
+    if k == 1:
+        return F.transform(words, lambda w: F.xxhash64(w))
+    n = F.size(words)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    return F.when(
+        n >= k,
+        F.transform(
+            idx,
+            lambda i: F.xxhash64(*[F.element_at(words, i + j) for j in range(k)]),
+        ),
+    ).otherwise(F.array(F.xxhash64(F.array_join(words, " "))))
+
+
 def minhash_signature(df: DataFrame, text_col: str, num_hashes: int = 32, shingle_k: int = 3) -> DataFrame:
     """Append a ``minhash`` array<bigint> column (one min per hash family).
 
-    Hash family i = xxhash64(shingle, seed=i) — evaluated entirely in
-    codegen via transform + array_min; cost O(num_hashes · shingles) per
-    row with zero shuffles.
+    Three staged projections: (1) the word array; (2) one 64-bit hash per
+    shingle (hash-native, no shingle strings); (3) family i = min over
+    shingles of xxhash64(h, i) — re-hashing a long per family instead of
+    re-hashing the text. The staging is load-bearing: HOFs run
+    interpreted with no subexpression elimination, and CollapseProject
+    refuses to duplicate non-cheap aliases, so each stage evaluates
+    exactly once per row. Zero shuffles.
     """
-    sh = _shingles(F.col(text_col), shingle_k)
+    w, tmp = "__mh_words", "__mh_shh"
+    staged = (
+        df.withColumn(
+            w, F.filter(F.split(_norm_text(F.col(text_col)), " "), lambda x: x != "")
+        )
+        .withColumn(tmp, _shingle_hashes_from_words(F.col(w), shingle_k))
+        .drop(w)
+    )
     sig = F.transform(
         F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda i: F.array_min(F.transform(sh, lambda s: F.xxhash64(s, i))),
+        lambda i: F.array_min(F.transform(F.col(tmp), lambda h: F.xxhash64(h, i))),
     )
-    return df.withColumn("minhash", sig)
+    return staged.withColumn("minhash", sig).drop(tmp)
 
 
 def lsh_candidate_pairs(
@@ -73,27 +106,13 @@ def lsh_candidate_pairs(
     self-joins within buckets — the classic banding construction; the
     shuffle is keyed on (band, hash) so only colliding docs ever meet.
     Output: distinct (id_a, id_b) with id_a < id_b.
+
+    The banded table is localCheckpoint-materialized before the
+    self-join: both join branches would otherwise recompute the whole
+    signature pipeline (at scale, stage the banded table once — this is
+    the single-cluster equivalent of writing it to a staging table).
     """
-    n = num_bands
-    banded = sig_df.select(
-        F.col(id_col),
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(n - 1)),
-                # hash of one contiguous band slice
-                lambda b: F.xxhash64(
-                    F.array_join(
-                        F.transform(
-                            F.slice(F.col(sig_col), b * (F.size(F.col(sig_col)) / n).cast("int") + 1,
-                                    (F.size(F.col(sig_col)) / n).cast("int")),
-                            lambda v: v.cast("string"),
-                        ),
-                        ",",
-                    )
-                ),
-            )
-        ).alias("band", "band_hash"),
-    )
+    banded = _banded(sig_df, id_col, num_bands, sig_col).localCheckpoint(eager=False)
     a = banded.select(F.col("band"), F.col("band_hash"), F.col(id_col).alias("id_a"))
     b = banded.select(F.col("band"), F.col("band_hash"), F.col(id_col).alias("id_b"))
     return (
@@ -111,17 +130,19 @@ def simhash(df: DataFrame, text_col: str, out_col: str = "simhash") -> DataFrame
     xxhash64(word); sign of the sum sets bit b. All codegen — the nested
     transform/aggregate stays JVM-side.
     """
+    # materialize word hashes once (own projection) — inlining them into
+    # the 64 bit-lambdas would re-split and re-hash the text 64× per row
     words = F.filter(F.split(_norm_text(F.col(text_col)), " "), lambda w: w != "")
-    hashes = F.transform(words, lambda w: F.xxhash64(w))
+    staged = df.withColumn("_sh_hashes", F.transform(words, lambda w: F.xxhash64(w)))
     sums = F.transform(
         F.sequence(F.lit(0), F.lit(63)),
         lambda b: F.aggregate(
-            hashes,
+            F.col("_sh_hashes"),
             F.lit(0),
             lambda acc, h: acc + F.when(F.getbit(h, b) == 1, 1).otherwise(-1),
         ),
     )
-    out = df.withColumn("_sh_sums", sums)
+    out = staged.withColumn("_sh_sums", sums).drop("_sh_hashes")
     sig = F.lit(0).cast("long")
     for i in range(64):
         # two's-complement literal for bit 63 (1<<63 overflows signed long)
@@ -162,6 +183,63 @@ def simhash_near_dups(df: DataFrame, id_col: str, sim_col: str = "simhash", max_
     hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
     return pairs.select("id_a", "id_b", hamming.alias("hamming")).filter(
         F.col("hamming") <= max_hamming
+    )
+
+
+def lsh_star_edges(
+    sig_df: DataFrame,
+    id_col: str,
+    num_bands: int = 8,
+    sig_col: str = "minhash",
+) -> DataFrame:
+    """LSH bucket edges in STAR form: (bucket_min_id, member_id).
+
+    For transitive dedup clustering, the all-pairs clique inside each LSH
+    bucket is wasteful — connecting every member to the bucket's minimum
+    id yields the SAME connected components with edges linear in bucket
+    size instead of quadratic. This is what survives a corpus where one
+    document has 10^5 near-copies (the all-pairs join is O(10^10) there).
+    One shuffle keyed on (band, band_hash), then a map-side min-join.
+    Use :func:`lsh_candidate_pairs` when per-pair scores (verify step)
+    are needed; use this for clustering. The banded table is
+    localCheckpoint-materialized so the mins/members branches share one
+    signature computation.
+    """
+    banded = _banded(sig_df, id_col, num_bands, sig_col).localCheckpoint(eager=False)
+    mins = banded.groupBy("band", "band_hash").agg(
+        F.min(id_col).alias("id_a"), F.count("*").alias("_sz")
+    )
+    return (
+        banded.join(mins.filter(F.col("_sz") > 1), ["band", "band_hash"])
+        .filter(F.col(id_col) != F.col("id_a"))
+        .select("id_a", F.col(id_col).alias("id_b"))
+        .distinct()
+    )
+
+
+def _banded(sig_df: DataFrame, id_col: str, num_bands: int, sig_col: str) -> DataFrame:
+    """(id, band, band_hash) rows — shared by pair and star constructions."""
+    n = num_bands
+    return sig_df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n - 1)),
+                lambda b: F.xxhash64(
+                    F.array_join(
+                        F.transform(
+                            F.slice(
+                                F.col(sig_col),
+                                b * (F.size(F.col(sig_col)) / n).cast("int") + 1,
+                                (F.size(F.col(sig_col)) / n).cast("int"),
+                            ),
+                            lambda v: v.cast("string"),
+                        ),
+                        ",",
+                    )
+                ),
+            )
+        ).alias("band", "band_hash"),
     )
 
 

@@ -55,7 +55,11 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     stopword floor) express directly over these columns.
     """
     c = F.col(text_col)
-    words = _words(c)
+    # stage the word array once: HOFs evaluate interpreted with no
+    # common-subexpression elimination, so an inlined split would re-run
+    # per reference (n_words / stopword filter / length fold)
+    staged = df.withColumn("__qf_words", _words(c))
+    words = F.col("__qf_words")
     n_words = F.size(words)
     n_chars = F.length(c)
     en_stop = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
@@ -63,11 +67,12 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     n_punct = n_chars - F.length(F.regexp_replace(c, r"[^\p{L}\p{N}\s]", ""))
     avg_wlen = F.when(n_words > 0, (F.aggregate(words, F.lit(0), lambda a, w: a + F.length(w)) / n_words)).otherwise(0.0)
     return (
-        df.withColumn("n_words", n_words.cast("long"))
+        staged.withColumn("n_words", n_words.cast("long"))
         .withColumn("n_chars_m", n_chars.cast("long"))
         .withColumn("punct_ratio", F.round(n_punct / F.greatest(n_chars, F.lit(1)), 4))
         .withColumn("stopword_ratio", F.round(n_stop / F.greatest(n_words, F.lit(1)), 4))
         .withColumn("avg_word_len", F.round(avg_wlen, 4))
+        .drop("__qf_words")
     )
 
 
@@ -78,7 +83,9 @@ def language_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred
     that language's stopword list) and picks the max via a sorted-struct
     trick — ties break lexicographically, fully deterministic.
     """
-    words = _words(F.col(text_col))
+    # staged words: one split per row, not one per language filter
+    staged = df.withColumn("__li_words", _words(F.col(text_col)))
+    words = F.col("__li_words")
     n = F.greatest(F.size(words), F.lit(1))
     scored = []
     for lang, stops in sorted(STOPWORDS.items()):
@@ -86,8 +93,10 @@ def language_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred
         score = F.size(F.filter(words, lambda w: F.array_contains(arr, w))) / n
         scored.append(F.struct(score.alias("score"), F.lit(lang).alias("lang")))
     best = F.reverse(F.array_sort(F.array(*scored)))[0]
-    return df.withColumn(out_col, best["lang"]).withColumn(
-        f"{out_col}_score", F.round(best["score"], 4)
+    return (
+        staged.withColumn(out_col, best["lang"])
+        .withColumn(f"{out_col}_score", F.round(best["score"], 4))
+        .drop("__li_words")
     )
 
 
@@ -102,25 +111,33 @@ def repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     JVM-side array math per row (split → slice/zip_with → array_distinct);
     no shuffle, no UDF, scales as a map-only stage.
     """
-    words = _words(F.col(text_col))
+    # stage words, then bigrams, so each array is built once per row
+    # (HOFs are interpreted — inlined subexpressions re-run per reference)
+    staged = df.withColumn("__rf_words", _words(F.col(text_col)))
+    words = F.col("__rf_words")
     n_w = F.size(words)
     dup_w = F.when(
         n_w > 0, 1.0 - F.size(F.array_distinct(words)) / n_w
     ).otherwise(0.0)
     # bigrams: zip each word with its successor (length max(n-1, 0))
     m = F.greatest(n_w - 1, F.lit(0))
-    bigrams = F.zip_with(
-        F.slice(words, 1, m),
-        F.slice(words, 2, m),
-        lambda a, b: F.concat(a, F.lit("_"), b),
+    staged = staged.withColumn(
+        "__rf_bigrams",
+        F.zip_with(
+            F.slice(words, 1, m),
+            F.slice(words, 2, m),
+            lambda a, b: F.concat(a, F.lit("_"), b),
+        ),
     )
+    bigrams = F.col("__rf_bigrams")
     n_b = F.size(bigrams)
     dup_b = F.when(
         n_b > 0, 1.0 - F.size(F.array_distinct(bigrams)) / n_b
     ).otherwise(0.0)
     return (
-        df.withColumn("dup_word_frac", F.round(dup_w, 4))
+        staged.withColumn("dup_word_frac", F.round(dup_w, 4))
         .withColumn("dup_2gram_frac", F.round(dup_b, 4))
+        .drop("__rf_words", "__rf_bigrams")
     )
 
 

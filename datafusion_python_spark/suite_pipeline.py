@@ -456,10 +456,13 @@ FROM feats GROUP BY source ORDER BY source
 # exact-Jaccard + recursive-CTE pair is the oracle-backed twin).
 def pipe_minhash_cluster(spark, sf_dir):
     from .operators.cluster import dedup_clusters
+    from .operators.dedup import lsh_star_edges
 
     docs = _t(spark, sf_dir, "documents")
     sig = minhash_signature(docs, "text", num_hashes=32, shingle_k=1)
-    pairs = lsh_candidate_pairs(sig, "doc_id", num_bands=8)
+    # star edges (bucket-min → member): identical connected components to
+    # the all-pairs bucket clique, linear instead of quadratic per bucket
+    pairs = lsh_star_edges(sig, "doc_id", num_bands=8)
     clustered = dedup_clusters(docs, pairs)
     survived = F.sum(
         F.when(F.col("doc_id") == F.col("cluster_id"), 1).otherwise(0)

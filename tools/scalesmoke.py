@@ -80,6 +80,65 @@ def main() -> None:
     # high-cardinality distinct
     timed("distinct-shape", li.select("l_orderkey").distinct().groupBy().count())
 
+    # ---- corpus operators at 20× documents (~100k docs) --------------------
+    # replicate documents with unique ids; each base doc becomes `factor`
+    # EXACT copies, so the dedup path must find ~n_base clusters.
+    docs_out = f"{out}/documents.parquet"
+    if not os.path.exists(docs_out):
+        docs = load_table(spark, base, "documents")
+        doc_stride = docs.agg(F.max("doc_id")).first()[0] + 1
+        reps = F.explode(F.sequence(F.lit(0), F.lit(factor - 1))).alias("rep")
+        docs.select("*", reps).withColumn(
+            "doc_id", F.col("doc_id") + F.col("rep") * F.lit(doc_stride)
+        ).drop("rep").write.mode("overwrite").parquet(docs_out)
+
+    big_docs = spark.read.parquet(docs_out)
+    n_docs = big_docs.count()
+    print(f"rows: documents={n_docs:,}")
+
+    from datafusion_python_spark.operators.cluster import dedup_clusters
+    from datafusion_python_spark.operators.dedup import (
+        lsh_star_edges,
+        minhash_signature,
+    )
+    from datafusion_python_spark.operators.sampling import (
+        domain_cap,
+        hash_sample,
+        token_pack,
+    )
+    from datafusion_python_spark.operators.text import repetition_features, token_count
+
+    timed(
+        "quality+repetition",
+        repetition_features(big_docs).select(
+            "doc_id", "dup_word_frac", "dup_2gram_frac"
+        ),
+    )
+    timed("hash-sample", hash_sample(big_docs, "doc_id", 0.1))
+    timed("domain-cap", domain_cap(big_docs, "source", 50))
+    timed(
+        "token-pack",
+        token_pack(
+            big_docs.withColumn("tokens", token_count(F.col("text"))),
+            "tokens",
+            2048,
+            group_col="source",
+        ),
+    )
+    # full scale-path dedup: signatures → LSH → connected components.
+    # 3-word shingles so near-dup = shared phrases; the replicated corpus
+    # holds `factor` exact copies of each base doc, so expect ≈ n_base
+    # clusters out.
+    t0 = time.perf_counter()
+    sig = minhash_signature(big_docs, "text", num_hashes=32, shingle_k=3)
+    pairs = lsh_star_edges(sig, "doc_id", num_bands=8)
+    clustered = dedup_clusters(big_docs, pairs)
+    n_clusters = clustered.select("cluster_id").distinct().count()
+    print(
+        f"minhash-cluster: {time.perf_counter() - t0:.2f}s "
+        f"({n_docs:,} docs -> {n_clusters:,} clusters)"
+    )
+
 
 if __name__ == "__main__":
     main()
