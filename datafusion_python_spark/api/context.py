@@ -199,7 +199,10 @@ class SessionContext:
         the live SparkContext — see sources/object_store.py."""
         from ..sources.object_store import apply_store
 
-        apply_store(self.spark, store)
+        applied = apply_store(self.spark, store)
+        if not hasattr(self, "_object_store_keys"):
+            self._object_store_keys: set[str] = set()
+        self._object_store_keys.update(applied)
 
     def sql_with_options(self, query: str, options: SQLOptions) -> DataFrame:
         return self.sql(query, options=options)
@@ -529,6 +532,200 @@ class SessionContext:
     def udtfs(self) -> list[str]:
         """Sorted names of registered table UDFs."""
         return sorted(self._udf_registry("udtf"))
+
+    # -- arrow/batch/table ingestion (ref context.py:973-1035, 1297, 2025) --------------
+    def read_arrow(self, data, name: str | None = None) -> DataFrame:
+        """Create a DataFrame from any Arrow-protocol object (ref
+        read_arrow) — alias of :meth:`from_arrow`."""
+        return self.from_arrow(data, name)
+
+    def register_arrow(self, name: str, data) -> None:
+        self.from_arrow(data, name)
+
+    def read_batch(self, batch) -> DataFrame:
+        import pyarrow as pa
+
+        return self.from_arrow(pa.Table.from_batches([batch]))
+
+    def read_batches(self, batches) -> DataFrame:
+        import pyarrow as pa
+
+        return self.from_arrow(pa.Table.from_batches(list(batches)))
+
+    def register_batch(self, name: str, batch) -> None:
+        import pyarrow as pa
+
+        self.from_arrow(pa.Table.from_batches([batch]), name)
+
+    def read_table(self, table) -> DataFrame:
+        """DataFrame from a Table / DataFrame / pyarrow object (ref
+        read_table)."""
+        if isinstance(table, DataFrame):
+            return table
+        inner = getattr(table, "df", None)  # catalog.Table wraps a Spark DF
+        if inner is not None:
+            return DataFrame(getattr(inner, "df", inner))
+        if hasattr(table, "createOrReplaceTempView"):  # bare Spark DF
+            return DataFrame(table)
+        return self.from_arrow(table)
+
+    def from_polars(self, data, name: str | None = None) -> DataFrame:
+        """DataFrame from a polars DataFrame via Arrow (ref from_polars)."""
+        try:
+            data = data.to_arrow()
+        except AttributeError as exc:
+            raise TypeError("from_polars expects a polars DataFrame") from exc
+        return self.from_arrow(data, name)
+
+    def register_table_provider(self, name: str, provider) -> None:
+        """Deprecated alias of :meth:`register_table` accepting the wider
+        provider union (ref register_table_provider)."""
+        if isinstance(provider, DataFrame) or hasattr(provider, "createOrReplaceTempView"):
+            self.register_table(name, provider if isinstance(provider, DataFrame) else DataFrame(provider))
+            return
+        self.read_table(provider).df.createOrReplaceTempView(name)
+
+    def table_provider(self, name: str):
+        """The registered table for ``name`` (ref table_provider)."""
+        return self.table(name)
+
+    def register_table_factory(self, format: str, factory) -> None:
+        """Track a :class:`TableProviderFactory` for ``STORED AS format``
+        DDL (ref register_table_factory). Spark's DDL path uses
+        ``CREATE TABLE ... USING <format>`` with DataSourceV2 providers;
+        registered factories are kept for lookup so Python-side tooling
+        can dispatch on format."""
+        if not hasattr(self, "_table_factories"):
+            self._table_factories: dict[str, Any] = {}
+        self._table_factories[format] = factory
+
+    def register_catalog_provider_list(self, provider) -> None:
+        """Register every catalog of a CatalogProviderList (ref
+        register_catalog_provider_list)."""
+        for cname in provider.catalog_names():
+            self.register_catalog_provider(cname, provider.catalog(cname))
+
+    # -- session metadata (ref context.py:1609-1660) ------------------------------------
+    def session_id(self) -> str:
+        if not hasattr(self, "_session_id"):
+            import uuid
+
+            self._session_id = str(uuid.uuid4())
+        return self._session_id
+
+    def session_start_time(self) -> str:
+        """Session start as RFC 3339 (ref session_start_time) — Spark's
+        application start time."""
+        import datetime
+
+        ms = self.spark.sparkContext.startTime
+        dt = datetime.datetime.fromtimestamp(ms / 1000, tz=datetime.timezone.utc)
+        return dt.isoformat()
+
+    def enable_ident_normalization(self) -> bool:
+        """True when identifiers are lowercased/case-insensitive (ref
+        enable_ident_normalization) — the inverse of Spark's
+        spark.sql.caseSensitive."""
+        return self.spark.conf.get("spark.sql.caseSensitive", "false") == "false"
+
+    def copied_config(self):
+        """Independent copy of the active SessionConfig (ref
+        copied_config)."""
+        from .config import SessionConfig
+
+        cfg = SessionConfig()
+        cfg.settings = dict(getattr(getattr(self, "config", None), "settings", {}) or {})
+        return cfg
+
+    @staticmethod
+    def parse_capacity_limit(config_name: str, limit: str) -> int:
+        """Parse "512K"/"100M"/"1.5G" into bytes (ref parse_capacity_limit)."""
+        s = limit.strip()
+        units = {"K": 1 << 10, "M": 1 << 20, "G": 1 << 30, "T": 1 << 40}
+        try:
+            if s and s[-1].upper() in units:
+                return int(float(s[:-1]) * units[s[-1].upper()])
+            return int(s)
+        except ValueError as exc:
+            raise ValueError(f"invalid capacity limit for {config_name}: {limit!r}") from exc
+
+    def refresh_catalogs(self) -> None:
+        """Re-scan registered catalog providers (ref refresh_catalogs).
+        Spark's built-in catalog resolves lazily, so only provider-backed
+        views need re-materializing."""
+        for cname in self.catalog_provider_names():
+            self.materialize_provider_tables(cname)
+
+    @classmethod
+    def global_ctx(cls) -> "SessionContext":
+        """Process-wide shared context (ref global_ctx)."""
+        if not hasattr(cls, "_global_ctx"):
+            cls._global_ctx = cls()
+        return cls._global_ctx
+
+    # -- plan execution (ref context.py:801, 1689; plans wrap DataFrames) ---------------
+    def create_dataframe_from_logical_plan(self, plan) -> DataFrame:
+        df = getattr(plan, "_df", plan)
+        return df if isinstance(df, DataFrame) else DataFrame(getattr(df, "df", df))
+
+    def execute_logical_plan(self, plan) -> DataFrame:
+        return self.create_dataframe_from_logical_plan(plan)
+
+    def execute(self, plan, partitions: int | None = None):
+        """Execute a plan → RecordBatchStream (ref execute). ``partitions``
+        repartitions the output (the reference executes one stream per
+        target partition)."""
+        df = self.create_dataframe_from_logical_plan(plan)
+        sdf = df.df.repartition(partitions) if partitions else df.df
+        return DataFrame(sdf).execute_stream()
+
+    def deregister_object_store(self, schema: str, host: str | None = None) -> None:
+        """Remove credentials/config registered for an object-store scheme
+        (ref object_store deregistration)."""
+        conf = self.spark.sparkContext._jsc.hadoopConfiguration()
+        prefix = f"fs.{schema}"
+        for key in list(getattr(self, "_object_store_keys", [])):
+            if key.startswith(prefix):
+                conf.unset(key)
+                self._object_store_keys.discard(key)
+
+    # -- engine-internal extension points: explicit unsupported (SURVEY §3.3 policy) ----
+    def with_logical_extension_codec(self, codec) -> "SessionContext":
+        raise NotImplementedError(
+            "extension codecs are DataFusion-internal plan-serialization hooks; "
+            "Spark plans serialize via the JVM — no mapping exists"
+        )
+
+    def with_physical_extension_codec(self, codec) -> "SessionContext":
+        raise NotImplementedError(
+            "extension codecs are DataFusion-internal plan-serialization hooks; "
+            "Spark plans serialize via the JVM — no mapping exists"
+        )
+
+    def with_python_udf_inlining(self, *, enabled: bool = True) -> "SessionContext":
+        """Spark always ships Python UDFs by value (cloudpickle) to
+        executors — the reference's inlining toggle is therefore always-on;
+        kept for source compatibility."""
+        return self
+
+    def add_physical_optimizer_rule(self, rule) -> None:
+        raise NotImplementedError(
+            "physical optimizer rules are engine-internal; on Spark use "
+            "SparkSessionExtensions (injectOptimizerRule) configured at "
+            "session build time via spark.sql.extensions"
+        )
+
+    def remove_optimizer_rule(self, name: str) -> bool:
+        raise NotImplementedError(
+            "optimizer-rule removal is engine-internal; on Spark use "
+            "spark.sql.optimizer.excludedRules to disable built-in rules"
+        )
+
+    def enable_spark_functions(self) -> None:
+        """The reference loads a Spark-compat function package into its
+        registry; here the engine IS Spark, so every function is already
+        native. No-op for source compatibility."""
+        return None
 
     # -- helpers ------------------------------------------------------------------------
     @staticmethod

@@ -123,6 +123,24 @@ def _e(c: Column) -> "Expr":
     return Expr(c)
 
 
+def _active_jvm():
+    """The live py4j JVM gateway — prefers the ipc worker context's
+    session, else the active/default SparkSession."""
+    from .ipc import get_worker_ctx
+
+    ctx = get_worker_ctx()
+    spark = getattr(ctx, "spark", None)
+    if spark is None:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.getActiveSession()
+    if spark is None:
+        from ..session import get_spark
+
+        spark = get_spark()
+    return spark._jvm
+
+
 class Expr:
     """Expression wrapper (ref expr.py:449)."""
 
@@ -337,136 +355,153 @@ class Expr:
         return Expr.literal(str(value))
 
     # -- introspection (ref Expr.column_name/canonical_name/schema_name) ------
-    def _jexpr(self):
-        return self.expr._jc.expr()
+    # Spark 4's Column wraps a ColumnNode (Literal / UnresolvedAttribute /
+    # UnresolvedFunction / Alias ...) — the classic-mode analogue of the
+    # reference's Rust Expr variants.
+    def _jnode(self):
+        return self.expr._jc.node()
 
     def column_name(self, plan=None) -> str:
         """Output column name of this expression (the name a projection
         would produce). ``plan`` is accepted for reference signature
         compatibility; Spark resolves names from the expression itself."""
         try:
-            j = self._jexpr()
-            # NamedExpression (alias / attribute) has .name()
-            return j.name()
+            n = self._jnode()
+            if n.getClass().getSimpleName() == "Alias":
+                return n.sql().rsplit(" AS ", 1)[-1]
+            return n.sql()
         except Exception:
-            try:
-                return self._jexpr().sql()
-            except Exception:
-                return str(self.expr)
+            return str(self.expr)
 
     def schema_name(self) -> str:
         """Name of this expression as it appears in a schema (ref
-        expr.py schema_name — Spark's canonical SQL form)."""
+        expr.py schema_name — the node's SQL form)."""
         try:
-            return self._jexpr().sql()
+            return self._jnode().sql()
         except Exception:
             return str(self.expr)
 
     def canonical_name(self) -> str:
-        """Canonicalized form of the expression (stable across
-        cosmetic variations — Spark's Expression.canonicalized)."""
+        """Canonical form of the expression (ref canonical_name — the
+        node's normalized display)."""
         try:
-            return self._jexpr().canonicalized().toString()
+            return self._jnode().normalized().toString()
         except Exception:
-            return str(self.expr)
+            try:
+                return self._jnode().sql()
+            except Exception:
+                return str(self.expr)
 
     def rex_type(self):
         """Coarse expression kind (ref RexType): Literal, Reference
-        (column), Call (function/operator), or Other."""
+        (column), Alias, Call (function/operator), or Other."""
         from ..common import RexType
 
         try:
-            cls = self._jexpr().getClass().getSimpleName()
+            cls = self._jnode().getClass().getSimpleName()
         except Exception:
             return RexType.Other
-        if cls == "Literal":
-            return RexType.Literal
-        if cls in ("AttributeReference", "UnresolvedAttribute"):
-            return RexType.Reference
-        try:
-            if self._jexpr().children().size() > 0:
-                return RexType.Call
-        except Exception:
-            pass
-        return RexType.Other
+        return {
+            "Literal": RexType.Literal,
+            "UnresolvedAttribute": RexType.Reference,
+            "Alias": RexType.Alias,
+            "UnresolvedFunction": RexType.Call,
+            "CaseWhenOtherwise": RexType.Call,
+            "Cast": RexType.Call,
+            "SortOrder": RexType.Other,
+        }.get(cls, RexType.Other)
 
     def rex_call_operator(self) -> str:
         """Operator/function name of a call expression (ref
         rex_call_operator)."""
-        return self._jexpr().prettyName()
+        n = self._jnode()
+        if n.getClass().getSimpleName() != "UnresolvedFunction":
+            raise ValueError(f"not a function call: {self.expr}")
+        return n.functionName()
 
     def rex_call_operands(self) -> list["Expr"]:
         """Child expressions of a call (ref rex_call_operands)."""
-        j = self._jexpr()
-        kids = j.children()
+        from pyspark.sql.column import Column as _SparkColumn
+
+        n = self._jnode()
+        if n.getClass().getSimpleName() != "UnresolvedFunction":
+            raise ValueError(f"not a function call: {self.expr}")
+        jvm = _active_jvm()
+        args = n.arguments()
         out = []
-        for i in range(kids.size()):
-            sql = kids.apply(i).sql()
-            out.append(Expr(F.expr(sql)))
+        for i in range(args.size()):
+            out.append(Expr(_SparkColumn(jvm.org.apache.spark.sql.Column(args.apply(i)))))
         return out
 
     def python_value(self) -> Any:
         """Extract the Python value of a literal expression (ref
         python_value; raises ValueError for non-literals)."""
-        j = self._jexpr()
-        if j.getClass().getSimpleName() != "Literal":
+        n = self._jnode()
+        if n.getClass().getSimpleName() != "Literal":
             raise ValueError(f"not a literal expression: {self.expr}")
-        v = j.value()
-        if v is None:
-            return None
-        # UTF8String and friends stringify; py4j auto-converts primitives
-        return v if isinstance(v, (int, float, bool, bytes)) else str(v)
+        return n.value()
 
     def variant_name(self) -> str:
-        """Name of the underlying expression variant (Catalyst class)."""
+        """Name of the underlying expression variant (ColumnNode class)."""
         try:
-            return self._jexpr().getClass().getSimpleName()
+            return self._jnode().getClass().getSimpleName()
         except Exception:
             return type(self.expr).__name__
 
     def to_variant(self):
         """The reference downcasts to a Rust expression variant; the
-        Spark analogue is the Catalyst expression, exposed here via the
-        introspection methods (variant_name / rex_*). Returns self."""
+        Spark analogue is the ColumnNode, exposed via the introspection
+        methods (variant_name / rex_*). Returns self."""
         return self
 
     def types(self):
-        """Resolved Spark data type of this expression when derivable
-        without a plan; None otherwise (ref types() returns DataTypeMap)."""
+        """Data type of this expression when derivable without a plan
+        (literals); None otherwise (ref types() returns DataTypeMap)."""
         try:
-            return self._jexpr().dataType()
+            n = self._jnode()
+            if n.getClass().getSimpleName() == "Literal":
+                return n.dataType()
         except Exception:
-            return None
+            pass
+        return None
 
     # -- serialization (ref Expr.to_bytes/from_bytes, ipc shipping) -----------
     def to_bytes(self, ctx=None) -> bytes:
-        """Serialize for shipping to another process: the expression's
-        canonical SQL form, version-stamped. Built-in functions travel
-        by name inside the SQL; UDFs must be registered on the receiving
-        session (see :mod:`..api.ipc`). Round-trip via
-        :meth:`from_bytes` / :func:`pickle.loads`."""
+        """Serialize for shipping to another process: JVM-serialized
+        ColumnNode, version- and Python-version-stamped (full fidelity —
+        operators, functions, literals; UDF references must be
+        resolvable on the receiving session, see :mod:`.ipc`).
+        Round-trip via :meth:`from_bytes` / pickle."""
+        import base64
         import json
         import sys as _sys
 
-        try:
-            sql = self._jexpr().sql()
-        except Exception as exc:  # unresolved / exotic expressions
-            raise ValueError(f"expression is not serializable to SQL: {exc}") from exc
-        payload = {"v": 1, "py": list(_sys.version_info[:2]), "sql": sql}
+        jvm = _active_jvm()
+        raw = bytes(jvm.org.apache.spark.util.Utils.serialize(self._jnode()))
+        payload = {
+            "v": 2,
+            "py": list(_sys.version_info[:2]),
+            "node": base64.b64encode(raw).decode(),
+        }
         return json.dumps(payload).encode()
 
     @staticmethod
     def from_bytes(data: bytes) -> "Expr":
-        """Reconstruct an expression serialized by :meth:`to_bytes`.
-        Resolves against the worker context installed via
-        :func:`..api.ipc.set_worker_ctx` when present (for UDF lookup),
-        else the active SparkSession."""
+        """Reconstruct an expression serialized by :meth:`to_bytes` on
+        the receiving session (see :func:`..api.ipc.set_worker_ctx`)."""
+        import base64
         import json
 
+        from pyspark.sql.column import Column as _SparkColumn
+
         payload = json.loads(data.decode())
-        if payload.get("v") != 1:
+        if payload.get("v") != 2:
             raise ValueError(f"unsupported expr payload version: {payload.get('v')}")
-        return Expr(F.expr(payload["sql"]))
+        jvm = _active_jvm()
+        node = jvm.org.apache.spark.util.Utils.deserialize(
+            base64.b64decode(payload["node"])
+        )
+        return Expr(_SparkColumn(jvm.org.apache.spark.sql.Column(node)))
 
     def __reduce__(self):
         return (Expr.from_bytes, (self.to_bytes(),))

@@ -13,6 +13,20 @@ from __future__ import annotations
 from enum import Enum
 
 
+class RexType(Enum):
+    """Coarse expression kind (ref common.py RexType — row-expression
+    taxonomy used by Expr.rex_type): a literal value, a column
+    reference, an alias, a function/operator call, a scalar subquery,
+    or other."""
+
+    Alias = "alias"
+    Literal = "literal"
+    Call = "call"
+    Reference = "reference"
+    ScalarSubquery = "scalar_subquery"
+    Other = "other"
+
+
 class NullTreatment(Enum):
     """How aggregate/window functions treat nulls (ref common.py:59)."""
 
