@@ -16,7 +16,8 @@ the ``read_*`` convenience functions.
 
 from . import common
 from .api import catalog, substrait
-from .api import ipc, options
+from .api import dataframe_formatter, ipc, options
+from .api.dataframe_formatter import DataFrameHtmlFormatter
 from .api import expr as expr
 from .api import functions as functions
 from .api import spark_functions
@@ -98,17 +99,15 @@ def read_avro(path, *args, **kwargs) -> DataFrame:
     return _default_ctx().read_avro(path, *args, **kwargs)
 
 
-_FORMATTER_OPTIONS: dict = {}
-
-
 def configure_formatter(**kwargs) -> None:
-    """ref dataframe_formatter: record display options (max rows etc.);
-    applied to Spark's show/repr settings where equivalents exist."""
-    _FORMATTER_OPTIONS.update(kwargs)
-    ctx = _default_ctx()
-    if "max_rows" in kwargs:
+    """Configure DataFrame display (ref dataframe_formatter
+    configure_formatter): installs a freshly-built formatter and mirrors
+    max_rows into Spark's repl eager-eval setting."""
+    dataframe_formatter.configure_formatter(**kwargs)
+    if "max_rows" in kwargs or "repr_rows" in kwargs:
         try:
-            ctx.spark.conf.set("spark.sql.repl.eagerEval.maxNumRows", str(kwargs["max_rows"]))
+            n = kwargs.get("max_rows", kwargs.get("repr_rows"))
+            _default_ctx().spark.conf.set("spark.sql.repl.eagerEval.maxNumRows", str(n))
         except Exception:
             pass
 

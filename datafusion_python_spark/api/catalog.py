@@ -45,6 +45,19 @@ class Table:
                 return "view" if t.tableType in ("TEMPORARY", "VIEW") else "table"
         return "table"
 
+    @staticmethod
+    def from_dataset(dataset) -> "Table":
+        """Table over a pyarrow dataset (ref catalog.py Table.from_dataset):
+        file-backed parquet datasets register through Spark's native
+        reader (pushdown-capable), others via Arrow materialization."""
+        from ..session import get_spark
+        from .context import SessionContext
+
+        ctx = SessionContext.global_ctx()
+        name = f"__dataset_{id(dataset)}"
+        ctx.register_dataset(name, dataset)
+        return Table(get_spark(), name)
+
     def __repr__(self) -> str:
         return f"Table({self.qualified_name})"
 
@@ -70,6 +83,14 @@ class Schema:
 
     def deregister_table(self, name: str) -> None:
         self._spark.catalog.dropTempView(name)
+
+    def table_exist(self, name: str) -> bool:
+        return name in self.names()
+
+    @staticmethod
+    def memory_schema() -> "InMemorySchemaProvider":
+        """A fresh in-memory schema (ref catalog.py Schema.memory_schema)."""
+        return InMemorySchemaProvider()
 
     def __repr__(self) -> str:
         return f"Schema({self.name})"
@@ -98,6 +119,22 @@ class SchemaProvider:
 
     def deregister_table(self, name: str, cascade: bool = False) -> None:  # optional
         raise NotImplementedError("this schema provider is read-only")
+
+
+class CatalogProviderList:
+    """Python catalog-provider-list contract (ref catalog.py:255-275):
+    subclass and implement catalog_names/catalog; register_catalog is
+    optional. Consumed by
+    ``SessionContext.register_catalog_provider_list``."""
+
+    def catalog_names(self) -> set[str]:
+        raise NotImplementedError
+
+    def catalog(self, name: str):
+        raise NotImplementedError
+
+    def register_catalog(self, name: str, catalog) -> None:  # optional
+        raise NotImplementedError("this catalog list is read-only")
 
 
 class TableProviderFactory:
@@ -231,6 +268,31 @@ class Catalog:
         return Schema(self._spark, name)
 
     database = schema
+
+    def register_schema(self, name: str, schema) -> None:
+        """Attach a schema provider as a database (ref catalog.py
+        Catalog.register_schema): Spark's session catalog has no pluggable
+        database hook, so provider tables materialize as
+        ``<name>__<table>`` temp views."""
+        for tname in schema.table_names():
+            tbl = schema.table(tname)
+            sdf = getattr(tbl, "df", tbl)
+            if not hasattr(sdf, "createOrReplaceTempView"):
+                from .context import SessionContext
+
+                sdf = SessionContext.global_ctx().from_arrow(sdf).df
+            sdf.createOrReplaceTempView(f"{name}__{tname}")
+
+    def deregister_schema(self, name: str, cascade: bool = True) -> None:
+        """Remove the views registered by :meth:`register_schema`."""
+        for t in self._spark.catalog.listTables():
+            if t.name.startswith(f"{name}__"):
+                self._spark.catalog.dropTempView(t.name)
+
+    @staticmethod
+    def memory_catalog() -> "InMemoryCatalogProvider":
+        """A fresh in-memory catalog (ref catalog.py Catalog.memory_catalog)."""
+        return InMemoryCatalogProvider()
 
     def __repr__(self) -> str:
         return f"Catalog({self.name})"

@@ -42,8 +42,100 @@ class LogicalPlan:
             "the pyspark DataFrame's queryExecution via df.df"
         )
 
+    def display_graphviz(self) -> str:
+        """DOT-format rendering of the logical operator tree (ref
+        plan.py display_graphviz) — derived from the indent display."""
+        return _tree_to_dot(self.display(), "LogicalPlan")
+
+    def inputs(self) -> list["LogicalPlan"]:
+        """Child plans (ref plan.py inputs). Catalyst children are
+        display-only views — they wrap the same DataFrame but print the
+        subtree."""
+        sdf = getattr(self._df, "df", self._df)
+        jplan = sdf._jdf.queryExecution().logical()
+        kids = jplan.children()
+        out = []
+        for i in range(kids.size()):
+            out.append(_JPlanView(kids.apply(i)))
+        return out
+
+    def to_bytes(self) -> bytes:
+        """JVM-serialized logical plan (ref LogicalPlan.to_bytes; the
+        reference uses substrait protobuf — Spark's portable form is JVM
+        serialization, restorable in-process via from_bytes)."""
+        sdf = getattr(self._df, "df", self._df)
+        jvm = sdf.sparkSession._jvm
+        return bytes(jvm.org.apache.spark.util.Utils.serialize(
+            sdf._jdf.queryExecution().logical()
+        ))
+
+    @staticmethod
+    def from_bytes(data: bytes) -> "LogicalPlan":
+        from ..session import get_spark
+
+        spark = get_spark()
+        jvm = spark._jvm
+        jplan = jvm.org.apache.spark.util.Utils.deserialize(data)
+        jdf = jvm.org.apache.spark.sql.classic.Dataset.ofRows(
+            spark._jsparkSession, jplan
+        )
+        from pyspark.sql import DataFrame as SparkDF
+
+        return LogicalPlan(SparkDF(jdf, spark))
+
+    def to_proto(self) -> bytes:
+        raise NotImplementedError(
+            "protobuf plan encoding is DataFusion-internal (datafusion-proto); "
+            "use to_bytes (JVM serialization) or substrait tooling"
+        )
+
+    @staticmethod
+    def from_proto(ctx, data: bytes) -> "LogicalPlan":
+        raise NotImplementedError(
+            "protobuf plan decoding is DataFusion-internal (datafusion-proto); "
+            "use from_bytes (JVM serialization)"
+        )
+
     def __repr__(self) -> str:
         return self.display()
+
+
+class _JPlanView(LogicalPlan):
+    """Display-only view over a raw Catalyst plan node (no DataFrame)."""
+
+    def __init__(self, jplan) -> None:  # noqa: super-init-not-called
+        self._jplan = jplan
+        self._df = None
+
+    def display(self) -> str:
+        return self._jplan.toString()
+
+    def optimized(self) -> str:
+        return self.display()
+
+    def inputs(self) -> list["LogicalPlan"]:
+        kids = self._jplan.children()
+        return [_JPlanView(kids.apply(i)) for i in range(kids.size())]
+
+    def to_bytes(self) -> bytes:
+        raise NotImplementedError("serialize the root plan, not a subtree view")
+
+
+def _tree_to_dot(tree: str, label: str) -> str:
+    """Convert an indent-style plan string into DOT digraph text."""
+    lines = [ln for ln in tree.splitlines() if ln.strip()]
+    nodes, edges, stack = [], [], []  # stack of (depth, node_id)
+    for i, ln in enumerate(lines):
+        depth = (len(ln) - len(ln.lstrip(" :+-"))) // 2
+        name = ln.strip(" :+-").replace('"', "'")
+        nodes.append(f'  n{i} [label="{name[:80]}"];')
+        while stack and stack[-1][0] >= depth:
+            stack.pop()
+        if stack:
+            edges.append(f"  n{stack[-1][1]} -> n{i};")
+        stack.append((depth, i))
+    body = "\n".join(nodes + edges)
+    return f'digraph "{label}" {{\n{body}\n}}'
 
 
 class ExecutionPlan:
@@ -61,8 +153,72 @@ class ExecutionPlan:
     def metrics(self) -> "MetricsSet":
         return MetricsSet(sql_metrics(getattr(self._df, "df", self._df)))
 
+    collect_metrics = metrics  # ref plan.py collect_metrics alias
+
+    def children(self) -> list["ExecutionPlan"]:
+        """Child physical plans (ref ExecutionPlan.children) —
+        display-only subtree views."""
+        sdf = getattr(self._df, "df", self._df)
+        jplan = sdf._jdf.queryExecution().executedPlan()
+        kids = jplan.children()
+        return [_JExecView(kids.apply(i)) for i in range(kids.size())]
+
+    def partition_count(self) -> int:
+        """Output partition count of the physical plan (ref
+        partition_count)."""
+        sdf = getattr(self._df, "df", self._df)
+        return sdf.rdd.getNumPartitions()
+
+    def display_graphviz(self) -> str:
+        return _tree_to_dot(self.display(), "ExecutionPlan")
+
+    def to_bytes(self) -> bytes:
+        raise NotImplementedError(
+            "physical plans are executor-resident JVM structures; serialize "
+            "the logical plan (LogicalPlan.to_bytes) and re-plan on the "
+            "receiving session"
+        )
+
+    @staticmethod
+    def from_bytes(data: bytes) -> "ExecutionPlan":
+        raise NotImplementedError(
+            "physical plans are not portable; use LogicalPlan.from_bytes"
+        )
+
+    def to_proto(self) -> bytes:
+        raise NotImplementedError(
+            "protobuf plan encoding is DataFusion-internal (datafusion-proto)"
+        )
+
+    @staticmethod
+    def from_proto(ctx, data: bytes) -> "ExecutionPlan":
+        raise NotImplementedError(
+            "protobuf plan decoding is DataFusion-internal (datafusion-proto)"
+        )
+
     def __repr__(self) -> str:
         return self.display()
+
+
+class _JExecView(ExecutionPlan):
+    """Display-only view over a raw physical plan node."""
+
+    def __init__(self, jplan) -> None:
+        self._jplan = jplan
+        self._df = None
+
+    def display(self) -> str:
+        return self._jplan.toString()
+
+    def children(self) -> list["ExecutionPlan"]:
+        kids = self._jplan.children()
+        return [_JExecView(kids.apply(i)) for i in range(kids.size())]
+
+    def partition_count(self) -> int:
+        raise NotImplementedError("partition count is defined on the root plan")
+
+    def metrics(self) -> "MetricsSet":
+        return MetricsSet({})
 
 
 class MetricsSet:

@@ -44,13 +44,51 @@ class Consumer:
         raise NotImplementedError(_MSG)
 
 
+class Dialect:
+    """SQL dialect marker (ref unparser.py:27-57). Constructors mirror
+    the reference; the dialect is carried for signature parity — plan
+    unparsing itself is unsupported on Spark (see :class:`Unparser`)."""
+
+    def __init__(self, name: str = "default") -> None:
+        self.name = name
+
+    @staticmethod
+    def default() -> "Dialect":
+        return Dialect("default")
+
+    @staticmethod
+    def mysql() -> "Dialect":
+        return Dialect("mysql")
+
+    @staticmethod
+    def postgres() -> "Dialect":
+        return Dialect("postgres")
+
+    @staticmethod
+    def sqlite() -> "Dialect":
+        return Dialect("sqlite")
+
+    @staticmethod
+    def duckdb() -> "Dialect":
+        return Dialect("duckdb")
+
+    def __repr__(self) -> str:
+        return f"Dialect({self.name})"
+
+
 class Unparser:
     """ref unparser.py — plan → SQL text. Spark keeps SQL as the portable
     form already; round-tripping an arbitrary optimized plan back to SQL
     is not supported."""
 
-    def __init__(self, dialect: str = "default") -> None:
-        self.dialect = dialect
+    def __init__(self, dialect: "Dialect | str" = "default") -> None:
+        self.dialect = dialect if isinstance(dialect, Dialect) else Dialect(str(dialect))
+        self._pretty = False
+
+    def with_pretty(self, pretty: bool = True) -> "Unparser":
+        """Toggle pretty-printing (ref unparser.py with_pretty)."""
+        self._pretty = pretty
+        return self
 
     def plan_to_sql(self, plan) -> str:
         raise NotImplementedError(_MSG)

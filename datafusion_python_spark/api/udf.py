@@ -36,13 +36,22 @@ __all__ = [
 ]
 
 
+class _CallableName(str):
+    """The reference exposes ``udf.name()`` (a method); earlier rounds of
+    this package exposed ``udf.name`` (an attribute). A callable str
+    satisfies both calling conventions."""
+
+    def __call__(self) -> str:
+        return str(self)
+
+
 class ScalarUDF:
     def __init__(self, fn: Callable, input_types, return_type, volatility: str = "immutable", name: str | None = None):
         self.fn = fn
         self.input_types = input_types
         self.return_type = return_type
         self.volatility = volatility
-        self.name = name or fn.__name__
+        self.name = _CallableName(name or fn.__name__)
 
         spark_ret = _spark_type(self._type_name(return_type))
 
@@ -112,7 +121,7 @@ class AggregateUDF:
         self.accum = accum
         self.input_types = input_types
         self.return_type = return_type
-        self.name = name or getattr(accum, "__name__", "udaf")
+        self.name = _CallableName(name or getattr(accum, "__name__", "udaf"))
         self._spark_ret = _spark_type(ScalarUDF._type_name(return_type))
 
     def apply_grouped(self, df, group_cols: list[str], value_cols: list[str], out_col: str):
@@ -199,6 +208,23 @@ class WindowEvaluator:
     def supports_bounded_execution(self) -> bool:
         return False
 
+    def memoize(self) -> None:
+        """Hook called after each input batch so fixed-start-frame
+        evaluators (first_value/nth_value) can drop consumed input
+        (ref user_defined.py:727). Default: no-op."""
+        return None
+
+    def get_range(self, idx: int, num_rows: int) -> tuple[int, int]:
+        """Required input range for row ``idx`` during stateful
+        execution when ``uses_window_frame()`` is false (ref
+        user_defined.py:739). Default: the current row only."""
+        return (idx, idx)
+
+    def is_causal(self) -> bool:
+        """Whether the evaluator never needs future rows (ref
+        user_defined.py:757)."""
+        return False
+
     def uses_window_frame(self) -> bool:
         return False
 
@@ -211,7 +237,7 @@ class WindowUDF:
         self.evaluator = evaluator
         self.input_types = input_types
         self.return_type = return_type
-        self.name = name or getattr(evaluator, "__name__", "udwf")
+        self.name = _CallableName(name or getattr(evaluator, "__name__", "udwf"))
         self._spark_ret = _spark_type(ScalarUDF._type_name(return_type))
 
     def apply(
@@ -296,7 +322,7 @@ class TableFunction:
     def __init__(self, cls, return_type: str, name: str | None = None):
         from pyspark.sql.functions import udtf as spark_udtf
 
-        self.name = name or cls.__name__
+        self.name = _CallableName(name or cls.__name__)
         self._udtf = spark_udtf(cls, returnType=return_type)
 
     def __call__(self, *args):
@@ -317,3 +343,24 @@ def udtf(cls=None, return_type: str | None = None, name: str | None = None):
         return TableFunction(c, return_type, name)
 
     return deco
+
+
+# -- reference class-method surface (ref user_defined.py: ScalarUDF.udf etc.) --
+def _no_pycapsule(kind: str):
+    def from_pycapsule(capsule, *a, **k):
+        raise NotImplementedError(
+            f"{kind}.from_pycapsule imports a DataFusion FFI capsule (Rust "
+            "ABI); Spark has no equivalent — define the function in Python "
+            "or register a JVM function via spark.udf.registerJavaFunction"
+        )
+
+    return staticmethod(from_pycapsule)
+
+
+ScalarUDF.udf = staticmethod(udf)
+ScalarUDF.from_pycapsule = _no_pycapsule("ScalarUDF")
+AggregateUDF.udaf = staticmethod(udaf)
+AggregateUDF.from_pycapsule = _no_pycapsule("AggregateUDF")
+WindowUDF.udwf = staticmethod(udwf)
+WindowUDF.from_pycapsule = _no_pycapsule("WindowUDF")
+TableFunction.udtf = staticmethod(udtf)
