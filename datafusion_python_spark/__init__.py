@@ -94,6 +94,22 @@ def read_json(path, *args, **kwargs) -> DataFrame:
     return _default_ctx().read_json(path, *args, **kwargs)
 
 
+def string_literal(value: str) -> Expr:
+    """String literal expression (ref __init__.py string_literal)."""
+    return Expr.string_literal(value)
+
+
+str_lit = string_literal
+
+
+def literal_with_metadata(value, metadata: dict) -> Expr:
+    """Literal carrying field metadata (ref literal_with_metadata)."""
+    return Expr.literal_with_metadata(value, metadata)
+
+
+lit_with_metadata = literal_with_metadata
+
+
 def read_avro(path, *args, **kwargs) -> DataFrame:
     """ref io.py:172."""
     return _default_ctx().read_avro(path, *args, **kwargs)
@@ -161,9 +177,13 @@ __all__ = [
     "get_spark",
     "ipc",
     "lit",
+    "lit_with_metadata",
     "literal",
+    "literal_with_metadata",
     "object_store",
     "options",
+    "str_lit",
+    "string_literal",
     "read_avro",
     "read_csv",
     "read_json",

@@ -629,3 +629,66 @@ def lit(value: Any) -> Expr:
 
 
 literal = lit
+
+
+# ---------------------------------------------------------------------------
+# Coercion helpers (ref expr.py:288-440): accepted by higher-level APIs so
+# user code written against the reference's utilities keeps working.
+def ensure_expr(value) -> Column:
+    """Unwrap an Expr to its Spark Column; reject non-Expr values (ref
+    ensure_expr — strings are NOT coerced here, by design)."""
+    if isinstance(value, Expr):
+        return value.expr
+    if isinstance(value, Column):
+        return value
+    raise TypeError(f"expected Expr, got {type(value).__name__}: {value!r}")
+
+
+def ensure_expr_list(values) -> list[Column]:
+    """ensure_expr over a sequence (ref ensure_expr_list)."""
+    return [ensure_expr(v) for v in values]
+
+
+def coerce_to_expr(value) -> "Expr":
+    """Wrap any value as an Expr: Expr passes through, strings become
+    column references, other values become literals (ref coerce_to_expr)."""
+    if isinstance(value, Expr):
+        return value
+    if isinstance(value, Column):
+        return Expr(value)
+    if isinstance(value, str):
+        return Expr(F.col(value))
+    return Expr(F.lit(value))
+
+
+def coerce_to_expr_or_none(value):
+    """coerce_to_expr, passing None through (ref coerce_to_expr_or_none)."""
+    return None if value is None else coerce_to_expr(value)
+
+
+def coerce_to_expr_list(values) -> list["Expr"]:
+    """coerce_to_expr over a sequence; a lone value becomes a 1-list."""
+    if isinstance(values, (Expr, Column, str)) or not hasattr(values, "__iter__"):
+        values = [values]
+    return [coerce_to_expr(v) for v in values]
+
+
+def expr_list_to_raw_expr_list(values) -> list[Column] | None:
+    """Spark Columns for a sequence of Expr/coercibles (ref
+    expr_list_to_raw_expr_list); None passes through."""
+    return None if values is None else [coerce_to_expr(v).expr for v in coerce_to_expr_list(values)]
+
+
+def sort_or_default(e) -> Column:
+    """A Spark sort Column from an Expr or SortExpr; bare expressions
+    default to ascending nulls-first (ref sort_or_default)."""
+    return to_sort_expr(e)._to_spark()
+
+
+def sort_list_to_raw_sort_list(sort_list) -> list[Column] | None:
+    """sort_or_default over a sequence (ref sort_list_to_raw_sort_list)."""
+    if sort_list is None:
+        return None
+    if isinstance(sort_list, (Expr, SortExpr, str)):
+        sort_list = [sort_list]
+    return [sort_or_default(e) for e in sort_list]

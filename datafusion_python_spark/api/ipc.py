@@ -50,3 +50,14 @@ def set_sender_ctx(ctx: Any) -> Iterator[None]:
 
 def get_sender_ctx() -> Any:
     return getattr(_sender, "ctx", None)
+
+
+def clear_worker_ctx() -> None:
+    """Remove the installed worker context (ref ipc.clear_worker_ctx)."""
+    _worker.pop("ctx", None)
+
+
+def clear_sender_ctx() -> None:
+    """Remove any thread-local sender context (ref ipc.clear_sender_ctx)."""
+    if hasattr(_sender, "ctx"):
+        _sender.ctx = None

@@ -364,3 +364,25 @@ AggregateUDF.from_pycapsule = _no_pycapsule("AggregateUDF")
 WindowUDF.udwf = staticmethod(udwf)
 WindowUDF.from_pycapsule = _no_pycapsule("WindowUDF")
 TableFunction.udtf = staticmethod(udtf)
+
+
+def data_type_or_field_to_field(value, name: str):
+    """pa.Field from a Field or DataType (ref user_defined.py:84)."""
+    import pyarrow as pa
+
+    if isinstance(value, pa.Field):
+        return value
+    return pa.field(name, type=value)
+
+
+def data_types_or_fields_to_field_list(inputs) -> list:
+    """list[pa.Field] from fields/types or a lone one (ref
+    user_defined.py:91)."""
+    import pyarrow as pa
+
+    if isinstance(inputs, (pa.DataType, pa.Field)):
+        inputs = [inputs]
+    return [
+        data_type_or_field_to_field(v, f"value{i}" if len(inputs) > 1 else "value")
+        for i, v in enumerate(inputs)
+    ]
