@@ -161,3 +161,40 @@ def test_repetition_features(spark):
     assert out[1]["dup_2gram_frac"] == pytest.approx(2 / 3, abs=1e-4)  # a_a ×3
     assert out[3]["dup_word_frac"] == pytest.approx(1 - 2 / 6, abs=1e-4)
     assert out[4]["dup_word_frac"] == 0.0 and out[4]["dup_2gram_frac"] == 0.0
+
+
+@given(
+    tokens=st.lists(st.integers(1, 3000), min_size=1, max_size=40),
+    budget=st.sampled_from([500, 2000, 8000]),
+)
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+def test_token_pack_invariants(spark, tokens, budget):
+    rows = [(i, "g", int(t)) for i, t in enumerate(tokens)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, tokens long")
+    out = token_pack(df, "tokens", budget, group_col="source").orderBy("doc_id").collect()
+    bins = [r["pack_bin"] for r in out]
+    # bins start at 0, are non-decreasing, and never skip more than the
+    # doc's own token span allows
+    assert bins[0] == 0
+    assert all(b2 >= b1 for b1, b2 in zip(bins, bins[1:]))
+    # each doc's bin equals floor(start_offset / budget)
+    start = 0
+    for r in out:
+        assert r["pack_bin"] == start // budget
+        start += r["tokens"]
+
+
+@given(rate=st.sampled_from([0.05, 0.25, 0.5, 0.75]))
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+def test_hash_sample_rate_accuracy(spark, rate):
+    df = spark.range(0, 4000).withColumnRenamed("id", "k")
+    got = hash_sample(df, "k", rate).count() / 4000
+    assert abs(got - rate) < 0.05  # md5 prefix is uniform
