@@ -33,19 +33,6 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
-def _shingles(col, k: int):
-    """Word k-shingles of a text column as array<string> (JVM-side).
-
-    slice+transform over the split words; empty-string tokens dropped.
-    """
-    words = F.filter(F.split(_norm_text(col), " "), lambda w: w != "")
-    n = F.size(words)
-    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
-    return F.when(n >= k, F.transform(idx, lambda i: F.array_join(F.slice(words, i + 1, k), " "))).otherwise(
-        F.array(F.array_join(words, " "))
-    )
-
-
 def _shingle_hashes_from_words(words, k: int):
     """64-bit hash per word k-shingle from a MATERIALIZED words column.
 
