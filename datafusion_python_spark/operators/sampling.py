@@ -32,6 +32,43 @@ def hash_sample(df: DataFrame, id_col: str, rate: float) -> DataFrame:
     return df.filter(prefix < F.lit(threshold))
 
 
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    rates: dict[str, float],
+    id_col: str,
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-stratum sampling: each stratum keeps rows whose
+    md5(id) hex prefix falls under that stratum's threshold.
+
+    The corpus-mixing step of a training pipeline (e.g. books at 0.9,
+    crawl at 0.05). Same hash family as :func:`hash_sample`, so the
+    kept set is reproducible across runs/engines/cluster sizes AND
+    nested: a stratum sampled at 0.5 is a superset of the same stratum
+    at 0.25. Pure map-side filter — no shuffle, no per-group pass;
+    unlike ``df.sampleBy`` there is no RNG seed to keep stable across
+    partition relayouts.
+    """
+    for r in rates.values():
+        if not 0.0 <= r <= 1.0:
+            raise ValueError("every rate must be in [0, 1]")
+    if not 0.0 <= default_rate <= 1.0:
+        raise ValueError("default_rate must be in [0, 1]")
+
+    def thr(rate: float) -> str:
+        # 0x10000 at rate=1.0 is 5 hex chars: cap at 'ffff~' sentinel > any prefix
+        return "g" if rate >= 1.0 else format(int(rate * 0x10000), "04x")
+
+    threshold = F.lit(thr(default_rate))
+    for value, rate in sorted(rates.items()):
+        threshold = F.when(F.col(strata_col) == value, F.lit(thr(rate))).otherwise(
+            threshold
+        )
+    prefix = F.substring(F.md5(F.col(id_col).cast("string")), 1, 4)
+    return df.filter(prefix < threshold)
+
+
 def domain_cap(
     df: DataFrame,
     domain_col: str,

@@ -60,6 +60,8 @@ _PRIORITY = [
     "pipe_token_pack",
     "pipe_repetition",
     "pipe_minhash_cluster",
+    "pipe_decontaminate",
+    "pipe_sample_stratified",
     # gates added in round 2
     "tpch_q2",
     "tpch_q11",

@@ -480,7 +480,68 @@ def pipe_minhash_cluster(spark, sf_dir):
     )
 
 
+# --------------------------------------------------------------------------
+# Benchmark decontamination: corpus docs sharing any word 3-gram with the
+# (tiny, broadcast) eval slice doc_id%97==0. Corpus side is map-only into
+# a broadcast hash join — no corpus shuffle; only per-doc counts shuffle.
+def pipe_decontaminate(spark, sf_dir):
+    from .operators.decontaminate import contamination_report
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    eval_df = docs.filter(F.col("doc_id") % 97 == 0)
+    return contamination_report(corpus, eval_df, n=3).orderBy("doc_id")
+
+
+PIPE_DECONTAMINATE_SQL = r"""
+WITH norm AS (
+  SELECT doc_id,
+         list_filter(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+                     w -> w != '') AS ws
+  FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         unnest(list_distinct([array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws)-1)])) AS ngram
+  FROM norm WHERE len(ws) >= 3
+),
+eval_grams AS (SELECT DISTINCT ngram FROM grams WHERE doc_id % 97 = 0),
+corpus_grams AS (SELECT doc_id, ngram FROM grams WHERE doc_id % 97 <> 0)
+SELECT doc_id, count(*) AS n_collisions
+FROM corpus_grams JOIN eval_grams USING (ngram)
+GROUP BY doc_id HAVING count(*) >= 1 ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Stratified (per-source) deterministic sampling: corpus mixing weights as
+# md5-threshold filters — map-only, reproducible, nested across rates.
+def pipe_sample_stratified(spark, sf_dir):
+    from .operators.sampling import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    rates = {"src0": 1.0, "src1": 0.5, "src2": 0.25}
+    return (
+        stratified_sample(docs, "source", rates, "doc_id", default_rate=0.05)
+        .groupBy("source")
+        .agg(F.count("*").alias("n_kept"), F.min("doc_id").alias("min_id"))
+        .orderBy("source")
+    )
+
+
+PIPE_SAMPLE_STRATIFIED_SQL = """
+SELECT source, count(*) AS n_kept, min(doc_id) AS min_id
+FROM documents
+WHERE substr(md5(doc_id::VARCHAR), 1, 4) <
+      CASE source WHEN 'src0' THEN 'g' WHEN 'src1' THEN '8000'
+                  WHEN 'src2' THEN '4000' ELSE '0ccc' END
+GROUP BY source ORDER BY source
+"""
+
+
 PIPELINE_QUERIES: dict[str, tuple] = {
+    "pipe_decontaminate": (pipe_decontaminate, PIPE_DECONTAMINATE_SQL),
+    "pipe_sample_stratified": (pipe_sample_stratified, PIPE_SAMPLE_STRATIFIED_SQL),
     "pipe_dedup_exact": (pipe_dedup_exact, PIPE_DEDUP_EXACT_SQL),
     "pipe_jaccard_pairs": (pipe_jaccard_pairs, PIPE_JACCARD_SQL),
     "pipe_minhash_lsh": (pipe_minhash_lsh, None),

@@ -198,3 +198,78 @@ def test_hash_sample_rate_accuracy(spark, rate):
     df = spark.range(0, 4000).withColumnRenamed("id", "k")
     got = hash_sample(df, "k", rate).count() / 4000
     assert abs(got - rate) < 0.05  # md5 prefix is uniform
+
+
+def test_stratified_sample_nested_and_exact(spark):
+    from datafusion_python_spark.operators.sampling import stratified_sample
+
+    rows = [(i, ["a", "b", "c"][i % 3]) for i in range(3000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    kept = stratified_sample(
+        df, "source", {"a": 1.0, "b": 0.5, "c": 0.0}, "doc_id", default_rate=0.0
+    )
+    by_src = {r["source"]: r["n"] for r in kept.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert by_src.get("a") == 1000  # rate 1.0 keeps everything
+    assert "c" not in by_src  # rate 0.0 keeps nothing
+    assert 400 < by_src.get("b", 0) < 600  # ~0.5
+    # nesting: the 0.25 sample of b is a subset of the 0.5 sample
+    b50 = {r["doc_id"] for r in stratified_sample(df, "source", {"b": 0.5}, "doc_id").collect()}
+    b25 = {r["doc_id"] for r in stratified_sample(df, "source", {"b": 0.25}, "doc_id").collect()}
+    assert b25 <= b50
+    # per-stratum selection matches the global hash_sample at the same rate
+    b_only = df.filter(F.col("source") == "b")
+    assert b50 == {r["doc_id"] for r in hash_sample(b_only, "doc_id", 0.5).collect()}
+
+
+def test_stratified_sample_validates_rates(spark):
+    from datafusion_python_spark.operators.sampling import stratified_sample
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, source string")
+    with pytest.raises(ValueError):
+        stratified_sample(df, "source", {"a": 1.5}, "doc_id")
+    with pytest.raises(ValueError):
+        stratified_sample(df, "source", {"a": 0.5}, "doc_id", default_rate=-0.1)
+
+
+def test_decontaminate_flags_planted_overlap(spark):
+    from datafusion_python_spark.operators.decontaminate import (
+        contamination_report,
+        decontaminate,
+    )
+
+    eval_df = spark.createDataFrame(
+        [(1000, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            # contains "quick brown fox jumps" → 2 shared 3-grams
+            (1, "a quick brown fox jumps today"),
+            # no 3-gram overlap
+            (2, "completely different words entirely here now"),
+            # case/whitespace-normalized match: 1 shared 3-gram
+            (3, "THE   Quick   BROWN cat sat"),
+            # too short for any 3-gram
+            (4, "quick brown"),
+        ],
+        "doc_id long, text string",
+    )
+    rep = {r["doc_id"]: r["n_collisions"] for r in contamination_report(corpus, eval_df, n=3).collect()}
+    assert rep == {1: 2, 3: 1}
+    clean = decontaminate(corpus, eval_df, n=3)
+    assert sorted(r["doc_id"] for r in clean.collect()) == [2, 4]
+    # min_overlap=2 spares the single-collision doc
+    clean2 = decontaminate(corpus, eval_df, n=3, min_overlap=2)
+    assert sorted(r["doc_id"] for r in clean2.collect()) == [2, 3, 4]
+
+
+def test_decontaminate_hash_vs_string_grams_agree(spark, sf_dir):
+    from datafusion_python_spark.operators.decontaminate import contamination_report
+    from datafusion_python_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    eval_df = docs.filter(F.col("doc_id") % 97 == 0)
+    hashed = contamination_report(corpus, eval_df, n=3, hash_grams=True)
+    strings = contamination_report(corpus, eval_df, n=3, hash_grams=False)
+    assert sorted(map(tuple, hashed.collect())) == sorted(map(tuple, strings.collect()))

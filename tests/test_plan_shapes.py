@@ -72,3 +72,23 @@ def test_q1_partial_aggregation_and_pruning(spark, sf_dir):
     assert "partial_sum" in plan  # map-side combine before the shuffle
     # column pruning: unreferenced lineitem columns absent from ReadSchema
     assert "l_orderkey" not in plan.split("ReadSchema")[1].split("\n")[0]
+
+
+def test_decontaminate_broadcasts_eval_side(spark, sf_dir):
+    # the corpus must flow map-only into a broadcast join (no corpus
+    # shuffle); only per-doc counts may shuffle, with map-side combine
+    from datafusion_python_spark.suite_pipeline import pipe_decontaminate
+
+    plan = explain_str(pipe_decontaminate(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "partial_count" in plan
+
+
+def test_stratified_sample_is_map_only(spark, sf_dir):
+    from datafusion_python_spark.operators.sampling import stratified_sample
+    from datafusion_python_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = explain_str(stratified_sample(docs, "source", {"src0": 0.5}, "doc_id"))
+    assert "Exchange" not in plan  # pure filter: no shuffle anywhere
