@@ -62,6 +62,8 @@ _PRIORITY = [
     "pipe_minhash_cluster",
     "pipe_decontaminate",
     "pipe_sample_stratified",
+    "evt_asof_attribution",
+    "evt_range_join",
     # gates added in round 2
     "tpch_q2",
     "tpch_q11",

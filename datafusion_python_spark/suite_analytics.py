@@ -1105,7 +1105,88 @@ FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """
 
 
+# --------------------------------------------------------------------------
+# As-of join (last-touch attribution): each purchase matched to the same
+# user's most recent prior click. operators/temporal.py union+window form
+# — one shuffle on user_id, no range join. Oracle: DuckDB's NATIVE `ASOF
+# LEFT JOIN` (independent implementation of the same semantics).
+def evt_asof_attribution(spark, sf_dir):
+    from .operators.temporal import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    j = asof_join(purchases, clicks, on="ts", by="user_id")
+    return j.select(
+        "event_id",
+        "user_id",
+        F.col("r_event_id").alias("click_id"),
+        F.col("r_value").alias("click_value"),
+        (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("r_ts"))).alias("gap_us"),
+    ).orderBy("event_id")
+
+
+EVT_ASOF_SQL = """
+SELECT p.event_id, p.user_id, c.event_id AS click_id, c.value AS click_value,
+       epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+ORDER BY p.event_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Range join (views in the 30 minutes before each purchase): bucketed
+# equi-join from operators/temporal.py — left explodes into covered time
+# buckets, right maps to exactly one, so no per-key cross product.
+def evt_range_join(spark, sf_dir):
+    from .operators.temporal import range_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select("user_id", "ts", "value")
+    rj = range_join(
+        purchases,
+        views,
+        by="user_id",
+        on="ts",
+        lower=F.expr("INTERVAL -30 MINUTES"),
+        upper=F.expr("INTERVAL 0 SECONDS"),
+        bucket="30 minutes",
+    )
+    return (
+        rj.groupBy("event_id", "user_id")
+        .agg(
+            F.count("*").alias("n_views"),
+            F.round(F.sum("r_value"), 2).alias("sum_view_value"),
+        )
+        .orderBy("event_id")
+    )
+
+
+EVT_RANGE_JOIN_SQL = """
+SELECT p.event_id, p.user_id, count(*) AS n_views,
+       round(sum(v.value), 2) AS sum_view_value
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'view') v
+  ON p.user_id = v.user_id
+ AND epoch_us(v.ts) >= epoch_us(p.ts) - 1800000000
+ AND epoch_us(v.ts) <= epoch_us(p.ts)
+GROUP BY p.event_id, p.user_id
+ORDER BY p.event_id
+"""
+
+
 ANALYTICS_QUERIES: dict[str, tuple] = {
+    "evt_asof_attribution": (evt_asof_attribution, EVT_ASOF_SQL),
+    "evt_range_join": (evt_range_join, EVT_RANGE_JOIN_SQL),
     "evt_date_bin": (evt_date_bin, EVT_DATE_BIN_SQL),
     "fn_hash": (fn_hash, FN_HASH_SQL),
     "fn_bits": (fn_bits, FN_BITS_SQL),
