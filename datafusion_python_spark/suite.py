@@ -64,6 +64,7 @@ _PRIORITY = [
     "pipe_sample_stratified",
     "evt_asof_attribution",
     "evt_range_join",
+    "pipe_quality_score",
     # gates added in round 2
     "tpch_q2",
     "tpch_q11",

@@ -539,7 +539,51 @@ GROUP BY source ORDER BY source
 """
 
 
+# --------------------------------------------------------------------------
+# Hashed-bag-of-words linear quality scoring (fastText/CCNet filter
+# shape): md5-bucketed features, weights as a literal array, sigmoid
+# calibration — pure map, scores at scan speed. Oracle recomputes the
+# identical arithmetic in DuckDB (portable md5 hasher mode).
+def pipe_quality_score(spark, sf_dir):
+    from .operators.scoring import demo_weights, score_linear
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = score_linear(docs, "text", demo_weights(64), hasher="md5")
+    return scored.select(
+        "doc_id", F.round(F.col("score"), 6).alias("score")
+    ).orderBy("doc_id")
+
+
+def _quality_score_sql() -> str:
+    from .operators.scoring import demo_weights
+
+    warr = ", ".join(repr(w) for w in demo_weights(64))
+    return rf"""
+WITH w AS (SELECT [{warr}]::DOUBLE[] AS warr),
+norm AS (
+  SELECT doc_id,
+         list_filter(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+                     x -> x != '') AS ws
+  FROM documents
+),
+scored AS (
+  SELECT doc_id,
+         CASE WHEN len(ws) > 0 THEN
+           list_sum(list_transform(ws,
+             x -> warr[(('0x' || substr(md5(x), 1, 8))::BIGINT % 64) + 1])) / len(ws)
+         ELSE 0.0 END AS raw
+  FROM norm, w
+)
+SELECT doc_id, round(1.0 / (1.0 + exp(-raw)), 6) AS score
+FROM scored ORDER BY doc_id
+"""
+
+
+PIPE_QUALITY_SCORE_SQL = _quality_score_sql()
+
+
 PIPELINE_QUERIES: dict[str, tuple] = {
+    "pipe_quality_score": (pipe_quality_score, PIPE_QUALITY_SCORE_SQL),
     "pipe_decontaminate": (pipe_decontaminate, PIPE_DECONTAMINATE_SQL),
     "pipe_sample_stratified": (pipe_sample_stratified, PIPE_SAMPLE_STRATIFIED_SQL),
     "pipe_dedup_exact": (pipe_dedup_exact, PIPE_DEDUP_EXACT_SQL),

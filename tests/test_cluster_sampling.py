@@ -273,3 +273,61 @@ def test_decontaminate_hash_vs_string_grams_agree(spark, sf_dir):
     hashed = contamination_report(corpus, eval_df, n=3, hash_grams=True)
     strings = contamination_report(corpus, eval_df, n=3, hash_grams=False)
     assert sorted(map(tuple, hashed.collect())) == sorted(map(tuple, strings.collect()))
+
+
+def test_score_linear_matches_python_reference(spark):
+    import hashlib
+
+    from datafusion_python_spark.operators.scoring import (
+        demo_weights,
+        score_linear,
+        sigmoid,
+    )
+
+    weights = demo_weights(16)
+    texts = [
+        (1, "The quick   brown fox"),
+        (2, "one"),
+        (3, ""),
+        (4, "repeat repeat repeat"),
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["score"]
+        for r in score_linear(df, "text", weights, bias=0.25, hasher="md5").collect()
+    }
+
+    def py_score(text):
+        words = [w for w in text.lower().split() if w]
+        if not words:
+            return sigmoid(0.25)
+        acc = sum(
+            weights[int(hashlib.md5(w.encode()).hexdigest()[:8], 16) % 16]
+            for w in words
+        )
+        return sigmoid(0.25 + acc / len(words))
+
+    for doc_id, text in texts:
+        assert got[doc_id] == pytest.approx(py_score(text), abs=1e-12)
+
+
+def test_quality_filter_threshold_and_hashers(spark):
+    from datafusion_python_spark.operators.scoring import (
+        demo_weights,
+        quality_filter,
+        score_linear,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"word{i} common text here") for i in range(50)], "doc_id long, text string"
+    )
+    weights = demo_weights(32)
+    scored = score_linear(df, "text", weights)  # default xxhash64 path runs
+    assert scored.filter(F.col("score").isNull()).count() == 0
+    kept = quality_filter(df, "text", weights, threshold=0.5)
+    manual = scored.filter(F.col("score") >= 0.5)
+    assert kept.count() == manual.count()
+    with pytest.raises(ValueError):
+        score_linear(df, "text", [])
+    with pytest.raises(ValueError):
+        score_linear(df, "text", weights, hasher="crc32").collect()
