@@ -65,6 +65,7 @@ _PRIORITY = [
     "evt_asof_attribution",
     "evt_range_join",
     "pipe_quality_score",
+    "pipe_emb_quant",
     # gates added in round 2
     "tpch_q2",
     "tpch_q11",

@@ -582,8 +582,51 @@ FROM scored ORDER BY doc_id
 PIPE_QUALITY_SCORE_SQL = _quality_score_sql()
 
 
+# --------------------------------------------------------------------------
+# Int8 embedding quantization audit: exact integer codes (order-free sum)
+# plus per-vector reconstruction RMSE. floor(x+0.5) tie rule makes the
+# arithmetic engine-portable; oracle recomputes it in DuckDB.
+def pipe_emb_quant(spark, sf_dir):
+    from .operators.quantize import quantize_embeddings, reconstruction_rmse
+
+    emb = _t(spark, sf_dir, "embeddings")
+    r = reconstruction_rmse(quantize_embeddings(emb))
+    code_sum = F.aggregate(
+        F.col("q_emb"), F.lit(0).cast("long"), lambda a, v: a + v.cast("long")
+    )
+    return r.select(
+        "vec_id",
+        code_sum.alias("code_sum"),
+        F.round(F.col("recon_rmse"), 6).alias("rmse"),
+    ).orderBy("vec_id")
+
+
+PIPE_EMB_QUANT_SQL = """
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, v -> v::DOUBLE) AS x,
+         list_max(list_transform(embedding, v -> abs(v::DOUBLE))) AS mx
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id, x,
+         CASE WHEN mx > 0 THEN mx / 127.0 ELSE 0.0 END AS scale,
+         CASE WHEN mx > 0
+              THEN list_transform(x, v -> greatest(-127, least(127,
+                     CAST(floor(v / (mx / 127.0) + 0.5) AS INT))))
+              ELSE list_transform(x, v -> 0) END AS code
+  FROM base
+)
+SELECT vec_id,
+       CAST(list_sum(code) AS BIGINT) AS code_sum,
+       round(sqrt(list_sum(list_transform(range(1, len(x) + 1),
+                                          i -> (x[i] - code[i] * scale) ^ 2)) / len(x)), 6) AS rmse
+FROM q ORDER BY vec_id
+"""
+
+
 PIPELINE_QUERIES: dict[str, tuple] = {
     "pipe_quality_score": (pipe_quality_score, PIPE_QUALITY_SCORE_SQL),
+    "pipe_emb_quant": (pipe_emb_quant, PIPE_EMB_QUANT_SQL),
     "pipe_decontaminate": (pipe_decontaminate, PIPE_DECONTAMINATE_SQL),
     "pipe_sample_stratified": (pipe_sample_stratified, PIPE_SAMPLE_STRATIFIED_SQL),
     "pipe_dedup_exact": (pipe_dedup_exact, PIPE_DEDUP_EXACT_SQL),

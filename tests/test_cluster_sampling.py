@@ -331,3 +331,51 @@ def test_quality_filter_threshold_and_hashers(spark):
         score_linear(df, "text", [])
     with pytest.raises(ValueError):
         score_linear(df, "text", weights, hasher="crc32").collect()
+
+
+def test_quantize_roundtrip_cosine_and_bounds(spark, sf_dir):
+    import math
+
+    from datafusion_python_spark.operators.quantize import (
+        dequantize,
+        quantize_embeddings,
+    )
+    from datafusion_python_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dq = dequantize(quantize_embeddings(emb))
+    # codes stay in [-127, 127] and max |code| hits 127 for nonzero vectors
+    stats = dq.select(
+        F.array_min("q_emb").alias("lo"),
+        F.array_max("q_emb").alias("hi"),
+        F.array_max(F.transform("q_emb", lambda q: F.abs(q))).alias("amax"),
+    ).collect()
+    assert all(-127 <= r["lo"] and r["hi"] <= 127 for r in stats)
+    assert all(r["amax"] == 127 for r in stats)
+    # dequantized cosine vs original stays >= 0.999
+    rows = dq.select("embedding", "embedding_dq").limit(50).collect()
+    for r in rows:
+        x, y = r["embedding"], r["embedding_dq"]
+        dot = sum(a * b for a, b in zip(x, y))
+        nx = math.sqrt(sum(a * a for a in x))
+        ny = math.sqrt(sum(b * b for b in y))
+        assert dot / (nx * ny) >= 0.999
+
+
+def test_quantize_zero_vector_safe(spark):
+    from datafusion_python_spark.operators.quantize import (
+        quantize_embeddings,
+        reconstruction_rmse,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0, 0.0]), (2, [1.0, -2.0, 0.5])],
+        "vec_id long, embedding array<float>",
+    )
+    out = reconstruction_rmse(quantize_embeddings(df)).collect()
+    by_id = {r["vec_id"]: r for r in out}
+    assert by_id[1]["q_scale"] == 0.0
+    assert by_id[1]["q_emb"] == [0, 0, 0]
+    assert by_id[1]["recon_rmse"] == 0.0
+    assert by_id[2]["q_emb"][1] == -127  # absmax element pins the range
+    assert by_id[2]["recon_rmse"] <= by_id[2]["q_scale"] / 2
