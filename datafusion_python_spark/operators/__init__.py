@@ -21,8 +21,26 @@ from .text import (
     quality_features,
     token_count,
 )
+from .decontaminate import contamination_report, decontaminate
+from .quantize import dequantize, quantize_embeddings, reconstruction_rmse
+from .sampling import domain_cap, hash_sample, stratified_sample, token_pack
+from .scoring import quality_filter, score_linear
+from .temporal import asof_join, range_join
 
 __all__ = [
+    "contamination_report",
+    "decontaminate",
+    "dequantize",
+    "quantize_embeddings",
+    "reconstruction_rmse",
+    "domain_cap",
+    "hash_sample",
+    "stratified_sample",
+    "token_pack",
+    "quality_filter",
+    "score_linear",
+    "asof_join",
+    "range_join",
     "exact_dedup",
     "minhash_signature",
     "lsh_candidate_pairs",

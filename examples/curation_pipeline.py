@@ -1,6 +1,7 @@
 """End-to-end training-data curation pipeline over the documents table:
 
-  quality gates  →  repetition gates  →  PII redaction  →
+  quality gates  →  repetition gates  →  classifier quality score  →
+  PII redaction  →  benchmark decontamination  →
   MinHash-LSH dedup clustering (keep canonical)  →
   per-domain cap  →  deterministic 50% sample  →  token-budget packing
 
@@ -22,8 +23,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F
 
 from datafusion_python_spark.operators.cluster import canonical_docs
+from datafusion_python_spark.operators.decontaminate import decontaminate
 from datafusion_python_spark.operators.dedup import lsh_candidate_pairs, minhash_signature
 from datafusion_python_spark.operators.sampling import domain_cap, hash_sample, token_pack
+from datafusion_python_spark.operators.scoring import demo_weights, score_linear
 from datafusion_python_spark.operators.text import (
     quality_features,
     redact_pii,
@@ -49,12 +52,23 @@ gated = (
     .filter(F.col("dup_2gram_frac") < 0.9)
 )
 
-# 3. PII redaction (map-only regexp projection)
-clean = redact_pii(gated, count=False).drop("text").withColumnRenamed(
+# 3. classifier quality score (hashed-BoW linear model, map-only; a real
+# deployment plugs trained fastText-style weights in here). Permissive
+# threshold: demo weights are noise, this demonstrates the plumbing.
+scored = score_linear(gated, "text", demo_weights(256)).filter(F.col("score") > 0.2)
+
+# 4. PII redaction (map-only regexp projection)
+clean = redact_pii(scored, count=False).drop("text").withColumnRenamed(
     "text_redacted", "text"
 )
 
-# 4. MinHash → LSH → connected components → canonical doc per cluster.
+# 5. benchmark decontamination: drop docs colliding with the held-out
+# eval slice on any 8-word-gram (broadcast anti-join, corpus stays
+# map-side). Eval stand-in: every 97th doc.
+eval_df = docs.filter(F.col("doc_id") % 97 == 0)
+clean = decontaminate(clean, eval_df, n=8)
+
+# 6. MinHash → LSH → connected components → canonical doc per cluster.
 # 3-word shingles: near-dup means shared PHRASES. (Unigram shingles on
 # this synthetic corpus — one 30-word vocab — would mark everything a
 # near-dup of everything and keep a single canonical doc.)
@@ -62,11 +76,11 @@ sig = minhash_signature(clean, "text", num_hashes=32, shingle_k=3)
 pairs = lsh_candidate_pairs(sig, "doc_id", num_bands=8)
 deduped = canonical_docs(clean, pairs)
 
-# 5-6. per-domain cap, deterministic sample
+# 7-8. per-domain cap, deterministic sample
 capped = domain_cap(deduped, "source", 20)
 sampled = hash_sample(capped, "doc_id", 0.5)
 
-# 7. token-budget packing into 2048-token bins per source
+# 9. token-budget packing into 2048-token bins per source
 packed = token_pack(
     sampled.withColumn("tokens", token_count(F.col("text"))),
     "tokens",
