@@ -21,13 +21,35 @@ from .text import (
     quality_features,
     token_count,
 )
+from .chunking import chunk_documents
 from .decontaminate import contamination_report, decontaminate
+from .projection import projection_signs, random_projection
 from .quantize import dequantize, quantize_embeddings, reconstruction_rmse
-from .sampling import domain_cap, hash_sample, stratified_sample, token_pack
+from .ranking import bm25, doc_frequencies, doc_terms, tf_idf
+from .sampling import (
+    deterministic_shuffle,
+    domain_cap,
+    hash_sample,
+    stratified_sample,
+    token_pack,
+)
 from .scoring import quality_filter, score_linear
+from .sketches import distinct_rollup, hll_estimate, hll_merge, hll_partial
 from .temporal import asof_join, range_join
 
 __all__ = [
+    "bm25",
+    "chunk_documents",
+    "deterministic_shuffle",
+    "distinct_rollup",
+    "doc_frequencies",
+    "doc_terms",
+    "hll_estimate",
+    "hll_merge",
+    "hll_partial",
+    "projection_signs",
+    "random_projection",
+    "tf_idf",
     "contamination_report",
     "decontaminate",
     "dequantize",

@@ -1,0 +1,82 @@
+"""Dimensionality reduction for embedding columns: deterministic sparse
+random projection (Johnson–Lindenstrauss).
+
+Reducing 1024-dim embeddings to 64–128 dims before ANN / near-dup
+search shrinks every downstream shuffle, broadcast, and index by the
+same factor while distorting pairwise distances by at most
+O(sqrt(ln n / k)) — the standard first move for similarity search over
+a 100 TB corpus (often composed with ``operators.quantize`` for a
+combined 30–60× shrink).
+
+The projection matrix is ±1 signs derived from md5(seed:j:i) parity —
+regenerated identically on every executor, every engine, every rerun:
+no broadcast state, no fitted model to version, and the oracle can
+reproduce it bit-for-bit. Projection itself is a per-row fold over
+staged arrays (zip_with/aggregate) — map-only, no shuffle, no Python.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def projection_signs(in_dim: int, out_dim: int, seed: int = 0) -> list[list[float]]:
+    """The ±1 sign matrix, row per output dim: sign(j,i) = +1 iff the
+    first hex digit of md5(f"{seed}:{j}:{i}") is even. Deterministic and
+    engine-portable (any md5 reproduces it)."""
+    rows = []
+    for j in range(out_dim):
+        row = []
+        for i in range(in_dim):
+            h = hashlib.md5(f"{seed}:{j}:{i}".encode()).hexdigest()
+            row.append(1.0 if int(h[0], 16) % 2 == 0 else -1.0)
+        rows.append(row)
+    return rows
+
+
+def random_projection(
+    df: DataFrame,
+    emb_col: str = "embedding",
+    out_dim: int = 16,
+    seed: int = 0,
+    out_col: str = "proj",
+    normalize: bool = True,
+) -> DataFrame:
+    """Append ``out_col``: the input embedding projected to ``out_dim``
+    dims via the deterministic ±1 matrix, scaled by ``1/sqrt(in_dim)``
+    (with ``normalize=True``) so expected squared norms are preserved.
+
+    Embeddings must share one dimension; since array lengths are not in
+    the schema, ``in_dim`` is inferred by probing a single row (driver-
+    side, O(1) — the same probe pattern as the ANN query vector).
+    Components are rounded to 6 dp for cross-engine reproducibility.
+    """
+    probe = df.select(F.size(F.col(emb_col)).alias("n")).first()
+    if probe is None or probe["n"] is None:
+        raise ValueError("cannot infer embedding dimension from empty input")
+    in_dim = int(probe["n"])
+    signs = projection_signs(in_dim, out_dim, seed)
+    scale = 1.0 / math.sqrt(in_dim) if normalize else 1.0
+    staged = df.withColumn("__rp_emb", F.col(emb_col).cast("array<double>"))
+    emb = F.col("__rp_emb")
+    comps = [
+        F.round(
+            F.aggregate(
+                F.zip_with(
+                    emb,
+                    F.array(*[F.lit(s) for s in signs[j]]),
+                    lambda x, s: x * s,
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            * F.lit(scale),
+            6,
+        )
+        for j in range(out_dim)
+    ]
+    return staged.withColumn(out_col, F.array(*comps)).drop("__rp_emb")

@@ -1,0 +1,145 @@
+"""Corpus ranking / relevance operators: TF-IDF and BM25.
+
+The retrieval half of a training-data pipeline: score documents against
+queries (benchmark decontamination's fuzzy cousin), surface the most
+characteristic terms per document (topic tagging), and build the
+df/idf statistics that quality classifiers consume.
+
+Scale shape (the part that must survive 100 TB):
+- the corpus side is ONE explode + ONE shuffle on (doc, term) — no
+  per-query rescan; document lengths are map-only column math;
+- global statistics (N, avgdl) are a 1-row aggregate, joined back via
+  broadcast; per-term document frequencies are vocabulary-sized —
+  filtered to the query's terms they are a handful of rows, always
+  broadcast, so the corpus never shuffles twice.
+
+Tokenization matches ``operators.text`` (lowercase, whitespace split)
+so df/idf statistics line up with the rest of the pipeline.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from .text import _words
+
+
+def doc_terms(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Explode to one row per (doc, term) with the within-doc term count
+    ``tf`` and the document token length ``dl``. The single corpus-side
+    shuffle every ranking below reuses."""
+    staged = df.select(
+        F.col(id_col), F.explode(_words(F.col(text_col))).alias("term")
+    )
+    tf = staged.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dl = df.select(
+        F.col(id_col), F.size(_words(F.col(text_col))).cast("long").alias("dl")
+    )
+    return tf.join(dl, id_col)
+
+
+def doc_frequencies(terms: DataFrame, id_col: str) -> DataFrame:
+    """(term, df) — number of documents containing each term.
+
+    Input is ``doc_terms`` output (already one row per doc×term, so a
+    plain count — no distinct — and vocabulary-sized output)."""
+    return terms.groupBy("term").agg(F.count(id_col).alias("df"))
+
+
+def tf_idf(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    top_terms: int | None = None,
+) -> DataFrame:
+    """Per-(doc, term) TF-IDF scores; optionally keep only each doc's
+    ``top_terms`` highest-scoring terms.
+
+    ``tfidf = (1 + ln(tf)) * ln((1 + N) / (1 + df))`` — the smoothed
+    log-tf form (engine-agnostic, no zero-division). The per-doc top-k
+    is a row_number window that Spark prunes partially per partition
+    (WindowGroupLimit), so the full scored set never materializes.
+    """
+    t = doc_terms(df, id_col, text_col)
+    n_docs = df.select(F.count("*").alias("n_docs"))
+    dfreq = doc_frequencies(t, id_col)
+    scored = (
+        t.join(broadcast(dfreq), "term")
+        .join(broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                (F.lit(1.0) + F.log(F.col("tf")))
+                * F.log((F.lit(1.0) + F.col("n_docs")) / (F.lit(1.0) + F.col("df"))),
+                6,
+            ),
+        )
+        .select(id_col, "term", "tf", "df", "tfidf")
+    )
+    if top_terms is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(id_col).orderBy(
+            F.col("tfidf").desc(), F.col("term")
+        )
+        scored = (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= top_terms)
+            .drop("rank")
+        )
+    return scored
+
+
+def bm25(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 relevance of every document to a bag-of-terms query.
+
+    ``idf(t) = ln(1 + (N - df + 0.5) / (df + 0.5))`` (the Robertson/
+    Lucene positive-idf form); the usual saturation/length terms. Query
+    terms are lowercased to match the tokenizer.
+
+    Plan shape: corpus tf rows are *filtered to the query's terms before
+    the aggregate* (a handful of terms → near-empty shuffle), then the
+    tiny (term, df) and 1-row (N, avgdl) sides broadcast in. Returns
+    (id, score) for docs matching ≥1 term, descending.
+    """
+    q = sorted({t.lower() for t in query_terms})
+    if not q:
+        raise ValueError("query_terms must be non-empty")
+    t = doc_terms(df, id_col, text_col)
+    qt = t.filter(F.col("term").isin(q))
+    stats = df.select(
+        F.count("*").alias("n_docs"),
+        F.avg(F.size(_words(F.col(text_col)))).alias("avgdl"),
+    )
+    dfreq = qt.groupBy("term").agg(F.countDistinct(id_col).alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    tf_part = (
+        F.col("tf")
+        * (k1 + 1.0)
+        / (
+            F.col("tf")
+            + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    return (
+        qt.join(broadcast(dfreq), "term")
+        .join(broadcast(stats))
+        .withColumn("contrib", idf * tf_part)
+        .groupBy(id_col)
+        .agg(F.round(F.sum("contrib"), 6).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), F.col(id_col))
+    )

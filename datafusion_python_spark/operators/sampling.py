@@ -69,6 +69,33 @@ def stratified_sample(
     return df.filter(prefix < threshold)
 
 
+def deterministic_shuffle(
+    df: DataFrame,
+    id_col: str,
+    salt: str = "",
+    key_col: str = "shuffle_key",
+    keep_key: bool = False,
+) -> DataFrame:
+    """Globally re-order rows by ``md5(salt || id)`` — a reproducible
+    corpus shuffle for training-order randomization.
+
+    Training runs need the *same* document order on every re-run (and
+    on every engine that prepares the data), which ``df.orderBy(rand())``
+    cannot give. Hashing the id with a salt yields a uniform,
+    engine-portable permutation; changing the salt gives an independent
+    epoch order without touching the data.
+
+    ``orderBy`` on the hash is a range-partitioned total sort — Spark
+    samples key quantiles and sorts each range partition independently,
+    so there is no single-reducer bottleneck and the output stays sorted
+    across files when written. Cost: one pass + one shuffle, the minimum
+    for a global permutation.
+    """
+    key = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    out = df.withColumn(key_col, key).orderBy(key_col)
+    return out if keep_key else out.drop(key_col)
+
+
 def domain_cap(
     df: DataFrame,
     domain_col: str,

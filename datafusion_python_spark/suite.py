@@ -76,6 +76,13 @@ _PRIORITY = [
     "agg_weighted_pct",
     "fn_time",
     "udaf_geomean",
+    # new scale-path operators (this round)
+    "pipe_hll_rollup",
+    "pipe_tfidf",
+    "pipe_bm25",
+    "pipe_chunk",
+    "pipe_shuffle_order",
+    "pipe_rand_proj",
     # passed only by local selfcheck in round 1 (outside driver window)
     "setop_intersect",
     "setop_except",

@@ -624,7 +624,236 @@ FROM q ORDER BY vec_id
 """
 
 
+# --------------------------------------------------------------------------
+# Mergeable HLL distinct-count rollup: per-day sketches of user_id, merged
+# to a global estimate — the one-scan rollup pattern for 100 TB. Oracle is
+# the exact distinct count; the Spark side emits tolerance/consistency
+# booleans (est within 5%, merged == direct-sketch estimate) so the sketch
+# behavior itself is on the oracle record.
+def pipe_hll_rollup(spark, sf_dir):
+    from .operators.sketches import hll_estimate, hll_merge, hll_partial
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    fine = hll_partial(ev, ["day"], "user_id")
+    exact = ev.groupBy("day").agg(F.countDistinct("user_id").alias("n_exact"))
+    per_day = (
+        fine.select("day", hll_estimate("hll_sketch").alias("est"))
+        .join(exact, "day")
+        .select(
+            "day",
+            "n_exact",
+            (
+                F.abs(F.col("est") - F.col("n_exact")) <= 0.05 * F.col("n_exact")
+            ).alias("est_ok"),
+        )
+    )
+    tot_exact = ev.agg(F.countDistinct("user_id").alias("n_exact"))
+    merged = hll_merge(fine, []).select(hll_estimate("hll_sketch").alias("est_m"))
+    direct = hll_partial(ev, [], "user_id").select(
+        hll_estimate("hll_sketch").alias("est_d")
+    )
+    total = (
+        tot_exact.crossJoin(merged)
+        .crossJoin(direct)
+        .select(
+            F.lit("TOTAL").alias("day"),
+            "n_exact",
+            # merged-sketch estimate within tolerance of exact AND close to
+            # the direct single-sketch estimate (sparse→dense promotion in
+            # the union makes bit-equality too strict)
+            (
+                (F.abs(F.col("est_m") - F.col("n_exact")) <= 0.05 * F.col("n_exact"))
+                & (F.abs(F.col("est_m") - F.col("est_d")) <= 0.02 * F.col("n_exact"))
+            ).alias("est_ok"),
+        )
+    )
+    return per_day.unionByName(total).orderBy("day")
+
+
+PIPE_HLL_ROLLUP_SQL = """
+SELECT strftime(ts, '%Y-%m-%d') AS day,
+       count(DISTINCT user_id)::BIGINT AS n_exact, TRUE AS est_ok
+FROM events GROUP BY 1
+UNION ALL
+SELECT 'TOTAL', count(DISTINCT user_id)::BIGINT, TRUE FROM events
+ORDER BY day
+"""
+
+
+# --------------------------------------------------------------------------
+# TF-IDF: top-2 most characteristic terms per document. The corpus pays
+# one (doc, term) shuffle; df/N statistics broadcast back in; per-doc
+# top-k is a WindowGroupLimit-prunable row_number.
+def pipe_tfidf(spark, sf_dir):
+    from .operators.ranking import tf_idf
+
+    docs = _t(spark, sf_dir, "documents")
+    return tf_idf(docs, "doc_id", "text", top_terms=2).orderBy("doc_id", "term")
+
+
+PIPE_TFIDF_SQL = r"""
+WITH norm AS (
+  SELECT doc_id,
+         list_filter(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+                     w -> w != '') AS ws
+  FROM documents
+),
+tfc AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, unnest(ws) AS term FROM norm) GROUP BY 1, 2
+),
+dfc AS (SELECT term, count(*)::BIGINT AS df FROM tfc GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, term, tf, df,
+         round((1.0 + ln(tf)) * ln((1.0 + n_docs) / (1.0 + df)), 6) AS tfidf
+  FROM tfc JOIN dfc USING (term), n
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rk
+  FROM scored
+)
+SELECT doc_id, term, tf, df, tfidf FROM ranked WHERE rk <= 2 ORDER BY doc_id, term
+"""
+
+
+# --------------------------------------------------------------------------
+# BM25 relevance of every document to a bag-of-terms query (Robertson /
+# Lucene positive-idf form, k1=1.2 b=0.75). Corpus tf rows are filtered to
+# the query's terms before aggregating; (term, df) and (N, avgdl) broadcast.
+def pipe_bm25(spark, sf_dir):
+    from .operators.ranking import bm25
+
+    docs = _t(spark, sf_dir, "documents")
+    return bm25(docs, "doc_id", "text", ["spark", "vector", "query"])
+
+
+PIPE_BM25_SQL = r"""
+WITH norm AS (
+  SELECT doc_id,
+         list_filter(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+                     w -> w != '') AS ws
+  FROM documents
+),
+tfc AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, unnest(ws) AS term FROM norm) GROUP BY 1, 2
+),
+dl AS (SELECT doc_id, len(ws)::BIGINT AS dl FROM norm),
+stats AS (SELECT count(*) AS n_docs, avg(len(ws)) AS avgdl FROM norm),
+qt AS (SELECT * FROM tfc WHERE term IN ('spark', 'vector', 'query')),
+dfc AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM qt GROUP BY 1)
+SELECT doc_id,
+       round(sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                 * tf * (1.2 + 1.0)
+                 / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))), 6) AS bm25
+FROM qt JOIN dfc USING (term) JOIN dl USING (doc_id), stats
+GROUP BY doc_id ORDER BY bm25 DESC, doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Context-window chunking: 40-token windows, 8-token overlap (stride 32).
+# Map-only array math + one posexplode; chunk text compared by md5.
+def pipe_chunk(spark, sf_dir):
+    from .operators.chunking import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    ch = chunk_documents(docs, "doc_id", "text", chunk_tokens=40, overlap=8)
+    return ch.select(
+        "doc_id",
+        "chunk_id",
+        F.col("chunk_tokens").alias("n_tok"),
+        F.md5("chunk_text").alias("chunk_md5"),
+    ).orderBy("doc_id", "chunk_id")
+
+
+PIPE_CHUNK_SQL = r"""
+WITH norm AS (
+  SELECT doc_id,
+         list_filter(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+                     w -> w != '') AS ws
+  FROM documents
+),
+ch AS (
+  SELECT doc_id,
+         [array_to_string(ws[s:s+39], ' ') for s in range(1, len(ws)+1, 32)] AS chunks
+  FROM norm WHERE len(ws) > 0
+),
+rows_ AS (
+  SELECT doc_id, generate_subscripts(chunks, 1) - 1 AS chunk_id,
+         unnest(chunks) AS chunk
+  FROM ch
+)
+SELECT doc_id, chunk_id::INTEGER AS chunk_id,
+       len(string_split(chunk, ' '))::BIGINT AS n_tok, md5(chunk) AS chunk_md5
+FROM rows_ ORDER BY doc_id, chunk_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Deterministic corpus shuffle (training order): md5(salt||id) total order.
+# The first-100 set + keys pins the permutation cross-engine.
+def pipe_shuffle_order(spark, sf_dir):
+    from .operators.sampling import deterministic_shuffle
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        deterministic_shuffle(docs, "doc_id", salt="epoch0", keep_key=True)
+        .select("doc_id", "shuffle_key")
+        .limit(100)
+    )
+
+
+PIPE_SHUFFLE_ORDER_SQL = """
+SELECT doc_id, md5('epoch0' || doc_id::VARCHAR) AS shuffle_key
+FROM documents ORDER BY shuffle_key LIMIT 100
+"""
+
+
+# --------------------------------------------------------------------------
+# Johnson–Lindenstrauss random projection 64→8 dims: deterministic ±1 signs
+# from md5 parity (engine-portable), pure map fold. Oracle recomputes the
+# identical projection via list_inner_product against the same sign matrix.
+def pipe_rand_proj(spark, sf_dir):
+    from .operators.projection import random_projection
+
+    emb = _t(spark, sf_dir, "embeddings")
+    proj = random_projection(emb, "embedding", out_dim=8, seed=42)
+    return proj.select(
+        "vec_id", F.posexplode("proj").alias("dim", "comp")
+    ).orderBy("vec_id", "dim")
+
+
+def _rand_proj_sql() -> str:
+    from .operators.projection import projection_signs
+
+    signs = projection_signs(64, 8, seed=42)
+    rows = ",\n".join(
+        f"({j}, [{', '.join(repr(v) for v in row)}]::DOUBLE[])"
+        for j, row in enumerate(signs)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, v -> v::DOUBLE) AS x FROM embeddings)
+SELECT vec_id, dim::INTEGER AS dim,
+       round(list_inner_product(x, sv) * 0.125, 6) AS comp
+FROM e, (VALUES {rows}) AS signs(dim, sv)
+ORDER BY vec_id, dim
+"""
+
+
+PIPE_RAND_PROJ_SQL = _rand_proj_sql()
+
+
 PIPELINE_QUERIES: dict[str, tuple] = {
+    "pipe_hll_rollup": (pipe_hll_rollup, PIPE_HLL_ROLLUP_SQL),
+    "pipe_tfidf": (pipe_tfidf, PIPE_TFIDF_SQL),
+    "pipe_bm25": (pipe_bm25, PIPE_BM25_SQL),
+    "pipe_chunk": (pipe_chunk, PIPE_CHUNK_SQL),
+    "pipe_shuffle_order": (pipe_shuffle_order, PIPE_SHUFFLE_ORDER_SQL),
+    "pipe_rand_proj": (pipe_rand_proj, PIPE_RAND_PROJ_SQL),
     "pipe_quality_score": (pipe_quality_score, PIPE_QUALITY_SCORE_SQL),
     "pipe_emb_quant": (pipe_emb_quant, PIPE_EMB_QUANT_SQL),
     "pipe_decontaminate": (pipe_decontaminate, PIPE_DECONTAMINATE_SQL),

@@ -1,0 +1,192 @@
+"""Tests for the corpus-scale operators added in round 2: HLL sketch
+rollups, TF-IDF/BM25 ranking, chunking, deterministic shuffle, random
+projection."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from datafusion_python_spark.operators.chunking import chunk_documents
+from datafusion_python_spark.operators.projection import (
+    projection_signs,
+    random_projection,
+)
+from datafusion_python_spark.operators.ranking import bm25, doc_terms, tf_idf
+from datafusion_python_spark.operators.sampling import deterministic_shuffle
+from datafusion_python_spark.operators.sketches import (
+    distinct_rollup,
+    hll_estimate,
+    hll_merge,
+    hll_partial,
+)
+
+
+# ---------------------------------------------------------------- sketches
+def test_hll_rollup_matches_exact_within_tolerance(spark):
+    df = spark.range(0, 5000).select(
+        (F.col("id") % 7).alias("g"), (F.col("id") % 1200).alias("v")
+    )
+    roll = distinct_rollup(df, ["g"], [], "v").collect()
+    assert len(roll) == 1
+    exact = df.select("v").distinct().count()
+    assert abs(roll[0]["approx_distinct"] - exact) <= 0.05 * exact
+
+
+def test_hll_merge_tracks_direct_sketch(spark):
+    df = spark.range(0, 3000).select(
+        (F.col("id") % 5).alias("g"), (F.col("id") % 800).alias("v")
+    )
+    merged = hll_merge(hll_partial(df, ["g"], "v"), []).select(
+        hll_estimate("hll_sketch").alias("e")
+    )
+    direct = df.groupBy().agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("v", F.lit(12))).alias("e")
+    )
+    # union may promote sparse registers to dense, so estimates are close
+    # but not bit-identical; both must sit within sketch tolerance of truth
+    m, d = merged.first()["e"], direct.first()["e"]
+    assert abs(m - d) <= 0.02 * 800
+    assert abs(m - 800) <= 0.05 * 800 and abs(d - 800) <= 0.05 * 800
+
+
+def test_distinct_rollup_requires_subset(spark):
+    df = spark.range(3).select(F.col("id").alias("a"), F.col("id").alias("b"))
+    with pytest.raises(ValueError):
+        distinct_rollup(df, ["a"], ["b"], "a")
+
+
+# ----------------------------------------------------------------- ranking
+def _docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "spark query engine spark spark"),
+            (2, "vector search and vector math"),
+            (3, "query planner for the query engine"),
+            (4, "unrelated words entirely here"),
+        ],
+        "doc_id int, text string",
+    )
+
+
+def test_doc_terms_counts(spark):
+    t = {
+        (r["doc_id"], r["term"]): (r["tf"], r["dl"])
+        for r in doc_terms(_docs(spark), "doc_id", "text").collect()
+    }
+    assert t[(1, "spark")] == (3, 5)
+    assert t[(3, "query")] == (2, 6)
+
+
+def test_tf_idf_top_terms_and_ordering(spark):
+    out = tf_idf(_docs(spark), "doc_id", "text", top_terms=1).collect()
+    best = {r["doc_id"]: r["term"] for r in out}
+    # the repeated, corpus-rare term wins each doc
+    assert best[1] == "spark"
+    assert best[2] == "vector"
+    assert len(out) == 4  # exactly one term per doc
+
+
+def test_bm25_ranks_heavier_tf_first(spark):
+    out = bm25(_docs(spark), "doc_id", "text", ["spark", "query"]).collect()
+    ids = [r["doc_id"] for r in out]
+    assert set(ids) == {1, 3}
+    # doc 1 has tf(spark)=3 vs doc 3 tf(query)=2 with same df pattern
+    assert ids[0] == 1
+    assert all(r["bm25"] > 0 for r in out)
+
+
+def test_bm25_empty_query_raises(spark):
+    with pytest.raises(ValueError):
+        bm25(_docs(spark), "doc_id", "text", [])
+
+
+# ---------------------------------------------------------------- chunking
+def test_chunking_covers_all_tokens_no_overlap(spark):
+    df = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(10)))], "doc_id int, text string"
+    )
+    out = chunk_documents(df, "doc_id", "text", chunk_tokens=4, overlap=0).collect()
+    texts = [r["chunk_text"] for r in sorted(out, key=lambda r: r["chunk_id"])]
+    assert " ".join(texts).split(" ") == [f"w{i}" for i in range(10)]
+    assert [r["chunk_tokens"] for r in sorted(out, key=lambda r: r["chunk_id"])] == [
+        4,
+        4,
+        2,
+    ]
+
+
+def test_chunking_overlap_stride(spark):
+    df = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(8)))], "doc_id int, text string"
+    )
+    out = sorted(
+        chunk_documents(df, "doc_id", "text", chunk_tokens=4, overlap=2).collect(),
+        key=lambda r: r["chunk_id"],
+    )
+    # stride 2: starts at tokens 0,2,4,6
+    assert [r["chunk_text"].split(" ")[0] for r in out] == ["w0", "w2", "w4", "w6"]
+    # consecutive chunks share `overlap` tokens
+    assert out[0]["chunk_text"].split(" ")[2:] == out[1]["chunk_text"].split(" ")[:2]
+
+
+def test_chunking_empty_doc_and_validation(spark):
+    df = spark.createDataFrame([(1, ""), (2, "one two")], "doc_id int, text string")
+    out = chunk_documents(df, "doc_id", "text", chunk_tokens=5).collect()
+    assert {r["doc_id"] for r in out} == {2}
+    with pytest.raises(ValueError):
+        chunk_documents(df, "doc_id", "text", chunk_tokens=4, overlap=4)
+
+
+# ---------------------------------------------------- deterministic shuffle
+def test_deterministic_shuffle_stable_and_salt_sensitive(spark):
+    df = spark.range(0, 500).select(F.col("id").alias("doc_id"))
+    a = [r["doc_id"] for r in deterministic_shuffle(df, "doc_id", "s1").collect()]
+    b = [
+        r["doc_id"]
+        for r in deterministic_shuffle(df.repartition(7), "doc_id", "s1").collect()
+    ]
+    c = [r["doc_id"] for r in deterministic_shuffle(df, "doc_id", "s2").collect()]
+    assert a == b  # partition-layout invariant
+    assert a != c  # epochs differ
+    assert sorted(a) == list(range(500))  # a permutation
+
+
+# --------------------------------------------------------------- projection
+def test_projection_signs_deterministic(spark):
+    assert projection_signs(8, 4, seed=1) == projection_signs(8, 4, seed=1)
+    assert projection_signs(8, 4, seed=1) != projection_signs(8, 4, seed=2)
+    assert all(v in (1.0, -1.0) for row in projection_signs(8, 4) for v in row)
+
+
+def test_random_projection_preserves_cosine_roughly(spark, sf_dir):
+    from datafusion_python_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(40)
+    proj = random_projection(emb, "embedding", out_dim=32, seed=7)
+    rows = proj.select("vec_id", "embedding", "proj").collect()
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        return num / math.sqrt(sum(x * x for x in a) * sum(y * y for y in b))
+
+    # JL: random-projected cosines track originals; 64→32 dims keeps the
+    # error modest — check mean absolute deviation over pairs, not worst-case
+    devs = []
+    for i in range(0, 10):
+        a, b = rows[i], rows[i + 10]
+        devs.append(
+            abs(
+                cos([float(x) for x in a["embedding"]], [float(x) for x in b["embedding"]])
+                - cos(a["proj"], b["proj"])
+            )
+        )
+    assert sum(devs) / len(devs) < 0.2
+
+
+def test_random_projection_empty_input_raises(spark):
+    df = spark.createDataFrame([], "vec_id int, embedding array<float>")
+    with pytest.raises(ValueError):
+        random_projection(df, "embedding", out_dim=4)
