@@ -92,3 +92,55 @@ def test_stratified_sample_is_map_only(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     plan = explain_str(stratified_sample(docs, "source", {"src0": 0.5}, "doc_id"))
     assert "Exchange" not in plan  # pure filter: no shuffle anywhere
+
+
+def test_chunking_is_map_only(spark, sf_dir):
+    from datafusion_python_spark.operators.chunking import chunk_documents
+    from datafusion_python_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    plan = explain_str(chunk_documents(docs, "doc_id", "text", chunk_tokens=40))
+    assert "Exchange" not in plan  # array math + generate: no shuffle
+    assert "Generate" in plan
+
+
+def test_bm25_broadcasts_statistics(spark, sf_dir):
+    # corpus side: one shuffle on (doc, term); df/N/avgdl sides broadcast —
+    # never a sort-merge join of the corpus against vocabulary statistics
+    from datafusion_python_spark.suite_pipeline import pipe_bm25
+
+    plan = explain_str(pipe_bm25(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_shuffle_order_uses_range_partitioning(spark, sf_dir):
+    # global md5 sort must be a range-partitioned sort (scales out),
+    # never a single-partition sort
+    from datafusion_python_spark.operators.sampling import deterministic_shuffle
+    from datafusion_python_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = explain_str(deterministic_shuffle(docs, "doc_id", "s"))
+    assert "rangepartitioning" in plan.lower()
+    assert "SinglePartition" not in plan
+
+
+def test_random_projection_is_map_only(spark, sf_dir):
+    from datafusion_python_spark.operators.projection import random_projection
+    from datafusion_python_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    plan = explain_str(random_projection(emb, "embedding", out_dim=4))
+    assert "Exchange" not in plan
+
+
+def test_hll_partial_aggregates_map_side(spark, sf_dir):
+    # sketches must build map-side (partial_hll_sketch_agg) so only
+    # register arrays cross the one shuffle
+    from datafusion_python_spark.operators.sketches import hll_partial
+    from datafusion_python_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    plan = explain_str(hll_partial(ev, ["event_type"], "user_id"))
+    assert "partial_hll_sketch_agg" in plan
