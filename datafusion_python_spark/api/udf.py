@@ -123,6 +123,7 @@ class AggregateUDF:
         self.return_type = return_type
         self.name = _CallableName(name or getattr(accum, "__name__", "udaf"))
         self._spark_ret = _spark_type(ScalarUDF._type_name(return_type))
+        self._grouped_agg_udf = None
 
     def apply_grouped(self, df, group_cols: list[str], value_cols: list[str], out_col: str):
         """Run the accumulator per group via applyInPandas (one shuffle on
@@ -157,8 +158,42 @@ class AggregateUDF:
         """
         return _UdafCall(self, list(args))
 
+    def _grouped_agg(self):
+        """Arrow GROUPED_AGG pandas_udf running the accumulator over each
+        whole group — SQL-registrable and usable inside native
+        ``groupBy().agg(...)``. Like ``apply_grouped``, each group arrives
+        in one Arrow batch stream, so ``merge()`` is never needed (the
+        documented partial-merge gap; a true partial-agg UDAF needs a
+        Scala Aggregator)."""
+        if self._grouped_agg_udf is None:
+            import warnings
+
+            import pyarrow as pa
+            from pyspark.sql.functions import PandasUDFType
+
+            accum_factory = self.accum
+
+            def agg_fn(*series: pd.Series):
+                acc = accum_factory()
+                acc.update(*[pa.Array.from_pandas(s) for s in series])
+                r = acc.evaluate()
+                return r.as_py() if hasattr(r, "as_py") else r
+
+            agg_fn.__name__ = str(self.name)
+            with warnings.catch_warnings():  # legacy functionType= spelling
+                warnings.simplefilter("ignore")
+                self._grouped_agg_udf = F.pandas_udf(
+                    agg_fn,
+                    returnType=self._spark_ret,
+                    functionType=PandasUDFType.GROUPED_AGG,
+                )
+        return self._grouped_agg_udf
+
     def _register(self, spark) -> None:
-        pass  # name-based SQL registration unsupported for the emulation
+        """Name-based SQL registration (ref user_defined.py: udaf usable in
+        SQL after ``ctx.register_udaf``): ``SELECT g, my_udaf(x) ... GROUP
+        BY g`` runs the accumulator per group via Arrow."""
+        spark.udf.register(self.name, self._grouped_agg())
 
 
 class _UdafCall:

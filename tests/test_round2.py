@@ -173,6 +173,32 @@ def test_udaf_in_aggregate_global(spark):
     assert out.df.columns == ["g"]
 
 
+def test_udaf_sql_registration(ctx):
+    from datafusion_python_spark.api.udf import udaf
+    from datafusion_python_spark.suite_udf import GeoMean
+
+    gm = udaf(GeoMean, ["double"], "double", name="geomean_sql_r2")
+    ctx.register_udaf(gm)
+    ctx.from_pylist(
+        [
+            {"g": 1, "x": 2.0},
+            {"g": 1, "x": 8.0},
+            {"g": 2, "x": 5.0},
+        ],
+        name="udaf_sql_t",
+    )
+    rows = ctx.sql(
+        "SELECT g, geomean_sql_r2(x) AS gm FROM udaf_sql_t GROUP BY g ORDER BY g"
+    ).df.collect()
+    assert abs(rows[0]["gm"] - 4.0) < 1e-9
+    assert abs(rows[1]["gm"] - 5.0) < 1e-9
+    # also usable directly in native groupBy().agg via the same Arrow UDF
+    native = (
+        ctx.table("udaf_sql_t").df.groupBy("g").agg(gm._grouped_agg()("x").alias("gm"))
+    )
+    assert {r["g"]: round(r["gm"], 6) for r in native.collect()} == {1: 4.0, 2: 5.0}
+
+
 def test_ordered_agg_desc_string_key(spark):
     df = spark.createDataFrame(
         [("b", 2), ("a", 1), ("c", 3), (None, 4)], ["s", "v"]
