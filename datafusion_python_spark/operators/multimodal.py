@@ -104,6 +104,122 @@ def extract_features(
     return df.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+PROBE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("format", T.StringType(), True),  # png|gif|bmp|jpeg|wav
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("channels", T.IntegerType(), True),
+        T.StructField("n_samples", T.LongType(), True),
+        T.StructField("payload_bytes", T.LongType(), True),
+    ]
+)
+
+
+def _probe_bytes(b: bytes | None) -> tuple:
+    """(format, width, height, sample_rate, channels, n_samples) parsed
+    from real container headers — pure stdlib byte math, no codec libs.
+    Unknown/corrupt payloads probe as (None, …)."""
+    if not b or len(b) < 10:
+        return (None, None, None, None, None, None)
+    try:
+        if b[:8] == b"\x89PNG\r\n\x1a\n" and b[12:16] == b"IHDR":
+            return (
+                "png",
+                int.from_bytes(b[16:20], "big"),
+                int.from_bytes(b[20:24], "big"),
+                None,
+                None,
+                None,
+            )
+        if b[:6] in (b"GIF87a", b"GIF89a"):
+            return (
+                "gif",
+                int.from_bytes(b[6:8], "little"),
+                int.from_bytes(b[8:10], "little"),
+                None,
+                None,
+                None,
+            )
+        if b[:2] == b"BM" and len(b) >= 26:
+            return (
+                "bmp",
+                int.from_bytes(b[18:22], "little", signed=True),
+                abs(int.from_bytes(b[22:26], "little", signed=True)),
+                None,
+                None,
+                None,
+            )
+        if b[:2] == b"\xff\xd8":  # JPEG: walk marker segments to a SOF
+            i = 2
+            while i + 9 < len(b) and b[i] == 0xFF:
+                marker = b[i + 1]
+                if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                    return (
+                        "jpeg",
+                        int.from_bytes(b[i + 7 : i + 9], "big"),
+                        int.from_bytes(b[i + 5 : i + 7], "big"),
+                        None,
+                        None,
+                        None,
+                    )
+                i += 2 + int.from_bytes(b[i + 2 : i + 4], "big")
+            return ("jpeg", None, None, None, None, None)
+        if b[:4] == b"RIFF" and b[8:12] == b"WAVE":  # walk RIFF chunks
+            rate = ch = bits = None
+            n_samples = None
+            i = 12
+            while i + 8 <= len(b):
+                cid = b[i : i + 4]
+                size = int.from_bytes(b[i + 4 : i + 8], "little")
+                if cid == b"fmt " and i + 24 <= len(b):
+                    ch = int.from_bytes(b[i + 10 : i + 12], "little")
+                    rate = int.from_bytes(b[i + 12 : i + 16], "little")
+                    bits = int.from_bytes(b[i + 22 : i + 24], "little")
+                elif cid == b"data" and ch and bits:
+                    n_samples = size // max(1, ch * bits // 8)
+                i += 8 + size + (size & 1)  # chunks are 2-byte aligned
+            return ("wav", None, None, rate, ch, n_samples)
+    except Exception:
+        pass
+    return (None, None, None, None, None, None)
+
+
+def probe_media(df: DataFrame, id_col: str = "media_id", payload_col: str = "payload") -> DataFrame:
+    """Parse real container headers (PNG/GIF/BMP/JPEG SOF/WAV RIFF) out of
+    the binary payload — format, dimensions, audio geometry.
+
+    Unlike :func:`extract_features` (whose pixel decode needs codec libs
+    and is stubbed), header probing is pure byte math: it runs for real
+    here and at 100 TB stays an Arrow-batched, stateless ``mapInPandas``
+    stage — one Python crossing per batch, per-partition retries, no
+    driver involvement. This is the ingest step that populates
+    ``MEDIA_SCHEMA.meta`` from raw crawled bytes.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            probed = [_probe_bytes(bytes(p) if p is not None else None) for p in pdf[payload_col]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col],
+                    "format": [p[0] for p in probed],
+                    "width": [p[1] for p in probed],
+                    "height": [p[2] for p in probed],
+                    "sample_rate": [p[3] for p in probed],
+                    "channels": [p[4] for p in probed],
+                    "n_samples": [p[5] for p in probed],
+                    "payload_bytes": [
+                        len(p) if p is not None else 0 for p in pdf[payload_col]
+                    ],
+                }
+            )
+
+    return df.mapInPandas(run, schema=PROBE_SCHEMA)
+
+
 def frame_sample(df: DataFrame, every_n: int = 2) -> DataFrame:
     """Video frame sampling: explode frame indices, keep every n-th.
 

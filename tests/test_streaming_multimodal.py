@@ -155,3 +155,59 @@ def test_frame_sample_and_resize(spark):
     assert all(r.frame_no % 2 == 0 for r in rows)
     geom = resize_meta(media, max_side=32).collect()
     assert all(r.dst_w <= 32 and r.dst_h <= 32 for r in geom)
+
+
+def test_probe_media_real_headers(spark):
+    import io
+    import struct
+    import wave
+
+    from datafusion_python_spark.operators.multimodal import MEDIA_SCHEMA, probe_media
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13)
+        + b"IHDR"
+        + struct.pack(">II", 640, 480)
+        + b"\x08\x02\x00\x00\x00"
+        + b"\x00\x00\x00\x00"
+    )
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00" * 6
+    bmp = b"BM" + b"\x00" * 16 + struct.pack("<ii", 800, -600) + b"\x00" * 8
+    jpeg = (
+        b"\xff\xd8"
+        + b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+        + b"\xff\xc0" + struct.pack(">H", 17) + b"\x08" + struct.pack(">HH", 1080, 1920)
+        + b"\x00" * 12
+    )
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        w.writeframes(b"\x00\x00" * 2 * 1000)  # 1000 stereo 16-bit frames
+    wav = buf.getvalue()
+
+    rows = [
+        (0, "image", bytearray(png), None),
+        (1, "image", bytearray(gif), None),
+        (2, "image", bytearray(bmp), None),
+        (3, "image", bytearray(jpeg), None),
+        (4, "audio", bytearray(wav), None),
+        (5, "image", bytearray(b"garbage-bytes-here"), None),
+        (6, "image", None, None),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r["media_id"]: r.asDict() for r in probe_media(df).collect()}
+    assert (out[0]["format"], out[0]["width"], out[0]["height"]) == ("png", 640, 480)
+    assert (out[1]["format"], out[1]["width"], out[1]["height"]) == ("gif", 320, 200)
+    assert (out[2]["format"], out[2]["width"], out[2]["height"]) == ("bmp", 800, 600)
+    assert (out[3]["format"], out[3]["width"], out[3]["height"]) == ("jpeg", 1920, 1080)
+    assert (out[4]["format"], out[4]["sample_rate"], out[4]["channels"]) == (
+        "wav",
+        16000,
+        2,
+    )
+    assert out[4]["n_samples"] == 1000
+    assert out[5]["format"] is None
+    assert out[6]["format"] is None and out[6]["payload_bytes"] == 0
