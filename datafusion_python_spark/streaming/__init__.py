@@ -9,10 +9,16 @@ DataFrame/query so callers choose sink + trigger.
 
 from .dedup_join import dedup_stream, dedup_stream_by_fingerprint, interval_join_streams
 from .stateful import running_total_per_key
-from .windows import sessionized_counts, sliding_counts, tumbling_counts
+from .windows import (
+    sessionized_counts,
+    sliding_counts,
+    tumbling_counts,
+    windowed_approx_distinct,
+)
 
 __all__ = [
     "tumbling_counts",
+    "windowed_approx_distinct",
     "sliding_counts",
     "sessionized_counts",
     "running_total_per_key",

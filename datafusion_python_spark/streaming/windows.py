@@ -50,6 +50,39 @@ def sliding_counts(
     )
 
 
+def windowed_approx_distinct(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "user_id",
+    window: str = "10 minutes",
+    watermark: str = "30 minutes",
+    lg_k: int = 12,
+) -> DataFrame:
+    """Approximate distinct ``value_col`` per (key, window) over a stream.
+
+    ``count(DISTINCT)`` is unsupported in streaming aggregations (state
+    would grow with the number of distinct values); an HLL sketch is the
+    standard fix — per-window state is a fixed ~2.5 KB register array
+    regardless of cardinality, so watermark eviction bounds total state
+    by live windows, not by distinct users. The emitted sketch column
+    also merges downstream (`operators.sketches.hll_merge`) for coarser
+    rollups of the stream's history without reprocessing.
+    """
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("w"), F.col(key_col))
+        .agg(F.hll_sketch_agg(value_col, F.lit(lg_k)).alias("hll_sketch"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            key_col,
+            F.hll_sketch_estimate("hll_sketch").alias("approx_distinct"),
+            "hll_sketch",
+        )
+    )
+
+
 def sessionized_counts(
     events: DataFrame,
     ts_col: str = "ts",

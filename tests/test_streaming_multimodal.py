@@ -211,3 +211,34 @@ def test_probe_media_real_headers(spark):
     assert out[4]["n_samples"] == 1000
     assert out[5]["format"] is None
     assert out[6]["format"] is None and out[6]["payload_bytes"] == 0
+
+
+def test_windowed_approx_distinct_stream(spark, events_stream, sf_dir):
+    from datafusion_python_spark.streaming import windowed_approx_distinct
+
+    out = windowed_approx_distinct(events_stream, window="1 day")
+    _run_to_memory(out, "wad")
+    rows = spark.sql("SELECT * FROM wad").collect()
+    assert rows
+    # estimates must track the exact per-(window, key) distincts computed
+    # in batch over the same data (cardinalities << 2^12 registers)
+    batch = load_table(spark, sf_dir, "events")
+    exact = {
+        (r["d"], r["event_type"]): r["n"]
+        for r in batch.groupBy(
+            F.date_trunc("day", "ts").alias("d"), "event_type"
+        )
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for r in rows:
+        e = exact[(r["window_start"], r["event_type"])]
+        assert abs(r["approx_distinct"] - e) <= max(1, 0.05 * e)
+    # sketches remain mergeable downstream: global estimate within 5%
+    from datafusion_python_spark.operators.sketches import hll_estimate, hll_merge
+
+    merged = hll_merge(spark.table("wad"), [], "hll_sketch").select(
+        hll_estimate("hll_sketch").alias("e")
+    )
+    total_exact = batch.select("user_id").distinct().count()
+    assert abs(merged.first()["e"] - total_exact) <= max(1, 0.05 * total_exact)
