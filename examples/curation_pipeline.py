@@ -3,7 +3,9 @@
   quality gates  →  repetition gates  →  classifier quality score  →
   PII redaction  →  benchmark decontamination  →
   MinHash-LSH dedup clustering (keep canonical)  →
-  per-domain cap  →  deterministic 50% sample  →  token-budget packing
+  per-domain cap  →  deterministic 50% sample  →
+  context-window chunking  →  deterministic epoch shuffle  →
+  token-budget packing
 
 Every stage is a pure DataFrame transformation — the whole pipeline is
 ONE Catalyst plan (lazily composed, map-side where possible, shuffles
@@ -22,10 +24,16 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
 
+from datafusion_python_spark.operators.chunking import chunk_documents
 from datafusion_python_spark.operators.cluster import canonical_docs
 from datafusion_python_spark.operators.decontaminate import decontaminate
 from datafusion_python_spark.operators.dedup import lsh_candidate_pairs, minhash_signature
-from datafusion_python_spark.operators.sampling import domain_cap, hash_sample, token_pack
+from datafusion_python_spark.operators.sampling import (
+    deterministic_shuffle,
+    domain_cap,
+    hash_sample,
+    token_pack,
+)
 from datafusion_python_spark.operators.scoring import demo_weights, score_linear
 from datafusion_python_spark.operators.text import (
     quality_features,
@@ -80,20 +88,32 @@ deduped = canonical_docs(clean, pairs)
 capped = domain_cap(deduped, "source", 20)
 sampled = hash_sample(capped, "doc_id", 0.5)
 
-# 9. token-budget packing into 2048-token bins per source
+# 9. context-window chunking: 64-token windows, 8-token overlap
+# (map-only; each chunk becomes its own training sample)
+chunks = chunk_documents(sampled, "doc_id", "text", chunk_tokens=64, overlap=8)
+chunks = chunks.withColumn(
+    "sample_id", F.concat_ws("#", F.col("doc_id"), F.col("chunk_id"))
+)
+
+# 10. deterministic epoch shuffle: reproducible global training order;
+# changing the salt re-deals the order for the next epoch
+shuffled = deterministic_shuffle(chunks, "sample_id", salt="epoch0")
+
+# 11. token-budget packing into 2048-token bins per source
 packed = token_pack(
-    sampled.withColumn("tokens", token_count(F.col("text"))),
+    shuffled.withColumnRenamed("chunk_tokens", "tokens"),
     "tokens",
     2048,
     group_col="source",
+    id_col="sample_id",
 )
 
 summary = packed.groupBy("source").agg(
-    F.count("*").alias("docs"),
+    F.count("*").alias("samples"),
     F.sum("tokens").alias("tokens"),
     (F.max("pack_bin") + 1).alias("bins"),
 )
 summary.show(5, truncate=False)
 n1 = packed.count()
-print(f"{n0} docs in -> {n1} curated docs out")
-packed.select("doc_id", "source", "tokens", "pack_bin").explain("simple")
+print(f"{n0} docs in -> {n1} curated training samples out")
+packed.select("sample_id", "source", "tokens", "pack_bin").explain("simple")
