@@ -23,6 +23,7 @@ from .text import (
 )
 from .chunking import chunk_documents
 from .decontaminate import contamination_report, decontaminate
+from .layout import bucketize, zorder_layout, zvalue
 from .projection import projection_signs, random_projection
 from .quantize import dequantize, quantize_embeddings, reconstruction_rmse
 from .ranking import bm25, doc_frequencies, doc_terms, tf_idf
@@ -39,7 +40,10 @@ from .temporal import asof_join, range_join
 
 __all__ = [
     "bm25",
+    "bucketize",
     "chunk_documents",
+    "zorder_layout",
+    "zvalue",
     "deterministic_shuffle",
     "distinct_rollup",
     "doc_frequencies",

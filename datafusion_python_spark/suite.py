@@ -83,6 +83,7 @@ _PRIORITY = [
     "pipe_chunk",
     "pipe_shuffle_order",
     "pipe_rand_proj",
+    "pipe_zorder_layout",
     # passed only by local selfcheck in round 1 (outside driver window)
     "setop_intersect",
     "setop_except",

@@ -847,8 +847,42 @@ ORDER BY vec_id, dim
 PIPE_RAND_PROJ_SQL = _rand_proj_sql()
 
 
+# --------------------------------------------------------------------------
+# Z-order (Morton) clustering key: bit-interleave of two bucketized key
+# columns — the multi-column data-skipping layout. The arithmetic is pure
+# integer shift/and/or (codegen, map-only); the oracle recomputes the
+# identical interleave in DuckDB.
+def pipe_zorder_layout(spark, sf_dir):
+    from .operators.layout import zvalue
+
+    ev = _t(spark, sf_dir, "events")
+    z = zvalue(
+        [F.pmod(F.col("user_id"), F.lit(16)), F.pmod(F.col("event_id"), F.lit(16))],
+        bits=4,
+    )
+    return ev.select(z.alias("z")).groupBy("z").agg(
+        F.count("*").alias("n")
+    ).orderBy("z")
+
+
+def _zorder_sql() -> str:
+    terms = []
+    for b in range(4):
+        terms.append(f"((((user_id % 16) >> {b}) & 1) << {2 * b})")
+        terms.append(f"((((event_id % 16) >> {b}) & 1) << {2 * b + 1})")
+    expr = " | ".join(terms)
+    return (
+        f"SELECT ({expr})::BIGINT AS z, count(*) AS n "
+        "FROM events GROUP BY 1 ORDER BY z"
+    )
+
+
+PIPE_ZORDER_SQL = _zorder_sql()
+
+
 PIPELINE_QUERIES: dict[str, tuple] = {
     "pipe_hll_rollup": (pipe_hll_rollup, PIPE_HLL_ROLLUP_SQL),
+    "pipe_zorder_layout": (pipe_zorder_layout, PIPE_ZORDER_SQL),
     "pipe_tfidf": (pipe_tfidf, PIPE_TFIDF_SQL),
     "pipe_bm25": (pipe_bm25, PIPE_BM25_SQL),
     "pipe_chunk": (pipe_chunk, PIPE_CHUNK_SQL),

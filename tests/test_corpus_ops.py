@@ -190,3 +190,52 @@ def test_random_projection_empty_input_raises(spark):
     df = spark.createDataFrame([], "vec_id int, embedding array<float>")
     with pytest.raises(ValueError):
         random_projection(df, "embedding", out_dim=4)
+
+
+# ------------------------------------------------------------------ layout
+def test_zvalue_matches_reference_interleave(spark):
+    from datafusion_python_spark.operators.layout import zvalue
+
+    def ref_z(vals, bits, n):
+        out = 0
+        for i, v in enumerate(vals):
+            v &= (1 << bits) - 1
+            for b in range(bits):
+                out |= ((v >> b) & 1) << (b * n + i)
+        return out
+
+    df = spark.createDataFrame(
+        [(a, b) for a in range(8) for b in range(8)], "a int, b int"
+    )
+    rows = df.select(
+        "a", "b", zvalue(["a", "b"], bits=3).alias("z")
+    ).collect()
+    for r in rows:
+        assert r["z"] == ref_z([r["a"], r["b"]], 3, 2), (r["a"], r["b"])
+
+
+def test_bucketize_clamps_and_scales(spark):
+    from datafusion_python_spark.operators.layout import bucketize
+
+    df = spark.createDataFrame([(-5.0,), (0.0,), (50.0,), (99.9,), (150.0,)], "x double")
+    out = [r["b"] for r in df.select(bucketize("x", 0.0, 100.0, bits=2).alias("b")).collect()]
+    assert out == [0, 0, 2, 3, 3]  # clamped below/above, linear inside
+
+
+def test_zorder_layout_partitions_are_z_ranges(spark):
+    from datafusion_python_spark.operators.layout import zorder_layout
+
+    df = spark.range(0, 4096).select(
+        (F.col("id") % 61).alias("x"), ((F.col("id") * 7) % 53).alias("y")
+    )
+    out = zorder_layout(df, ["x", "y"], bits=6, num_partitions=8, z_col="z")
+    ranges = (
+        out.withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .agg(F.min("z").alias("lo"), F.max("z").alias("hi"))
+        .orderBy("pid")
+        .collect()
+    )
+    assert len(ranges) > 1
+    for prev, cur in zip(ranges, ranges[1:]):
+        assert prev["hi"] <= cur["lo"]  # range partitioning: disjoint z spans
