@@ -33,6 +33,37 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def incremental_dedup(
+    new_df: DataFrame,
+    history_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    broadcast_history: bool = False,
+) -> DataFrame:
+    """Drop rows of ``new_df`` whose (normalized) content already exists
+    in ``history_df`` — the cross-batch step of a continuously updated
+    corpus — then exact-dedup the survivors within the batch.
+
+    Left-anti join on the content fingerprint. History flows through as
+    *fingerprints only* (16-byte keys, not documents), so the realistic
+    100 TB deployment keeps a compact fingerprint table alongside the
+    corpus and the join shuffles KBs per million docs. With
+    ``broadcast_history=True`` the distinct fingerprint set broadcasts
+    (right for an incremental run where history's fingerprint inventory
+    fits executor memory); otherwise a hash-partitioned anti-join, which
+    AQE converts to broadcast when small anyway.
+    """
+    fp = F.md5(_norm_text(F.col(text_col))).alias("dup_key")
+    seen = history_df.select(fp).distinct()
+    if broadcast_history:
+        seen = F.broadcast(seen)
+    fresh = new_df.withColumn("dup_key", fp).join(seen, "dup_key", "left_anti")
+    return (
+        fresh.groupBy("dup_key")
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_dups"))
+    )
+
+
 def _shingle_hashes_from_words(words, k: int):
     """64-bit hash per word k-shingle from a MATERIALIZED words column.
 

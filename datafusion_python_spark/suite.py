@@ -84,6 +84,7 @@ _PRIORITY = [
     "pipe_shuffle_order",
     "pipe_rand_proj",
     "pipe_zorder_layout",
+    "pipe_dedup_incremental",
     # passed only by local selfcheck in round 1 (outside driver window)
     "setop_intersect",
     "setop_except",

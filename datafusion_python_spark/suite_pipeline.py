@@ -848,6 +848,54 @@ PIPE_RAND_PROJ_SQL = _rand_proj_sql()
 
 
 # --------------------------------------------------------------------------
+# Incremental (cross-batch) dedup: a "new batch" of 150 docs — 100 are
+# case-mangled twins of history docs (normalization catches them), 50 are
+# genuinely new — anti-joined against the historical fingerprint set.
+def pipe_dedup_incremental(spark, sf_dir):
+    from .operators.dedup import incremental_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    newb = (
+        docs.filter(F.col("doc_id") < 100)
+        .select(
+            (F.col("doc_id") + 10000).alias("doc_id"),
+            F.upper(F.col("text")).alias("text"),
+        )
+        .unionByName(
+            docs.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 150)).select(
+                (F.col("doc_id") + 20000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" zz-new-suffix")).alias("text"),
+            )
+        )
+    )
+    return incremental_dedup(
+        newb, docs, "text", "doc_id", broadcast_history=True
+    ).orderBy("keep_id")
+
+
+PIPE_DEDUP_INCREMENTAL_SQL = r"""
+WITH newb AS (
+  SELECT doc_id + 10000 AS doc_id, upper(text) AS text
+  FROM documents WHERE doc_id < 100
+  UNION ALL
+  SELECT doc_id + 20000, text || ' zz-new-suffix'
+  FROM documents WHERE doc_id >= 100 AND doc_id < 150
+),
+keyed AS (
+  SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS dup_key, doc_id
+  FROM newb
+),
+seen AS (
+  SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS dup_key
+  FROM documents
+)
+SELECT dup_key, min(doc_id) AS keep_id, count(*) AS n_dups
+FROM keyed WHERE dup_key NOT IN (SELECT dup_key FROM seen)
+GROUP BY dup_key ORDER BY keep_id
+"""
+
+
+# --------------------------------------------------------------------------
 # Z-order (Morton) clustering key: bit-interleave of two bucketized key
 # columns — the multi-column data-skipping layout. The arithmetic is pure
 # integer shift/and/or (codegen, map-only); the oracle recomputes the
@@ -883,6 +931,7 @@ PIPE_ZORDER_SQL = _zorder_sql()
 PIPELINE_QUERIES: dict[str, tuple] = {
     "pipe_hll_rollup": (pipe_hll_rollup, PIPE_HLL_ROLLUP_SQL),
     "pipe_zorder_layout": (pipe_zorder_layout, PIPE_ZORDER_SQL),
+    "pipe_dedup_incremental": (pipe_dedup_incremental, PIPE_DEDUP_INCREMENTAL_SQL),
     "pipe_tfidf": (pipe_tfidf, PIPE_TFIDF_SQL),
     "pipe_bm25": (pipe_bm25, PIPE_BM25_SQL),
     "pipe_chunk": (pipe_chunk, PIPE_CHUNK_SQL),

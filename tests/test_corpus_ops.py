@@ -239,3 +239,34 @@ def test_zorder_layout_partitions_are_z_ranges(spark):
     assert len(ranges) > 1
     for prev, cur in zip(ranges, ranges[1:]):
         assert prev["hi"] <= cur["lo"]  # range partitioning: disjoint z spans
+
+
+# -------------------------------------------------------- incremental dedup
+def test_incremental_dedup_drops_seen_content(spark):
+    from datafusion_python_spark.operators.dedup import incremental_dedup
+
+    history = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "hello world")], "doc_id int, text string"
+    )
+    new = spark.createDataFrame(
+        [
+            (10, "THE QUICK  BROWN FOX"),  # dup of history 1 after normalization
+            (11, "hello world"),  # exact dup of history 2
+            (12, "something new"),
+            (13, "Something   NEW"),  # in-batch dup of 12
+        ],
+        "doc_id int, text string",
+    )
+    out = incremental_dedup(new, history, "text", "doc_id").collect()
+    assert len(out) == 1
+    assert out[0]["keep_id"] == 12 and out[0]["n_dups"] == 2
+
+
+def test_incremental_dedup_broadcasts_history(spark):
+    from datafusion_python_spark.operators.dedup import incremental_dedup
+    from datafusion_python_spark.plans import explain_str
+
+    h = spark.createDataFrame([(1, "a b c")], "doc_id int, text string")
+    n = spark.createDataFrame([(2, "x y z")], "doc_id int, text string")
+    plan = explain_str(incremental_dedup(n, h, "text", "doc_id", broadcast_history=True))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan

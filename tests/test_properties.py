@@ -87,3 +87,33 @@ def test_string_roundtrip(ctx, s):
     assert out["rr"] == s
     assert out["n"] == len(s)
     assert out["ul"] == s.lower().upper()
+
+
+@given(
+    n_words=st.integers(min_value=0, max_value=60),
+    chunk=st.integers(min_value=1, max_value=12),
+    overlap=st.integers(min_value=0, max_value=11),
+)
+@settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_chunking_invariants(ctx, n_words, chunk, overlap):
+    """Every token is covered, chunk count matches the stride formula, and
+    consecutive chunks overlap by exactly `overlap` tokens."""
+    from datafusion_python_spark.operators.chunking import chunk_documents
+
+    if overlap >= chunk:
+        return  # invalid combination is tested separately (raises)
+    words = [f"t{i}" for i in range(n_words)]
+    df = ctx.spark.createDataFrame([(1, " ".join(words))], "doc_id int, text string")
+    rows = sorted(
+        chunk_documents(df, "doc_id", "text", chunk, overlap).collect(),
+        key=lambda r: r["chunk_id"],
+    )
+    stride = chunk - overlap
+    expected_chunks = 0 if n_words == 0 else (n_words + stride - 1) // stride
+    assert len(rows) == expected_chunks
+    seen = set()
+    for i, r in enumerate(rows):
+        toks = r["chunk_text"].split(" ")
+        assert toks == words[i * stride : i * stride + chunk]
+        seen.update(toks)
+    assert seen == set(words)
