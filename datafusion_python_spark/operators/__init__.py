@@ -8,6 +8,7 @@ module is the one exception (Pandas-UDF plumbing with stubbed decoders).
 
 from .dedup import (
     exact_dedup,
+    incremental_dedup,
     minhash_signature,
     lsh_candidate_pairs,
     ngram_jaccard_pairs,
@@ -24,6 +25,7 @@ from .text import (
 from .chunking import chunk_documents
 from .decontaminate import contamination_report, decontaminate
 from .layout import bucketize, zorder_layout, zvalue
+from .lm import perplexity, train_bigram_counts
 from .projection import projection_signs, random_projection
 from .quantize import dequantize, quantize_embeddings, reconstruction_rmse
 from .ranking import bm25, doc_frequencies, doc_terms, tf_idf
@@ -42,6 +44,8 @@ __all__ = [
     "bm25",
     "bucketize",
     "chunk_documents",
+    "perplexity",
+    "train_bigram_counts",
     "zorder_layout",
     "zvalue",
     "deterministic_shuffle",
@@ -68,6 +72,7 @@ __all__ = [
     "asof_join",
     "range_join",
     "exact_dedup",
+    "incremental_dedup",
     "minhash_signature",
     "lsh_candidate_pairs",
     "ngram_jaccard_pairs",

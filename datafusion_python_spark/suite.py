@@ -85,6 +85,7 @@ _PRIORITY = [
     "pipe_rand_proj",
     "pipe_zorder_layout",
     "pipe_dedup_incremental",
+    "pipe_perplexity",
     # passed only by local selfcheck in round 1 (outside driver window)
     "setop_intersect",
     "setop_except",

@@ -848,6 +848,49 @@ PIPE_RAND_PROJ_SQL = _rand_proj_sql()
 
 
 # --------------------------------------------------------------------------
+# Bigram-LM perplexity (CCNet-style quality filter): train counts on the
+# even-id half of the corpus, score the odd-id half; add-k smoothing keeps
+# the arithmetic engine-portable and the oracle replays it exactly.
+def pipe_perplexity(spark, sf_dir):
+    from .operators.lm import perplexity, train_bigram_counts
+
+    docs = _t(spark, sf_dir, "documents")
+    model = train_bigram_counts(docs.filter(F.col("doc_id") % 2 == 0), "doc_id", "text")
+    out = perplexity(docs.filter(F.col("doc_id") % 2 == 1), model, "doc_id", "text")
+    return out.select(
+        "doc_id", F.round("ppl", 4).alias("ppl"), "n_bigrams"
+    ).orderBy("doc_id")
+
+
+PIPE_PERPLEXITY_SQL = r"""
+WITH norm AS (
+  SELECT doc_id,
+         list_filter(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+                     w -> w != '') AS ws
+  FROM documents
+),
+bg AS (
+  SELECT doc_id, unnest(ws[1:len(ws)-1]) AS prev, unnest(ws[2:len(ws)]) AS word
+  FROM norm WHERE len(ws) >= 2
+),
+c2t AS (
+  SELECT prev, word, count(*)::BIGINT AS c2 FROM bg WHERE doc_id % 2 = 0 GROUP BY 1, 2
+),
+c1t AS (
+  SELECT prev, count(*)::BIGINT AS c1 FROM bg WHERE doc_id % 2 = 0 GROUP BY 1
+),
+vt AS (SELECT count(DISTINCT word) AS v FROM c2t)
+SELECT doc_id,
+       round(exp(-avg(ln((coalesce(c2, 0) + 0.5) / (coalesce(c1, 0) + 0.5 * v)))), 4) AS ppl,
+       count(*)::BIGINT AS n_bigrams
+FROM (SELECT * FROM bg WHERE doc_id % 2 = 1) s
+LEFT JOIN c2t USING (prev, word)
+LEFT JOIN c1t USING (prev), vt
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
 # Incremental (cross-batch) dedup: a "new batch" of 150 docs — 100 are
 # case-mangled twins of history docs (normalization catches them), 50 are
 # genuinely new — anti-joined against the historical fingerprint set.
@@ -932,6 +975,7 @@ PIPELINE_QUERIES: dict[str, tuple] = {
     "pipe_hll_rollup": (pipe_hll_rollup, PIPE_HLL_ROLLUP_SQL),
     "pipe_zorder_layout": (pipe_zorder_layout, PIPE_ZORDER_SQL),
     "pipe_dedup_incremental": (pipe_dedup_incremental, PIPE_DEDUP_INCREMENTAL_SQL),
+    "pipe_perplexity": (pipe_perplexity, PIPE_PERPLEXITY_SQL),
     "pipe_tfidf": (pipe_tfidf, PIPE_TFIDF_SQL),
     "pipe_bm25": (pipe_bm25, PIPE_BM25_SQL),
     "pipe_chunk": (pipe_chunk, PIPE_CHUNK_SQL),

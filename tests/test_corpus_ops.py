@@ -270,3 +270,36 @@ def test_incremental_dedup_broadcasts_history(spark):
     n = spark.createDataFrame([(2, "x y z")], "doc_id int, text string")
     plan = explain_str(incremental_dedup(n, h, "text", "doc_id", broadcast_history=True))
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+# ------------------------------------------------------------- lm perplexity
+def test_perplexity_known_values(spark):
+    from datafusion_python_spark.operators.lm import perplexity, train_bigram_counts
+
+    train = spark.createDataFrame([(0, "a b a b a c")], "doc_id int, text string")
+    model = train_bigram_counts(train, "doc_id", "text")
+    # model: c2(a,b)=2 c2(b,a)=2 c2(a,c)=1; c1(a)=3 c1(b)=2; V=3
+    rows = {
+        r["prev"] + ">" + r["word"]: (r["c2"], r["c1"], r["v"])
+        for r in model.collect()
+    }
+    assert rows["a>b"] == (2, 3, 3) and rows["b>a"] == (2, 2, 3)
+    score = spark.createDataFrame(
+        [(1, "a b"), (2, "z z"), (3, "x")], "doc_id int, text string"
+    )
+    out = {r["doc_id"]: r["ppl"] for r in perplexity(score, model, "doc_id", "text").collect()}
+    # seen bigram: P = (2+0.5)/(3+1.5) -> ppl = 4.5/2.5 = 1.8
+    assert abs(out[1] - 1.8) < 1e-9
+    # fully unseen: P = 0.5/1.5 -> ppl = 3
+    assert abs(out[2] - 3.0) < 1e-9
+    assert 3 not in out  # single-token doc has no bigrams
+
+
+def test_perplexity_model_side_broadcasts(spark):
+    from datafusion_python_spark.operators.lm import perplexity, train_bigram_counts
+    from datafusion_python_spark.plans import explain_str
+
+    df = spark.createDataFrame([(0, "a b c a b")], "doc_id int, text string")
+    plan = explain_str(perplexity(df, train_bigram_counts(df, "doc_id", "text"), "doc_id", "text"))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
