@@ -24,6 +24,7 @@ from .text import (
 )
 from .chunking import chunk_documents
 from .decontaminate import contamination_report, decontaminate
+from .funnel import funnel, funnel_summary, retention_cohorts
 from .layout import bucketize, zorder_layout, zvalue
 from .lm import perplexity, train_bigram_counts
 from .projection import projection_signs, random_projection
@@ -44,6 +45,9 @@ __all__ = [
     "bm25",
     "bucketize",
     "chunk_documents",
+    "funnel",
+    "funnel_summary",
+    "retention_cohorts",
     "perplexity",
     "train_bigram_counts",
     "zorder_layout",

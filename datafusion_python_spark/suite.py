@@ -86,6 +86,8 @@ _PRIORITY = [
     "pipe_zorder_layout",
     "pipe_dedup_incremental",
     "pipe_perplexity",
+    "evt_funnel",
+    "evt_retention",
     # passed only by local selfcheck in round 1 (outside driver window)
     "setop_intersect",
     "setop_except",

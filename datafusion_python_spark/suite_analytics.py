@@ -1184,7 +1184,72 @@ ORDER BY p.event_id
 """
 
 
+# --------------------------------------------------------------------------
+# Ordered funnel view → click → purchase: per-step filtered min-aggs, all
+# co-partitioned by user (no per-user history sort). Oracle replays the
+# same iterative earliest-after-previous logic in CTEs.
+def evt_funnel(spark, sf_dir):
+    from .operators.funnel import funnel, funnel_summary
+
+    ev = _t(spark, sf_dir, "events")
+    return funnel_summary(
+        funnel(
+            ev,
+            ["view", "click", "purchase"],
+            within=F.expr("INTERVAL 12 HOURS"),
+        )
+    )
+
+
+EVT_FUNNEL_SQL = """
+WITH s0 AS (
+  SELECT user_id, min(ts) AS t0 FROM events WHERE event_type = 'view' GROUP BY 1
+),
+s1 AS (
+  SELECT e.user_id, min(ts) AS t1 FROM events e JOIN s0 USING (user_id)
+  WHERE event_type = 'click' AND ts > t0 AND ts <= t0 + INTERVAL 12 HOUR
+  GROUP BY 1
+),
+s2 AS (
+  SELECT e.user_id, min(ts) AS t2
+  FROM events e JOIN s1 USING (user_id) JOIN s0 USING (user_id)
+  WHERE event_type = 'purchase' AND ts > t1 AND ts <= t0 + INTERVAL 12 HOUR
+  GROUP BY 1
+),
+per_user AS (
+  SELECT s0.user_id,
+         1 + (t1 IS NOT NULL)::INT + (t2 IS NOT NULL)::INT AS steps_completed
+  FROM s0 LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+)
+SELECT steps_completed::INT AS steps_completed, count(*) AS n_users
+FROM per_user GROUP BY 1 ORDER BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# Cohort retention triangle: distinct (user, day) first — the only pass
+# over raw events — then first-day cohorts and per-offset active counts.
+def evt_retention(spark, sf_dir):
+    from .operators.funnel import retention_cohorts
+
+    ev = _t(spark, sf_dir, "events")
+    return retention_cohorts(ev)
+
+
+EVT_RETENTION_SQL = """
+WITH days AS (SELECT DISTINCT user_id, ts::DATE AS d FROM events),
+first AS (SELECT user_id, min(d) AS cohort FROM days GROUP BY 1)
+SELECT strftime(cohort, '%Y-%m-%d') AS cohort,
+       date_diff('day', cohort, d)::INT AS day_offset,
+       count(*) AS n_users
+FROM days JOIN first USING (user_id)
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 ANALYTICS_QUERIES: dict[str, tuple] = {
+    "evt_funnel": (evt_funnel, EVT_FUNNEL_SQL),
+    "evt_retention": (evt_retention, EVT_RETENTION_SQL),
     "evt_asof_attribution": (evt_asof_attribution, EVT_ASOF_SQL),
     "evt_range_join": (evt_range_join, EVT_RANGE_JOIN_SQL),
     "evt_date_bin": (evt_date_bin, EVT_DATE_BIN_SQL),

@@ -303,3 +303,67 @@ def test_perplexity_model_side_broadcasts(spark):
     plan = explain_str(perplexity(df, train_bigram_counts(df, "doc_id", "text"), "doc_id", "text"))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+# ------------------------------------------------------------ funnel/cohort
+def test_funnel_strict_ordering(spark):
+    from datafusion_python_spark.operators.funnel import funnel
+
+    rows = [
+        # u1 completes in order
+        (1, "2024-01-01 10:00:00", "view"),
+        (1, "2024-01-01 10:05:00", "click"),
+        (1, "2024-01-01 10:10:00", "purchase"),
+        # u2: purchase BEFORE click -> only 2 steps count
+        (2, "2024-01-01 10:00:00", "view"),
+        (2, "2024-01-01 09:00:00", "purchase"),
+        (2, "2024-01-01 10:05:00", "click"),
+        # u3: never viewed -> excluded entirely
+        (3, "2024-01-01 10:00:00", "click"),
+    ]
+    ev = spark.createDataFrame(rows, "user_id int, ts_s string, event_type string").select(
+        "user_id", F.to_timestamp("ts_s").alias("ts"), "event_type"
+    )
+    out = {r["user_id"]: r["steps_completed"] for r in funnel(ev, ["view", "click", "purchase"]).collect()}
+    assert out == {1: 3, 2: 2}
+
+
+def test_funnel_within_bound(spark):
+    from datafusion_python_spark.operators.funnel import funnel
+
+    rows = [
+        (1, "2024-01-01 10:00:00", "view"),
+        (1, "2024-01-03 10:00:00", "click"),  # 2 days later: outside 1 day
+    ]
+    ev = spark.createDataFrame(rows, "user_id int, ts_s string, event_type string").select(
+        "user_id", F.to_timestamp("ts_s").alias("ts"), "event_type"
+    )
+    out = funnel(ev, ["view", "click"], within=F.expr("INTERVAL 1 DAY")).collect()
+    assert out[0]["steps_completed"] == 1
+    out2 = funnel(ev, ["view", "click"], within=F.expr("INTERVAL 3 DAYS")).collect()
+    assert out2[0]["steps_completed"] == 2
+
+
+def test_retention_cohorts_triangle(spark):
+    from datafusion_python_spark.operators.funnel import retention_cohorts
+
+    rows = [
+        (1, "2024-01-01 10:00:00"),
+        (1, "2024-01-02 10:00:00"),
+        (2, "2024-01-01 23:00:00"),
+        (2, "2024-01-03 01:00:00"),
+        (3, "2024-01-02 05:00:00"),
+    ]
+    ev = spark.createDataFrame(rows, "user_id int, ts_s string").select(
+        "user_id", F.to_timestamp("ts_s").alias("ts")
+    )
+    out = {
+        (r["cohort"], r["day_offset"]): r["n_users"]
+        for r in retention_cohorts(ev).collect()
+    }
+    assert out == {
+        ("2024-01-01", 0): 2,
+        ("2024-01-01", 1): 1,
+        ("2024-01-01", 2): 1,
+        ("2024-01-02", 0): 1,
+    }
