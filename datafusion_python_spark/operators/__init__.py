@@ -25,6 +25,8 @@ from .text import (
 from .chunking import chunk_documents
 from .decontaminate import contamination_report, decontaminate
 from .funnel import funnel, funnel_summary, retention_cohorts
+from .fuzzy import fuzzy_join, fuzzy_self_pairs, qgrams
+from .skew import salted_agg, salted_join
 from .layout import bucketize, zorder_layout, zvalue
 from .lm import perplexity, train_bigram_counts
 from .projection import projection_signs, random_projection
@@ -47,7 +49,12 @@ __all__ = [
     "chunk_documents",
     "funnel",
     "funnel_summary",
+    "fuzzy_join",
+    "fuzzy_self_pairs",
+    "qgrams",
     "retention_cohorts",
+    "salted_agg",
+    "salted_join",
     "perplexity",
     "train_bigram_counts",
     "zorder_layout",

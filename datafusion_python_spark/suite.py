@@ -88,6 +88,7 @@ _PRIORITY = [
     "pipe_perplexity",
     "evt_funnel",
     "evt_retention",
+    "pipe_fuzzy_match",
     # passed only by local selfcheck in round 1 (outside driver window)
     "setop_intersect",
     "setop_except",

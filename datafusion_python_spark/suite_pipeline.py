@@ -848,6 +848,32 @@ PIPE_RAND_PROJ_SQL = _rand_proj_sql()
 
 
 # --------------------------------------------------------------------------
+# Fuzzy entity matching: q-gram-blocked levenshtein pairs over distinct
+# part names. Oracle is the EXACT all-pairs join — q=2/d=2 blocking is
+# provably lossless at these string lengths (min 7 chars), so the gate
+# also proves the block loses no true pair.
+def pipe_fuzzy_match(spark, sf_dir):
+    from .operators.fuzzy import fuzzy_self_pairs
+
+    names = _t(spark, sf_dir, "part").select("p_name").distinct()
+    return fuzzy_self_pairs(
+        names.withColumn("name", F.col("p_name")), "name", "p_name", max_distance=2
+    ).select(
+        F.col("id_a").alias("name_a"), F.col("id_b").alias("name_b"), "dist"
+    ).orderBy("name_a", "name_b")
+
+
+PIPE_FUZZY_MATCH_SQL = """
+WITH n AS (SELECT DISTINCT p_name FROM part)
+SELECT a.p_name AS name_a, b.p_name AS name_b,
+       levenshtein(a.p_name, b.p_name)::INT AS dist
+FROM n a JOIN n b ON a.p_name < b.p_name
+WHERE levenshtein(a.p_name, b.p_name) <= 2
+ORDER BY name_a, name_b
+"""
+
+
+# --------------------------------------------------------------------------
 # Bigram-LM perplexity (CCNet-style quality filter): train counts on the
 # even-id half of the corpus, score the odd-id half; add-k smoothing keeps
 # the arithmetic engine-portable and the oracle replays it exactly.
@@ -976,6 +1002,7 @@ PIPELINE_QUERIES: dict[str, tuple] = {
     "pipe_zorder_layout": (pipe_zorder_layout, PIPE_ZORDER_SQL),
     "pipe_dedup_incremental": (pipe_dedup_incremental, PIPE_DEDUP_INCREMENTAL_SQL),
     "pipe_perplexity": (pipe_perplexity, PIPE_PERPLEXITY_SQL),
+    "pipe_fuzzy_match": (pipe_fuzzy_match, PIPE_FUZZY_MATCH_SQL),
     "pipe_tfidf": (pipe_tfidf, PIPE_TFIDF_SQL),
     "pipe_bm25": (pipe_bm25, PIPE_BM25_SQL),
     "pipe_chunk": (pipe_chunk, PIPE_CHUNK_SQL),

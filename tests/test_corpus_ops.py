@@ -367,3 +367,86 @@ def test_retention_cohorts_triangle(spark):
         ("2024-01-01", 2): 1,
         ("2024-01-02", 0): 1,
     }
+
+
+# -------------------------------------------------------------------- skew
+def test_salted_agg_matches_plain(spark):
+    from datafusion_python_spark.operators.skew import salted_agg
+
+    # 90% of rows share one hot key
+    df = spark.range(0, 2000).select(
+        F.when(F.col("id") % 10 < 9, "hot").otherwise(F.concat(F.lit("k"), F.col("id") % 7)).alias("k"),
+        (F.col("id") % 100).alias("v"),
+    )
+    got = {
+        r["k"]: (r["s"], r["n"], r["mx"])
+        for r in salted_agg(
+            df,
+            ["k"],
+            {"s": ("sum", "v"), "n": ("count", "v"), "mx": ("max", "v")},
+            salt_buckets=8,
+            salt_on=["k", "v"],
+        ).collect()
+    }
+    exact = {
+        r["k"]: (r["s"], r["n"], r["mx"])
+        for r in df.groupBy("k").agg(F.sum("v").alias("s"), F.count("v").alias("n"), F.max("v").alias("mx")).collect()
+    }
+    assert got == exact
+
+
+def test_salted_join_matches_plain(spark):
+    from datafusion_python_spark.operators.skew import salted_join
+
+    fact = spark.range(0, 1000).select(
+        F.when(F.col("id") % 5 < 4, 1).otherwise((F.col("id") % 7) + 2).alias("k"),
+        F.col("id").alias("fid"),
+    )
+    dim = spark.createDataFrame([(i, f"d{i}") for i in range(1, 10)], "k long, payload string")
+    plain = {(r["fid"], r["payload"]) for r in fact.join(dim, "k").collect()}
+    salted = {(r["fid"], r["payload"]) for r in salted_join(fact, dim, ["k"], salt_buckets=4).collect()}
+    assert salted == plain
+    # hybrid: salt only the hot key
+    hot = spark.createDataFrame([(1,)], "k long")
+    hybrid = {
+        (r["fid"], r["payload"])
+        for r in salted_join(fact, dim, ["k"], salt_buckets=4, only_keys=hot).collect()
+    }
+    assert hybrid == plain
+
+
+def test_salted_join_left_keeps_unmatched(spark):
+    from datafusion_python_spark.operators.skew import salted_join
+
+    fact = spark.createDataFrame([(1, 10), (99, 11)], "k long, fid long")
+    dim = spark.createDataFrame([(1, "d1")], "k long, payload string")
+    out = {(r["fid"], r["payload"]) for r in salted_join(fact, dim, ["k"], how="left").collect()}
+    assert out == {(10, "d1"), (11, None)}
+
+
+# -------------------------------------------------------------------- fuzzy
+def test_fuzzy_self_pairs_finds_typos(spark):
+    from datafusion_python_spark.operators.fuzzy import fuzzy_self_pairs
+
+    df = spark.createDataFrame(
+        [
+            (1, "spark engine"),
+            (2, "spork engine"),   # 1 edit from 1
+            (3, "spark enginee"),  # 1 edit from 1, 2 from 2
+            (4, "completely different"),
+        ],
+        "id int, s string",
+    )
+    out = {(r["id_a"], r["id_b"]): r["dist"] for r in fuzzy_self_pairs(df, "id", "s", 2).collect()}
+    assert out == {(1, 2): 1, (1, 3): 1, (2, 3): 2}
+
+
+def test_fuzzy_join_two_tables(spark):
+    from datafusion_python_spark.operators.fuzzy import fuzzy_join
+
+    left = spark.createDataFrame([(1, "acme corp")], "lid int, lname string")
+    right = spark.createDataFrame(
+        [(10, "acme corp."), (11, "bizarro inc")], "rid int, rname string"
+    )
+    out = fuzzy_join(left, right, "lname", "rname", max_distance=1).collect()
+    assert len(out) == 1 and out[0]["rid"] == 10 and out[0]["dist"] == 1
