@@ -53,3 +53,47 @@ def test_sql_metrics_after_action(spark, sf_dir):
     total_out = sum(v.get("numOutputRows", 0) for v in m.values())
     assert total_out > 0
     assert any(k.startswith("Scan parquet") for k in m)
+
+
+def test_bucketed_join_no_shuffle(spark, sf_dir):
+    from datafusion_python_spark.plans import explain_str
+    from datafusion_python_spark.sources.bucketed import (
+        bucketed_join_ready,
+        read_bucketed,
+        write_bucketed,
+    )
+    from datafusion_python_spark.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    write_bucketed(orders, "b_orders", ["o_orderkey"], num_buckets=8)
+    write_bucketed(
+        lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
+        "b_lineitem",
+        ["o_orderkey"],
+        num_buckets=8,
+    )
+    assert bucketed_join_ready(spark, "b_orders", "b_lineitem")
+    bo, bl = read_bucketed(spark, "b_orders"), read_bucketed(spark, "b_lineitem")
+    joined = bo.join(bl, "o_orderkey").groupBy("o_orderstatus").count()
+    plan = explain_str(joined)
+    # the join itself must read co-located buckets: no shuffle before it
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    assert "Exchange hashpartitioning(o_orderkey" not in plan
+    n = joined.count()
+    assert n > 0
+
+
+def test_compact_files(spark, tmp_path):
+    import glob
+
+    from datafusion_python_spark.sources.bucketed import compact_files
+
+    path = str(tmp_path / "frag")
+    # 40 tiny files
+    spark.range(0, 10000).repartition(40).write.parquet(path)
+    assert len(glob.glob(f"{path}/*.parquet")) == 40
+    n = compact_files(spark, path, target_file_mb=128)
+    assert n == 1
+    assert len(glob.glob(f"{path}/*.parquet")) == 1
+    assert spark.read.parquet(path).count() == 10000
