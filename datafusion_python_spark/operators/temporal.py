@@ -32,6 +32,16 @@ def _payload_struct(df: DataFrame, cols: list[str]) -> Column:
     return F.struct(*[F.col(c) for c in cols])
 
 
+def _secs(c: Column, dtype: str) -> Column:
+    """Seconds-as-double for ordering/bucket math. TIMESTAMP_NTZ (the
+    testdata's naive timestamps) cannot cast to numeric directly; going
+    through TIMESTAMP reinterprets in the session zone — pinned UTC in
+    session.py, so exact. Numeric on-columns pass straight through."""
+    if dtype.startswith("timestamp"):
+        return c.cast("timestamp").cast("double")
+    return c.cast("double")
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -66,8 +76,9 @@ def asof_join(
             on=left.columns,
             how="inner",
         )
-        b_gap = F.col(on).cast("double") - F.col(rts).cast("double")
-        f_gap = F.col(f"__f_{rts}").cast("double") - F.col(on).cast("double")
+        on_dtype = dict(left.dtypes)[on]
+        b_gap = _secs(F.col(on), on_dtype) - _secs(F.col(rts), on_dtype)
+        f_gap = _secs(F.col(f"__f_{rts}"), on_dtype) - _secs(F.col(on), on_dtype)
         use_fwd = F.col(rts).isNull() | (
             F.col(f"__f_{rts}").isNotNull() & (f_gap < b_gap)
         )
@@ -161,8 +172,9 @@ def range_join(
     )
     rcols = [c for c in right.columns if c not in keys]
 
-    lo = (F.col(on) + lower).cast("double")
-    hi = (F.col(on) + upper).cast("double")
+    on_dtype = dict(left.dtypes)[on]
+    lo = _secs(F.col(on) + lower, on_dtype)
+    hi = _secs(F.col(on) + upper, on_dtype)
     l_b = left.select(
         "*",
         F.explode(
@@ -174,7 +186,7 @@ def range_join(
     )
     r_b = right.select(
         *[F.col(k) for k in keys],
-        F.floor(F.col(on).cast("double") / bucket_secs).cast("long").alias("__bucket"),
+        F.floor(_secs(F.col(on), dict(right.dtypes)[on]) / bucket_secs).cast("long").alias("__bucket"),
         *[F.col(c).alias(f"{right_prefix}{c}") for c in rcols],
     )
     r_on = f"{right_prefix}{on}"

@@ -37,6 +37,18 @@ def write_bucketed(
     ``sort_cols`` additionally sorts within each bucket, which tightens
     min/max stats and enables sort-merge reads without a sort stage.
     """
+    if mode == "overwrite":
+        # saveAsTable(overwrite) still refuses a managed-table location
+        # left behind by a dropped/crashed session — clean both catalog
+        # entry and orphan directory so overwrite means overwrite.
+        spark = df.sparkSession
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+        loc = os.path.join(warehouse.removeprefix("file:"), table.split(".")[-1].lower())
+        if os.path.isdir(loc):
+            import shutil
+
+            shutil.rmtree(loc)
     w = df.write.format(fmt).mode(mode).bucketBy(num_buckets, *bucket_cols)
     if sort_cols:
         w = w.sortBy(*sort_cols)

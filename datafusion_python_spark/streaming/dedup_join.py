@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .util import ensure_event_time
+
 
 def dedup_stream(
     events: DataFrame,
@@ -32,7 +34,11 @@ def dedup_stream(
     Late duplicates arriving within the watermark are dropped; state for
     a key is reclaimed once the watermark passes its event time.
     """
-    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+    return (
+        ensure_event_time(events, ts_col)
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(keys)
+    )
 
 
 def dedup_stream_by_fingerprint(
@@ -47,7 +53,8 @@ def dedup_stream_by_fingerprint(
     fp = F.md5(F.lower(F.regexp_replace(F.col(text_col), r"\s+", " ")))
     tagged = docs.withColumn("__fp", fp)
     return (
-        tagged.withWatermark(ts_col, watermark)
+        ensure_event_time(tagged, ts_col)
+        .withWatermark(ts_col, watermark)
         .dropDuplicatesWithinWatermark(["__fp"])
         .drop("__fp")
     )
@@ -74,8 +81,8 @@ def interval_join_streams(
         F.col(right_ts).alias("__rts"),
         *[F.col(c).alias(f"r_{c}") for c in right.columns if c not in (key, right_ts)],
     )
-    lw = left.withWatermark(left_ts, watermark)
-    rw = renamed.withWatermark("__rts", watermark)
+    lw = ensure_event_time(left, left_ts).withWatermark(left_ts, watermark)
+    rw = ensure_event_time(renamed, "__rts").withWatermark("__rts", watermark)
     cond = (
         (lw[key] == rw["__rkey"])
         & (rw["__rts"] > lw[left_ts])

@@ -10,6 +10,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .util import ensure_event_time
+
 
 def tumbling_counts(
     events: DataFrame,
@@ -20,7 +22,7 @@ def tumbling_counts(
 ) -> DataFrame:
     """Per-key counts over non-overlapping event-time windows."""
     return (
-        events.withWatermark(ts_col, watermark)
+        ensure_event_time(events, ts_col).withWatermark(ts_col, watermark)
         .groupBy(F.window(F.col(ts_col), window).alias("w"), F.col(key_col))
         .agg(F.count("*").alias("n"), F.sum("value").alias("total_value"))
         .select(
@@ -43,7 +45,7 @@ def sliding_counts(
 ) -> DataFrame:
     """Overlapping sliding windows (each event lands in window/slide buckets)."""
     return (
-        events.withWatermark(ts_col, watermark)
+        ensure_event_time(events, ts_col).withWatermark(ts_col, watermark)
         .groupBy(F.window(F.col(ts_col), window, slide).alias("w"), F.col(key_col))
         .agg(F.count("*").alias("n"))
         .select(F.col("w.start").alias("window_start"), key_col, "n")
@@ -70,7 +72,7 @@ def windowed_approx_distinct(
     rollups of the stream's history without reprocessing.
     """
     return (
-        events.withWatermark(ts_col, watermark)
+        ensure_event_time(events, ts_col).withWatermark(ts_col, watermark)
         .groupBy(F.window(F.col(ts_col), window).alias("w"), F.col(key_col))
         .agg(F.hll_sketch_agg(value_col, F.lit(lg_k)).alias("hll_sketch"))
         .select(
@@ -92,7 +94,7 @@ def sessionized_counts(
 ) -> DataFrame:
     """Session windows (gap-based, dynamic length) per key."""
     return (
-        events.withWatermark(ts_col, watermark)
+        ensure_event_time(events, ts_col).withWatermark(ts_col, watermark)
         .groupBy(F.session_window(F.col(ts_col), gap).alias("w"), F.col(key_col))
         .agg(F.count("*").alias("n_events"), F.sum("value").alias("total_value"))
         .select(

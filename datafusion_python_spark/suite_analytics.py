@@ -23,6 +23,15 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+def _us(c: str):
+    """Epoch microseconds for a timestamp column. The testdata stores
+    naive (TIMESTAMP_NTZ) values, which Spark's ``unix_micros`` rejects;
+    the cast reinterprets them in the session zone — pinned UTC
+    (session.py) — so it is exact, and matches DuckDB's ``epoch_us``
+    over the same naive parquet values."""
+    return F.unix_micros(F.col(c).cast("timestamp"))
+
+
 # --------------------------------------------------------------------------
 # Window: top-3 most recent events per user (row_number over desc order).
 # ref window fns: functions/__init__.py:6702 (row_number)
@@ -77,11 +86,11 @@ FROM events
 def evt_gaps(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    prev_us = F.lag(F.unix_micros(F.col("ts"))).over(w)
+    prev_us = F.lag(_us("ts")).over(w)
     return ev.select(
         "user_id",
         "event_id",
-        (F.unix_micros(F.col("ts")) - prev_us).alias("gap_us"),
+        (_us("ts") - prev_us).alias("gap_us"),
     )
 
 
@@ -100,7 +109,7 @@ FROM events
 def evt_sessionize(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+    gap = _us("ts") - F.lag(_us("ts")).over(w)
     is_new = F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0)
     sess = ev.withColumn("is_new", is_new).withColumn(
         "session_id",
@@ -962,9 +971,9 @@ def fn_epoch(spark, sf_dir):
     ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 300)
     return ev.select(
         "event_id",
-        F.unix_seconds(F.col("ts")).alias("es"),
-        F.unix_millis(F.col("ts")).alias("ems"),
-        F.unix_micros(F.col("ts")).alias("eus"),
+        F.unix_seconds(F.col("ts").cast("timestamp")).alias("es"),
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ems"),
+        _us("ts").alias("eus"),
         F.unix_date(F.col("ts").cast("date")).alias("ed"),
     ).orderBy("event_id")
 
@@ -1126,7 +1135,7 @@ def evt_asof_attribution(spark, sf_dir):
         "user_id",
         F.col("r_event_id").alias("click_id"),
         F.col("r_value").alias("click_value"),
-        (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("r_ts"))).alias("gap_us"),
+        (_us("ts") - _us("r_ts")).alias("gap_us"),
     ).orderBy("event_id")
 
 

@@ -75,7 +75,10 @@ def test_bucketed_join_no_shuffle(spark, sf_dir):
     )
     assert bucketed_join_ready(spark, "b_orders", "b_lineitem")
     bo, bl = read_bucketed(spark, "b_orders"), read_bucketed(spark, "b_lineitem")
-    joined = bo.join(bl, "o_orderkey").groupBy("o_orderstatus").count()
+    # merge hint: at sf0.001 both sides fit the broadcast threshold, which
+    # would sidestep the bucketed path this test exists to pin (at real
+    # scale neither fact table broadcasts and SMJ is what the planner picks)
+    joined = bo.hint("merge").join(bl, "o_orderkey").groupBy("o_orderstatus").count()
     plan = explain_str(joined)
     # the join itself must read co-located buckets: no shuffle before it
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
