@@ -273,19 +273,23 @@ class SessionContext:
         paths = [path] if isinstance(path, str) else list(path)
         return DataFrame(reader.json(*paths))
 
-    def read_avro(self, path: str, schema=None, **_: Any) -> DataFrame:
-        """ref context.py:1994. Requires the spark-avro module on the
-        cluster classpath (external module since Spark 2.4); raises a
-        clear error when it is absent, as in this test container."""
+    def read_avro(
+        self, path: str, schema=None, file_extension: str = ".avro", **_: Any
+    ) -> DataFrame:
+        """ref context.py:1994. Uses the spark-avro module when it is on
+        the classpath (native, block-splittable); otherwise falls back to
+        the pure-Python container reader in ``sources/avro.py`` —
+        binaryFile distribution + Arrow-batched mapInPandas decode."""
         try:
             return DataFrame(self.spark.read.format("avro").load(path))
         except Exception as ex:
-            if "Failed to find data source: avro" in str(ex):
-                raise NotImplementedError(
-                    "avro reads need org.apache.spark:spark-avro on the "
-                    "classpath (--packages); not bundled in this environment"
-                ) from ex
-            raise
+            if "Failed to find data source: avro" not in str(ex):
+                raise
+        from ..sources.avro import read_avro as _read_avro
+
+        return DataFrame(
+            _read_avro(self.spark, path, schema=schema, file_extension=file_extension)
+        )
 
     def read_empty(self) -> DataFrame:
         return DataFrame(self.spark.range(1).select(F.lit(1).alias("__dummy")).limit(0))
