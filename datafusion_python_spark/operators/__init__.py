@@ -41,9 +41,19 @@ from .sampling import (
 )
 from .scoring import quality_filter, score_linear
 from .sketches import distinct_rollup, hll_estimate, hll_merge, hll_partial
+from .substring import (
+    duplicate_regions,
+    duplicate_spans,
+    span_index,
+    strip_duplicate_spans,
+)
 from .temporal import asof_join, range_join
 
 __all__ = [
+    "duplicate_regions",
+    "duplicate_spans",
+    "span_index",
+    "strip_duplicate_spans",
     "bm25",
     "bucketize",
     "chunk_documents",

@@ -997,7 +997,52 @@ def _zorder_sql() -> str:
 PIPE_ZORDER_SQL = _zorder_sql()
 
 
+# --------------------------------------------------------------------------
+# Exact substring (k-token span) dedup — Lee et al. 2022 reshaped as a
+# hashed span inverted index (operators/substring.py). md5 hasher mode
+# makes the span keys bit-identical in DuckDB, so the oracle recomputes
+# the full pipeline independently (its own tokenize/slice/hash/count).
+def pipe_substring_dup(spark, sf_dir):
+    from .operators.substring import duplicate_spans
+
+    from .operators.substring import span_index
+
+    docs = _t(spark, sf_dir, "documents")
+    dup = duplicate_spans(docs, k=10, hasher="md5")
+    all_spans = span_index(docs, k=10, hasher="md5").groupBy("doc_id").agg(
+        F.count("*").alias("n_spans")
+    )
+    per_doc = (
+        dup.groupBy("doc_id")
+        .agg(F.count("*").alias("n_dup_spans"))
+        .join(all_spans, "doc_id")
+        .select("doc_id", "n_spans", "n_dup_spans")
+        .orderBy("doc_id")
+    )
+    return per_doc
+
+
+PIPE_SUBSTRING_DUP_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+), spans AS (
+  SELECT doc_id, CAST(u.i AS BIGINT) AS pos,
+         md5(array_to_string(t[u.i+1:u.i+10], ' ')) AS h
+  FROM toks, UNNEST(range(0, GREATEST(len(t)-9, 0))) AS u(i)
+), c AS (
+  SELECT h, count(*) AS cnt FROM spans GROUP BY h
+)
+SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+       CAST(sum(CASE WHEN c.cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans
+FROM spans s JOIN c USING (h)
+GROUP BY s.doc_id
+HAVING n_dup_spans > 0
+ORDER BY doc_id
+"""
+
+
 PIPELINE_QUERIES: dict[str, tuple] = {
+    "pipe_substring_dup": (pipe_substring_dup, PIPE_SUBSTRING_DUP_SQL),
     "pipe_hll_rollup": (pipe_hll_rollup, PIPE_HLL_ROLLUP_SQL),
     "pipe_zorder_layout": (pipe_zorder_layout, PIPE_ZORDER_SQL),
     "pipe_dedup_incremental": (pipe_dedup_incremental, PIPE_DEDUP_INCREMENTAL_SQL),
