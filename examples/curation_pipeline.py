@@ -2,6 +2,7 @@
 
   quality gates  →  repetition gates  →  classifier quality score  →
   PII redaction  →  benchmark decontamination  →
+  exact substring (span) dedup  →
   MinHash-LSH dedup clustering (keep canonical)  →
   per-domain cap  →  deterministic 50% sample  →
   context-window chunking  →  deterministic epoch shuffle  →
@@ -75,6 +76,13 @@ clean = redact_pii(scored, count=False).drop("text").withColumnRenamed(
 # map-side). Eval stand-in: every 97th doc.
 eval_df = docs.filter(F.col("doc_id") % 97 == 0)
 clean = decontaminate(clean, eval_df, n=8)
+
+# 5b. exact substring dedup: strip all-but-first occurrences of any
+# repeated 10-token span corpus-wide (Lee et al. 2022 — catches copied
+# boilerplate inside otherwise-unique docs that doc-level dedup misses)
+from datafusion_python_spark.operators.substring import strip_duplicate_spans
+
+clean = strip_duplicate_spans(clean, k=10)
 
 # 6. MinHash → LSH → connected components → canonical doc per cluster.
 # 3-word shingles: near-dup means shared PHRASES. (Unigram shingles on

@@ -65,11 +65,13 @@ def main() -> None:
     from datafusion_python_spark.operators.sampling import deterministic_shuffle
     from datafusion_python_spark.operators.scoring import demo_weights, score_linear
     from datafusion_python_spark.operators.sketches import distinct_rollup
+    from datafusion_python_spark.operators.substring import duplicate_regions
 
     def ops(sf_dir):
         docs, ev, emb = tables(sf_dir)
         day = F.date_format("ts", "yyyy-MM-dd").alias("day")
         return {
+            "substr_dup": lambda: duplicate_regions(docs, k=10),
             "chunk": lambda: chunk_documents(docs, "doc_id", "text", 64, 8),
             "tfidf_top2": lambda: tf_idf(docs, "doc_id", "text", top_terms=2),
             "bm25": lambda: bm25(docs, "doc_id", "text", ["spark", "vector", "query"]),
