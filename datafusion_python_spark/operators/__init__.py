@@ -39,6 +39,7 @@ from .sampling import (
     stratified_sample,
     token_pack,
 )
+from .gapfill import bucket_aggregate, gapfill
 from .scoring import quality_filter, score_linear
 from .sketches import distinct_rollup, hll_estimate, hll_merge, hll_partial
 from .substring import (
@@ -50,6 +51,8 @@ from .substring import (
 from .temporal import asof_join, range_join
 
 __all__ = [
+    "bucket_aggregate",
+    "gapfill",
     "duplicate_regions",
     "duplicate_spans",
     "span_index",

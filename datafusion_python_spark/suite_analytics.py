@@ -1194,6 +1194,50 @@ ORDER BY p.event_id
 
 
 # --------------------------------------------------------------------------
+# Time-series gap fill (TimescaleDB time_bucket_gapfill + locf shape,
+# operators/gapfill.py): hourly avg(value) per event_type, every hour in
+# each type's observed span materialized, gaps carried forward. Oracle
+# rebuilds dense axes with range()/UNNEST and an IGNORE NULLS window.
+def evt_gapfill(spark, sf_dir):
+    from .operators.gapfill import bucket_aggregate, gapfill
+
+    ev = _t(spark, sf_dir, "events")
+    sparse = bucket_aggregate(
+        ev, ["event_type"], "ts", {"v": F.avg("value")}, stride="1 hour"
+    )
+    filled = gapfill(sparse, ["event_type"], ["v"], stride="1 hour", method="locf")
+    return filled.select(
+        "event_type",
+        "bucket",
+        F.round("v", 4).alias("v_locf"),
+        "is_gap",
+    ).orderBy("event_type", "bucket")
+
+
+EVT_GAPFILL_SQL = """
+WITH sparse AS (
+  SELECT event_type, CAST((epoch_us(ts) // 1000000 // 3600) * 3600 AS BIGINT) AS bucket,
+         avg(value) AS v
+  FROM events GROUP BY 1, 2
+), b AS (
+  SELECT event_type, min(bucket) lo, max(bucket) hi FROM sparse GROUP BY 1
+), dense AS (
+  SELECT b.event_type, CAST(u.t AS BIGINT) AS bucket
+  FROM b, UNNEST(range(b.lo, b.hi + 3600, 3600)) AS u(t)
+), j AS (
+  SELECT d.event_type, d.bucket, s.v, s.v IS NULL AS is_gap
+  FROM dense d LEFT JOIN sparse s USING (event_type, bucket)
+)
+SELECT event_type, bucket,
+       round(last_value(v IGNORE NULLS) OVER (
+         PARTITION BY event_type ORDER BY bucket
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS v_locf,
+       is_gap
+FROM j ORDER BY event_type, bucket
+"""
+
+
+# --------------------------------------------------------------------------
 # Ordered funnel view → click → purchase: per-step filtered min-aggs, all
 # co-partitioned by user (no per-user history sort). Oracle replays the
 # same iterative earliest-after-previous logic in CTEs.
@@ -1261,6 +1305,7 @@ ANALYTICS_QUERIES: dict[str, tuple] = {
     "evt_retention": (evt_retention, EVT_RETENTION_SQL),
     "evt_asof_attribution": (evt_asof_attribution, EVT_ASOF_SQL),
     "evt_range_join": (evt_range_join, EVT_RANGE_JOIN_SQL),
+    "evt_gapfill": (evt_gapfill, EVT_GAPFILL_SQL),
     "evt_date_bin": (evt_date_bin, EVT_DATE_BIN_SQL),
     "fn_hash": (fn_hash, FN_HASH_SQL),
     "fn_bits": (fn_bits, FN_BITS_SQL),
