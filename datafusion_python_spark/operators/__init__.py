@@ -40,6 +40,7 @@ from .sampling import (
     token_pack,
 )
 from .gapfill import bucket_aggregate, gapfill
+from .graph import pagerank, transition_edges
 from .scoring import quality_filter, score_linear
 from .sketches import distinct_rollup, hll_estimate, hll_merge, hll_partial
 from .substring import (
@@ -53,6 +54,8 @@ from .temporal import asof_join, range_join
 __all__ = [
     "bucket_aggregate",
     "gapfill",
+    "pagerank",
+    "transition_edges",
     "duplicate_regions",
     "duplicate_spans",
     "span_index",

@@ -1238,6 +1238,55 @@ FROM j ORDER BY event_type, bucket
 
 
 # --------------------------------------------------------------------------
+# Weighted PageRank over the event-type transition graph
+# (operators/graph.py): per-user consecutive-event edges, 3 fixed
+# iterations with dangling-mass redistribution. The oracle unrolls the
+# exact same update in SQL — independently derived, same arithmetic.
+def evt_pagerank(spark, sf_dir):
+    from .operators.graph import pagerank, transition_edges
+
+    ev = _t(spark, sf_dir, "events")
+    edges = transition_edges(ev)
+    pr = pagerank(edges, num_iters=3, damping=0.85, weight="weight")
+    return pr.select("node", F.round("rank", 6).alias("rank")).orderBy("node")
+
+
+def _pagerank_sql(iters: int = 3, damping: float = 0.85) -> str:
+    parts = [
+        """
+WITH e AS (
+  SELECT src, dst, CAST(count(*) AS DOUBLE) AS w FROM (
+    SELECT event_type AS src,
+           lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+    FROM events) t WHERE dst IS NOT NULL GROUP BY src, dst
+), ow AS (SELECT src, sum(w) AS ow FROM e GROUP BY src),
+tr AS (SELECT e.src, e.dst, e.w / ow.ow AS p FROM e JOIN ow USING (src)),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes)"""
+    ]
+    for i in range(iters):
+        parts.append(
+            f""",
+d{i} AS (SELECT COALESCE(sum(rank), 0) AS dang FROM r{i}
+         WHERE node NOT IN (SELECT src FROM tr)),
+c{i} AS (SELECT tr.dst AS node, sum(r{i}.rank * tr.p) AS c
+         FROM r{i} JOIN tr ON r{i}.node = tr.src GROUP BY tr.dst),
+r{i + 1} AS (SELECT nodes.node,
+         {1 - damping} / (SELECT n FROM nn)
+         + {damping} * (COALESCE(c{i}.c, 0) + (SELECT dang FROM d{i}) / (SELECT n FROM nn)) AS rank
+         FROM nodes LEFT JOIN c{i} USING (node))"""
+        )
+    parts.append(
+        f"\nSELECT node, round(rank, 6) AS rank FROM r{iters} ORDER BY node"
+    )
+    return "".join(parts)
+
+
+EVT_PAGERANK_SQL = _pagerank_sql()
+
+
+# --------------------------------------------------------------------------
 # Ordered funnel view → click → purchase: per-step filtered min-aggs, all
 # co-partitioned by user (no per-user history sort). Oracle replays the
 # same iterative earliest-after-previous logic in CTEs.
@@ -1306,6 +1355,7 @@ ANALYTICS_QUERIES: dict[str, tuple] = {
     "evt_asof_attribution": (evt_asof_attribution, EVT_ASOF_SQL),
     "evt_range_join": (evt_range_join, EVT_RANGE_JOIN_SQL),
     "evt_gapfill": (evt_gapfill, EVT_GAPFILL_SQL),
+    "evt_pagerank": (evt_pagerank, EVT_PAGERANK_SQL),
     "evt_date_bin": (evt_date_bin, EVT_DATE_BIN_SQL),
     "fn_hash": (fn_hash, FN_HASH_SQL),
     "fn_bits": (fn_bits, FN_BITS_SQL),
