@@ -89,6 +89,10 @@ _PRIORITY = [
     "evt_funnel",
     "evt_retention",
     "pipe_fuzzy_match",
+    # gates added this session
+    "pipe_substring_dup",
+    "evt_gapfill",
+    "evt_pagerank",
     # passed only by local selfcheck in round 1 (outside driver window)
     "setop_intersect",
     "setop_except",
