@@ -8,6 +8,7 @@ DataFrame/query so callers choose sink + trigger.
 """
 
 from .dedup_join import dedup_stream, dedup_stream_by_fingerprint, interval_join_streams
+from .enrich import enrich_stream, scd2_enrich_stream
 from .stateful import running_total_per_key
 from .windows import (
     sessionized_counts,
@@ -25,4 +26,6 @@ __all__ = [
     "dedup_stream",
     "dedup_stream_by_fingerprint",
     "interval_join_streams",
+    "enrich_stream",
+    "scd2_enrich_stream",
 ]
