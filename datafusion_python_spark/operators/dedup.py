@@ -86,7 +86,19 @@ def _shingle_hashes_from_words(words, k: int):
     ).otherwise(F.array(F.xxhash64(F.array_join(words, " "))))
 
 
-def minhash_signature(df: DataFrame, text_col: str, num_hashes: int = 32, shingle_k: int = 3) -> DataFrame:
+def _md5_int(c):
+    """First 8 hex chars of md5 as a bigint — the engine-portable hash
+    (DuckDB: ``('0x' || substr(md5(x),1,8))::BIGINT``, bit-identical)."""
+    return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("bigint")
+
+
+def minhash_signature(
+    df: DataFrame,
+    text_col: str,
+    num_hashes: int = 32,
+    shingle_k: int = 3,
+    hasher: str = "xxhash64",
+) -> DataFrame:
     """Append a ``minhash`` array<bigint> column (one min per hash family).
 
     Three staged projections: (1) the word array; (2) one 64-bit hash per
@@ -96,7 +108,43 @@ def minhash_signature(df: DataFrame, text_col: str, num_hashes: int = 32, shingl
     interpreted with no subexpression elimination, and CollapseProject
     refuses to duplicate non-cheap aliases, so each stage evaluates
     exactly once per row. Zero shuffles.
+
+    ``hasher="md5"`` derives family i as md5_int(shingle || '#' || i)
+    over shingle STRINGS — slower (32-bit keys, string concat per
+    family) but bit-identical in any engine with md5, which is what
+    lets the LSH gate run against a full DuckDB oracle. Production use
+    stays on xxhash64.
     """
+    if hasher == "md5":
+        w, tmp = "__mh_words", "__mh_shs"
+        staged = df.withColumn(
+            w, F.filter(F.split(_norm_text(F.col(text_col)), " "), lambda x: x != "")
+        )
+        wcol = F.col(w)
+        if shingle_k == 1:
+            shingles = wcol
+        else:
+            n = F.size(wcol)
+            idx = F.sequence(F.lit(1), F.greatest(n - (shingle_k - 1), F.lit(1)))
+            shingles = F.when(
+                n >= shingle_k,
+                F.transform(
+                    idx, lambda i: F.array_join(F.slice(wcol, i, shingle_k), " ")
+                ),
+            ).otherwise(F.array(F.array_join(wcol, " ")))
+        staged = staged.withColumn(tmp, shingles).drop(w)
+        sig = F.transform(
+            F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+            lambda i: F.array_min(
+                F.transform(
+                    F.col(tmp),
+                    lambda s: _md5_int(F.concat(s, F.lit("#"), i.cast("string"))),
+                )
+            ),
+        )
+        return staged.withColumn("minhash", sig).drop(tmp)
+    if hasher != "xxhash64":
+        raise ValueError("hasher must be 'xxhash64' or 'md5'")
     w, tmp = "__mh_words", "__mh_shh"
     staged = (
         df.withColumn(
@@ -141,19 +189,35 @@ def lsh_candidate_pairs(
     )
 
 
-def simhash(df: DataFrame, text_col: str, out_col: str = "simhash") -> DataFrame:
-    """64-bit SimHash of the word stream, computed with nested HOFs.
+def simhash(
+    df: DataFrame, text_col: str, out_col: str = "simhash", hasher: str = "xxhash64"
+) -> DataFrame:
+    """SimHash of the word stream, computed with nested HOFs.
 
     For each bit position b: sum over words of ±1 depending on bit b of
-    xxhash64(word); sign of the sum sets bit b. All codegen — the nested
+    the word hash; sign of the sum sets bit b. All codegen — the nested
     transform/aggregate stays JVM-side.
+
+    hasher: ``xxhash64`` → 64-bit signature (production);
+    ``md5`` → 60-bit signature from the first 15 md5 hex chars — fits a
+    signed BIGINT in any engine, making the whole pipeline
+    oracle-checkable cross-engine.
     """
+    bits = 64 if hasher == "xxhash64" else 60
     # materialize word hashes once (own projection) — inlining them into
     # the 64 bit-lambdas would re-split and re-hash the text 64× per row
     words = F.filter(F.split(_norm_text(F.col(text_col)), " "), lambda w: w != "")
-    staged = df.withColumn("_sh_hashes", F.transform(words, lambda w: F.xxhash64(w)))
+    if hasher == "xxhash64":
+        word_hash = lambda w: F.xxhash64(w)  # noqa: E731
+    elif hasher == "md5":
+        word_hash = lambda w: F.conv(  # noqa: E731
+            F.substring(F.md5(w), 1, 15), 16, 10
+        ).cast("bigint")
+    else:
+        raise ValueError("hasher must be 'xxhash64' or 'md5'")
+    staged = df.withColumn("_sh_hashes", F.transform(words, word_hash))
     sums = F.transform(
-        F.sequence(F.lit(0), F.lit(63)),
+        F.sequence(F.lit(0), F.lit(bits - 1)),
         lambda b: F.aggregate(
             F.col("_sh_hashes"),
             F.lit(0),
@@ -162,7 +226,7 @@ def simhash(df: DataFrame, text_col: str, out_col: str = "simhash") -> DataFrame
     )
     out = staged.withColumn("_sh_sums", sums).drop("_sh_hashes")
     sig = F.lit(0).cast("long")
-    for i in range(64):
+    for i in range(bits):
         # two's-complement literal for bit 63 (1<<63 overflows signed long)
         bitval = (1 << i) if i < 63 else -(1 << 63)
         sig = sig.bitwiseOR(
@@ -173,17 +237,25 @@ def simhash(df: DataFrame, text_col: str, out_col: str = "simhash") -> DataFrame
     return out.withColumn(out_col, sig).drop("_sh_sums")
 
 
-def simhash_near_dups(df: DataFrame, id_col: str, sim_col: str = "simhash", max_hamming: int = 3) -> DataFrame:
+def simhash_near_dups(
+    df: DataFrame,
+    id_col: str,
+    sim_col: str = "simhash",
+    max_hamming: int = 3,
+    bits: int = 64,
+) -> DataFrame:
     """Near-duplicate pairs by SimHash Hamming distance.
 
-    Candidate generation blocks on 16-bit quarters of the signature (a
-    pair within Hamming ≤3 of 64 bits shares at least one exact quarter
-    by pigeonhole), so the join is bucketed, not all-pairs. Verification
-    computes the exact Hamming distance via bit_count(xor).
+    Candidate generation blocks on (bits/4)-bit quarters of the
+    signature (a pair within Hamming ≤3 shares at least one exact
+    quarter by pigeonhole), so the join is bucketed, not all-pairs.
+    Verification computes the exact Hamming distance via bit_count(xor).
     """
+    qw = bits // 4
+    mask = (1 << qw) - 1
     quarters = F.array(
         *[
-            F.shiftright(F.col(sim_col), q * 16).bitwiseAND(F.lit(0xFFFF))
+            F.shiftright(F.col(sim_col), q * qw).bitwiseAND(F.lit(mask))
             for q in range(4)
         ]
     )

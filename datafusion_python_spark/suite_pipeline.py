@@ -1,10 +1,13 @@
 """Training-data-pipeline query suite: dedup, similarity search, text
 analysis over the documents/embeddings tables.
 
-Queries wrap the reusable operators in ``operators/`` — oracle-paired
-where the computation is engine-agnostic (md5, set-Jaccard, exact
-cosine), rows-only where it depends on Spark-specific hash functions
-(xxhash64-based MinHash / SimHash — DuckDB has no compatible hash).
+Queries wrap the reusable operators in ``operators/`` — ALL
+oracle-paired: gates that depend on hashing run the operators in their
+engine-portable md5 mode (bit-identical in DuckDB), so even
+MinHash/SimHash/LSH/IVF pipelines are value-checked end to end, not just
+row-counted. Production defaults stay on xxhash64 (same shapes, faster
+keys); the md5/xxhash64 modes are asserted to flag identical pairs in
+tests.
 """
 
 from __future__ import annotations
@@ -88,23 +91,85 @@ ORDER BY id_a, id_b
 
 
 # --------------------------------------------------------------------------
-# MinHash + LSH candidate pairs (xxhash64-based → rows-only check).
+# MinHash + LSH candidate pairs. md5 hasher mode makes the signature
+# bit-identical cross-engine, so the oracle recomputes the FULL pipeline
+# (normalize → 32 family-mins → 8-band slices → bucket self-join) in
+# DuckDB. Band equality is compared on the raw 4-value slice (Spark's
+# band_hash is injective up to a 2^-64 xxhash collision).
 def pipe_minhash_lsh(spark, sf_dir):
     # unigram shingles so the LSH estimates the same word-set Jaccard that
     # pipe_jaccard_pairs verifies exactly (8 bands × 4 rows ⇒ s-curve
     # threshold ≈ 0.59, so jaccard ≥ 0.95 pairs collide w.p. ≈ 1)
     docs = _t(spark, sf_dir, "documents")
-    sig = minhash_signature(docs, "text", num_hashes=32, shingle_k=1)
+    sig = minhash_signature(docs, "text", num_hashes=32, shingle_k=1, hasher="md5")
     return lsh_candidate_pairs(sig, "doc_id", num_bands=8).orderBy("id_a", "id_b")
 
 
+PIPE_MINHASH_LSH_SQL = r"""
+WITH norm AS (
+  SELECT doc_id,
+         list_filter(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+                     x -> x != '') AS ws
+  FROM documents
+), sig AS (
+  SELECT doc_id,
+         list_transform(range(0, 32), i ->
+           list_min(list_transform(ws,
+             s -> ('0x' || substr(md5(s || '#' || i::VARCHAR), 1, 8))::BIGINT))) AS mh
+  FROM norm
+), banded AS (
+  SELECT doc_id, b.band,
+         array_to_string(mh[b.band * 4 + 1 : b.band * 4 + 4], ',') AS key
+  FROM sig, (SELECT unnest(range(0, 8)) AS band) b
+)
+SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+FROM banded a JOIN banded c
+  ON a.band = c.band AND a.key = c.key AND a.doc_id < c.doc_id
+ORDER BY id_a, id_b
+"""
+
+
 # --------------------------------------------------------------------------
-# SimHash near-dup pairs (xxhash64-based → rows-only check).
+# SimHash near-dup pairs. md5 hasher mode → 60-bit signature that fits a
+# signed BIGINT in both engines; the oracle recomputes word hashes, bit
+# votes, 15-bit block candidates, and exact Hamming verify in DuckDB.
 def pipe_simhash(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
-    return simhash_near_dups(simhash(docs, "text"), "doc_id", max_hamming=8).orderBy(
+    sig = simhash(docs, "text", hasher="md5")
+    return simhash_near_dups(sig, "doc_id", max_hamming=8, bits=60).orderBy(
         "id_a", "id_b"
     )
+
+
+PIPE_SIMHASH_SQL = r"""
+WITH norm AS (
+  SELECT doc_id,
+         list_filter(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+                     x -> x != '') AS ws
+  FROM documents
+), hs AS (
+  SELECT doc_id,
+         list_transform(ws, w -> ('0x' || substr(md5(w), 1, 15))::BIGINT) AS hh
+  FROM norm
+), sig AS (
+  SELECT doc_id,
+         CAST(list_sum(list_transform(range(0, 60), b ->
+           CASE WHEN list_sum(list_transform(hh,
+                  h -> CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+                THEN (1::BIGINT << b) ELSE 0::BIGINT END)) AS BIGINT) AS sh
+  FROM hs
+), blocked AS (
+  SELECT doc_id, sh, q.q, (sh >> (q.q * 15)) & 32767 AS qval
+  FROM sig, (SELECT unnest(range(0, 4)) AS q) q
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sh AS sa, b.sh AS sb
+  FROM blocked a JOIN blocked b
+    ON a.q = b.q AND a.qval = b.qval AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+FROM pairs WHERE bit_count(xor(sa, sb)) <= 8
+ORDER BY id_a, id_b
+"""
 
 
 # --------------------------------------------------------------------------
@@ -126,24 +191,110 @@ LIMIT 10
 
 
 # --------------------------------------------------------------------------
-# LSH-bucketed ANN (deterministic hyperplanes; approximate → rows-only).
+# LSH-bucketed ANN. The hyperplanes are pure constants, so the oracle
+# replays signature + bucket filter + exact rerank with the same plane
+# literals.
 def pipe_ann_lsh(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     q = _query_vec(spark, sf_dir)
     return lsh_bucket_ann(emb.filter(F.col("vec_id") != 0), q, n_planes=4, k=10)
 
 
+def _ann_lsh_sql() -> str:
+    """The hyperplanes are pure constants (splitmix mix of (plane, dim)),
+    so the oracle embeds the same plane literals and replays signature,
+    bucket filter, and exact cosine rerank — dot products evaluate in the
+    same sequential order in both engines, so doubles are identical."""
+    from .operators.similarity import _planes
+
+    planes = _planes(64, 4)
+
+    def sig_expr(vec: str) -> str:
+        terms = [
+            f"(CASE WHEN list_inner_product({vec}, [{', '.join(repr(v) for v in pl)}]) >= 0 "
+            f"THEN {1 << i} ELSE 0 END)"
+            for i, pl in enumerate(planes)
+        ]
+        return " + ".join(terms)
+
+    return f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+corpus AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id != 0
+),
+sig AS (SELECT vec_id, v, {sig_expr('v')} AS bucket FROM corpus),
+qb AS (SELECT {sig_expr('qv')} AS bucket FROM q)
+SELECT s.vec_id,
+       round(list_inner_product(s.v, q.qv)
+             / (sqrt(list_inner_product(s.v, s.v)) * sqrt(list_inner_product(q.qv, q.qv))),
+             6) AS cosine
+FROM sig s, q, qb
+WHERE s.bucket = qb.bucket
+ORDER BY cosine DESC, s.vec_id
+LIMIT 10
+"""
+
+
+PIPE_ANN_LSH_SQL = _ann_lsh_sql()
+
+
 # --------------------------------------------------------------------------
 # IVF-bucketed ANN: coarse cells from deterministic centroid seeds, probe
-# the 2 nearest cells, exact rerank inside (approximate → rows-only;
-# exactness vs brute force when probing all cells is pinned in
-# tests/test_round2.test_ivf_full_probe_equals_exact).
+# the 2 nearest cells, exact rerank inside (oracle below re-derives the
+# quantizer from the data; exactness vs brute force when probing all
+# cells is pinned in tests/test_round2.test_ivf_full_probe_equals_exact).
 def pipe_ann_ivf(spark, sf_dir):
     from .operators.similarity import ivf_ann
 
     emb = _t(spark, sf_dir, "embeddings")
     q = _query_vec(spark, sf_dir)
     return ivf_ann(emb.filter(F.col("vec_id") != 0), q, n_list=8, n_probe=2, k=10)
+
+
+# Oracle: the coarse quantizer is fully data-derived but deterministic —
+# seeds are the first 8 corpus vectors by id (vec_id 1..8, cell = id-1),
+# assignment is argmin over (-cos, cell) structs (tie → lowest cell),
+# probes are the 2 cells nearest the query. DuckDB re-derives all of it;
+# the row_number ORDER BY (cs DESC, c) mirrors Spark's
+# array_sort-of-(-cos, cell)-structs tie rule.
+PIPE_ANN_IVF_SQL = """
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+cents AS (
+  SELECT vec_id - 1 AS c, embedding::DOUBLE[] AS cv
+  FROM embeddings WHERE vec_id BETWEEN 1 AND 8
+),
+corpus AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id != 0
+),
+cosd AS (
+  SELECT corpus.vec_id, cents.c,
+         list_inner_product(v, cv)
+           / (sqrt(list_inner_product(v, v)) * sqrt(list_inner_product(cv, cv))) AS cs
+  FROM corpus, cents
+),
+assigned AS (
+  SELECT vec_id, c AS cell FROM (
+    SELECT vec_id, c,
+           row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, c) AS rn
+    FROM cosd
+  ) WHERE rn = 1
+),
+probe AS (
+  SELECT cents.c,
+         list_inner_product(qv, cv)
+           / (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(cv, cv))) AS cs
+  FROM cents, q
+  ORDER BY cs DESC, cents.c LIMIT 2
+)
+SELECT corpus.vec_id,
+       round(list_inner_product(v, qv)
+             / (sqrt(list_inner_product(v, v)) * sqrt(list_inner_product(qv, qv))),
+             6) AS cosine
+FROM corpus JOIN assigned USING (vec_id), q
+WHERE assigned.cell IN (SELECT c FROM probe)
+ORDER BY cosine DESC, vec_id
+LIMIT 10
+"""
 
 
 # --------------------------------------------------------------------------
@@ -272,6 +423,35 @@ def pipe_langid(spark, sf_dir):
         .agg(F.count("*").alias("n"))
         .orderBy("true_lang", "lang_pred")
     )
+
+
+def _langid_sql() -> str:
+    """The stopword-overlap argmax is hash-free, so DuckDB replays it
+    exactly: same token split, same per-language overlap fractions, same
+    sorted-struct max (ties → lexicographically largest lang)."""
+    from .operators.text import STOPWORDS
+
+    structs = ", ".join(
+        "{{'score': CAST(len(list_filter(ws, w -> list_contains([{stops}], w))) AS DOUBLE)"
+        " / greatest(len(ws), 1), 'lang': '{lang}'}}".format(
+            stops=",".join("'" + w + "'" for w in stops), lang=lang
+        )
+        for lang, stops in sorted(STOPWORDS.items())
+    )
+    return rf"""
+WITH norm AS (
+  SELECT doc_id, lang,
+         list_filter(string_split_regex(lower(text), '\s+'), x -> x != '') AS ws
+  FROM documents
+), scored AS (
+  SELECT doc_id, lang, list_reverse(list_sort([{structs}]))[1] AS best FROM norm
+)
+SELECT lang AS true_lang, best.lang AS lang_pred, CAST(count(*) AS BIGINT) AS n
+FROM scored GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+PIPE_LANGID_SQL = _langid_sql()
 
 
 # --------------------------------------------------------------------------
@@ -452,14 +632,18 @@ FROM feats GROUP BY source ORDER BY source
 # The full scale-path dedup, end to end: MinHash signatures → LSH banding
 # → candidate pairs → connected components → canonical doc per cluster →
 # per-source survival counts. This is the pipeline that replaces the
-# O(n²) exact join at 100 TB; xxhash64-based, so rows-only check (the
-# exact-Jaccard + recursive-CTE pair is the oracle-backed twin).
+# O(n²) exact join at 100 TB. md5 hasher mode + a recursive-CTE closure
+# lets DuckDB re-derive the whole thing (the exact-Jaccard twin
+# pipe_dedup_cluster cross-checks with hash-free pair generation).
 def pipe_minhash_cluster(spark, sf_dir):
     from .operators.cluster import dedup_clusters
     from .operators.dedup import lsh_star_edges
 
     docs = _t(spark, sf_dir, "documents")
-    sig = minhash_signature(docs, "text", num_hashes=32, shingle_k=1)
+    # md5 hasher: signatures (and so buckets, edges, components) are
+    # reproducible in DuckDB — the oracle re-derives the LSH pairs, takes
+    # the recursive reachability closure, and aggregates the same stats
+    sig = minhash_signature(docs, "text", num_hashes=32, shingle_k=1, hasher="md5")
     # star edges (bucket-min → member): identical connected components to
     # the all-pairs bucket clique, linear instead of quadratic per bucket
     pairs = lsh_star_edges(sig, "doc_id", num_bands=8)
@@ -478,6 +662,47 @@ def pipe_minhash_cluster(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+PIPE_MINHASH_CLUSTER_SQL = r"""
+WITH RECURSIVE norm AS (
+  SELECT doc_id,
+         list_filter(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+                     x -> x != '') AS ws
+  FROM documents
+), sig AS (
+  SELECT doc_id,
+         list_transform(range(0, 32), i ->
+           list_min(list_transform(ws,
+             s -> ('0x' || substr(md5(s || '#' || i::VARCHAR), 1, 8))::BIGINT))) AS mh
+  FROM norm
+), banded AS (
+  SELECT doc_id, b.band,
+         array_to_string(mh[b.band * 4 + 1 : b.band * 4 + 4], ',') AS key
+  FROM sig, (SELECT unnest(range(0, 8)) AS band) b
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+  FROM banded a JOIN banded c
+    ON a.band = c.band AND a.key = c.key AND a.doc_id < c.doc_id
+), edges AS (
+  SELECT id_a AS s, id_b AS d FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+), walk AS (
+  SELECT s AS n, s AS r FROM edges
+  UNION
+  SELECT w.n, e.d FROM walk w JOIN edges e ON e.s = w.r
+), comp AS (
+  SELECT d.doc_id, coalesce(min(w.r), d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN walk w ON w.n = d.doc_id
+  GROUP BY d.doc_id
+)
+SELECT d.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN c.doc_id = c.cluster_id THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(count(DISTINCT c.cluster_id) AS BIGINT) AS n_clusters
+FROM comp c JOIN documents d USING (doc_id)
+GROUP BY d.source ORDER BY d.source
+"""
 
 
 # --------------------------------------------------------------------------
@@ -1059,21 +1284,21 @@ PIPELINE_QUERIES: dict[str, tuple] = {
     "pipe_sample_stratified": (pipe_sample_stratified, PIPE_SAMPLE_STRATIFIED_SQL),
     "pipe_dedup_exact": (pipe_dedup_exact, PIPE_DEDUP_EXACT_SQL),
     "pipe_jaccard_pairs": (pipe_jaccard_pairs, PIPE_JACCARD_SQL),
-    "pipe_minhash_lsh": (pipe_minhash_lsh, None),
-    "pipe_simhash": (pipe_simhash, None),
+    "pipe_minhash_lsh": (pipe_minhash_lsh, PIPE_MINHASH_LSH_SQL),
+    "pipe_simhash": (pipe_simhash, PIPE_SIMHASH_SQL),
     "pipe_cosine_topk": (pipe_cosine_topk, PIPE_COSINE_TOPK_SQL),
-    "pipe_ann_lsh": (pipe_ann_lsh, None),
-    "pipe_ann_ivf": (pipe_ann_ivf, None),
+    "pipe_ann_lsh": (pipe_ann_lsh, PIPE_ANN_LSH_SQL),
+    "pipe_ann_ivf": (pipe_ann_ivf, PIPE_ANN_IVF_SQL),
     "pipe_cosine_neardup": (pipe_cosine_neardup, PIPE_COSINE_NEARDUP_SQL),
     "pipe_emb_centroid": (pipe_emb_centroid, PIPE_EMB_CENTROID_SQL),
     "pipe_text_tokens": (pipe_text_tokens, PIPE_TEXT_TOKENS_SQL),
     "pipe_text_quality": (pipe_text_quality, PIPE_TEXT_QUALITY_SQL),
-    "pipe_langid": (pipe_langid, None),
+    "pipe_langid": (pipe_langid, PIPE_LANGID_SQL),
     "pipe_fingerprint": (pipe_fingerprint, PIPE_FINGERPRINT_SQL),
     "pipe_dedup_cluster": (pipe_dedup_cluster, PIPE_DEDUP_CLUSTER_SQL),
     "pipe_sample_hash": (pipe_sample_hash, PIPE_SAMPLE_HASH_SQL),
     "pipe_domain_cap": (pipe_domain_cap, PIPE_DOMAIN_CAP_SQL),
     "pipe_token_pack": (pipe_token_pack, PIPE_TOKEN_PACK_SQL),
     "pipe_repetition": (pipe_repetition, PIPE_REPETITION_SQL),
-    "pipe_minhash_cluster": (pipe_minhash_cluster, None),
+    "pipe_minhash_cluster": (pipe_minhash_cluster, PIPE_MINHASH_CLUSTER_SQL),
 }
