@@ -61,13 +61,19 @@ def pagerank(
         .agg(F.sum(w).alias("__ow"))
         .withColumnRenamed(src, "node")
     )
-    # normalized transition edges: src, dst, p = w/out_weight(src)
+    # normalized transition edges: src, dst, p = w/out_weight(src).
+    # Cached: every iteration joins against them, and without the cache
+    # each of the num_iters jobs would recompute the normalization join
+    # from the raw edges — the standard iterative-graph optimization
+    # (at cluster scale this is the transition matrix pinned in memory/
+    # disk across supersteps).
     trans = (
         edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"), w.alias("__w"))
         .join(out_w.withColumnRenamed("node", "__s"), "__s")
         .select("__s", "__d", (F.col("__w") / F.col("__ow")).alias("__p"))
+        .cache()
     )
-    has_out = out_w.select("node", F.lit(True).alias("__has_out"))
+    has_out = out_w.select("node", F.lit(True).alias("__has_out")).cache()
 
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     base = (1.0 - damping) / n
