@@ -93,6 +93,7 @@ _PRIORITY = [
     "pipe_substring_dup",
     "evt_gapfill",
     "evt_pagerank",
+    "evt_session_window",
     # passed only by local selfcheck in round 1 (outside driver window)
     "setop_intersect",
     "setop_except",

@@ -1238,6 +1238,54 @@ FROM j ORDER BY event_type, bucket
 
 
 # --------------------------------------------------------------------------
+# Native session_window (the batch form of Structured Streaming's session
+# windows): per-user 30-min-gap sessions via the built-in operator.
+# Semantics note: session_window merges an event iff it lands strictly
+# before prev_ts + gap, so the oracle breaks on diff >= gap (the manual
+# evt_sessionize gate uses the > convention — both are valid
+# sessionizations; this gate pins the BUILT-IN operator's rule).
+def evt_session_window(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = F.session_window(F.col("ts"), "30 minutes")
+    return (
+        ev.groupBy(w.alias("w"), F.col("user_id"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n",
+            "total_value",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+EVT_SESSION_WINDOW_SQL = """
+WITH g AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), s AS (
+  SELECT user_id, ts, value,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM g
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(value), 2) AS total_value
+FROM s GROUP BY user_id, sid
+ORDER BY user_id, session_start
+"""
+
+
+# --------------------------------------------------------------------------
 # Weighted PageRank over the event-type transition graph
 # (operators/graph.py): per-user consecutive-event edges, 3 fixed
 # iterations with dangling-mass redistribution. The oracle unrolls the
@@ -1356,6 +1404,7 @@ ANALYTICS_QUERIES: dict[str, tuple] = {
     "evt_range_join": (evt_range_join, EVT_RANGE_JOIN_SQL),
     "evt_gapfill": (evt_gapfill, EVT_GAPFILL_SQL),
     "evt_pagerank": (evt_pagerank, EVT_PAGERANK_SQL),
+    "evt_session_window": (evt_session_window, EVT_SESSION_WINDOW_SQL),
     "evt_date_bin": (evt_date_bin, EVT_DATE_BIN_SQL),
     "fn_hash": (fn_hash, FN_HASH_SQL),
     "fn_bits": (fn_bits, FN_BITS_SQL),
