@@ -5,9 +5,12 @@ struct alongside a ``binary`` payload, Arrow-batched ``mapInPandas``
 transforms (one Python crossing per batch), and partition-size-aware
 repartitioning so a 100 TB media corpus streams through executors in
 bounded memory. The actual codecs (PIL/ffmpeg/torchaudio) are NOT in
-this container, so decode bodies are stubbed: ``decoder="fake"`` gives
-a deterministic pure-Python decode for tests; ``decoder="pil"`` etc.
-raise NotImplementedError at call time with the dependency named.
+this container, but PNG, BMP, and WAV decode for REAL in pure stdlib
+(``operators/codecs.py``: zlib inflate + row unfilter, raw BGR rows,
+``wave`` PCM) — ``decoder="stdlib"`` runs actual pixel/sample feature
+extraction end to end. ``decoder="fake"`` is the deterministic test
+stand-in; ``decoder="pil"``/``"ffmpeg"`` raise NotImplementedError with
+the dependency named (JPEG/video need native codecs).
 """
 
 from __future__ import annotations
@@ -80,24 +83,50 @@ def extract_features(
 ) -> DataFrame:
     """Binary payload → feature vector via Arrow-batched mapInPandas.
 
+    decoder:
+    - ``"stdlib"`` — REAL decode: PNG/BMP pixels (zlib + row unfilter /
+      raw) → channel stats + luminance histogram; WAV PCM → RMS/ZCR/FFT
+      bands (`operators/codecs.py`). Rows whose bytes aren't decodable
+      (e.g. JPEG in this env) yield a null feature instead of failing
+      the task — at corpus scale a bad file must never kill a stage.
+    - ``"fake"`` — deterministic bytes→vector stand-in (unit tests).
+    - ``"pil"``/``"ffmpeg"`` — named-dependency NotImplementedError.
+
     At scale: the input should be repartitioned so each task holds
     ~payload_size×batch rows in memory; the transform is stateless, so
     executors scale horizontally and failures retry per-partition.
     """
-    if decoder != "fake":
+    if decoder not in ("fake", "stdlib"):
         raise NotImplementedError(
             f"decoder={decoder!r} needs the real codec libraries (PIL/ffmpeg), "
-            "which are not installed in this environment; use decoder='fake'"
+            "which are not installed in this environment; use decoder='stdlib' "
+            "(PNG/BMP/WAV) or decoder='fake'"
         )
+
+    def decode_one(payload, dim: int):
+        if payload is None:
+            return None
+        b = bytes(payload)
+        if decoder == "fake":
+            return _fake_decode(b, dim)
+        from .codecs import audio_features, decode_image, decode_wav, image_features
+
+        try:
+            if b[:4] == b"RIFF":
+                samples, sr = decode_wav(b)
+                return audio_features(samples, sr, dim)
+            return image_features(decode_image(b), dim)
+        except Exception:  # noqa: BLE001 — undecodable bytes → null row
+            return None
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [_fake_decode(p, dim) for p in pdf["payload"]]
+            feats = [decode_one(p, dim) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "feature": feats,
-                    "feat_dim": [dim] * len(pdf),
+                    "feat_dim": [dim if f is not None else None for f in feats],
                 }
             )
 
