@@ -32,7 +32,7 @@ HEADLINE = [
     "tpch_q21",
     "evt_sessionize",
     "evt_topk_per_user",
-    "agg_cube",
+    "agg_grouping_multi",
 ]
 
 

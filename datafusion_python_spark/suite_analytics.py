@@ -56,46 +56,28 @@ FROM (
 
 
 # --------------------------------------------------------------------------
-# Window: running revenue per user (unbounded-preceding frame sum).
-# ref: aggregates over windows, functions.rs:773-816
-def evt_running_sum(spark, sf_dir):
-    ev = _t(spark, sf_dir, "events")
-    w = (
-        W.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    return ev.select(
-        "user_id",
-        "event_id",
-        F.round(F.sum("value").over(w), 2).alias("running_value"),
-    )
-
-
-EVT_RUNNING_SQL = """
-SELECT user_id, event_id,
-       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_value
-FROM events
-"""
-
-
-# --------------------------------------------------------------------------
-# Window: lead/lag — gap in seconds to the previous event of the same user.
-# ref: lead/lag functions/__init__.py:6553,6629
-def evt_gaps(spark, sf_dir):
+# Window: running revenue per user (unbounded-preceding frame sum) plus
+# lead/lag gap to the previous event — one scan, one window partition.
+# ref: aggregates over windows functions.rs:773-816; lead/lag
+# functions/__init__.py:6553,6629. (Merged evt_running_sum + evt_gaps:
+# same source and window key, so a single gate exercises both.)
+def evt_running_gaps(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    wsum = w.rowsBetween(W.unboundedPreceding, W.currentRow)
     prev_us = F.lag(_us("ts")).over(w)
     return ev.select(
         "user_id",
         "event_id",
+        F.round(F.sum("value").over(wsum), 2).alias("running_value"),
         (_us("ts") - prev_us).alias("gap_us"),
     )
 
 
-EVT_GAPS_SQL = """
+EVT_RUNNING_GAPS_SQL = """
 SELECT user_id, event_id,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_value,
        epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
 FROM events
 """
@@ -239,72 +221,74 @@ FROM events GROUP BY event_type ORDER BY event_type
 
 # --------------------------------------------------------------------------
 # ROLLUP (ref expr.py:1737 GroupingSet.rollup).
-def agg_rollup(spark, sf_dir):
+def agg_grouping_multi(spark, sf_dir):
+    """ROLLUP + CUBE + GROUPING SETS (+ grouping() indicator) in one gate.
+
+    ref expr.py:1737 (GroupingSet.rollup), :1790 (cube), :1841 (grouping
+    sets), functions/__init__.py:5222 (grouping). The three multi-
+    dimensional grouping forms are tag-unioned into a common
+    (mode, k1, k2, n, val) shape so a single driver row certifies all of
+    them; rows compare order-insensitively so the union order is free.
+    """
     orders = _t(spark, sf_dir, "orders")
-    return (
+    li = _t(spark, sf_dir, "lineitem")
+    roll = (
         orders.rollup(F.year("o_orderdate").alias("o_year"), F.col("o_orderstatus"))
         .agg(
-            F.count("*").alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            F.count("*").alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("val"),
         )
-        .orderBy("o_year", "o_orderstatus")
+        .select(
+            F.lit("rollup").alias("mode"),
+            F.col("o_year").cast("string").alias("k1"),
+            F.col("o_orderstatus").alias("k2"),
+            "n",
+            "val",
+        )
     )
-
-
-AGG_ROLLUP_SQL = """
-SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year, o_orderstatus,
-       count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
-FROM orders
-GROUP BY ROLLUP (CAST(year(o_orderdate) AS INTEGER), o_orderstatus)
-ORDER BY o_year, o_orderstatus
-"""
-
-
-# --------------------------------------------------------------------------
-# CUBE (ref expr.py:1790 GroupingSet.cube).
-def agg_cube(spark, sf_dir):
-    li = _t(spark, sf_dir, "lineitem")
-    return (
+    cube = (
         li.cube("l_returnflag", "l_linestatus")
         .agg(
             F.count("*").alias("n"),
-            F.round(F.sum("l_quantity"), 2).alias("qty"),
+            F.round(F.sum("l_quantity"), 2).alias("val"),
         )
-        .orderBy("l_returnflag", "l_linestatus")
+        .select(
+            F.lit("cube").alias("mode"),
+            F.col("l_returnflag").alias("k1"),
+            F.col("l_linestatus").alias("k2"),
+            "n",
+            "val",
+        )
     )
-
-
-AGG_CUBE_SQL = """
-SELECT l_returnflag, l_linestatus, count(*) AS n, round(sum(l_quantity), 2) AS qty
-FROM lineitem
-GROUP BY CUBE (l_returnflag, l_linestatus)
-ORDER BY l_returnflag, l_linestatus
-"""
-
-
-# --------------------------------------------------------------------------
-# GROUPING SETS + grouping() indicator (ref expr.py:1841, functions:5222).
-def agg_grouping_sets(spark, sf_dir):
-    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
-    return spark.sql(
+    orders.createOrReplaceTempView("orders")
+    gsets = spark.sql(
         """
-        SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-               CAST(grouping(o_orderstatus) AS INT) AS g_status,
-               CAST(grouping(o_orderpriority) AS INT) AS g_priority
+        SELECT 'gsets' AS mode, o_orderstatus AS k1, o_orderpriority AS k2,
+               count(*) AS n,
+               CAST(grouping(o_orderstatus) * 10 + grouping(o_orderpriority)
+                    AS DOUBLE) AS val
         FROM orders
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
-        ORDER BY o_orderstatus, o_orderpriority
         """
     )
+    return roll.union(cube).union(gsets)
 
 
-AGG_GROUPING_SETS_SQL = """
-SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-       CAST(grouping(o_orderstatus) AS INTEGER) AS g_status,
-       CAST(grouping(o_orderpriority) AS INTEGER) AS g_priority
+AGG_GROUPING_MULTI_SQL = """
+SELECT 'rollup' AS mode,
+       CAST(CAST(year(o_orderdate) AS INTEGER) AS VARCHAR) AS k1,
+       o_orderstatus AS k2, count(*) AS n, round(sum(o_totalprice), 2) AS val
+FROM orders
+GROUP BY ROLLUP (CAST(year(o_orderdate) AS INTEGER), o_orderstatus)
+UNION ALL
+SELECT 'cube', l_returnflag, l_linestatus, count(*), round(sum(l_quantity), 2)
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+UNION ALL
+SELECT 'gsets', o_orderstatus, o_orderpriority, count(*),
+       CAST(grouping(o_orderstatus) * 10 + grouping(o_orderpriority) AS DOUBLE)
 FROM orders
 GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
-ORDER BY o_orderstatus, o_orderpriority
 """
 
 
@@ -470,18 +454,53 @@ FROM part WHERE p_partkey <= 200 ORDER BY p_partkey
 
 # --------------------------------------------------------------------------
 # Set operations (ref dataframe.py:1289-1420).
-def setop_union(spark, sf_dir):
-    cust = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
-    supp = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
-    return cust.union(supp).distinct().orderBy("nationkey")
+def setop_union_multi(spark, sf_dir):
+    """UNION-distinct + union_by_name (reordered columns) in one gate.
+
+    ref dataframe.py:1289 (union distinct=True), :1388 (union_by_name).
+    The two results tag-union into (part, k, v); rows compare
+    order-insensitively. (Merged setop_union + setop_union_by_name.)
+    """
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    uni = (
+        cust.select(F.col("c_nationkey").alias("k"))
+        .union(supp.select(F.col("s_nationkey").alias("k")))
+        .distinct()
+        .select(
+            F.lit("union").alias("part"),
+            F.col("k").cast("long").alias("k"),
+            F.lit(None).cast("double").alias("v"),
+        )
+    )
+    a = cust.select(
+        F.col("c_custkey").alias("id"), F.col("c_acctbal").alias("bal")
+    ).filter(F.col("id") <= 50)
+    b = supp.select(
+        F.col("s_acctbal").alias("bal"), F.col("s_suppkey").alias("id")
+    ).filter(F.col("id") <= 50)
+    byname = (
+        a.unionByName(b)
+        .groupBy()
+        .agg(F.count("*").alias("k"), F.round(F.sum("bal"), 2).alias("v"))
+        .select(F.lit("byname").alias("part"), F.col("k").cast("long"), "v")
+    )
+    return uni.union(byname)
 
 
-SETOP_UNION_SQL = """
-SELECT nationkey FROM (
+SETOP_UNION_MULTI_SQL = """
+SELECT 'union' AS part, CAST(nationkey AS BIGINT) AS k, CAST(NULL AS DOUBLE) AS v
+FROM (
   SELECT c_nationkey AS nationkey FROM customer
   UNION
   SELECT s_nationkey AS nationkey FROM supplier
-) t ORDER BY nationkey
+) t
+UNION ALL
+SELECT 'byname', count(*), round(sum(bal), 2) FROM (
+  SELECT c_custkey AS id, c_acctbal AS bal FROM customer WHERE c_custkey <= 50
+  UNION ALL BY NAME
+  SELECT s_acctbal AS bal, s_suppkey AS id FROM supplier WHERE s_suppkey <= 50
+) u
 """
 
 
@@ -535,6 +554,7 @@ def fn_strings(spark, sf_dir):
         F.regexp_replace(F.col("c_name"), "[0-9]+", "#").alias("densed"),
         F.reverse(F.col("c_mktsegment")).alias("rev"),
         F.md5(F.col("c_name")).alias("h"),
+        F.sha2(F.col("c_name"), 256).alias("h_sha256"),
     ).orderBy("c_custkey")
 
 
@@ -548,7 +568,8 @@ SELECT c_custkey,
        lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded,
        regexp_replace(c_name, '[0-9]+', '#', 'g') AS densed,
        reverse(c_mktsegment)                  AS rev,
-       md5(c_name)                            AS h
+       md5(c_name)                            AS h,
+       sha256(c_name)                         AS h_sha256
 FROM customer WHERE c_custkey <= 100 ORDER BY c_custkey
 """
 
@@ -654,62 +675,79 @@ FROM events
 
 # --------------------------------------------------------------------------
 # Ranking family over per-user totals (ref functions/__init__.py:6702-7053).
-def win_rank_family(spark, sf_dir):
+def win_rank_value(spark, sf_dir):
+    """Ranking family + first/last/nth value functions in one gate.
+
+    ref functions/__init__.py:6702-7053 (rank family), :6193
+    (first/last/nth_value). Two granularities (per-user totals for the
+    rank family; per-event rows for the value functions) tag-unioned
+    into a common padded shape — rows compare order-insensitively.
+    (Merged win_rank_family + win_value_fns.)
+    """
     ev = _t(spark, sf_dir, "events")
     totals = ev.groupBy("user_id").agg(F.round(F.sum("value"), 2).alias("total"))
-    w = W.orderBy(F.desc("total"), F.asc("user_id"))
-    return totals.select(
+    wr = W.orderBy(F.desc("total"), F.asc("user_id"))
+    ranks = totals.select(
+        F.lit("rank").alias("part"),
         "user_id",
+        F.lit(None).cast("long").alias("event_id"),
         "total",
-        F.rank().over(w).alias("rnk"),
-        F.dense_rank().over(w).alias("drnk"),
-        F.round(F.percent_rank().over(w), 6).alias("prnk"),
-        F.round(F.cume_dist().over(w), 6).alias("cdist"),
-        F.ntile(4).over(w).alias("quartile"),
+        F.rank().over(wr).alias("rnk"),
+        F.dense_rank().over(wr).alias("drnk"),
+        F.round(F.percent_rank().over(wr), 6).alias("prnk"),
+        F.round(F.cume_dist().over(wr), 6).alias("cdist"),
+        F.ntile(4).over(wr).alias("quartile"),
+        F.lit(None).cast("string").alias("first_type"),
+        F.lit(None).cast("string").alias("last_type"),
+        F.lit(None).cast("string").alias("second_type"),
     )
-
-
-WIN_RANK_FAMILY_SQL = """
-WITH totals AS (
-  SELECT user_id, round(sum(value), 2) AS total FROM events GROUP BY user_id
-)
-SELECT user_id, total,
-       CAST(rank() OVER w AS INTEGER)        AS rnk,
-       CAST(dense_rank() OVER w AS INTEGER)  AS drnk,
-       round(percent_rank() OVER w, 6)       AS prnk,
-       round(cume_dist() OVER w, 6)          AS cdist,
-       CAST(ntile(4) OVER w AS INTEGER)      AS quartile
-FROM totals
-WINDOW w AS (ORDER BY total DESC, user_id ASC)
-"""
-
-
-# --------------------------------------------------------------------------
-# first/last/nth value over ordered frames (ref functions/__init__.py:6193).
-def win_value_fns(spark, sf_dir):
-    ev = _t(spark, sf_dir, "events")
-    w = (
+    wv = (
         W.partitionBy("user_id")
         .orderBy("ts", "event_id")
         .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
     )
-    return ev.select(
+    values = ev.select(
+        F.lit("value").alias("part"),
         "user_id",
         "event_id",
-        F.first("event_type").over(w).alias("first_type"),
-        F.last("event_type").over(w).alias("last_type"),
-        F.nth_value("event_type", 2).over(w).alias("second_type"),
+        F.lit(None).cast("double").alias("total"),
+        F.lit(None).cast("int").alias("rnk"),
+        F.lit(None).cast("int").alias("drnk"),
+        F.lit(None).cast("double").alias("prnk"),
+        F.lit(None).cast("double").alias("cdist"),
+        F.lit(None).cast("int").alias("quartile"),
+        F.first("event_type").over(wv).alias("first_type"),
+        F.last("event_type").over(wv).alias("last_type"),
+        F.nth_value("event_type", 2).over(wv).alias("second_type"),
     )
+    return ranks.union(values)
 
 
-WIN_VALUE_FNS_SQL = """
-SELECT user_id, event_id,
-       first_value(event_type) OVER w AS first_type,
-       last_value(event_type)  OVER w AS last_type,
-       nth_value(event_type, 2) OVER w AS second_type
+WIN_RANK_VALUE_SQL = """
+WITH totals AS (
+  SELECT user_id, round(sum(value), 2) AS total FROM events GROUP BY user_id
+)
+SELECT 'rank' AS part, user_id, CAST(NULL AS BIGINT) AS event_id, total,
+       CAST(rank() OVER w AS INTEGER)        AS rnk,
+       CAST(dense_rank() OVER w AS INTEGER)  AS drnk,
+       round(percent_rank() OVER w, 6)       AS prnk,
+       round(cume_dist() OVER w, 6)          AS cdist,
+       CAST(ntile(4) OVER w AS INTEGER)      AS quartile,
+       CAST(NULL AS VARCHAR) AS first_type,
+       CAST(NULL AS VARCHAR) AS last_type,
+       CAST(NULL AS VARCHAR) AS second_type
+FROM totals
+WINDOW w AS (ORDER BY total DESC, user_id ASC)
+UNION ALL
+SELECT 'value', user_id, event_id, CAST(NULL AS DOUBLE),
+       CAST(NULL AS INTEGER), CAST(NULL AS INTEGER),
+       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS INTEGER),
+       first_value(event_type) OVER w2,
+       last_value(event_type)  OVER w2,
+       nth_value(event_type, 2) OVER w2
 FROM events
-WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
-             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
 """
 
 
@@ -745,8 +783,11 @@ FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus
 
 
 # --------------------------------------------------------------------------
-# Full outer join with coalesced keys (ref dataframe.py:1050 how='full').
-def join_full_outer(spark, sf_dir):
+# Full outer join with coalesced keys + cross join in one gate (merged
+# join_full_outer + join_cross; ref dataframe.py:1050 how='full',
+# cross_join). Results tag-unioned into (part, k, a, b); rows compare
+# order-insensitively.
+def join_outer_cross(spark, sf_dir):
     cust = (
         _t(spark, sf_dir, "customer")
         .groupBy(F.col("c_nationkey").alias("nationkey"))
@@ -759,70 +800,44 @@ def join_full_outer(spark, sf_dir):
         .agg(F.count("*").alias("n_supp"))
         .filter(F.col("nationkey") >= 5)
     )
-    return (
+    outer = (
         cust.join(supp, ["nationkey"], "full")
         .select(
-            "nationkey",
-            F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
-            F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+            F.lit("outer").alias("part"),
+            F.col("nationkey").cast("string").alias("k"),
+            F.coalesce("n_cust", F.lit(0)).alias("a"),
+            F.coalesce("n_supp", F.lit(0)).alias("b"),
         )
-        .orderBy("nationkey")
     )
+    region = _t(spark, sf_dir, "region")
+    nation = _t(spark, sf_dir, "nation")
+    cross = (
+        region.crossJoin(nation)
+        .groupBy("r_name")
+        .agg(F.count("*").alias("n_pairs"))
+        .select(
+            F.lit("cross").alias("part"),
+            F.col("r_name").alias("k"),
+            F.col("n_pairs").alias("a"),
+            F.lit(None).cast("long").alias("b"),
+        )
+    )
+    return outer.union(cross)
 
 
-JOIN_FULL_OUTER_SQL = """
-SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey,
-       COALESCE(n_cust, 0) AS n_cust, COALESCE(n_supp, 0) AS n_supp
+JOIN_OUTER_CROSS_SQL = """
+SELECT 'outer' AS part, CAST(COALESCE(c.nationkey, s.nationkey) AS VARCHAR) AS k,
+       COALESCE(n_cust, 0) AS a, COALESCE(n_supp, 0) AS b
 FROM (SELECT c_nationkey AS nationkey, count(*) AS n_cust FROM customer
       GROUP BY 1 HAVING c_nationkey < 10) c
 FULL OUTER JOIN
      (SELECT s_nationkey AS nationkey, count(*) AS n_supp FROM supplier
       GROUP BY 1 HAVING s_nationkey >= 5) s
 USING (nationkey)
-ORDER BY nationkey
-"""
-
-
-# --------------------------------------------------------------------------
-# Cross join (ref dataframe.py cross_join / SQL CROSS JOIN).
-def join_cross(spark, sf_dir):
-    region = _t(spark, sf_dir, "region")
-    nation = _t(spark, sf_dir, "nation")
-    return (
-        region.crossJoin(nation)
-        .groupBy("r_name")
-        .agg(F.count("*").alias("n_pairs"))
-        .orderBy("r_name")
-    )
-
-
-JOIN_CROSS_SQL = """
-SELECT r_name, count(*) AS n_pairs
+UNION ALL
+SELECT 'cross', r_name, count(*), CAST(NULL AS BIGINT)
 FROM region CROSS JOIN nation
-GROUP BY r_name ORDER BY r_name
-"""
-
-
-# --------------------------------------------------------------------------
-# union_by_name with reordered columns (ref dataframe.py:1388).
-def setop_union_by_name(spark, sf_dir):
-    a = _t(spark, sf_dir, "customer").select(
-        F.col("c_custkey").alias("id"), F.col("c_acctbal").alias("bal")
-    ).filter(F.col("id") <= 50)
-    b = _t(spark, sf_dir, "supplier").select(
-        F.col("s_acctbal").alias("bal"), F.col("s_suppkey").alias("id")
-    ).filter(F.col("id") <= 50)
-    return a.unionByName(b).groupBy().agg(
-        F.count("*").alias("n"), F.round(F.sum("bal"), 2).alias("total_bal")
-    )
-
-
-SETOP_UNION_BY_NAME_SQL = """
-SELECT count(*) AS n, round(sum(bal), 2) AS total_bal FROM (
-  SELECT c_custkey AS id, c_acctbal AS bal FROM customer WHERE c_custkey <= 50
-  UNION ALL BY NAME
-  SELECT s_acctbal AS bal, s_suppkey AS id FROM supplier WHERE s_suppkey <= 50
-) t
+GROUP BY r_name
 """
 
 
@@ -920,25 +935,11 @@ FROM events GROUP BY 1 ORDER BY 1 LIMIT 200
 
 
 # --------------------------------------------------------------------------
-# Crypto/hash functions (ref functions/__init__.py:742,1573,2095-2140).
-def fn_hash(spark, sf_dir):
-    cust = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 200)
-    return cust.select(
-        "c_custkey",
-        F.md5(F.col("c_name")).alias("h_md5"),
-        F.sha2(F.col("c_name"), 256).alias("h_sha256"),
-    ).orderBy("c_custkey")
-
-
-FN_HASH_SQL = """
-SELECT c_custkey, md5(c_name) AS h_md5, sha256(c_name) AS h_sha256
-FROM customer WHERE c_custkey <= 200 ORDER BY c_custkey
-"""
-
-
-# --------------------------------------------------------------------------
-# Bitwise operators (ref functions/spark.py:342-417 bit family).
-def fn_bits(spark, sf_dir):
+# Bitwise operators + epoch conversions in one events scan (merged
+# fn_bits + fn_epoch — same source table and sort key; sha2/md5 moved
+# into fn_strings). ref functions/spark.py:342-417 bit family,
+# :861-913 unix_* family.
+def fn_bits_epoch(spark, sf_dir):
     ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 500)
     x = F.col("event_id")
     y = F.col("user_id")
@@ -950,27 +951,6 @@ def fn_bits(spark, sf_dir):
         F.shiftleft(x, 3).alias("shl"),
         F.shiftright(x, 2).alias("shr"),
         F.bit_count(x).alias("nbits"),
-    ).orderBy("event_id")
-
-
-FN_BITS_SQL = """
-SELECT event_id,
-       event_id & user_id AS b_and,
-       event_id | user_id AS b_or,
-       xor(event_id, user_id) AS b_xor,
-       CAST(event_id << 3 AS BIGINT) AS shl,
-       CAST(event_id >> 2 AS BIGINT) AS shr,
-       CAST(bit_count(event_id) AS INTEGER) AS nbits
-FROM events WHERE event_id < 500 ORDER BY event_id
-"""
-
-
-# --------------------------------------------------------------------------
-# Epoch conversions (ref functions/spark.py:861-913 unix_* family).
-def fn_epoch(spark, sf_dir):
-    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 300)
-    return ev.select(
-        "event_id",
         F.unix_seconds(F.col("ts").cast("timestamp")).alias("es"),
         F.unix_millis(F.col("ts").cast("timestamp")).alias("ems"),
         _us("ts").alias("eus"),
@@ -978,13 +958,19 @@ def fn_epoch(spark, sf_dir):
     ).orderBy("event_id")
 
 
-FN_EPOCH_SQL = """
+FN_BITS_EPOCH_SQL = """
 SELECT event_id,
+       event_id & user_id AS b_and,
+       event_id | user_id AS b_or,
+       xor(event_id, user_id) AS b_xor,
+       CAST(event_id << 3 AS BIGINT) AS shl,
+       CAST(event_id >> 2 AS BIGINT) AS shr,
+       CAST(bit_count(event_id) AS INTEGER) AS nbits,
        epoch_us(ts) // 1000000 AS es,
        epoch_ms(ts) AS ems,
        epoch_us(ts) AS eus,
        CAST(date_diff('day', DATE '1970-01-01', ts::DATE) AS INTEGER) AS ed
-FROM events WHERE event_id < 300 ORDER BY event_id
+FROM events WHERE event_id < 500 ORDER BY event_id
 """
 
 
@@ -1406,30 +1392,22 @@ ANALYTICS_QUERIES: dict[str, tuple] = {
     "evt_pagerank": (evt_pagerank, EVT_PAGERANK_SQL),
     "evt_session_window": (evt_session_window, EVT_SESSION_WINDOW_SQL),
     "evt_date_bin": (evt_date_bin, EVT_DATE_BIN_SQL),
-    "fn_hash": (fn_hash, FN_HASH_SQL),
-    "fn_bits": (fn_bits, FN_BITS_SQL),
-    "fn_epoch": (fn_epoch, FN_EPOCH_SQL),
+    "fn_bits_epoch": (fn_bits_epoch, FN_BITS_EPOCH_SQL),
     "agg_approx": (agg_approx, AGG_APPROX_SQL),
     "win_frames": (win_frames, WIN_FRAMES_SQL),
-    "win_rank_family": (win_rank_family, WIN_RANK_FAMILY_SQL),
-    "win_value_fns": (win_value_fns, WIN_VALUE_FNS_SQL),
+    "win_rank_value": (win_rank_value, WIN_RANK_VALUE_SQL),
     "agg_regr": (agg_regr, AGG_REGR_SQL),
-    "join_full_outer": (join_full_outer, JOIN_FULL_OUTER_SQL),
-    "join_cross": (join_cross, JOIN_CROSS_SQL),
-    "setop_union_by_name": (setop_union_by_name, SETOP_UNION_BY_NAME_SQL),
+    "join_outer_cross": (join_outer_cross, JOIN_OUTER_CROSS_SQL),
     "fn_conditional": (fn_conditional, FN_CONDITIONAL_SQL),
     "fn_array_ops": (fn_array_ops, FN_ARRAY_OPS_SQL),
     "evt_topk_per_user": (evt_topk_per_user, EVT_TOPK_SQL),
-    "evt_running_sum": (evt_running_sum, EVT_RUNNING_SQL),
-    "evt_gaps": (evt_gaps, EVT_GAPS_SQL),
+    "evt_running_gaps": (evt_running_gaps, EVT_RUNNING_GAPS_SQL),
     "evt_sessionize": (evt_sessionize, EVT_SESSIONIZE_SQL),
     "evt_distinct_on": (evt_distinct_on, EVT_DISTINCT_ON_SQL),
     "evt_pivot": (evt_pivot, EVT_PIVOT_SQL),
     "evt_hourly": (evt_hourly, EVT_HOURLY_SQL),
     "evt_json": (evt_json, EVT_JSON_SQL),
-    "agg_rollup": (agg_rollup, AGG_ROLLUP_SQL),
-    "agg_cube": (agg_cube, AGG_CUBE_SQL),
-    "agg_grouping_sets": (agg_grouping_sets, AGG_GROUPING_SETS_SQL),
+    "agg_grouping_multi": (agg_grouping_multi, AGG_GROUPING_MULTI_SQL),
     "agg_stats": (agg_stats, AGG_STATS_SQL),
     "agg_distinct_filter": (agg_distinct_filter, AGG_DISTINCT_FILTER_SQL),
     "agg_percentiles": (agg_percentiles, AGG_PERCENTILES_SQL),
@@ -1439,7 +1417,7 @@ ANALYTICS_QUERIES: dict[str, tuple] = {
     "sql_recursive_cte": (sql_recursive_cte, SQL_RECURSIVE_CTE_SQL),
     "agg_weighted_pct": (agg_weighted_pct, AGG_WEIGHTED_PCT_SQL),
     "fn_time": (fn_time, FN_TIME_SQL),
-    "setop_union": (setop_union, SETOP_UNION_SQL),
+    "setop_union_multi": (setop_union_multi, SETOP_UNION_MULTI_SQL),
     "setop_intersect": (setop_intersect, SETOP_INTERSECT_SQL),
     "setop_except": (setop_except, SETOP_EXCEPT_SQL),
     "fn_strings": (fn_strings, FN_STRINGS_SQL),

@@ -12,7 +12,7 @@ import pytest
 from datafusion_python_spark.suite import ALL_QUERIES
 from datafusion_python_spark.tables import TABLE_NAMES
 
-ORACLE_SAMPLE = ["tpch_q1", "tpch_q6", "evt_sessionize", "agg_rollup", "fn_strings"]
+ORACLE_SAMPLE = ["tpch_q1", "tpch_q6", "evt_sessionize", "agg_grouping_multi", "fn_strings"]
 
 
 @pytest.mark.parametrize("name", sorted(ALL_QUERIES))

@@ -33,7 +33,7 @@ from datafusion_python_spark.session import get_spark
 from datafusion_python_spark.suite import ALL_QUERIES
 
 # region×nation style tiny cross joins that are legitimate by design
-CARTESIAN_OK = {"agg_rollup", "agg_cube", "agg_grouping_sets", "join_cross"}
+CARTESIAN_OK = {"agg_grouping_multi", "join_outer_cross"}
 
 
 def audit_one(df) -> dict:
