@@ -201,6 +201,47 @@ def _cols(exprs: Iterable[Any]) -> list[Column]:
     return out
 
 
+def _resolve_groups_frames(sdf: SparkDF, exprs: Sequence[Any]) -> tuple[SparkDF, list[Column]]:
+    """Rewrite deferred GROUPS-frame window expressions (ref expr.py:1594
+    units='groups'; SURVEY §2.5).
+
+    GROUPS BETWEEN n PRECEDING AND m FOLLOWING over ORDER BY k frames all
+    rows whose *peer group* (distinct k, in order) lies within n/m groups
+    of the current row's. Spark has ROWS and RANGE only, so the exact
+    rewrite is: add ``dense_rank()`` over (partition, order) — consecutive
+    integers, one per peer group — then evaluate the function over a RANGE
+    frame on that helper with the same bounds. Map-side cost is one extra
+    rank function inside the SAME window exchange (no additional shuffle:
+    both windows hash-partition on the same keys).
+    """
+    cols: list[Column] = []
+    n_helpers = 0
+    for e in exprs:
+        gw = getattr(e, "_groups_window", None) if not isinstance(e, (str, Column)) else None
+        if gw is None:
+            cols.append(F.col(e) if isinstance(e, str) else _c(e))
+            continue
+        parts = [_c(p) for p in gw.partition_by]
+        order = [to_sort_expr(k)._to_spark() for k in gw.order_by]
+        helper = f"__groups_idx_{n_helpers}"
+        n_helpers += 1
+        base = SparkWindow.partitionBy(*parts).orderBy(*order)
+        sdf = sdf.withColumn(helper, F.dense_rank().over(base))
+        lo, hi = gw.window_frame._bounds()
+        spec = (
+            SparkWindow.partitionBy(*parts)
+            .orderBy(F.col(helper))
+            .rangeBetween(lo, hi)
+        )
+        c = e.expr.over(spec)
+        named = getattr(e, "_groups_alias", None)
+        if named is not None:
+            name, metadata = named
+            c = c.alias(name, metadata=metadata) if metadata else c.alias(name)
+        cols.append(c)
+    return sdf, cols
+
+
 class DataFrame:
     def __init__(self, sdf: SparkDF) -> None:
         self.df = sdf
@@ -233,6 +274,10 @@ class DataFrame:
 
     # -- projections -------------------------------------------------------
     def select(self, *exprs) -> "DataFrame":
+        if any(getattr(e, "_groups_window", None) is not None for e in exprs
+               if not isinstance(e, (str, Column))):
+            sdf, cols = _resolve_groups_frames(self.df, exprs)
+            return DataFrame(sdf.select(*cols))
         return DataFrame(self.df.select(*_cols(exprs)))
 
     def select_exprs(self, *sql_exprs: str) -> "DataFrame":
@@ -572,11 +617,19 @@ class DataFrame:
     # -- window -------------------------------------------------------------------
     def window(self, *window_exprs) -> "DataFrame":
         """Append window-function columns (ref dataframe.py:611)."""
+        base_cols = list(self.df.columns)
         out = self.df
         for e in window_exprs:
-            c = _c(e)
+            if getattr(e, "_groups_window", None) is not None:
+                out, (c,) = _resolve_groups_frames(out, [e])
+            else:
+                c = _c(e)
             name = out.select(c).columns[0]
             out = out.withColumn(name, c)
+        helpers = [c for c in out.columns if c.startswith("__groups_idx_")]
+        if helpers:
+            out = out.drop(*helpers)
+        assert all(c in out.columns for c in base_cols)
         return DataFrame(out)
 
     # -- execution / export ---------------------------------------------------------

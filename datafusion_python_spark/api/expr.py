@@ -198,6 +198,14 @@ class Expr:
 
     # -- naming / casting --------------------------------------------------
     def alias(self, name: str, metadata: dict | None = None) -> "Expr":
+        gw = getattr(self, "_groups_window", None)
+        if gw is not None:
+            # keep the deferred GROUPS-frame marker; the alias applies
+            # after DataFrame.select attaches the rewritten window
+            out = Expr(self.expr)
+            out._groups_window = gw
+            out._groups_alias = (name, metadata)
+            return out
         if metadata:
             return _e(self.expr.alias(name, metadata=metadata))
         return _e(self.expr.alias(name))
@@ -328,10 +336,18 @@ class Expr:
             order_by=self._order_by,
             window_frame=wf,
         )
-        return _e(self.expr.over(w._to_spark()))
+        return self.over(w)  # routes GROUPS frames through the deferred marker
 
     # -- window attach (ref expr.py:1074 Expr.over) ---------------------------
     def over(self, window: "Window") -> "Expr":
+        wf = window.window_frame
+        if wf is not None and wf.units == "groups":
+            # Defer: the GROUPS rewrite needs a dense_rank helper column
+            # on the relation; DataFrame.select/window resolves the
+            # marker (see WindowFrame docstring).
+            out = Expr(self.expr)
+            out._groups_window = window
+            return out
         return _e(self.expr.over(window._to_spark()))
 
     # -- constructors (ref Expr.column / Expr.literal / Expr.string_literal) --
@@ -535,19 +551,19 @@ def to_sort_expr(key) -> SortExpr:
 class WindowFrame:
     """Window frame (ref expr.py:1594): units ∈ rows|range|groups.
 
-    ``groups`` has no Spark equivalent — raises NotImplementedError with
-    the documented workaround (SURVEY §2.5).
+    ``groups`` has no native Spark frame unit; it is emulated exactly by
+    ranking peer groups — ``dense_rank()`` over the window's ORDER BY
+    assigns each peer group a consecutive index, and a RANGE frame over
+    that index with the same bounds selects precisely the GROUPS frame's
+    rows (SURVEY §2.5). The rewrite needs a helper column, so it resolves
+    when the expression reaches ``DataFrame.select``/``window``; a raw
+    ``Window._to_spark()`` on a groups frame raises.
     """
 
     def __init__(self, units: str, start_bound: int | None, end_bound: int | None) -> None:
         units = units.lower()
         if units not in ("rows", "range", "groups"):
             raise ValueError(f"invalid frame units: {units}")
-        if units == "groups":
-            raise NotImplementedError(
-                "GROUPS frames are not supported by Spark; emulate with "
-                "dense_rank() + a RANGE frame over the rank column"
-            )
         self.units = units
         self.start_bound = start_bound
         self.end_bound = end_bound
@@ -574,6 +590,13 @@ class Window:
         self.null_treatment = null_treatment
 
     def _to_spark(self):
+        if self.window_frame is not None and self.window_frame.units == "groups":
+            raise NotImplementedError(
+                "GROUPS frames resolve via DataFrame.select/window (the "
+                "dense_rank helper column needs the relation); attach the "
+                "expression with Expr.over and project it through the "
+                "DataFrame wrapper"
+            )
         spec = SparkWindow.partitionBy(*[_c(p) for p in self.partition_by])
         if self.order_by:
             spec = spec.orderBy(*[to_sort_expr(k)._to_spark() for k in self.order_by])

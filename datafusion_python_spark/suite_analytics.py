@@ -674,6 +674,67 @@ FROM events
 
 
 # --------------------------------------------------------------------------
+# GROUPS window frames (ref expr.py:1594-1638 WindowFrame units='groups';
+# crates/core/src/expr/window.rs:194-228). Spark has no GROUPS unit — the
+# wrapper emulates it exactly with dense_rank + a RANGE frame over the
+# rank (api/dataframe.py _resolve_groups_frames); DuckDB executes GROUPS
+# BETWEEN natively, so the oracle certifies the emulation bit-for-bit.
+def win_groups_frame(spark, sf_dir):
+    from .api.dataframe import DataFrame as DFWrap
+    from .api.expr import Expr, Window as DFWindow, WindowFrame
+    from .api.functions import col as dfcol
+
+    ev = _t(spark, sf_dir, "events")
+    day = Expr(F.col("ts").cast("date"))
+    prev1 = DFWindow(
+        partition_by=[dfcol("user_id")],
+        order_by=[day.sort()],
+        window_frame=WindowFrame("groups", 1, 0),
+    )
+    running = DFWindow(
+        partition_by=[dfcol("user_id")],
+        order_by=[day.sort()],
+        window_frame=WindowFrame("groups", None, 0),
+    )
+    step = DFWrap(ev).select(
+        dfcol("user_id"),
+        dfcol("event_id"),
+        Expr(F.sum("value")).over(prev1).alias("g_sum_raw"),
+        Expr(F.count(F.lit(1))).over(running).alias("g_cnt"),
+    )
+    out = step.select(
+        dfcol("user_id"),
+        dfcol("event_id"),
+        Expr(F.round(F.col("g_sum_raw"), 2)).alias("g_sum"),
+        dfcol("g_cnt"),
+    )
+    return out.df
+
+
+# The container's DuckDB predates GROUPS-frame support, so the oracle
+# derives GROUPS semantics independently from first principles: a peer
+# group here is one (user, day), so GROUPS 1 PRECEDING..CURRENT is the
+# current day-group's sum plus the previous day-group's (lag over the
+# per-day rollup), and the unbounded-groups count is the running per-day
+# count — a formulation structurally different from the wrapper's
+# dense_rank+RANGE rewrite, certifying it rather than mirroring it.
+WIN_GROUPS_FRAME_SQL = """
+WITH d AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         sum(value) AS day_sum, count(*) AS day_cnt
+  FROM events GROUP BY 1, 2
+), dd AS (
+  SELECT user_id, day,
+         day_sum + coalesce(lag(day_sum) OVER (PARTITION BY user_id ORDER BY day), 0) AS gsum,
+         sum(day_cnt) OVER (PARTITION BY user_id ORDER BY day) AS gcnt
+  FROM d
+)
+SELECT e.user_id, e.event_id, round(dd.gsum, 2) AS g_sum, dd.gcnt AS g_cnt
+FROM events e JOIN dd ON e.user_id = dd.user_id AND CAST(e.ts AS DATE) = dd.day
+"""
+
+
+# --------------------------------------------------------------------------
 # Ranking family over per-user totals (ref functions/__init__.py:6702-7053).
 def win_rank_value(spark, sf_dir):
     """Ranking family + first/last/nth value functions in one gate.
@@ -1395,6 +1456,7 @@ ANALYTICS_QUERIES: dict[str, tuple] = {
     "fn_bits_epoch": (fn_bits_epoch, FN_BITS_EPOCH_SQL),
     "agg_approx": (agg_approx, AGG_APPROX_SQL),
     "win_frames": (win_frames, WIN_FRAMES_SQL),
+    "win_groups_frame": (win_groups_frame, WIN_GROUPS_FRAME_SQL),
     "win_rank_value": (win_rank_value, WIN_RANK_VALUE_SQL),
     "agg_regr": (agg_regr, AGG_REGR_SQL),
     "join_outer_cross": (join_outer_cross, JOIN_OUTER_CROSS_SQL),

@@ -121,9 +121,35 @@ def test_window_over(ctx):
     assert out2["rn"] == [1, 2, 1]
 
 
-def test_window_frame_groups_unsupported():
-    with pytest.raises(NotImplementedError):
-        WindowFrame("groups", 1, 1)
+def test_window_frame_groups(ctx):
+    """GROUPS frames emulate exactly via dense_rank + RANGE (SURVEY §2.5).
+
+    Peer groups on v: [1,1] then [2,2] then [5]. GROUPS BETWEEN 1
+    PRECEDING AND CURRENT ROW sums the current and previous peer group —
+    distinct from both ROWS (would cut mid-group) and RANGE (value
+    distance, not group distance).
+    """
+    d = ctx.from_pydict({"g": ["a"] * 5, "v": [1, 1, 2, 2, 5]})
+    w = Window(
+        partition_by=[col("g")],
+        order_by=[col("v").sort()],
+        window_frame=WindowFrame("groups", 1, 0),
+    )
+    out = d.select(
+        col("v"), f.sum(col("v")).over(w).alias("gsum")
+    ).sort("v").to_pydict()
+    assert out["gsum"] == [2, 2, 6, 6, 9]
+
+    # unbounded-preceding groups frame == running sum over whole groups
+    w2 = Window(
+        partition_by=[col("g")],
+        order_by=[col("v").sort()],
+        window_frame=WindowFrame("groups", None, 0),
+    )
+    out2 = d.select(
+        col("v"), f.count(col("v")).over(w2).alias("gcnt")
+    ).sort("v").to_pydict()
+    assert out2["gcnt"] == [2, 2, 4, 4, 5]
 
 
 def test_limit_offset_head_tail(ctx):
