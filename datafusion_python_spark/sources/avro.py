@@ -17,7 +17,10 @@ Python and distributes decoding with Spark primitives:
 
 Supported: all Avro primitives, records (nested), enums, arrays, maps,
 fixed, ``[null, X]`` unions (→ nullable X), and the common logical types
-(date, timestamp-millis/micros, decimal over bytes/fixed). Codecs: null
+(date; timestamp-millis/micros → TIMESTAMP, the instant semantics the
+Avro spec and spark-avro assign them; local-timestamp-* → TIMESTAMP_NTZ;
+decimal over bytes/fixed). Named-type references resolve by fullname
+(namespace.name) with aliases, per the spec's name rules. Codecs: null
 and deflate (stdlib zlib). Snappy needs a lib this container lacks —
 clear error. General multi-branch unions have no Spark analogue and
 raise with the member list.
@@ -87,6 +90,23 @@ def _decimal_from_bytes(raw: bytes, scale: int):
     return decimal.Decimal(unscaled).scaleb(-scale)
 
 
+def _register_named(schema: dict, named: dict[str, Any]) -> None:
+    """Register a named type (record/enum/fixed/error) for later
+    reference resolution, per the Avro spec's name rules: the key is the
+    FULLNAME (namespace.name — a dotted ``name`` attribute wins over the
+    ``namespace`` attribute), plus any ``aliases``; the bare short name
+    is kept as a convenience key only when unclaimed, so two same-named
+    types in different namespaces don't silently shadow each other."""
+    name = schema["name"]
+    ns = schema.get("namespace")
+    full = name if "." in name else (f"{ns}.{name}" if ns else name)
+    named.setdefault(full, schema)
+    named.setdefault(full.rsplit(".", 1)[-1], schema)
+    for alias in schema.get("aliases", []):
+        a_full = alias if "." in alias else (f"{ns}.{alias}" if ns else alias)
+        named.setdefault(a_full, schema)
+
+
 def _make_decoder(schema: Any, named: dict[str, Any]) -> Callable[[_Reader], Any]:
     """Compile an Avro (JSON-decoded) schema node to a decode function."""
     if isinstance(schema, str):
@@ -127,7 +147,7 @@ def _make_decoder(schema: Any, named: dict[str, Any]) -> Callable[[_Reader], Any
     logical = schema.get("logicalType")
 
     if t in ("record", "error"):
-        named[schema["name"]] = schema
+        _register_named(schema, named)
         field_decoders = [
             _make_decoder(f["type"], named) for f in schema["fields"]
         ]
@@ -138,7 +158,7 @@ def _make_decoder(schema: Any, named: dict[str, Any]) -> Callable[[_Reader], Any
         return dec_record
 
     if t == "enum":
-        named[schema["name"]] = schema
+        _register_named(schema, named)
         symbols = schema["symbols"]
         return lambda r: symbols[r.read_long()]
 
@@ -179,7 +199,7 @@ def _make_decoder(schema: Any, named: dict[str, Any]) -> Callable[[_Reader], Any
         return dec_map
 
     if t == "fixed":
-        named[schema["name"]] = schema
+        _register_named(schema, named)
         size = schema["size"]
         if logical == "decimal":
             scale = schema.get("scale", 0)
@@ -197,13 +217,21 @@ def _make_decoder(schema: Any, named: dict[str, Any]) -> Callable[[_Reader], Any
         day = datetime.timedelta(days=1)
         return lambda r: epoch + day * r.read_long()
 
-    if t == "long" and logical in ("timestamp-micros", "timestamp-millis"):
+    if t == "long" and logical in (
+        "timestamp-micros",
+        "timestamp-millis",
+        "local-timestamp-micros",
+        "local-timestamp-millis",
+    ):
         import datetime
 
-        mult = 1 if logical == "timestamp-micros" else 1000
+        mult = 1 if logical.endswith("micros") else 1000
         epoch = datetime.datetime(1970, 1, 1)
 
         def dec_ts(r: _Reader):
+            # naive UTC wall-clock; exact for the instant (timestamp-*)
+            # types under the library's pinned-UTC session, and the
+            # stored wall-clock for local-timestamp-* (NTZ)
             return epoch + datetime.timedelta(microseconds=r.read_long() * mult)
 
         return dec_ts
@@ -244,14 +272,14 @@ def _to_spark_type(schema: Any, named: dict[str, Any]) -> tuple[T.DataType, bool
     t = schema["type"]
     logical = schema.get("logicalType")
     if t in ("record", "error"):
-        named[schema["name"]] = schema
+        _register_named(schema, named)
         fields = []
         for f in schema["fields"]:
             dt, nullable = _to_spark_type(f["type"], named)
             fields.append(T.StructField(f["name"], dt, nullable))
         return T.StructType(fields), False
     if t == "enum":
-        named[schema["name"]] = schema
+        _register_named(schema, named)
         return T.StringType(), False
     if t == "array":
         dt, nullable = _to_spark_type(schema["items"], named)
@@ -260,7 +288,7 @@ def _to_spark_type(schema: Any, named: dict[str, Any]) -> tuple[T.DataType, bool
         dt, nullable = _to_spark_type(schema["values"], named)
         return T.MapType(T.StringType(), dt, valueContainsNull=nullable), False
     if t == "fixed":
-        named[schema["name"]] = schema
+        _register_named(schema, named)
         if logical == "decimal":
             return (
                 T.DecimalType(schema.get("precision", 38), schema.get("scale", 0)),
@@ -275,6 +303,12 @@ def _to_spark_type(schema: Any, named: dict[str, Any]) -> tuple[T.DataType, bool
     if t == "int" and logical == "date":
         return T.DateType(), False
     if t == "long" and logical in ("timestamp-micros", "timestamp-millis"):
+        # Avro spec: timestamp-* are UTC instants → TimestampType (same
+        # mapping as spark-avro, so the jar-present and pure-Python code
+        # paths in context.read_avro agree on the schema)
+        return T.TimestampType(), False
+    if t == "long" and logical in ("local-timestamp-micros", "local-timestamp-millis"):
+        # local-timestamp-* are zone-less wall clocks → TIMESTAMP_NTZ
         return T.TimestampNTZType(), False
     return _to_spark_type(t, named)
 
@@ -313,13 +347,25 @@ def _decompress(codec: str, block: bytes) -> bytes:
     )
 
 
+def _is_record_schema(schema: Any) -> bool:
+    return isinstance(schema, dict) and schema.get("type") in ("record", "error")
+
+
 def decode_container(raw: bytes) -> Iterator[tuple]:
-    """Yield decoded row tuples from one Avro container file's bytes."""
+    """Yield decoded row tuples from one Avro container file's bytes.
+
+    Non-record top-level writer schemas (a bare ``"long"``, an array, …)
+    decode to scalars; they are wrapped as 1-tuples here, mirroring the
+    single-field struct that :func:`avro_to_spark_schema` wraps them in —
+    otherwise downstream ``zip(*rows)`` column-transposes would iterate a
+    scalar (chars of a string) or fail mid-task.
+    """
     r = _Reader(raw)
     meta, sync = _parse_header(r)
     schema = json.loads(meta["avro.schema"].decode("utf-8"))
     codec = meta.get("avro.codec", b"null").decode("utf-8")
     dec = _make_decoder(schema, {})
+    wrap = not _is_record_schema(schema)
     while not r.at_end():
         n_rows = r.read_long()
         block = _decompress(codec, r.read_bytes())
@@ -327,7 +373,8 @@ def decode_container(raw: bytes) -> Iterator[tuple]:
             raise ValueError("avro block sync mismatch (corrupt file)")
         br = _Reader(block)
         for _ in range(n_rows):
-            yield dec(br)
+            v = dec(br)
+            yield (v,) if wrap else v
 
 
 def read_file_schema(path: str) -> Any:

@@ -41,11 +41,34 @@ def write_bucketed(
         # saveAsTable(overwrite) still refuses a managed-table location
         # left behind by a dropped/crashed session — clean both catalog
         # entry and orphan directory so overwrite means overwrite.
+        # The location comes from the catalog BEFORE the drop (a
+        # qualified db.table lives at warehouse/<db>.db/<name>, not
+        # warehouse/<name> — deriving it from the last name component
+        # would aim at the default database's same-named table).
         spark = df.sparkSession
+        loc = None
+        try:
+            rows = spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect()
+            meta = {r["col_name"]: r["data_type"] for r in rows}
+            raw = meta.get("Location")
+            if raw and raw.startswith(("file:", "/")):
+                loc = raw.removeprefix("file:")
+        except Exception:
+            pass  # not in the catalog — maybe an orphan dir, handled below
         spark.sql(f"DROP TABLE IF EXISTS {table}")
-        warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-        loc = os.path.join(warehouse.removeprefix("file:"), table.split(".")[-1].lower())
-        if os.path.isdir(loc):
+        if loc is None:
+            # orphan from a crashed session: reconstruct the DEFAULT
+            # managed location (warehouse/<db>.db/<name>; default-db and
+            # unqualified tables sit directly under the warehouse root)
+            warehouse = spark.conf.get(
+                "spark.sql.warehouse.dir", "spark-warehouse"
+            ).removeprefix("file:")
+            parts = table.lower().split(".")
+            if len(parts) == 1 or parts[-2] == "default":
+                loc = os.path.join(warehouse, parts[-1])
+            else:
+                loc = os.path.join(warehouse, f"{parts[-2]}.db", parts[-1])
+        if loc and os.path.isdir(loc):
             import shutil
 
             shutil.rmtree(loc)

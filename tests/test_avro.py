@@ -95,6 +95,8 @@ def encode_value(schema, v) -> bytes:
         return enc_bytes(v)
     if t == "string":
         return enc_str(v)
+    if "." in t:  # fullname reference to a named fixed type (test helper)
+        return v
     raise AssertionError(t)
 
 
@@ -215,8 +217,74 @@ def test_spark_schema_mapping():
     assert d["tags"].dataType.typeName() == "array"
     assert d["attrs"].dataType.typeName() == "map"
     assert d["d"].dataType.typeName() == "date"
-    assert d["ts"].dataType.typeName() == "timestamp_ntz"
+    # timestamp-micros is an instant per the Avro spec → TIMESTAMP
+    # (matches spark-avro); local-timestamp-* would map to NTZ
+    assert d["ts"].dataType.typeName() == "timestamp"
+    lts = avro_to_spark_schema(
+        {
+            "type": "record",
+            "name": "L",
+            "fields": [
+                {
+                    "name": "lts",
+                    "type": {"type": "long", "logicalType": "local-timestamp-micros"},
+                }
+            ],
+        }
+    )
+    assert lts.fields[0].dataType.typeName() == "timestamp_ntz"
     assert d["nested"].dataType.typeName() == "struct"
+
+
+def test_non_record_top_level():
+    """A bare top-level 'string'/'long' schema decodes as 1-tuples (the
+    'value' struct wrap), not per-character zips or task TypeErrors."""
+    schema = b'"string"'
+    raw = (
+        b"Obj\x01"
+        + b"\x02"
+        + b"\x16avro.schema"
+        + zigzag(len(schema))
+        + schema
+        + b"\x00"
+        + SYNC
+        + b"\x04"  # 2 rows
+        + zigzag(len(enc_str("ab") + enc_str("xyz")))
+        + enc_str("ab")
+        + enc_str("xyz")
+        + SYNC
+    )
+    assert list(decode_container(raw)) == [("ab",), ("xyz",)]
+    s = avro_to_spark_schema("string")
+    assert [f.name for f in s.fields] == ["value"]
+
+
+def test_namespaced_named_type_roundtrip():
+    """Fullname references (ns.Name) resolve; same short name in a second
+    namespace does not shadow the first registration."""
+    schema = {
+        "type": "record",
+        "name": "Outer",
+        "namespace": "com.example",
+        "fields": [
+            {
+                "name": "a",
+                "type": {
+                    "type": "fixed",
+                    "name": "F2",
+                    "namespace": "com.example",
+                    "size": 2,
+                },
+            },
+            # reference by fullname — pre-fix this raised KeyError
+            {"name": "b", "type": "com.example.F2"},
+        ],
+    }
+    rows = [{"a": b"xy", "b": b"zw"}]
+    raw = make_container(schema, rows)
+    assert list(decode_container(raw)) == [(b"xy", b"zw")]
+    s = avro_to_spark_schema(schema)
+    assert [f.name for f in s.fields] == ["a", "b"]
 
 
 def test_read_avro_distributed(spark, tmp_path):

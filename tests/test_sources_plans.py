@@ -87,6 +87,28 @@ def test_bucketed_join_no_shuffle(spark, sf_dir):
     assert n > 0
 
 
+def test_bucketed_qualified_overwrite_keeps_default_db(spark):
+    """Overwriting db.table must not touch the default database's
+    same-named table directory (the cleanup resolves the real catalog
+    location, not warehouse/<last name component>)."""
+    from datafusion_python_spark.sources.bucketed import write_bucketed
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS bdb")
+    df = spark.range(0, 100).withColumnRenamed("id", "k")
+    try:
+        write_bucketed(df, "btbl", ["k"], num_buckets=4)
+        write_bucketed(df, "bdb.btbl", ["k"], num_buckets=4)
+        # second overwrite of the qualified name: pre-fix this rmtree'd
+        # the DEFAULT db's btbl directory and left bdb's orphan behind
+        write_bucketed(df.filter("k < 50"), "bdb.btbl", ["k"], num_buckets=4)
+        assert spark.table("btbl").count() == 100
+        assert spark.table("bdb.btbl").count() == 50
+    finally:
+        spark.sql("DROP TABLE IF EXISTS btbl")
+        spark.sql("DROP TABLE IF EXISTS bdb.btbl")
+        spark.sql("DROP DATABASE IF EXISTS bdb")
+
+
 def test_compact_files(spark, tmp_path):
     import glob
 
