@@ -77,9 +77,13 @@ class Dialect:
 
 
 class Unparser:
-    """ref unparser.py — plan → SQL text. Spark keeps SQL as the portable
-    form already; round-tripping an arbitrary optimized plan back to SQL
-    is not supported."""
+    """ref unparser.py:60-80 — plan → SQL text.
+
+    Walks the Catalyst analyzed plan and re-emits executable SQL
+    (``plans/unparse.py``); expressions render through Catalyst's own
+    ``Expression.sql``, so aliases, casts, aggregates and window calls
+    round-trip. Dialects affect identifier quoting (backticks for
+    default/mysql, double quotes for postgres/duckdb/sqlite)."""
 
     def __init__(self, dialect: "Dialect | str" = "default") -> None:
         self.dialect = dialect if isinstance(dialect, Dialect) else Dialect(str(dialect))
@@ -91,4 +95,6 @@ class Unparser:
         return self
 
     def plan_to_sql(self, plan) -> str:
-        raise NotImplementedError(_MSG)
+        from ..plans.unparse import plan_to_sql
+
+        return plan_to_sql(plan, dialect=self.dialect.name, pretty=self._pretty)

@@ -1,0 +1,196 @@
+"""Logical plan → SQL text (ref python/datafusion/unparser.py:27-80,
+datafusion-sql unparser).
+
+The reference unparses a DataFusion logical plan back to SQL in several
+dialects. The Spark-native equivalent walks the Catalyst ANALYZED plan
+(stable accessors, resolved attributes) and leans on Catalyst's own
+``Expression.sql`` — every resolved expression node renders itself,
+including aliases, casts, aggregate and window calls — so this module
+only has to compose the relational shell: each operator becomes a
+nested ``SELECT … FROM (child) AS t_n`` layer, which is dialect-neutral
+ANSI apart from identifier quoting.
+
+Supported relational core (the reference test surface): Project, Filter,
+Aggregate (+HAVING as an outer filter), Sort, Global/LocalLimit, Offset,
+Join (all types incl. cross), Union/Distinct/Deduplicate, Window,
+SubqueryAlias, Range, and leaf relations (catalog tables by name;
+file-scan relations as ``parquet.`path```). Anything else raises
+NotImplementedError naming the node, never emitting wrong SQL.
+
+Dialects map to identifier quoting: default/mysql keep Spark's
+backticks; postgres/duckdb/sqlite rewrite them to double quotes.
+"""
+
+from __future__ import annotations
+
+import re
+
+
+def _seq(s) -> list:
+    return [s.apply(i) for i in range(s.size())]
+
+
+class _Unparse:
+    def __init__(self) -> None:
+        self.n = 0
+
+    def fresh(self) -> str:
+        self.n += 1
+        return f"__t{self.n}"
+
+    # -- node dispatch ----------------------------------------------------
+    def plan(self, p) -> str:
+        name = p.getClass().getSimpleName()
+        # strip Scala's trailing $ on case objects
+        name = name.rstrip("$")
+        fn = getattr(self, f"_{name.lower()}", None)
+        if fn is None:
+            raise NotImplementedError(
+                f"unparse: unsupported plan node {name}; supported: project/"
+                "filter/aggregate/sort/limit/offset/join/union/distinct/"
+                "deduplicate/window/subqueryalias/range/relation leaves"
+            )
+        return fn(p)
+
+    def _from(self, child) -> str:
+        return f"({self.plan(child)}) AS {self.fresh()}"
+
+    # -- leaves -----------------------------------------------------------
+    def _logicalrelation(self, p) -> str:
+        ct = p.catalogTable()
+        if ct.isDefined():
+            ident = ct.get().identifier()
+            return f"SELECT * FROM {ident.quotedString()}"
+        rel = p.relation()
+        try:
+            fmt = rel.fileFormat().toString().lower()
+            paths = rel.location().rootPaths()
+            path = paths.apply(0).toString()
+        except Exception as e:  # non-file relation with no catalog entry
+            raise NotImplementedError(
+                f"unparse: nameless non-file relation {rel.toString()[:80]}"
+            ) from e
+        if "parquet" in fmt:
+            fmt = "parquet"
+        elif "csv" in fmt:
+            fmt = "csv"
+        elif "json" in fmt:
+            fmt = "json"
+        elif "orc" in fmt:
+            fmt = "orc"
+        return f"SELECT * FROM {fmt}.`{path}`"
+
+    def _hivetablerelation(self, p) -> str:
+        return f"SELECT * FROM {p.tableMeta().identifier().quotedString()}"
+
+    def _view(self, p) -> str:
+        return f"SELECT * FROM {p.desc().identifier().quotedString()}"
+
+    def _range(self, p) -> str:
+        return (
+            f"SELECT id FROM range({p.start()}, {p.end()}, {p.step()})"
+        )
+
+    def _subqueryalias(self, p) -> str:
+        alias = p.alias()
+        return f"SELECT * FROM ({self.plan(p.child())}) AS `{alias}`"
+
+    # -- unary relational nodes -------------------------------------------
+    def _project(self, p) -> str:
+        cols = ", ".join(e.sql() for e in _seq(p.projectList()))
+        return f"SELECT {cols} FROM {self._from(p.child())}"
+
+    def _filter(self, p) -> str:
+        cond = p.condition().sql()
+        return f"SELECT * FROM {self._from(p.child())} WHERE {cond}"
+
+    def _aggregate(self, p) -> str:
+        aggs = ", ".join(e.sql() for e in _seq(p.aggregateExpressions()))
+        groups = [e.sql() for e in _seq(p.groupingExpressions())]
+        sql = f"SELECT {aggs} FROM {self._from(p.child())}"
+        if groups:
+            sql += " GROUP BY " + ", ".join(groups)
+        return sql
+
+    def _window(self, p) -> str:
+        base = [a.sql() for a in _seq(p.child().output())]
+        wins = [e.sql() for e in _seq(p.windowExpressions())]
+        cols = ", ".join(base + wins)
+        return f"SELECT {cols} FROM {self._from(p.child())}"
+
+    def _sort(self, p) -> str:
+        order = ", ".join(o.sql() for o in _seq(p.order()))
+        return f"SELECT * FROM {self._from(p.child())} ORDER BY {order}"
+
+    def _globallimit(self, p) -> str:
+        child = p.child()
+        n = p.limitExpr().sql()
+        if child.getClass().getSimpleName().rstrip("$") == "LocalLimit":
+            child = child.child()
+        return f"SELECT * FROM {self._from(child)} LIMIT {n}"
+
+    def _locallimit(self, p) -> str:
+        return f"SELECT * FROM {self._from(p.child())} LIMIT {p.limitExpr().sql()}"
+
+    def _offset(self, p) -> str:
+        return (
+            f"SELECT * FROM {self._from(p.child())} OFFSET {p.offsetExpr().sql()}"
+        )
+
+    def _distinct(self, p) -> str:
+        return f"SELECT DISTINCT * FROM {self._from(p.child())}"
+
+    def _deduplicate(self, p) -> str:
+        keys = {a.name() for a in _seq(p.keys())}
+        out = [a.name() for a in _seq(p.child().output())]
+        if keys == set(out):
+            return f"SELECT DISTINCT * FROM {self._from(p.child())}"
+        raise NotImplementedError(
+            "unparse: dropDuplicates on a key subset has no single-query "
+            "ANSI form (needs row_number); deduplicate on all columns works"
+        )
+
+    def _resolvedhint(self, p) -> str:
+        # join-strategy hints (broadcast/merge/…) are physical advice with
+        # no semantic content — unparse the child; the receiving planner
+        # re-derives its own strategy
+        return self.plan(p.child())
+
+    def _withcte(self, p) -> str:
+        # analyzed CTEs are already inlined into the main plan
+        return self.plan(p.plan())
+
+    # -- binary / n-ary ----------------------------------------------------
+    def _join(self, p) -> str:
+        jt = p.joinType().sql()  # INNER / LEFT OUTER / CROSS / ...
+        left = self._from(p.left())
+        right = self._from(p.right())
+        cond = p.condition()
+        on = f" ON {cond.get().sql()}" if cond.isDefined() else ""
+        if not on and jt == "INNER":
+            jt = "CROSS"
+        return f"SELECT * FROM {left} {jt} JOIN {right}{on}"
+
+    def _union(self, p) -> str:
+        parts = [f"SELECT * FROM {self._from(c)}" for c in _seq(p.children())]
+        return " UNION ALL ".join(parts)
+
+
+_QUOTE_DIALECTS = {"postgres", "duckdb", "sqlite"}
+
+
+def plan_to_sql(plan, dialect: str = "default", pretty: bool = False) -> str:
+    """Unparse a logical plan (our LogicalPlan / DataFrame wrappers or a
+    pyspark DataFrame) to executable SQL text."""
+    df = getattr(plan, "_df", plan)
+    sdf = getattr(df, "df", df)
+    jplan = sdf._jdf.queryExecution().analyzed()
+    sql = _Unparse().plan(jplan)
+    if dialect in _QUOTE_DIALECTS:
+        sql = re.sub(r"`([^`]*)`", r'"\1"', sql)
+    if pretty:
+        sql = sql.replace(" FROM ", "\nFROM ").replace(" WHERE ", "\nWHERE ")
+        sql = sql.replace(" GROUP BY ", "\nGROUP BY ").replace(
+            " ORDER BY ", "\nORDER BY "
+        )
+    return sql

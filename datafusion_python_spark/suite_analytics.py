@@ -1444,7 +1444,29 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+# --------------------------------------------------------------------------
+# Plan → SQL unparser round-trip (ref unparser.py:27-80 plan_to_sql).
+# Builds TPC-H q3 as a DataFrame pipeline, unparses the Catalyst analyzed
+# plan back to SQL text, and executes THAT SQL — certified against the
+# original q3 oracle, so the driver row proves unparse(plan) is
+# semantically the same query, not just syntactically plausible.
+def sql_unparse_roundtrip(spark, sf_dir):
+    from .api.substrait import Unparser
+    from .suite_tpch import TPCH_QUERIES
+
+    df = TPCH_QUERIES["tpch_q3"][0](spark, sf_dir)
+    sql = Unparser().plan_to_sql(df)
+    return spark.sql(sql)
+
+
+def _tpch_q3_oracle() -> str:
+    from .suite_tpch import TPCH_QUERIES
+
+    return TPCH_QUERIES["tpch_q3"][1]
+
+
 ANALYTICS_QUERIES: dict[str, tuple] = {
+    "sql_unparse_roundtrip": (sql_unparse_roundtrip, _tpch_q3_oracle()),
     "evt_funnel": (evt_funnel, EVT_FUNNEL_SQL),
     "evt_retention": (evt_retention, EVT_RETENTION_SQL),
     "evt_asof_attribution": (evt_asof_attribution, EVT_ASOF_SQL),
