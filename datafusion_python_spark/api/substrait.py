@@ -1,47 +1,104 @@
 """Plan interchange surface (ref python/datafusion/substrait.py:86-188,
 unparser.py:27-80).
 
-OSS Spark has no Substrait producer/consumer — the nearest analogue is
-the Spark Connect protobuf plan, which is not wire-compatible with
-Substrait. Rather than silently produce wrong bytes, this module keeps
-the reference's class names and raises with the migration story:
-plans ARE portable in PySpark via the DataFrame/SQL text itself, and
-pickling of DataFrame-producing closures is native (SURVEY §3.3).
+OSS Spark has no Substrait integration, so the relational core
+(read/filter/project/aggregate/join/fetch/sort/set) is implemented
+directly against the public substrait spec in
+``plans/substrait_plan.py``: ``Serde.serialize*`` produce a Substrait
+plan from SQL by walking the Catalyst analyzed plan,
+``Consumer.from_substrait_plan`` translates a plan back into a
+DataFrame pipeline, and ``Plan.encode``/``Serde.deserialize*`` speak
+the protobuf wire format for the supported message subset. Nodes and
+expressions outside the subset raise by name instead of emitting wrong
+bytes (SURVEY §3.3).
 """
 
 from __future__ import annotations
 
-_MSG = (
-    "Substrait interchange is not available on OSS Spark; use SQL text "
-    "(spark.sql) or Spark Connect protobuf plans for plan transport. "
-    "Pickling of plan-producing functions works natively in PySpark."
-)
+import pathlib
+
+
+class Plan:
+    """A Substrait plan (ref substrait.py:40-84). Carries the plan IR
+    (protobuf-JSON-shaped dict); ``encode`` emits protobuf wire bytes."""
+
+    def __init__(self, plan_ir: dict) -> None:
+        self.plan_internal = plan_ir
+
+    def encode(self) -> bytes:
+        from ..plans.substrait_plan import encode_plan
+
+        return encode_plan(self.plan_internal)
+
+    def to_json(self) -> str:
+        from ..plans.substrait_plan import plan_to_json
+
+        return plan_to_json(self.plan_internal)
+
+    @staticmethod
+    def from_json(text: str) -> "Plan":
+        from ..plans.substrait_plan import plan_from_json
+
+        return Plan(plan_from_json(text))
+
+    def __repr__(self) -> str:
+        rels = self.plan_internal.get("relations", [])
+        return f"Plan({len(rels)} relation(s))"
+
+
+def _spark_of(ctx):
+    return getattr(ctx, "spark", None) or ctx
 
 
 class Serde:
-    @staticmethod
-    def serialize(sql: str, ctx, path: str) -> None:
-        raise NotImplementedError(_MSG)
+    """Substrait serialization (ref substrait.py:86-148)."""
 
     @staticmethod
-    def serialize_to_plan(sql: str, ctx):
-        raise NotImplementedError(_MSG)
+    def serialize(sql: str, ctx, path: str | pathlib.Path) -> None:
+        data = Serde.serialize_bytes(sql, ctx)
+        pathlib.Path(path).write_bytes(data)
 
-    serialize_bytes = serialize_to_plan
-    deserialize = serialize_to_plan
-    deserialize_bytes = serialize_to_plan
+    @staticmethod
+    def serialize_to_plan(sql: str, ctx) -> Plan:
+        from ..plans.substrait_plan import produce_from_sql
+
+        return Plan(produce_from_sql(_spark_of(ctx), sql))
+
+    @staticmethod
+    def serialize_bytes(sql: str, ctx) -> bytes:
+        return Serde.serialize_to_plan(sql, ctx).encode()
+
+    @staticmethod
+    def deserialize(path: str | pathlib.Path) -> Plan:
+        return Serde.deserialize_bytes(pathlib.Path(path).read_bytes())
+
+    @staticmethod
+    def deserialize_bytes(proto_bytes: bytes) -> Plan:
+        from ..plans.substrait_plan import decode_plan
+
+        return Plan(decode_plan(bytes(proto_bytes)))
 
 
 class Producer:
+    """Logical plan → Substrait plan (ref substrait.py:151-169)."""
+
     @staticmethod
-    def to_substrait_plan(logical_plan, ctx):
-        raise NotImplementedError(_MSG)
+    def to_substrait_plan(logical_plan, ctx=None) -> Plan:
+        from ..plans.substrait_plan import produce_from_plan
+
+        return Plan(produce_from_plan(logical_plan))
 
 
 class Consumer:
+    """Substrait plan → logical plan (ref substrait.py:172-188)."""
+
     @staticmethod
-    def from_substrait_plan(ctx, plan):
-        raise NotImplementedError(_MSG)
+    def from_substrait_plan(ctx, plan: Plan):
+        from ..plans.substrait_plan import consume
+        from .plan import LogicalPlan
+
+        ir = plan.plan_internal if isinstance(plan, Plan) else plan
+        return LogicalPlan(consume(_spark_of(ctx), ir))
 
 
 class Dialect:

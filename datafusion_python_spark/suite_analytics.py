@@ -1465,8 +1465,38 @@ def _tpch_q3_oracle() -> str:
     return TPCH_QUERIES["tpch_q3"][1]
 
 
+# --------------------------------------------------------------------------
+# Substrait consume (ref substrait.py:86-188): SQL → Substrait plan →
+# protobuf wire bytes → decode → consume back to a DataFrame pipeline.
+# The driver row certifies the CONSUMED plan's results against DuckDB
+# running the original SQL — i.e. the whole produce/encode/decode/consume
+# chain preserves semantics, not just structure. Integer aggregates keep
+# the comparison exact.
+def substrait_consume(spark, sf_dir):
+    from .api import substrait as ss
+    from .plans.substrait_plan import consume
+
+    _t(spark, sf_dir, "events").createOrReplaceTempView("events")
+    sql = (
+        "SELECT user_id, count(*) AS n_events, min(event_id) AS min_event, "
+        "max(event_id) AS max_event FROM events WHERE event_id > 100 "
+        "GROUP BY user_id"
+    )
+    data = ss.Serde.serialize_bytes(sql, spark)
+    plan = ss.Serde.deserialize_bytes(data)
+    return consume(spark, plan.plan_internal)
+
+
+SUBSTRAIT_CONSUME_SQL = """
+SELECT user_id, count(*) AS n_events, min(event_id) AS min_event,
+       max(event_id) AS max_event
+FROM events WHERE event_id > 100 GROUP BY user_id
+"""
+
+
 ANALYTICS_QUERIES: dict[str, tuple] = {
     "sql_unparse_roundtrip": (sql_unparse_roundtrip, _tpch_q3_oracle()),
+    "substrait_consume": (substrait_consume, SUBSTRAIT_CONSUME_SQL),
     "evt_funnel": (evt_funnel, EVT_FUNNEL_SQL),
     "evt_retention": (evt_retention, EVT_RETENTION_SQL),
     "evt_asof_attribution": (evt_asof_attribution, EVT_ASOF_SQL),
