@@ -361,13 +361,19 @@ class SessionContext:
         self.create_dataframe(partitions, name)
 
     def register_dataset(self, name: str, dataset) -> None:
-        """Register a pyarrow dataset (ref context.py register_dataset).
+        """Register a pyarrow dataset (ref context.py register_dataset,
+        crates/core/src/dataset_exec.rs:80-108).
 
         File-backed parquet datasets register their files directly with
         Spark's native reader, so predicate pushdown / column pruning /
         partition pruning happen at the scan (the reference routes these
-        through a Dataset provider with pushdown). Only in-memory or
-        non-parquet datasets fall back to materializing to_table().
+        through a Dataset provider with pushdown). In-memory / non-file
+        datasets go through the Python DataSource in
+        ``sources/arrow_dataset.py``, which translates query filters into
+        ``pyarrow.dataset`` scanner expressions — same pushdown contract
+        as the reference's DatasetExec (filters reach the fragment scan;
+        the Python DS API has no column-pruning hook, so projection trims
+        post-scan).
         """
         files = list(getattr(dataset, "files", None) or [])
         fmt = getattr(getattr(dataset, "format", None), "default_extname", None)
@@ -375,7 +381,14 @@ class SessionContext:
             df = self.spark.read.parquet(*files)
             df.createOrReplaceTempView(name)
             return
-        self.from_arrow(dataset.to_table(), name)
+        try:
+            from ..sources.arrow_dataset import read_dataset
+
+            df = read_dataset(self.spark, dataset)
+            df.createOrReplaceTempView(name)
+        except Exception:
+            # datasets without scanner support — materialize
+            self.from_arrow(dataset.to_table(), name)
 
     def register_view(self, name: str, df: DataFrame) -> None:
         df.df.createOrReplaceTempView(name)

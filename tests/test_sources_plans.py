@@ -87,6 +87,45 @@ def test_bucketed_join_no_shuffle(spark, sf_dir):
     assert n > 0
 
 
+def test_in_memory_dataset_filter_pushdown(spark, tmp_path):
+    """Filters on an in-memory pyarrow dataset must reach the dataset
+    scanner (ref dataset_exec.rs:80-108): the scanner's output row count
+    drops to the filtered size, and the pushed-filter log shows the
+    translated predicates (not rejections)."""
+    import json
+
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+
+    from datafusion_python_spark.sources.arrow_dataset import read_dataset
+
+    tbl = pa.table({"x": list(range(1000)), "s": [f"row{i}" for i in range(1000)]})
+    stats = str(tmp_path / "scan_stats.jsonl")
+    df = read_dataset(spark, pads.dataset(tbl), stats_path=stats)
+    got = df.filter("x > 990 AND s LIKE 'row99%'").collect()
+    assert sorted(r.x for r in got) == list(range(991, 1000))
+
+    events = [json.loads(ln) for ln in open(stats)]
+    pushed = next(e for e in events if e["event"] == "pushFilters")
+    assert any("GreaterThan" in f for f in pushed["pushed"])
+    assert any("StringStartsWith" in f for f in pushed["pushed"])
+    read_ev = next(e for e in events if e["event"] == "read")
+    assert read_ev["scanned_rows"] == 9  # scanner, not Spark, dropped the rest
+
+
+def test_register_dataset_in_memory_still_green(spark):
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+
+    from datafusion_python_spark.api.context import SessionContext
+
+    ctx = SessionContext()
+    tbl = pa.table({"k": [1, 2, 3], "v": ["a", "b", "c"]})
+    ctx.register_dataset("mem_ds", pads.dataset(tbl))
+    out = ctx.sql("SELECT v FROM mem_ds WHERE k >= 2 ORDER BY k").to_pydict()
+    assert out["v"] == ["b", "c"]
+
+
 def test_bucketed_qualified_overwrite_keeps_default_db(spark):
     """Overwriting db.table must not touch the default database's
     same-named table directory (the cleanup resolves the real catalog
