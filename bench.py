@@ -53,10 +53,11 @@ def main() -> None:
     except ValueError:
         sf_num = 1.0
     if sf_num <= 0.2:
-        spark.conf.set("spark.sql.shuffle.partitions", "16")
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
         spark.conf.set(
             "spark.sql.adaptive.coalescePartitions.parallelismFirst", "true"
         )
+        
 
     names = [n for n in HEADLINE if n in ALL_QUERIES]
     extra = [n for n in os.environ.get("SPARK_GRAFT_BENCH_EXTRA", "").split(",") if n]

@@ -423,14 +423,23 @@ ORDER BY is_late
 # --------------------------------------------------------------------------
 # q13: customer order-count distribution (left outer join + double agg).
 # ref: examples/tpch/q13_customer_distribution.py
+# Shape: aggregate orders to per-customer counts BEFORE the left join —
+# count(o_orderkey) grouped by c_custkey after the join is equivalent to
+# joining pre-aggregated counts and coalescing the miss to 0, but the
+# join input shrinks from |orders| rows to |active customers| and the
+# joined row is 2 ints wide instead of the full order row. Same 3
+# exchanges, strictly less data through the join at any scale.
 def q13(spark, sf_dir):
-    cust = _t(spark, sf_dir, "customer")
-    orders = _t(spark, sf_dir, "orders").filter(~F.col("o_orderpriority").startswith("5"))
-    per_cust = (
-        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
-        .groupBy("c_custkey")
-        .agg(F.count("o_orderkey").alias("c_count"))
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    counts = (
+        _t(spark, sf_dir, "orders")
+        .filter(~F.col("o_orderpriority").startswith("5"))
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("cnt"))
     )
+    per_cust = cust.join(
+        counts, cust.c_custkey == counts.o_custkey, "left"
+    ).select(F.coalesce("cnt", F.lit(0)).alias("c_count"))
     return (
         per_cust.groupBy("c_count")
         .agg(F.count("*").alias("custdist"))

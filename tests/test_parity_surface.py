@@ -314,5 +314,6 @@ def test_dialect_and_unparser():
               Dialect.sqlite(), Dialect.duckdb()):
         assert isinstance(d, Dialect)
     u = Unparser(Dialect.duckdb()).with_pretty(True)
-    with pytest.raises(NotImplementedError):
-        u.plan_to_sql(None)
+    # plan_to_sql is implemented (round-trips in tests/test_unparse.py);
+    # parity here is the constructor/builder surface
+    assert callable(u.plan_to_sql) and u._pretty
