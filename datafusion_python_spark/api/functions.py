@@ -936,16 +936,33 @@ def array_positions(arr, v) -> Expr:
     return Expr(F.filter(idx, lambda i: F.element_at(a, i) == vv).cast("array<bigint>"))
 
 
+def array_remove_n(arr, v, n) -> Expr:
+    """Remove the first ``n`` elements equal to ``v`` (ref functions/__init__.py:4149).
+
+    Spark has no direct equivalent (F.array_remove drops ALL matches), so the
+    first-n positions of ``v`` are computed and index-filtered out — pure
+    built-in higher-order functions, no Python UDF.
+    """
+    a, vv = _u(arr), _u(v)
+    nn = F.lit(n) if isinstance(n, int) else _u(n)
+    idx = F.sequence(F.lit(1), F.size(a))
+    pos = F.filter(idx, lambda i: F.element_at(a, i) == vv)
+    drop = F.slice(pos, F.lit(1), F.greatest(F.least(nn, F.size(pos)), F.lit(0)))
+    kept = F.filter(idx, lambda i: ~F.array_contains(drop, i))
+    return Expr(F.when(a.isNotNull(), F.transform(kept, lambda i: F.element_at(a, i))))
+
+
 def array_remove(arr, v) -> Expr:
-    return Expr(F.array_remove(_u(arr), _u(v)))
+    """Remove the FIRST element equal to ``v`` (ref functions/__init__.py:4126).
+
+    Note: Spark's own F.array_remove removes ALL occurrences — that is
+    DataFusion's array_remove_all; this removes only the first match.
+    """
+    return array_remove_n(arr, v, 1)
 
 
 def array_remove_all(arr, v) -> Expr:
     return Expr(F.array_remove(_u(arr), _u(v)))
-
-
-def array_remove_n(arr, v, n) -> Expr:
-    raise NotImplementedError("array_remove_n: use array_remove (all) or filter with index")
 
 
 def array_repeat(v, n) -> Expr:

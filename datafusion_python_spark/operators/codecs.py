@@ -151,6 +151,193 @@ def decode_bmp(data: bytes) -> np.ndarray:
     return out
 
 
+def decode_gif(data: bytes) -> np.ndarray:
+    """GIF87a/89a first frame → (H, W, 3) uint8 via full LZW decode.
+
+    Supports global/local color tables, interlace, and skips 89a
+    extension blocks. Animation: returns the first image descriptor
+    (frame extraction for later frames is the same loop).
+    """
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    width, height = struct.unpack("<HH", data[6:10])
+    flags = data[10]
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = np.frombuffer(data[pos : pos + 3 * n], np.uint8).reshape(n, 3)
+        pos += 3 * n
+    while pos < len(data):
+        block = data[pos]
+        if block == 0x21:  # extension: skip sub-blocks
+            pos += 2
+            while data[pos]:
+                pos += data[pos] + 1
+            pos += 1
+        elif block == 0x2C:  # image descriptor
+            left, top, iw, ih = struct.unpack("<HHHH", data[pos + 1 : pos + 9])
+            iflags = data[pos + 9]
+            pos += 10
+            ct = gct
+            if iflags & 0x80:
+                n = 2 << (iflags & 0x07)
+                ct = np.frombuffer(data[pos : pos + 3 * n], np.uint8).reshape(n, 3)
+                pos += 3 * n
+            if ct is None:
+                raise ValueError("GIF image has no color table")
+            min_code = data[pos]
+            pos += 1
+            chunks = []
+            while data[pos]:
+                ln = data[pos]
+                chunks.append(data[pos + 1 : pos + 1 + ln])
+                pos += ln + 1
+            pos += 1
+            idx = _lzw_decode(b"".join(chunks), min_code, iw * ih)
+            px = np.array(idx[: iw * ih], dtype=np.int32).reshape(ih, iw)
+            if iflags & 0x40:  # interlaced: 4-pass row shuffle
+                out_rows = np.empty(ih, dtype=np.int64)
+                order = np.concatenate(
+                    [np.arange(0, ih, 8), np.arange(4, ih, 8),
+                     np.arange(2, ih, 4), np.arange(1, ih, 2)]
+                )
+                out_rows[order] = np.arange(len(order))
+                px = px[out_rows]
+            return ct[np.clip(px, 0, len(ct) - 1)]
+        elif block == 0x3B:  # trailer
+            break
+        else:
+            pos += 1
+    raise ValueError("GIF has no image data")
+
+
+def _lzw_decode(data: bytes, min_code_size: int, limit: int) -> list[int]:
+    """GIF-variant LZW (LSB-first variable-width codes, max 12 bits)."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    code_size = min_code_size + 1
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    out: list[int] = []
+    prev: bytes | None = None
+    acc = 0
+    nbits = 0
+    pos = 0
+    while len(out) < limit:
+        while nbits < code_size:
+            if pos >= len(data):
+                return out
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << code_size) - 1)
+        acc >>= code_size
+        nbits -= code_size
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            code_size = min_code_size + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]
+        else:
+            raise ValueError("corrupt GIF LZW stream")
+        out.extend(entry)
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << code_size) and code_size < 12:
+                code_size += 1
+        prev = entry
+    return out
+
+
+def _lzw_encode(indices: np.ndarray, min_code_size: int) -> bytes:
+    """GIF-variant LZW encoder (dict-based, emits clear at table fill)."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int, size: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += size
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    code_size = min_code_size + 1
+    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    next_code = end + 1
+    emit(clear, code_size)
+    w = b""
+    for v in indices.astype(np.uint8).tobytes():
+        wk = w + bytes([v])
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w], code_size)
+        table[wk] = next_code
+        next_code += 1
+        if next_code > (1 << code_size):
+            if code_size < 12:
+                code_size += 1
+            else:
+                emit(clear, code_size)
+                table = {bytes([i]): i for i in range(clear)}
+                next_code = end + 1
+                code_size = min_code_size + 1
+        w = bytes([v])
+    if w:
+        emit(table[w], code_size)
+    emit(end, code_size)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def encode_gif(img: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 → single-frame GIF89a with an adaptive palette.
+
+    Palette = unique colors if ≤256, else a 6x7x6 uniform quantization.
+    Exists so decode_gif is round-trip testable with zero fixtures.
+    """
+    h, w = img.shape[:2]
+    flat = img.reshape(-1, 3)
+    colors, inverse = np.unique(flat, axis=0, return_inverse=True)
+    if len(colors) > 256:
+        q = (flat[:, 0] // 43) * 42 + (flat[:, 1] // 37) * 6 + flat[:, 2] // 43
+        colors, inverse = np.unique(q, return_inverse=True)
+        palette = np.stack(
+            [(colors // 42) * 43, ((colors % 42) // 6) * 37, (colors % 6) * 43], axis=1
+        ).astype(np.uint8)
+    else:
+        palette = colors.astype(np.uint8)
+    bits = max(1, int(len(palette) - 1).bit_length())
+    n = 1 << bits
+    pal = np.zeros((n, 3), np.uint8)
+    pal[: len(palette)] = palette
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w, h)
+    out += bytes([0x80 | ((bits - 1) << 4) | (bits - 1), 0, 0])
+    out += pal.tobytes()
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+    min_code = max(2, bits)
+    out += bytes([min_code])
+    lzw = _lzw_encode(inverse.astype(np.uint8), min_code)
+    for i in range(0, len(lzw), 255):
+        chunk_bytes = lzw[i : i + 255]
+        out += bytes([len(chunk_bytes)]) + chunk_bytes
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
 def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     """WAV PCM → (samples[n, channels] int16/int32-scaled, sample_rate)."""
     with wave.open(io.BytesIO(data), "rb") as w:
@@ -215,14 +402,18 @@ def audio_features(samples: np.ndarray, sr: int, dim: int = 16) -> list[float]:
 
 
 def decode_image(data: bytes) -> np.ndarray:
-    """Sniff + decode: PNG or BMP → (H, W, C) uint8. JPEG/GIF raise —
-    their entropy/DCT decoders genuinely need native libraries."""
+    """Sniff + decode: PNG, BMP, GIF, or baseline JPEG → (H, W, C) uint8.
+
+    All four are pure numpy/stdlib decoders — no native codec libraries.
+    Progressive JPEG raises (see operators/jpeg.py)."""
     if data.startswith(PNG_MAGIC):
         return decode_png(data)
     if data[:2] == b"BM":
         return decode_bmp(data)
     if data[:3] == b"\xff\xd8\xff":
-        raise NotImplementedError("JPEG decode needs libjpeg (not in this env)")
+        from datafusion_python_spark.operators.jpeg import decode_jpeg
+
+        return decode_jpeg(data)
     if data[:4] in (b"GIF8",):
-        raise NotImplementedError("GIF LZW decode not implemented here")
+        return decode_gif(data)
     raise ValueError("unrecognized image format")

@@ -4,13 +4,15 @@ The Spark-side architecture is the deliverable here: typed metadata
 struct alongside a ``binary`` payload, Arrow-batched ``mapInPandas``
 transforms (one Python crossing per batch), and partition-size-aware
 repartitioning so a 100 TB media corpus streams through executors in
-bounded memory. The actual codecs (PIL/ffmpeg/torchaudio) are NOT in
-this container, but PNG, BMP, and WAV decode for REAL in pure stdlib
-(``operators/codecs.py``: zlib inflate + row unfilter, raw BGR rows,
-``wave`` PCM) — ``decoder="stdlib"`` runs actual pixel/sample feature
-extraction end to end. ``decoder="fake"`` is the deterministic test
-stand-in; ``decoder="pil"``/``"ffmpeg"`` raise NotImplementedError with
-the dependency named (JPEG/video need native codecs).
+bounded memory. The native codec libraries (PIL/ffmpeg/torchaudio) are
+NOT in this container, but PNG, BMP, GIF, baseline JPEG, and WAV all
+decode for REAL in pure numpy/stdlib (``operators/codecs.py``: zlib
+inflate + row unfilter, raw BGR rows, full LZW, huffman+IDCT in
+``operators/jpeg.py``, ``wave`` PCM) — ``decoder="stdlib"`` runs actual
+pixel/sample feature extraction end to end. ``decoder="fake"`` is the
+deterministic test stand-in; ``decoder="pil"``/``"ffmpeg"`` raise
+NotImplementedError with the dependency named (progressive JPEG and
+video need native codecs).
 """
 
 from __future__ import annotations
@@ -84,11 +86,13 @@ def extract_features(
     """Binary payload → feature vector via Arrow-batched mapInPandas.
 
     decoder:
-    - ``"stdlib"`` — REAL decode: PNG/BMP pixels (zlib + row unfilter /
-      raw) → channel stats + luminance histogram; WAV PCM → RMS/ZCR/FFT
-      bands (`operators/codecs.py`). Rows whose bytes aren't decodable
-      (e.g. JPEG in this env) yield a null feature instead of failing
-      the task — at corpus scale a bad file must never kill a stage.
+    - ``"stdlib"`` — REAL decode: PNG/BMP/GIF/baseline-JPEG pixels
+      (zlib + row unfilter / raw / LZW / huffman+IDCT) → channel stats
+      + luminance histogram; WAV PCM → RMS/ZCR/FFT bands
+      (`operators/codecs.py`, `operators/jpeg.py`). Rows whose bytes
+      aren't decodable (e.g. progressive JPEG) yield a null feature
+      instead of failing the task — at corpus scale a bad file must
+      never kill a stage.
     - ``"fake"`` — deterministic bytes→vector stand-in (unit tests).
     - ``"pil"``/``"ffmpeg"`` — named-dependency NotImplementedError.
 

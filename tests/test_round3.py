@@ -1,0 +1,147 @@
+"""Round-3 tests: array_remove first-vs-all semantics
+(ref python/datafusion/functions/__init__.py:4126-4199) and the
+pure-numpy JPEG/GIF codecs that close the multimodal entropy-decode gap."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+import datafusion_python_spark.api.functions as dpf
+from datafusion_python_spark.api.expr import Expr
+from datafusion_python_spark.operators.codecs import (
+    decode_gif,
+    decode_image,
+    encode_gif,
+)
+from datafusion_python_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+
+def _arr(*vals):
+    return Expr(F.array(*[F.lit(v) for v in vals]))
+
+
+def test_array_remove_first_only(spark):
+    df = spark.createDataFrame([(1,)], ["x"])
+    got = df.select(dpf.array_remove(_arr(1, 2, 1), dpf.lit(1)).expr.alias("r")).first()["r"]
+    assert got == [2, 1]  # ref docstring example: removes FIRST match only
+
+
+def test_array_remove_n(spark):
+    df = spark.createDataFrame([(1,)], ["x"])
+    got = df.select(
+        dpf.array_remove_n(_arr(1, 2, 1, 1), dpf.lit(1), 2).expr.alias("r")
+    ).first()["r"]
+    assert got == [2, 1]
+    # n larger than match count removes all matches, keeps the rest
+    got = df.select(
+        dpf.array_remove_n(_arr(1, 2, 1), dpf.lit(1), 9).expr.alias("r")
+    ).first()["r"]
+    assert got == [2]
+    # n = 0 removes nothing
+    got = df.select(
+        dpf.array_remove_n(_arr(1, 2, 1), dpf.lit(1), 0).expr.alias("r")
+    ).first()["r"]
+    assert got == [1, 2, 1]
+    # value absent → unchanged
+    got = df.select(
+        dpf.array_remove_n(_arr(1, 2), dpf.lit(7), 1).expr.alias("r")
+    ).first()["r"]
+    assert got == [1, 2]
+
+
+def test_array_remove_all(spark):
+    df = spark.createDataFrame([(1,)], ["x"])
+    got = df.select(
+        dpf.array_remove_all(_arr(1, 2, 1), dpf.lit(1)).expr.alias("r")
+    ).first()["r"]
+    assert got == [2]
+
+
+def test_array_remove_null_array_passthrough(spark):
+    df = spark.createDataFrame([(1,)], ["x"])
+    null_arr = Expr(F.lit(None).cast("array<int>"))
+    got = df.select(dpf.array_remove(null_arr, dpf.lit(1)).expr.alias("r")).first()["r"]
+    assert got is None
+
+
+# --- pure-numpy JPEG/GIF codecs ---------------------------------------------
+
+
+def _gradient(h, w):
+    yy, xx = np.mgrid[0:h, 0:w]
+    return np.stack(
+        [(xx * 255 / w), (yy * 255 / h), ((xx + yy) * 255 / (h + w))], axis=-1
+    ).astype(np.uint8)
+
+
+def test_jpeg_roundtrip_rgb():
+    img = _gradient(40, 56)
+    dec = decode_jpeg(encode_jpeg(img, quality=95))
+    assert dec.shape == img.shape
+    # smooth content at q95 round-trips within a few gray levels
+    assert int(np.abs(dec.astype(int) - img.astype(int)).max()) <= 4
+
+
+def test_jpeg_roundtrip_gray_and_odd_size():
+    g = _gradient(24, 24)[..., 0]
+    dec = decode_jpeg(encode_jpeg(g, quality=90))
+    assert dec.shape == (24, 24, 1)
+    assert int(np.abs(dec[..., 0].astype(int) - g.astype(int)).max()) <= 3
+    # non-multiple-of-8 dims crop correctly
+    odd = _gradient(13, 21)
+    assert decode_jpeg(encode_jpeg(odd)).shape == (13, 21, 3)
+
+
+def test_jpeg_progressive_raises():
+    import pytest
+
+    img = _gradient(8, 8)
+    enc = bytearray(encode_jpeg(img))
+    i = enc.index(b"\xff\xc0")
+    enc[i + 1] = 0xC2  # rewrite SOF0 → SOF2 (progressive)
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(enc))
+
+
+def test_gif_roundtrip_exact_palette():
+    img = np.zeros((20, 30, 3), np.uint8)
+    img[5:15, 10:20] = [255, 0, 0]
+    img[0:5, :] = [0, 128, 255]
+    assert (decode_gif(encode_gif(img)) == img).all()
+
+
+def test_gif_lzw_table_overflow():
+    rng = np.random.default_rng(3)
+    idx = rng.integers(0, 256, (120, 120), dtype=np.uint8)
+    img = np.stack([idx] * 3, axis=-1)  # 256 colors → 12-bit table + clear codes
+    assert (decode_gif(encode_gif(img)) == img).all()
+
+
+def test_decode_image_dispatches_jpeg_and_gif():
+    img = _gradient(16, 16)
+    assert decode_image(encode_jpeg(img)).shape == (16, 16, 3)
+    assert decode_image(encode_gif(img)).shape == (16, 16, 3)
+
+
+def test_extract_features_real_jpeg_gif(spark):
+    from datafusion_python_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        extract_features,
+    )
+
+    img = _gradient(32, 32)
+    rows = [
+        (0, "image", bytearray(encode_jpeg(img)), None),
+        (1, "image", bytearray(encode_gif(img)), None),
+        (2, "image", bytearray(b"\xff\xd8\xffgarbage"), None),  # corrupt → null
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in extract_features(df, dim=8, decoder="stdlib").collect()}
+    assert out[0]["feature"] is not None and len(out[0]["feature"]) == 8
+    assert out[1]["feature"] is not None and len(out[1]["feature"]) == 8
+    assert out[2]["feature"] is None  # bad bytes never kill the task
+    # JPEG and GIF encode the same image: features should be close
+    a = np.array(out[0]["feature"])
+    b = np.array(out[1]["feature"])
+    assert float(np.abs(a - b).max()) < 0.2
