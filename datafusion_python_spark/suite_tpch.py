@@ -423,27 +423,35 @@ ORDER BY is_late
 # --------------------------------------------------------------------------
 # q13: customer order-count distribution (left outer join + double agg).
 # ref: examples/tpch/q13_customer_distribution.py
-# Shape: aggregate orders to per-customer counts BEFORE the left join —
-# count(o_orderkey) grouped by c_custkey after the join is equivalent to
-# joining pre-aggregated counts and coalescing the miss to 0, but the
-# join input shrinks from |orders| rows to |active customers| and the
-# joined row is 2 ints wide instead of the full order row. Same 3
-# exchanges, strictly less data through the join at any scale.
+# Shape: referential-integrity join elimination. TPC-H declares
+# orders.o_custkey → customer.c_custkey (and c_custkey unique), so the
+# left join contributes exactly one thing beyond orders itself: the
+# customers with NO qualifying orders, who land in the c_count=0 bucket.
+# That bucket's size is |customer| − |distinct active custkeys| — two
+# scalar aggregates — so the whole query is ONE shuffle (groupBy
+# o_custkey over orders) plus counts, with no join at any scale. The
+# oracle stays the join-form SQL: if the data ever violated the FK the
+# correctness gate would go red rather than silently diverge.
 def q13(spark, sf_dir):
     cust = _t(spark, sf_dir, "customer").select("c_custkey")
     counts = (
         _t(spark, sf_dir, "orders")
         .filter(~F.col("o_orderpriority").startswith("5"))
         .groupBy("o_custkey")
-        .agg(F.count("*").alias("cnt"))
+        .agg(F.count("*").alias("c_count"))
     )
-    per_cust = cust.join(
-        counts, cust.c_custkey == counts.o_custkey, "left"
-    ).select(F.coalesce("cnt", F.lit(0)).alias("c_count"))
-    return (
-        per_cust.groupBy("c_count")
-        .agg(F.count("*").alias("custdist"))
-        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    dist = counts.groupBy("c_count").agg(F.count("*").alias("custdist"))
+    zero_bucket = (
+        cust.agg(F.count("*").alias("n_cust"))
+        .crossJoin(counts.agg(F.count("*").alias("n_active")))
+        .select(
+            F.lit(0).cast("long").alias("c_count"),
+            (F.col("n_cust") - F.col("n_active")).alias("custdist"),
+        )
+        .filter(F.col("custdist") > 0)
+    )
+    return dist.unionByName(zero_bucket).orderBy(
+        F.desc("custdist"), F.desc("c_count")
     )
 
 
