@@ -140,7 +140,9 @@ def extract_features(
 PROBE_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),
-        T.StructField("format", T.StringType(), True),  # png|gif|bmp|jpeg|wav
+        # png|gif|bmp|jpeg|wav|avi|mp4|mp3; for video: sample_rate=fps,
+        # n_samples=n_frames; for mp3: n_samples=rate*duration estimate
+        T.StructField("format", T.StringType(), True),
         T.StructField("width", T.IntegerType(), True),
         T.StructField("height", T.IntegerType(), True),
         T.StructField("sample_rate", T.IntegerType(), True),
@@ -215,20 +217,35 @@ def _probe_bytes(b: bytes | None) -> tuple:
                     n_samples = size // max(1, ch * bits // 8)
                 i += 8 + size + (size & 1)  # chunks are 2-byte aligned
             return ("wav", None, None, rate, ch, n_samples)
+        if b[:4] == b"RIFF" and b[8:12] == b"AVI ":
+            from .video import probe_avi
+
+            w, h, n_frames, fps = probe_avi(b)
+            return ("avi", w, h, int(fps), None, n_frames)
+        if len(b) >= 12 and b[4:8] == b"ftyp":
+            from .video import probe_mp4
+
+            w, h, dur = probe_mp4(b)
+            return ("mp4", w or None, h or None, None, None, int(dur) or None)
+        if b[:3] == b"ID3" or (b[0] == 0xFF and (b[1] & 0xE0) == 0xE0):
+            from .video import probe_mp3
+
+            _bitrate, rate, dur = probe_mp3(b)
+            return ("mp3", None, None, rate, None, int(dur * rate))
     except Exception:
         pass
     return (None, None, None, None, None, None)
 
 
 def probe_media(df: DataFrame, id_col: str = "media_id", payload_col: str = "payload") -> DataFrame:
-    """Parse real container headers (PNG/GIF/BMP/JPEG SOF/WAV RIFF) out of
-    the binary payload — format, dimensions, audio geometry.
+    """Parse real container headers (PNG/GIF/BMP/JPEG SOF/WAV RIFF,
+    AVI avih, MP4 moov boxes, MP3 frame sync) out of the binary payload
+    — format, dimensions, audio/video geometry.
 
-    Unlike :func:`extract_features` (whose pixel decode needs codec libs
-    and is stubbed), header probing is pure byte math: it runs for real
-    here and at 100 TB stays an Arrow-batched, stateless ``mapInPandas``
-    stage — one Python crossing per batch, per-partition retries, no
-    driver involvement. This is the ingest step that populates
+    Header probing is pure byte math: it runs for real here and at
+    100 TB stays an Arrow-batched, stateless ``mapInPandas`` stage —
+    one Python crossing per batch, per-partition retries, no driver
+    involvement. This is the ingest step that populates
     ``MEDIA_SCHEMA.meta`` from raw crawled bytes.
     """
 
@@ -253,11 +270,60 @@ def probe_media(df: DataFrame, id_col: str = "media_id", payload_col: str = "pay
     return df.mapInPandas(run, schema=PROBE_SCHEMA)
 
 
-def frame_sample(df: DataFrame, every_n: int = 2) -> DataFrame:
-    """Video frame sampling: explode frame indices, keep every n-th.
+FRAME_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_no", T.IntegerType(), False),
+        T.StructField("feature", T.ArrayType(T.FloatType()), True),
+    ]
+)
 
-    Pure column ops (sequence + filter) — the real frame *decode* would
-    chain extract_features on the sampled (media_id, frame_no) pairs.
+
+def extract_frame_features(
+    df: DataFrame, every_n: int = 2, dim: int = 16
+) -> DataFrame:
+    """REAL video decode: sample every n-th frame of MJPEG-AVI payloads
+    and feature-extract the decoded pixels (`operators/video.py` +
+    `operators/jpeg.py`, pure numpy — no codec libraries).
+
+    Only the sampled frames pay the JPEG decode. Non-AVI / undecodable
+    payloads yield zero rows rather than failing the task. At 100 TB
+    this is the same stateless Arrow-batched mapInPandas shape as
+    extract_features: partition by payload size, scale executors.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .codecs import image_features
+        from .video import avi_frame_chunks, decode_avi_mjpeg
+
+        for pdf in batches:
+            ids, frame_nos, feats = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                b = bytes(payload)
+                try:
+                    n = len(avi_frame_chunks(b))
+                    keep = list(range(0, n, every_n))
+                    frames = decode_avi_mjpeg(b, keep)
+                except Exception:  # noqa: BLE001 — bad payloads drop, never kill
+                    continue
+                for fno, img in zip(keep, frames):
+                    ids.append(mid)
+                    frame_nos.append(fno)
+                    feats.append(image_features(img, dim))
+            if ids:  # empty frames mis-type the list<float> column for Arrow
+                yield pd.DataFrame(
+                    {"media_id": ids, "frame_no": frame_nos, "feature": feats}
+                )
+
+    return df.mapInPandas(run, schema=FRAME_FEATURE_SCHEMA)
+
+
+def frame_sample(df: DataFrame, every_n: int = 2) -> DataFrame:
+    """Video frame sampling over *metadata*: explode frame indices, keep
+    every n-th — pure column ops (sequence + filter), no decode. The
+    byte-level path is :func:`extract_frame_features`.
     """
     frames = F.sequence(F.lit(0), F.col("meta.n_frames") - 1)
     kept = F.filter(frames, lambda i: i % every_n == 0)

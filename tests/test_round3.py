@@ -124,6 +124,86 @@ def test_decode_image_dispatches_jpeg_and_gif():
     assert decode_image(encode_gif(img)).shape == (16, 16, 3)
 
 
+def test_avi_mjpeg_roundtrip():
+    from datafusion_python_spark.operators.video import (
+        avi_frame_chunks,
+        decode_avi_mjpeg,
+        encode_avi_mjpeg,
+        probe_avi,
+    )
+
+    frames = [np.roll(_gradient(24, 32), t * 3, axis=1) for t in range(6)]
+    avi = encode_avi_mjpeg(frames, fps=5.0, quality=95)
+    assert probe_avi(avi) == (32, 24, 6, 5.0)
+    chunks = avi_frame_chunks(avi)
+    assert len(chunks) == 6 and all(c[:2] == b"\xff\xd8" for c in chunks)
+    dec = decode_avi_mjpeg(avi)
+    assert len(dec) == 6 and dec[0].shape == (24, 32, 3)
+    assert int(np.abs(dec[0].astype(int) - frames[0].astype(int)).max()) <= 4
+    # selective decode only pays for sampled frames
+    assert len(decode_avi_mjpeg(avi, [0, 3, 5])) == 3
+
+
+def test_mp4_mp3_probes():
+    from datafusion_python_spark.operators.video import (
+        make_mp3_probe_bytes,
+        make_mp4_probe_bytes,
+        probe_mp3,
+        probe_mp4,
+    )
+
+    assert probe_mp4(make_mp4_probe_bytes(1920, 1080, 12.5)) == (1920, 1080, 12.5)
+    mp3 = make_mp3_probe_bytes(128, 44100, n_frames=20)
+    br, rate, dur = probe_mp3(mp3)
+    assert (br, rate) == (128, 44100) and 0.4 < dur < 0.7
+    # ID3v2 tag is skipped before sync search
+    id3 = b"ID3\x04\x00\x00\x00\x00\x00\x0a" + bytes(10) + mp3
+    assert probe_mp3(id3)[:2] == (128, 44100)
+
+
+def test_probe_media_video_audio_formats(spark):
+    from datafusion_python_spark.operators.multimodal import MEDIA_SCHEMA, probe_media
+    from datafusion_python_spark.operators.video import (
+        encode_avi_mjpeg,
+        make_mp3_probe_bytes,
+        make_mp4_probe_bytes,
+    )
+
+    avi = encode_avi_mjpeg([_gradient(16, 16)] * 4, fps=8.0)
+    rows = [
+        (0, "video", bytearray(avi), None),
+        (1, "video", bytearray(make_mp4_probe_bytes(640, 480, 3.0)), None),
+        (2, "audio", bytearray(make_mp3_probe_bytes(192, 48000)), None),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in probe_media(df).collect()}
+    assert (out[0]["format"], out[0]["width"], out[0]["height"], out[0]["n_samples"]) == (
+        "avi", 16, 16, 4,
+    )
+    assert (out[1]["format"], out[1]["width"], out[1]["height"]) == ("mp4", 640, 480)
+    assert (out[2]["format"], out[2]["sample_rate"]) == ("mp3", 48000)
+
+
+def test_extract_frame_features_real_video(spark):
+    from datafusion_python_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        extract_frame_features,
+    )
+    from datafusion_python_spark.operators.video import encode_avi_mjpeg
+
+    frames = [np.roll(_gradient(16, 24), t * 2, axis=0) for t in range(8)]
+    avi = encode_avi_mjpeg(frames, fps=4.0, quality=95)
+    rows = [
+        (0, "video", bytearray(avi), None),
+        (1, "video", bytearray(b"not a video"), None),  # drops, no failure
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = extract_frame_features(df, every_n=3, dim=8).collect()
+    got = sorted((r["media_id"], r["frame_no"]) for r in out)
+    assert got == [(0, 0), (0, 3), (0, 6)]
+    assert all(len(r["feature"]) == 8 for r in out)
+
+
 def test_extract_features_real_jpeg_gif(spark):
     from datafusion_python_spark.operators.multimodal import (
         MEDIA_SCHEMA,
