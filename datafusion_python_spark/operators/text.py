@@ -144,7 +144,9 @@ def repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
 _PII_PATTERNS = [
     # (tag, java-regex) — deliberately conservative patterns; RE2/Java-compatible
     ("EMAIL", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
-    ("PHONE", r"\+?\d{1,2}[-. ]?\(?\d{3}\)?[-. ]?\d{3}[-. ]?\d{4}"),
+    # country code optional — plain 555-867-0042 must match; RE2 has no
+    # lookbehind, so no leading boundary (kept DuckDB-oracle-compatible)
+    ("PHONE", r"(?:\+?\d{1,2}[-. ]?)?\(?\d{3}\)?[-. ]?\d{3}[-. ]?\d{4}"),
     ("SSN", r"\b\d{3}-\d{2}-\d{4}\b"),
     ("IP", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"),
 ]

@@ -65,6 +65,7 @@ _PRIORITY = [
     "evt_pagerank",
     "sql_unparse_roundtrip",
     "substrait_consume",
+    "pipe_pii_redact",
     # merged gates (new names — no prior driver rows)
     "agg_grouping_multi",
     "setop_union_multi",

@@ -1266,7 +1266,70 @@ ORDER BY doc_id
 """
 
 
+# --------------------------------------------------------------------------
+# PII redaction: emails/phones/SSNs/IPs → [TAG] placeholders. The corpus
+# text has no organic PII, so the gate injects deterministic PII derived
+# from doc_id on BOTH sides and then runs the full redaction chain — the
+# oracle genuinely exercises every regex, not just the no-op path.
+# Map-only (chained regexp_replace in one codegen'd projection); at
+# 100 TB this runs at scan speed with zero shuffles beyond the sort.
+def pipe_pii_redact(spark, sf_dir):
+    from .operators.text import redact_pii
+
+    docs = _t(spark, sf_dir, "documents")
+    injected = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" reach user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.org or +1 (555) 867-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" / 555-867-0042, ssn 123-45-6789, host 10.1.2."),
+            (F.col("doc_id") % 256).cast("string"),
+        ),
+    )
+    red = redact_pii(injected, "text", count=True)
+    return red.select(
+        "doc_id",
+        F.md5(F.col("text_redacted")).alias("clean_md5"),
+        "n_email",
+        "n_phone",
+        "n_ssn",
+        "n_ip",
+    ).orderBy("doc_id")
+
+
+def _pii_redact_sql() -> str:
+    from .operators.text import _PII_PATTERNS
+
+    inject = (
+        "text || ' reach user' || CAST(doc_id AS VARCHAR) || "
+        "'@example.org or +1 (555) 867-' || "
+        "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || "
+        "' / 555-867-0042, ssn 123-45-6789, host 10.1.2.' || "
+        "CAST(doc_id % 256 AS VARCHAR)"
+    )
+    redacted = "injected"
+    counts = []
+    for tag, pat in _PII_PATTERNS:
+        lit = pat.replace("'", "''")
+        redacted = f"regexp_replace({redacted}, '{lit}', '[{tag}]', 'g')"
+        counts.append(
+            f"len(regexp_extract_all(injected, '{lit}'))::BIGINT AS n_{tag.lower()}"
+        )
+    return f"""
+WITH inj AS (SELECT doc_id, {inject} AS injected FROM documents)
+SELECT doc_id, md5({redacted}) AS clean_md5, {", ".join(counts)}
+FROM inj ORDER BY doc_id
+"""
+
+
+PIPE_PII_REDACT_SQL = _pii_redact_sql()
+
+
 PIPELINE_QUERIES: dict[str, tuple] = {
+    "pipe_pii_redact": (pipe_pii_redact, PIPE_PII_REDACT_SQL),
     "pipe_substring_dup": (pipe_substring_dup, PIPE_SUBSTRING_DUP_SQL),
     "pipe_hll_rollup": (pipe_hll_rollup, PIPE_HLL_ROLLUP_SQL),
     "pipe_zorder_layout": (pipe_zorder_layout, PIPE_ZORDER_SQL),
