@@ -257,14 +257,25 @@ class DataFrame:
     def columns(self) -> list[str]:
         return self.df.columns
 
-    def logical_plan(self) -> str:
-        return self.df._jdf.queryExecution().logical().toString()
+    def logical_plan(self):
+        """Unoptimized logical plan wrapper (ref dataframe.py:1236 returns
+        LogicalPlan, not text — display()/str() renders it)."""
+        from .plan import LogicalPlan
 
-    def optimized_logical_plan(self) -> str:
-        return self.df._jdf.queryExecution().optimizedPlan().toString()
+        return LogicalPlan(self)
 
-    def execution_plan(self) -> str:
-        return self.df._jdf.queryExecution().executedPlan().toString()
+    def optimized_logical_plan(self):
+        """Optimized logical plan wrapper (ref dataframe.py:1244)."""
+        from .plan import OptimizedLogicalPlan
+
+        return OptimizedLogicalPlan(self)
+
+    def execution_plan(self):
+        """Physical plan wrapper (ref dataframe.py:1252 returns
+        ExecutionPlan)."""
+        from .plan import ExecutionPlan
+
+        return ExecutionPlan(self)
 
     def explain(self, verbose: bool = False, analyze: bool = False) -> None:
         self.df.explain(extended=verbose)

@@ -138,6 +138,14 @@ def _tree_to_dot(tree: str, label: str) -> str:
     return f'digraph "{label}" {{\n{body}\n}}'
 
 
+class OptimizedLogicalPlan(LogicalPlan):
+    """LogicalPlan view rendering the Catalyst-optimized tree (what
+    DataFrame.optimized_logical_plan returns, ref dataframe.py:1244)."""
+
+    def display(self) -> str:
+        return self.optimized()
+
+
 class ExecutionPlan:
     """Wrapper over the Spark physical plan (ref plan.py:140)."""
 

@@ -53,6 +53,19 @@ class _Unparse:
         return fn(p)
 
     def _from(self, child) -> str:
+        # Attribute SQL can render QUALIFIED (`t_sub`.`x`) when the child
+        # is a named relation — the emitted FROM alias must match that
+        # qualifier or the SQL re-parses with an unresolved column. Keep
+        # the relation's own name visible instead of a fresh __tN.
+        name = child.getClass().getSimpleName().rstrip("$")
+        if name == "SubqueryAlias":
+            return f"({self.plan(child.child())}) AS `{child.alias()}`"
+        if name == "View":
+            return child.desc().identifier().quotedString()
+        if name == "LogicalRelation":
+            ct = child.catalogTable()
+            if ct.isDefined():
+                return ct.get().identifier().quotedString()
         return f"({self.plan(child)}) AS {self.fresh()}"
 
     # -- leaves -----------------------------------------------------------

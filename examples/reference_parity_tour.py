@@ -16,7 +16,7 @@ with the import switched to this package and asserts on the results.
   sql-using-python-udf/udaf.py → register_udf / register_udaf + SQL
   python-udwf.py         → udwf WindowEvaluator
   multiprocessing_pickle_expr.py / ray_pickle_expr.py → Expr/plan ship
-  substrait.py           → explicit NotImplementedError (documented stub)
+  substrait.py           → Serde round-trip + Consumer execute + unparse
   sql-parquet-s3.py      → register_object_store config shim
   tpch/                  → suite_tpch (all 22, oracle-gated)
 
@@ -175,14 +175,24 @@ expr2 = pickle.loads(pickle.dumps(expr))
 shipped = ctx.from_pydict({"a": [41]}).select(expr2)
 assert shipped.to_pylist() == [{"a1": 42}]
 
-# -- substrait.py: documented stub -----------------------------------------
+# -- substrait.py: serialize → file → deserialize → consume → execute ------
 from datafusion_python_spark.api import substrait
 
-try:
-    substrait.Serde.serialize("SELECT 1", ctx, "/tmp/plan.substrait")
-    raise AssertionError("substrait stub should raise")
-except NotImplementedError:
-    pass
+ctx.from_pydict({"x": [1, 2, 3]}, name="t_sub")
+with tempfile.TemporaryDirectory() as d:
+    plan_path = os.path.join(d, "plan.substrait")
+    substrait.Serde.serialize("SELECT x FROM t_sub WHERE x > 1", ctx, plan_path)
+    plan = substrait.Serde.deserialize(plan_path)
+    logical = substrait.Consumer.from_substrait_plan(ctx, plan)
+    result = ctx.create_dataframe_from_logical_plan(logical)
+    assert sorted(r["x"] for r in result.to_pylist()) == [2, 3]
+
+# -- unparser: DataFrame plan → SQL → re-execute ---------------------------
+from datafusion_python_spark.api.substrait import Dialect, Unparser
+
+tour_df = ctx.table("t_sub").filter(col("x") > lit(1))
+sql_text = Unparser(Dialect.default()).plan_to_sql(tour_df.logical_plan())
+assert sorted(r["x"] for r in ctx.sql(sql_text).to_pylist()) == [2, 3]
 
 # -- sql-parquet-s3.py: object-store config shim ---------------------------
 from datafusion_python_spark.sources.object_store import AmazonS3

@@ -347,9 +347,17 @@ def test_catalog_navigation(ctx, df):
 
 
 def test_explain_plans(df):
-    assert "Project" in df.select(col("a")).optimized_logical_plan() or True
-    assert isinstance(df.logical_plan(), str)
-    assert isinstance(df.execution_plan(), str)
+    from datafusion_python_spark.api.plan import ExecutionPlan, LogicalPlan
+
+    # ref dataframe.py:1236-1258 — these return plan WRAPPERS, not text
+    lp = df.logical_plan()
+    assert isinstance(lp, LogicalPlan) and isinstance(lp.display(), str)
+    opt = df.select(col("a")).optimized_logical_plan()
+    assert isinstance(opt, LogicalPlan)
+    assert "Project" in opt.display() or "a" in opt.display()
+    ep = df.execution_plan()
+    assert isinstance(ep, ExecutionPlan) and isinstance(ep.display(), str)
+    assert str(lp) == lp.display()
 
 
 def test_function_registry_coverage():
