@@ -423,35 +423,31 @@ ORDER BY is_late
 # --------------------------------------------------------------------------
 # q13: customer order-count distribution (left outer join + double agg).
 # ref: examples/tpch/q13_customer_distribution.py
-# Shape: referential-integrity join elimination. TPC-H declares
-# orders.o_custkey → customer.c_custkey (and c_custkey unique), so the
-# left join contributes exactly one thing beyond orders itself: the
-# customers with NO qualifying orders, who land in the c_count=0 bucket.
-# That bucket's size is |customer| − |distinct active custkeys| — two
-# scalar aggregates — so the whole query is ONE shuffle (groupBy
-# o_custkey over orders) plus counts, with no join at any scale. The
-# oracle stays the join-form SQL: if the data ever violated the FK the
-# correctness gate would go red rather than silently diverge.
+# Shape: aggregate orders to per-customer counts BEFORE the left join —
+# equivalent to counting after the join, but the join input shrinks from
+# |orders| rows to |active customers| and the joined row is two ints
+# wide. A referential-integrity join *elimination* (zero-bucket =
+# |customer| − |active| as scalar aggs) was ALSO tried and measured
+# SLOWER at sf1 (2.4s vs 0.7s): Catalyst optimizes the two consumers of
+# the counts subplan into different exchanges (count-agg vs distinct
+# keys), so orders is scanned+shuffled twice with no ReusedExchange.
+# The join form scans orders once; AQE broadcast-converts the
+# aggregated side at runtime.
 def q13(spark, sf_dir):
     cust = _t(spark, sf_dir, "customer").select("c_custkey")
     counts = (
         _t(spark, sf_dir, "orders")
         .filter(~F.col("o_orderpriority").startswith("5"))
         .groupBy("o_custkey")
-        .agg(F.count("*").alias("c_count"))
+        .agg(F.count("*").alias("cnt"))
     )
-    dist = counts.groupBy("c_count").agg(F.count("*").alias("custdist"))
-    zero_bucket = (
-        cust.agg(F.count("*").alias("n_cust"))
-        .crossJoin(counts.agg(F.count("*").alias("n_active")))
-        .select(
-            F.lit(0).cast("long").alias("c_count"),
-            (F.col("n_cust") - F.col("n_active")).alias("custdist"),
-        )
-        .filter(F.col("custdist") > 0)
-    )
-    return dist.unionByName(zero_bucket).orderBy(
-        F.desc("custdist"), F.desc("c_count")
+    per_cust = cust.join(
+        counts, cust.c_custkey == counts.o_custkey, "left"
+    ).select(F.coalesce("cnt", F.lit(0)).alias("c_count"))
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
     )
 
 
