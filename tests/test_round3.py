@@ -204,6 +204,34 @@ def test_extract_frame_features_real_video(spark):
     assert all(len(r["feature"]) == 8 for r in out)
 
 
+def test_transcode_media_resize_and_convert(spark):
+    from datafusion_python_spark.operators.codecs import decode_image, encode_png
+    from datafusion_python_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        transcode_media,
+    )
+
+    big = _gradient(48, 64)
+    rows = [
+        (0, "image", bytearray(encode_png(big)), None),
+        (1, "image", bytearray(encode_jpeg(big, quality=95)), None),
+        (2, "image", bytearray(b"garbage"), None),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in transcode_media(df, max_side=32, out_format="png").collect()}
+    # 48x64 → scale by 2 → 24x32, re-encoded as PNG, decodable
+    assert (out[0]["height"], out[0]["width"], out[0]["out_format"]) == (24, 32, "png")
+    decoded = decode_image(bytes(out[0]["payload"]))
+    assert decoded.shape == (24, 32, 3)
+    # PNG source pixels survive the nearest-downscale + PNG round-trip exactly
+    assert (decoded == big[::2, ::2]).all()
+    assert out[1]["out_format"] == "png"
+    assert out[2]["payload"] is None
+    # jpeg output path
+    outj = {r["media_id"]: r for r in transcode_media(df, max_side=32, out_format="jpeg").collect()}
+    assert bytes(outj[0]["payload"])[:2] == b"\xff\xd8"
+
+
 def test_extract_features_real_jpeg_gif(spark):
     from datafusion_python_spark.operators.multimodal import (
         MEDIA_SCHEMA,
