@@ -283,6 +283,23 @@ class DataFrame:
     def __repr__(self) -> str:
         return f"DataFrame({self.df.schema.simpleString()})"
 
+    def __getitem__(self, key) -> "DataFrame":
+        """Column-subset indexing: ``df["a"]``, ``df["a", "b"]``,
+        ``df[["a"]]`` (ref dataframe.py:381 — returns a DataFrame, not a
+        column; error texts mirror the reference's)."""
+        if isinstance(key, str):
+            cols = [key]
+        elif isinstance(key, (tuple, list)) and all(isinstance(k, str) for k in key):
+            cols = list(key)
+        else:
+            raise TypeError(
+                "DataFrame can only be indexed by string index or indices"
+            )
+        missing = [c for c in cols if c not in self.df.columns]
+        if missing:
+            raise KeyError(f"Schema error: No field named {missing[0]}")
+        return DataFrame(self.df.select(*cols))
+
     # -- projections -------------------------------------------------------
     def select(self, *exprs) -> "DataFrame":
         if any(getattr(e, "_groups_window", None) is not None for e in exprs

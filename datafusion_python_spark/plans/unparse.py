@@ -109,9 +109,22 @@ class _Unparse:
         return f"SELECT * FROM ({self.plan(p.child())}) AS `{alias}`"
 
     # -- unary relational nodes -------------------------------------------
+    def _psql(self, e) -> str:
+        # Catalyst aliases literal projections to their own text
+        # (`1 AS `1``); strip the redundant alias so SELECT 1 unparses
+        # as the reference's tests expect.
+        if e.getClass().getSimpleName().rstrip("$") == "Alias":
+            child_sql = e.child().sql()
+            if child_sql == e.name():
+                return child_sql
+        return e.sql()
+
     def _project(self, p) -> str:
-        cols = ", ".join(e.sql() for e in _seq(p.projectList()))
-        return f"SELECT {cols} FROM {self._from(p.child())}"
+        cols = ", ".join(self._psql(e) for e in _seq(p.projectList()))
+        child = p.child()
+        if child.getClass().getSimpleName().rstrip("$") == "OneRowRelation":
+            return f"SELECT {cols}"
+        return f"SELECT {cols} FROM {self._from(child)}"
 
     def _filter(self, p) -> str:
         cond = p.condition().sql()

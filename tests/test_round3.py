@@ -65,6 +65,39 @@ def test_array_remove_null_array_passthrough(spark):
     assert got is None
 
 
+# --- reference-behavior parity (tests/test_indexing.py, test_unparser.py) ---
+
+
+def test_dataframe_indexing(spark):
+    from datafusion_python_spark.api.context import SessionContext
+
+    ctx = SessionContext()
+    df = ctx.from_pydict({"a": [1, 2, 3], "b": [4, 4, 6]}, "t_r3_idx")
+    assert df["a"].to_pylist() == [{"a": 1}, {"a": 2}, {"a": 3}]
+    assert df["a", "b"].df.columns == ["a", "b"]
+    assert df[("a", "b")].df.columns == ["a", "b"]
+    assert df[["a"]].df.columns == ["a"]
+    import pytest
+
+    with pytest.raises(Exception) as e_info:
+        df["c"]
+    for e in ["Schema error", "No field named c"]:
+        assert e in e_info.value.args[0]
+    with pytest.raises(Exception) as e_info:
+        df[1]
+    assert "DataFrame can only be indexed by string index or indices" in e_info.value.args[0]
+
+
+def test_unparse_select_one_all_dialects(spark):
+    from datafusion_python_spark.api.context import SessionContext
+    from datafusion_python_spark.api.substrait import Dialect, Unparser
+
+    ctx = SessionContext()
+    df = ctx.sql("SELECT 1")
+    for dialect in (Dialect.mysql(), Dialect.postgres(), Dialect.sqlite(), Dialect.duckdb()):
+        assert Unparser(dialect).plan_to_sql(df.logical_plan()) == "SELECT 1"
+
+
 # --- pure-numpy JPEG/GIF codecs ---------------------------------------------
 
 
