@@ -185,11 +185,20 @@ class Expr:
     def __ge__(self, o): return _e(self.expr >= _c(o))
 
     def __getitem__(self, key):
-        """Index into list/struct/map (ref expr.py:560 __getitem__)."""
+        """Index into list/struct/map (ref expr.py:560 __getitem__).
+
+        Int indexing is 0-based and yields NULL out of range (reference
+        semantics) — try_element_at, not element_at, so ANSI mode does
+        not raise on short arrays."""
         if isinstance(key, str):
             return _e(self.expr.getField(key))
         # DataFusion list indexing is 0-based; Spark element_at is 1-based
-        return _e(F.element_at(self.expr, key + 1 if isinstance(key, int) and key >= 0 else key))
+        return _e(
+            F.try_element_at(
+                self.expr,
+                F.lit(key + 1 if isinstance(key, int) and key >= 0 else key),
+            )
+        )
 
     def __bool__(self):
         raise ValueError(
@@ -638,12 +647,21 @@ class CaseBuilder:
         return _e(col)
 
 
-def col(name: str) -> Expr:
-    """Column reference (ref col.py)."""
-    return Expr(F.col(name))
+class _Col:
+    """Column constructor supporting both call and attribute syntax:
+    ``col("a")`` and ``col.a`` (ref col.py:23-41 Col class)."""
+
+    def __call__(self, name: str) -> Expr:
+        return Expr(F.col(name))
+
+    def __getattr__(self, name: str) -> Expr:
+        if name.startswith("__"):  # dunder probes (pickle/copy/IPython)
+            raise AttributeError(name)
+        return Expr(F.col(name))
 
 
-column = col
+col = _Col()
+column = _Col()
 
 
 def lit(value: Any) -> Expr:

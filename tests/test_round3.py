@@ -88,6 +88,32 @@ def test_dataframe_indexing(spark):
     assert "DataFrame can only be indexed by string index or indices" in e_info.value.args[0]
 
 
+def test_expr_getitem_and_col_attr(spark):
+    # ref tests/test_expr.py test_expr_getitem + test_col_getattr
+    from datafusion_python_spark.api.context import SessionContext
+    from datafusion_python_spark.api.expr import col
+
+    ctx = SessionContext()
+    data = {
+        "array_values": [[1, 2, 3], [4, 5], [6], []],
+        "struct_values": [
+            {"name": "Alice", "age": 15},
+            {"name": "Bob", "age": 14},
+            {"name": "Charlie", "age": 13},
+            {"name": None, "age": 12},
+        ],
+    }
+    df = ctx.from_pydict(data, name="t_r3_getitem")
+    names = [r["name"] for r in df.select(col("struct_values")["name"].alias("name")).to_pylist()]
+    assert names == ["Alice", "Bob", "Charlie", None]
+    # 0-based int indexing, NULL (not ANSI error) when out of range
+    vals = [r["value"] for r in df.select(col("array_values")[1].alias("value")).to_pylist()]
+    assert vals == [2, 5, None, None]
+    # attribute syntax on the col/column helpers
+    names2 = [r["name"] for r in df.select(col.struct_values["name"].alias("name")).to_pylist()]
+    assert names2 == names
+
+
 def test_unparse_select_one_all_dialects(spark):
     from datafusion_python_spark.api.context import SessionContext
     from datafusion_python_spark.api.substrait import Dialect, Unparser
