@@ -115,11 +115,40 @@ class SessionContext:
         copy = self._parse_copy_to(query)
         if copy is not None:
             return self._run_copy_to(*copy)
+        shim = self._statement_shim(query)
+        if shim is not None:
+            return shim
         if named_params:
             df = self.spark.sql(query, args=named_params)
         else:
             df = self.spark.sql(query)
         return DataFrame(df)
+
+    def _statement_shim(self, query: str):
+        """Accept DataFusion statements Spark's parser rejects but whose
+        execution is a no-op in the reference too (ref tests/test_expr.py
+        test_create_index/test_transaction_start/test_transaction_end):
+
+        - ``CREATE INDEX ...`` — neither engine builds a real index
+          (DataFusion only parses it); Spark prunes via parquet
+          statistics / file layout instead. Accepted, returns empty.
+        - ``START TRANSACTION / BEGIN / COMMIT / ROLLBACK`` —
+          single-statement engines; accepted as no-ops.
+
+        Returns an empty DataFrame for shimmed statements, else None.
+        """
+        import re
+
+        q = query.strip().rstrip(";").strip()
+        # bare statements only — Spark 4's BEGIN ... END compound scripts
+        # must still reach the native parser
+        if re.match(r"(?is)^CREATE\s+(UNIQUE\s+)?INDEX\s+", q) or re.fullmatch(
+            r"(?is)(START\s+TRANSACTION|BEGIN(\s+(TRANSACTION|WORK))?"
+            r"|COMMIT(\s+WORK)?|ROLLBACK(\s+WORK)?)",
+            q,
+        ):
+            return DataFrame(self.spark.createDataFrame([], "result string"))
+        return None
 
     @staticmethod
     def _parse_copy_to(query: str):

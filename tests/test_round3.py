@@ -88,6 +88,31 @@ def test_dataframe_indexing(spark):
     assert "DataFrame can only be indexed by string index or indices" in e_info.value.args[0]
 
 
+def test_sql_statement_shims(spark):
+    # ref tests/test_expr.py test_create_index/test_transaction_start/_end:
+    # the reference parses these; execution is a no-op there too
+    from datafusion_python_spark.api.context import SessionContext, SQLOptions
+
+    ctx = SessionContext()
+    ctx.from_pydict({"a": [1], "b": [2]}, "t_r3_stmt")
+    for stmt in (
+        "create index idx on t_r3_stmt (a)",
+        "START TRANSACTION",
+        "BEGIN",
+        "COMMIT",
+        "ROLLBACK WORK",
+    ):
+        assert ctx.sql(stmt).to_pylist() == []
+    # DDL gating still applies to shimmed statements
+    import pytest
+
+    with pytest.raises(Exception):
+        ctx.sql(
+            "create index i2 on t_r3_stmt (b)",
+            options=SQLOptions().with_allow_ddl(False),
+        )
+
+
 def test_expr_getitem_and_col_attr(spark):
     # ref tests/test_expr.py test_expr_getitem + test_col_getattr
     from datafusion_python_spark.api.context import SessionContext
