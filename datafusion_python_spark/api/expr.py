@@ -366,7 +366,10 @@ class Expr:
 
     @staticmethod
     def literal(value: Any, metadata: dict | None = None) -> "Expr":
-        c = value.expr if isinstance(value, Expr) else F.lit(value)
+        if isinstance(value, Expr):
+            c = value.expr
+        else:
+            c = lit(value).expr  # handles pa.Scalar with type preservation
         if metadata:
             c = c.alias("literal", metadata=metadata)
         return Expr(c)
@@ -665,7 +668,15 @@ column = _Col()
 
 
 def lit(value: Any) -> Expr:
-    """Literal (ref expr.py:834)."""
+    """Literal (ref expr.py:834). pyarrow Scalars are accepted and keep
+    their Arrow type (ref Expr.literal / tests/test_expr.py
+    test_round_trip_pyscalar_value)."""
+    import pyarrow as pa
+
+    if isinstance(value, pa.Scalar):
+        from pyspark.sql.pandas.types import from_arrow_type
+
+        return Expr(F.lit(value.as_py()).cast(from_arrow_type(value.type)))
     return Expr(F.lit(value))
 
 

@@ -38,7 +38,9 @@ column = col
 
 
 def lit(v) -> Expr:
-    return Expr(F.lit(v))
+    from .expr import lit as _lit  # single impl: handles pa.Scalar typing
+
+    return _lit(v)
 
 
 literal = lit

@@ -88,6 +88,29 @@ def test_dataframe_indexing(spark):
     assert "DataFrame can only be indexed by string index or indices" in e_info.value.args[0]
 
 
+def test_lit_pyarrow_scalar(spark):
+    # ref tests/test_expr.py test_round_trip_pyscalar_value
+    import pyarrow as pa
+
+    from datafusion_python_spark.api.context import SessionContext
+
+    ctx = SessionContext()
+    df = ctx.from_pydict({"a": [1]}, "t_r3_sc")
+    out = df.select(
+        dpf.lit(pa.scalar(42)).alias("i64"),
+        dpf.lit(pa.scalar(7, pa.int32())).alias("i32"),
+        dpf.lit(pa.scalar("s")).alias("s"),
+        dpf.lit(pa.scalar([1, 2], pa.list_(pa.int64()))).alias("arr"),
+        dpf.lit(pa.scalar(None, pa.string())).alias("nul"),
+    )
+    row = out.to_pylist()[0]
+    assert (row["i64"], row["i32"], row["s"], row["arr"], row["nul"]) == (
+        42, 7, "s", [1, 2], None,
+    )
+    types = dict(out.df.dtypes)
+    assert types["i32"] == "int" and types["i64"] == "bigint"  # arrow type kept
+
+
 def test_sql_statement_shims(spark):
     # ref tests/test_expr.py test_create_index/test_transaction_start/_end:
     # the reference parses these; execution is a no-op there too
