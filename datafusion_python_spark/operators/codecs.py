@@ -1,11 +1,14 @@
 """Pure-stdlib media codecs: PNG, BMP, WAV decode without PIL/ffmpeg.
 
-The container has no imaging libraries, but two of the three common
-test formats are decodable with nothing beyond the standard library:
-PNG's pixel data is zlib (stdlib) + five defined row filters, BMP is
-raw bytes, and WAV PCM parses with ``wave``. These are REAL decoders —
-bit-exact pixels/samples — not stubs; JPEG/MP3/video remain documented
-NotImplementedError (DCT/entropy codecs genuinely need native libs).
+The container has no imaging libraries, but every common test format
+decodes with nothing beyond numpy and the standard library: PNG is zlib
+inflate + five defined row filters, BMP is raw bytes, GIF is full
+variable-width LZW, JPEG (baseline + progressive) lives in
+``operators/jpeg.py``, and WAV PCM parses with ``wave``. These are REAL
+decoders — bit-exact pixels/samples where the format is lossless — not
+stubs; only MP3 audio and inter-frame video codecs remain documented
+NotImplementedError (MDCT/motion compensation genuinely need native
+libs).
 
 They exist so the multimodal pipeline (`operators/multimodal.py`) can
 run decode → feature-extract → resize end-to-end on real bytes inside
@@ -404,8 +407,8 @@ def audio_features(samples: np.ndarray, sr: int, dim: int = 16) -> list[float]:
 def decode_image(data: bytes) -> np.ndarray:
     """Sniff + decode: PNG, BMP, GIF, or baseline JPEG → (H, W, C) uint8.
 
-    All four are pure numpy/stdlib decoders — no native codec libraries.
-    Progressive JPEG raises (see operators/jpeg.py)."""
+    All four are pure numpy/stdlib decoders — no native codec libraries;
+    JPEG covers baseline and progressive (see operators/jpeg.py)."""
     if data.startswith(PNG_MAGIC):
         return decode_png(data)
     if data[:2] == b"BM":

@@ -1,19 +1,20 @@
-"""Pure-numpy baseline JPEG codec (no native codec libraries).
+"""Pure-numpy JPEG codec (no native codec libraries).
 
-Closes the last multimodal gap: this environment has no libjpeg/PIL, so
-entropy-coded formats previously raised. Baseline sequential JPEG
-(SOF0/SOF1) is self-contained math — huffman entropy coding, 8x8 DCT,
-quantization, chroma subsampling — all expressible in numpy. Progressive
-(SOF2) and arithmetic-coded variants still raise: they are rare in
-training corpora and their decoders add little beyond what baseline
-proves about the Spark-side plumbing.
+Closes the multimodal entropy-decode gap: this environment has no
+libjpeg/PIL, so entropy-coded formats previously raised. Both baseline
+sequential (SOF0/SOF1) and progressive (SOF2, T.81 Annex G: spectral
+selection + successive approximation, EOB runs, restart intervals) decode
+here — huffman entropy coding, 8x8 DCT, quantization, chroma subsampling
+are all expressible in numpy. Only arithmetic-coded and hierarchical
+variants still raise (vanishingly rare in real corpora).
 
 Reference parity note: the reference engine has no image codecs at all;
 this module backs the multimodal column operators (SURVEY.md pipeline
 section), used from Arrow-batched mapInPandas in operators/multimodal.py.
 
-Encoder emits baseline 4:4:4 (quality-scaled Annex-K tables) so the
-decoder is round-trip testable with zero external fixtures.
+Encoders for both modes (baseline 4:4:4; progressive with a
+libjpeg-shaped scan script) exist so the decoders are round-trip
+testable with zero external fixtures.
 """
 
 from __future__ import annotations
@@ -281,7 +282,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 vals = list(seg[i + 17 : i + 17 + n])
                 (huff_ac if tc else huff_dc)[th] = _HuffDecoder(bits, vals)
                 i += 17 + n
-        elif marker in (0xC0, 0xC1):  # SOF0/SOF1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/SOF1 baseline, SOF2 progressive
             precision = seg[0]
             h_img, w_img = struct.unpack(">HH", seg[1:5])
             ncomp = seg[5]
@@ -290,8 +291,11 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 cid, hv, tq = seg[6 + 3 * c], seg[7 + 3 * c], seg[8 + 3 * c]
                 comps.append((cid, hv >> 4, hv & 0xF, tq))
             frame = (precision, h_img, w_img, comps)
-        elif marker == 0xC2:
-            raise NotImplementedError("progressive JPEG (SOF2) not supported")
+            if marker == 0xC2:
+                return _decode_progressive(
+                    data, pos + seglen, frame, qtables, huff_dc, huff_ac,
+                    restart_interval,
+                )
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(f"JPEG SOF marker {marker:#x} not supported")
         elif marker == 0xDD:  # DRI
@@ -376,6 +380,234 @@ def _decode_scan(data, scan_start, frame, scan_tables, qtables, huff_dc, huff_ac
     if len(out_planes) == 1:
         return np.clip(out_planes[0].round(), 0, 255).astype(np.uint8)[..., None]
     return _rgb_from_ycbcr(out_planes[0], out_planes[1], out_planes[2])
+
+
+# --- progressive decoder (T.81 Annex G: spectral selection + successive
+# approximation). Scans accumulate into per-component coefficient arrays;
+# IDCT runs once at EOI. ---------------------------------------------------
+
+
+def _decode_progressive(data, pos, frame, qtables, huff_dc, huff_ac,
+                        restart_interval):
+    _, h_img, w_img, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = -(-w_img // (8 * hmax))
+    mcus_y = -(-h_img // (8 * vmax))
+    geom = {}  # cid -> (h, v, tq, padded_bw, padded_bh, comp_bw, comp_bh)
+    coefs = {}  # cid -> (padded_bh, padded_bw, 64) natural-order int32
+    for cid, ch, cv, tq in comps:
+        comp_w = -(-w_img * ch // hmax)
+        comp_h = -(-h_img * cv // vmax)
+        geom[cid] = (ch, cv, tq, mcus_x * ch, mcus_y * cv,
+                     -(-comp_w // 8), -(-comp_h // 8))
+        coefs[cid] = np.zeros((mcus_y * cv, mcus_x * ch, 64), dtype=np.int32)
+
+    while pos < len(data):
+        if data[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = data[pos + 1]
+        pos += 2
+        if marker in (0x00, 0x01) or 0xD0 <= marker <= 0xD8:
+            continue  # stuffed FF00 / TEM / RSTn leftovers between scans
+        if marker == 0xD9:  # EOI
+            break
+        seglen = struct.unpack(">H", data[pos : pos + 2])[0]
+        seg = data[pos + 2 : pos + seglen]
+        if marker == 0xDB:
+            i = 0
+            while i < len(seg):
+                pq, tq = seg[i] >> 4, seg[i] & 0xF
+                i += 1
+                if pq:
+                    qtables[tq] = np.frombuffer(
+                        seg[i : i + 128], dtype=">u2"
+                    ).astype(np.int32)
+                    i += 128
+                else:
+                    qtables[tq] = np.frombuffer(
+                        seg[i : i + 64], dtype=np.uint8
+                    ).astype(np.int32)
+                    i += 64
+        elif marker == 0xC4:
+            i = 0
+            while i < len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 0xF
+                bits = list(seg[i + 1 : i + 17])
+                n = sum(bits)
+                (huff_ac if tc else huff_dc)[th] = _HuffDecoder(
+                    bits, list(seg[i + 17 : i + 17 + n])
+                )
+                i += 17 + n
+        elif marker == 0xDD:
+            restart_interval = struct.unpack(">H", seg[:2])[0]
+        elif marker == 0xDA:
+            ns = seg[0]
+            scan_comps = []
+            for c in range(ns):
+                cs, tds = seg[1 + 2 * c], seg[2 + 2 * c]
+                scan_comps.append((cs, tds >> 4, tds & 0xF))
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0xF
+            reader = _BitReader(data, pos + seglen)
+            if ss == 0:
+                _prog_dc_scan(reader, scan_comps, comps, geom, coefs,
+                              huff_dc, ah, al, mcus_x, mcus_y,
+                              restart_interval)
+            else:
+                cs, _td, ta = scan_comps[0]
+                _prog_ac_scan(reader, cs, geom[cs], coefs[cs], huff_ac[ta],
+                              ss, se, ah, al, restart_interval)
+            pos = reader.pos
+            continue
+        pos += seglen
+
+    # dequantize + IDCT + assemble (same layout logic as baseline)
+    out_planes = []
+    for cid, ch, cv, tq in comps:
+        q = qtables[tq]
+        qnat = np.empty(64, dtype=np.int64)
+        qnat[ZIGZAG] = q  # DQT is zigzag-ordered; coefs are natural-order
+        bh, bw = coefs[cid].shape[:2]
+        plane = np.zeros((bh * 8, bw * 8), dtype=np.float64)
+        for by in range(bh):
+            for bx in range(bw):
+                block = (coefs[cid][by, bx] * qnat).astype(np.float64)
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    _T.T @ block.reshape(8, 8) @ _T + 128.0
+                )
+        comp_h = -(-h_img * cv // vmax)
+        comp_w = -(-w_img * ch // hmax)
+        p = plane[:comp_h, :comp_w]
+        if ch != hmax or cv != vmax:
+            p = np.repeat(np.repeat(p, vmax // cv, axis=0), hmax // ch, axis=1)
+        out_planes.append(p[:h_img, :w_img])
+    if len(out_planes) == 1:
+        return np.clip(out_planes[0].round(), 0, 255).astype(np.uint8)[..., None]
+    return _rgb_from_ycbcr(out_planes[0], out_planes[1], out_planes[2])
+
+
+def _prog_dc_scan(reader, scan_comps, comps, geom, coefs, huff_dc, ah, al,
+                  mcus_x, mcus_y, restart_interval):
+    tables = {cs: td for cs, td, _ta in scan_comps}
+    in_scan = [c for c in comps if c[0] in tables]
+    dc_pred = {cs: 0 for cs in tables}
+    mcu_count = 0
+    if len(in_scan) > 1:  # interleaved over the MCU grid
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                    reader.restart()
+                    dc_pred = {cs: 0 for cs in tables}
+                for cid, ch, cv, _tq in in_scan:
+                    for by in range(cv):
+                        for bx in range(ch):
+                            blk = coefs[cid][my * cv + by, mx * ch + bx]
+                            _prog_dc_block(reader, blk, huff_dc, tables[cid],
+                                           dc_pred, cid, ah, al)
+                mcu_count += 1
+        return
+    cid, ch, cv, _tq = in_scan[0]
+    _h, _v, _tq2, _pbw, _pbh, cbw, cbh = geom[cid]
+    for by in range(cbh):
+        for bx in range(cbw):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                reader.restart()
+                dc_pred = {cs: 0 for cs in tables}
+            _prog_dc_block(reader, coefs[cid][by, bx], huff_dc, tables[cid],
+                           dc_pred, cid, ah, al)
+            mcu_count += 1
+
+
+def _prog_dc_block(reader, blk, huff_dc, td, dc_pred, cid, ah, al):
+    if ah == 0:  # first DC scan: huffman-coded diffs at reduced precision
+        t = huff_dc[td].decode(reader)
+        diff = _extend(reader.receive(t), t) if t else 0
+        dc_pred[cid] += diff
+        blk[0] = dc_pred[cid] << al
+    else:  # refinement: one raw bit per block
+        if reader.read_bit():
+            blk[0] |= 1 << al
+
+
+def _prog_ac_scan(reader, cs, g, coef, ac, ss, se, ah, al, restart_interval):
+    _h, _v, _tq, _pbw, _pbh, cbw, cbh = g
+    eobrun = 0
+    blocks_done = 0
+    for by in range(cbh):
+        for bx in range(cbw):
+            if restart_interval and blocks_done and blocks_done % restart_interval == 0:
+                reader.restart()
+                eobrun = 0
+            blk = coef[by, bx]
+            if ah == 0:
+                eobrun = _prog_ac_first(reader, blk, ac, ss, se, al, eobrun)
+            else:
+                eobrun = _prog_ac_refine(reader, blk, ac, ss, se, al, eobrun)
+            blocks_done += 1
+
+
+def _prog_ac_first(reader, blk, ac, ss, se, al, eobrun):
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = ac.decode(reader)
+        r, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if r == 15:
+                k += 16
+                continue
+            eobrun = (1 << r) + (reader.receive(r) if r else 0) - 1
+            break
+        k += r
+        if k > se:
+            raise ValueError("progressive AC run past band end")
+        blk[ZIGZAG[k]] = _extend(reader.receive(s), s) << al
+        k += 1
+    return eobrun
+
+
+def _prog_ac_refine(reader, blk, ac, ss, se, al, eobrun):
+    """T.81 G.2 / the standard AC successive-approximation refinement."""
+    p1 = 1 << al
+    m1 = -1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = ac.decode(reader)
+            r, s = rs >> 4, rs & 0xF
+            if s == 0:
+                if r < 15:
+                    eobrun = (1 << r) + (reader.receive(r) if r else 0)
+                    break
+                val = 0  # ZRL: pass 16 zero-history coefficients
+            else:
+                # newly-significant coefficient is +-1 at this precision
+                val = p1 if reader.read_bit() else m1
+            while k <= se:
+                c = blk[ZIGZAG[k]]
+                if c != 0:  # previously significant: correction bit
+                    if reader.read_bit() and (c & p1) == 0:
+                        blk[ZIGZAG[k]] = c + (p1 if c >= 0 else m1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val != 0 and k <= se:
+                blk[ZIGZAG[k]] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:  # EOB: refine the rest of this block
+            c = blk[ZIGZAG[k]]
+            if c != 0 and reader.read_bit() and (c & p1) == 0:
+                blk[ZIGZAG[k]] = c + (p1 if c >= 0 else m1)
+            k += 1
+        eobrun -= 1
+    return eobrun
 
 
 # --- encoder -----------------------------------------------------------------
@@ -520,4 +752,199 @@ def encode_jpeg(img: np.ndarray, quality: int = 90) -> bytes:
     writer.flush()
     out += writer.out
     out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# --- progressive encoder (spectral selection + successive approximation) ----
+# Exists so the progressive decoder is round-trip testable with zero binary
+# fixtures: DC at Al=1 then a DC refinement pass, and per component an AC
+# first scan at Al=1 followed by an AC refinement scan — the same scan
+# script shape libjpeg emits, exercising EOB runs, ZRL-with-correction-bits
+# and newly-significant coefficient insertion. 4:4:4 / grayscale only.
+
+
+def _shift_tz(v: int, al: int) -> int:
+    """AC point transform: v / 2^al rounded toward zero (T.81 G.1.2.2)."""
+    a = abs(int(v)) >> al
+    return a if v >= 0 else -a
+
+
+def encode_jpeg_progressive(img: np.ndarray, quality: int = 90) -> bytes:
+    img = np.asarray(img)
+    if img.ndim == 2:
+        img = img[..., None]
+    h, w, nc = img.shape
+    if nc == 1:
+        planes = [img[..., 0].astype(np.float64)]
+    elif nc == 3:
+        ycc = _ycbcr_from_rgb(img.astype(np.float64))
+        planes = [ycc[..., 0], ycc[..., 1], ycc[..., 2]]
+    else:
+        raise ValueError("encode_jpeg_progressive expects 1 or 3 channels")
+
+    qluma = _scale_quant(QUANT_LUMA, quality)
+    qchroma = _scale_quant(QUANT_CHROMA, quality)
+    nby = -(-h // 8)
+    nbx = -(-w // 8)
+    comps_coef = []
+    for ci, plane in enumerate(planes):
+        q = qluma if ci == 0 else qchroma
+        arr = np.zeros((nby, nbx, 64), np.int32)
+        for by in range(nby):
+            for bx in range(nbx):
+                ys = np.minimum(np.arange(by * 8, by * 8 + 8), h - 1)
+                xs = np.minimum(np.arange(bx * 8, bx * 8 + 8), w - 1)
+                block = plane[np.ix_(ys, xs)] - 128.0
+                coeffs = _T @ block @ _T.T
+                arr[by, bx] = np.round(
+                    coeffs.reshape(64)[ZIGZAG] / q[ZIGZAG]
+                ).astype(np.int32)
+        comps_coef.append(arr)
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    out += b"\xff\xdb" + struct.pack(">H", 2 + 65) + bytes([0]) + bytes(qluma[ZIGZAG].tolist())
+    if nc == 3:
+        out += (
+            b"\xff\xdb" + struct.pack(">H", 2 + 65) + bytes([1]) + bytes(qchroma[ZIGZAG].tolist())
+        )
+    comps = [(1, 0x11, 0)] + ([(2, 0x11, 1), (3, 0x11, 1)] if nc == 3 else [])
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([len(comps)])
+    for cid, hv, tq in comps:
+        sof += bytes([cid, hv, tq])
+    out += b"\xff\xc2" + struct.pack(">H", 2 + len(sof)) + sof  # SOF2
+
+    def dht(tc, th, bits, vals):
+        body = bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals)
+        return b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+
+    out += dht(0, 0, DC_LUMA_BITS, DC_LUMA_VALS)
+    out += dht(1, 0, AC_LUMA_BITS, AC_LUMA_VALS)
+    if nc == 3:
+        out += dht(0, 1, DC_CHROMA_BITS, DC_CHROMA_VALS)
+        out += dht(1, 1, AC_CHROMA_BITS, AC_CHROMA_VALS)
+
+    dc_codes = [
+        _build_codes(DC_LUMA_BITS, DC_LUMA_VALS),
+        _build_codes(DC_CHROMA_BITS, DC_CHROMA_VALS),
+    ]
+    ac_codes = [
+        _build_codes(AC_LUMA_BITS, AC_LUMA_VALS),
+        _build_codes(AC_CHROMA_BITS, AC_CHROMA_VALS),
+    ]
+
+    def sos(specs, ss, se, ah, al) -> bytes:
+        body = bytes([len(specs)])
+        for cid, td, ta in specs:
+            body += bytes([cid, (td << 4) | ta])
+        body += bytes([ss, se, (ah << 4) | al])
+        return b"\xff\xda" + struct.pack(">H", 2 + len(body)) + body
+
+    # scan 1: DC first, Al=1, interleaved over all components
+    wtr = _BitWriter()
+    pred = [0] * nc
+    for by in range(nby):
+        for bx in range(nbx):
+            for ci in range(nc):
+                dc = int(comps_coef[ci][by, bx, 0]) >> 1  # arithmetic shift
+                diff = dc - pred[ci]
+                pred[ci] = dc
+                t = _category(diff)
+                code, ln = dc_codes[min(ci, 1)][t]
+                wtr.write(code, ln)
+                if t:
+                    wtr.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+    wtr.flush()
+    out += sos([(comps[ci][0], min(ci, 1), 0) for ci in range(nc)], 0, 0, 0, 1)
+    out += wtr.out
+
+    # scan 2: DC refinement, Ah=1 Al=0 — one raw bit per block
+    wtr = _BitWriter()
+    for by in range(nby):
+        for bx in range(nbx):
+            for ci in range(nc):
+                wtr.write(int(comps_coef[ci][by, bx, 0]) & 1, 1)
+    wtr.flush()
+    out += sos([(comps[ci][0], min(ci, 1), 0) for ci in range(nc)], 0, 0, 1, 0)
+    out += wtr.out
+
+    # per component: AC first scan (Al=1) then AC refinement (Ah=1 → Al=0)
+    for ci in range(nc):
+        codes = ac_codes[min(ci, 1)]
+        coef = comps_coef[ci]
+
+        wtr = _BitWriter()
+        for by in range(nby):
+            for bx in range(nbx):
+                block = coef[by, bx]
+                shifted = [_shift_tz(block[k], 1) for k in range(64)]
+                last = 0
+                for k in range(1, 64):
+                    if shifted[k]:
+                        last = k
+                run = 0
+                for k in range(1, last + 1):
+                    v = shifted[k]
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, ln = codes[0xF0]
+                        wtr.write(code, ln)
+                        run -= 16
+                    s = _category(v)
+                    code, ln = codes[(run << 4) | s]
+                    wtr.write(code, ln)
+                    wtr.write(v if v >= 0 else v + (1 << s) - 1, s)
+                    run = 0
+                if last < 63:
+                    code, ln = codes[0x00]  # EOB (this block only)
+                    wtr.write(code, ln)
+        wtr.flush()
+        out += sos([(comps[ci][0], 0, min(ci, 1))], 1, 63, 0, 1)
+        out += wtr.out
+
+        wtr = _BitWriter()
+        for by in range(nby):
+            for bx in range(nbx):
+                block = coef[by, bx]
+                r = 0
+                pending: list[int] = []
+                for k in range(1, 64):
+                    v = int(block[k])
+                    absn = abs(v)
+                    if absn == 0:
+                        r += 1
+                        continue
+                    # flush ZRLs at EVERY nonzero coefficient (sig or new)
+                    # BEFORE buffering its bit — correction-bit order must
+                    # match the decoder's walk exactly
+                    while r > 15:
+                        code, ln = codes[0xF0]
+                        wtr.write(code, ln)
+                        for b in pending:
+                            wtr.write(b, 1)
+                        pending = []
+                        r -= 16
+                    if absn > 1:  # previously significant: correction bit
+                        pending.append(absn & 1)
+                        continue
+                    # newly significant at this precision
+                    code, ln = codes[(r << 4) | 1]
+                    wtr.write(code, ln)
+                    wtr.write(1 if v > 0 else 0, 1)
+                    for b in pending:
+                        wtr.write(b, 1)
+                    pending = []
+                    r = 0
+                if r > 0 or pending:
+                    code, ln = codes[0x00]  # EOB (eobrun = 1)
+                    wtr.write(code, ln)
+                    for b in pending:
+                        wtr.write(b, 1)
+        wtr.flush()
+        out += sos([(comps[ci][0], 0, min(ci, 1))], 1, 63, 1, 0)
+        out += wtr.out
+
+    out += b"\xff\xd9"
     return bytes(out)

@@ -11,8 +11,9 @@ inflate + row unfilter, raw BGR rows, full LZW, huffman+IDCT in
 ``operators/jpeg.py``, ``wave`` PCM) — ``decoder="stdlib"`` runs actual
 pixel/sample feature extraction end to end. ``decoder="fake"`` is the
 deterministic test stand-in; ``decoder="pil"``/``"ffmpeg"`` raise
-NotImplementedError with the dependency named (progressive JPEG and
-video need native codecs).
+NotImplementedError with the dependency named (inter-frame video
+codecs need native libraries; baseline AND progressive JPEG decode
+in pure numpy).
 """
 
 from __future__ import annotations
@@ -90,7 +91,7 @@ def extract_features(
       (zlib + row unfilter / raw / LZW / huffman+IDCT) → channel stats
       + luminance histogram; WAV PCM → RMS/ZCR/FFT bands
       (`operators/codecs.py`, `operators/jpeg.py`). Rows whose bytes
-      aren't decodable (e.g. progressive JPEG) yield a null feature
+      aren't decodable (e.g. truncated files) yield a null feature
       instead of failing the task — at corpus scale a bad file must
       never kill a stage.
     - ``"fake"`` — deterministic bytes→vector stand-in (unit tests).
@@ -104,7 +105,7 @@ def extract_features(
         raise NotImplementedError(
             f"decoder={decoder!r} needs the real codec libraries (PIL/ffmpeg), "
             "which are not installed in this environment; use decoder='stdlib' "
-            "(PNG/BMP/WAV) or decoder='fake'"
+            "(PNG/BMP/GIF/JPEG/WAV) or decoder='fake'"
         )
 
     def decode_one(payload, dim: int):

@@ -86,6 +86,26 @@ def test_jpeg_shape_determinism_and_smooth_bound(h, w, seed):
 
 @settings(**SETTINGS)
 @given(
+    h=st.integers(min_value=1, max_value=32),
+    w=st.integers(min_value=1, max_value=32),
+    seed=st.integers(min_value=0, max_value=2**31),
+    quality=st.integers(min_value=50, max_value=100),
+)
+def test_jpeg_progressive_equals_baseline_decode(h, w, seed, quality):
+    # both modes encode the same quantized coefficients, so their decodes
+    # must be bit-identical — random content stresses every scan path
+    from datafusion_python_spark.operators.jpeg import encode_jpeg_progressive
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    assert (
+        decode_jpeg(encode_jpeg_progressive(img, quality=quality))
+        == decode_jpeg(encode_jpeg(img, quality=quality))
+    ).all()
+
+
+@settings(**SETTINGS)
+@given(
     h=st.integers(min_value=1, max_value=24),
     w=st.integers(min_value=1, max_value=24),
     fill=st.integers(min_value=0, max_value=255),

@@ -200,15 +200,29 @@ def test_jpeg_roundtrip_gray_and_odd_size():
     assert decode_jpeg(encode_jpeg(odd)).shape == (13, 21, 3)
 
 
-def test_jpeg_progressive_raises():
-    import pytest
+def test_jpeg_progressive_roundtrip():
+    from datafusion_python_spark.operators.jpeg import encode_jpeg_progressive
 
-    img = _gradient(8, 8)
-    enc = bytearray(encode_jpeg(img))
-    i = enc.index(b"\xff\xc0")
-    enc[i + 1] = 0xC2  # rewrite SOF0 → SOF2 (progressive)
-    with pytest.raises(NotImplementedError):
-        decode_jpeg(bytes(enc))
+    img = _gradient(40, 56)
+    enc = encode_jpeg_progressive(img, quality=95)
+    assert b"\xff\xc2" in enc  # SOF2 marker present
+    dec = decode_jpeg(enc)
+    # progressive decode reconstructs the SAME quantized coefficients as
+    # baseline: outputs must be bit-identical, not merely close
+    base = decode_jpeg(encode_jpeg(img, quality=95))
+    assert (dec == base).all()
+    # noise stresses EOB runs, ZRL-with-correction-bits, refinement
+    rng = np.random.default_rng(5)
+    n = rng.integers(0, 256, (24, 40, 3), dtype=np.uint8)
+    assert (
+        decode_jpeg(encode_jpeg_progressive(n, quality=75))
+        == decode_jpeg(encode_jpeg(n, quality=75))
+    ).all()
+    # grayscale single-component scans
+    g = _gradient(24, 24)[..., 0]
+    decg = decode_jpeg(encode_jpeg_progressive(g, quality=90))
+    assert decg.shape == (24, 24, 1)
+    assert int(np.abs(decg[..., 0].astype(int) - g.astype(int)).max()) <= 3
 
 
 def test_gif_roundtrip_exact_palette():
