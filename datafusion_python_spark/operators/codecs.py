@@ -40,46 +40,28 @@ def _paeth(a: int, b: int, c: int) -> int:
     return c
 
 
-def decode_png(data: bytes) -> np.ndarray:
-    """PNG → (H, W, C) uint8. Supports 8-bit gray/RGB/RGBA, all five row
-    filters, non-interlaced (Adam7 raises)."""
-    if not data.startswith(PNG_MAGIC):
-        raise ValueError("not a PNG")
-    pos = 8
-    width = height = None
-    color_type = bit_depth = interlace = None
-    idat = bytearray()
-    while pos + 8 <= len(data):
-        (length,) = struct.unpack(">I", data[pos : pos + 4])
-        ctype = data[pos + 4 : pos + 8]
-        body = data[pos + 8 : pos + 8 + length]
-        pos += 12 + length  # len + type + body + crc
-        if ctype == b"IHDR":
-            width, height, bit_depth, color_type, _comp, _filt, interlace = (
-                struct.unpack(">IIBBBBB", body)
-            )
-        elif ctype == b"IDAT":
-            idat.extend(body)
-        elif ctype == b"IEND":
-            break
-    if width is None:
-        raise ValueError("PNG missing IHDR")
-    if bit_depth != 8:
-        raise NotImplementedError(f"PNG bit depth {bit_depth} (only 8 supported)")
-    if interlace:
-        raise NotImplementedError("Adam7 interlaced PNG not supported")
-    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color_type)
-    if channels is None:
-        raise NotImplementedError(f"PNG color type {color_type}")
-    raw = zlib.decompress(bytes(idat))
-    stride = width * channels
-    if len(raw) != (stride + 1) * height:
-        raise ValueError("PNG pixel data size mismatch")
-    out = np.zeros((height, stride), dtype=np.uint8)
-    bpp = channels
-    for y in range(height):
-        ftype = raw[y * (stride + 1)]
-        row = bytearray(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
+# Adam7 pass geometry: (x_start, y_start, x_step, y_step)
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
+def _png_unfilter(raw: bytes, off: int, w_px: int, h_px: int, channels: int,
+                  bit_depth: int) -> tuple[np.ndarray, int]:
+    """Undo the five PNG row filters for one (sub-)image → ((h, stride)
+    uint8 byte matrix, bytes consumed)."""
+    if bit_depth >= 8:
+        bpp = channels * (bit_depth // 8)
+        stride = w_px * bpp
+    else:
+        bpp = 1
+        stride = (w_px * channels * bit_depth + 7) // 8
+    out = np.zeros((h_px, stride), dtype=np.uint8)
+    for y in range(h_px):
+        base = off + y * (stride + 1)
+        ftype = raw[base]
+        row = bytearray(raw[base + 1 : base + 1 + stride])
         prev = out[y - 1] if y > 0 else np.zeros(stride, dtype=np.uint8)
         if ftype == 0:
             pass
@@ -87,7 +69,9 @@ def decode_png(data: bytes) -> np.ndarray:
             for x in range(bpp, stride):
                 row[x] = (row[x] + row[x - bpp]) & 0xFF
         elif ftype == 2:  # Up
-            row = bytearray((np.frombuffer(bytes(row), np.uint8) + prev).astype(np.uint8).tobytes())
+            row = bytearray(
+                (np.frombuffer(bytes(row), np.uint8) + prev).astype(np.uint8).tobytes()
+            )
         elif ftype == 3:  # Average
             for x in range(stride):
                 left = row[x - bpp] if x >= bpp else 0
@@ -100,7 +84,94 @@ def decode_png(data: bytes) -> np.ndarray:
         else:
             raise ValueError(f"PNG filter type {ftype}")
         out[y] = np.frombuffer(bytes(row), np.uint8)
-    return out.reshape(height, width, channels)
+    return out, (stride + 1) * h_px
+
+
+def _png_samples(bytes2d: np.ndarray, w_px: int, channels: int,
+                 bit_depth: int) -> np.ndarray:
+    """(h, stride) filtered bytes → (h, w_px, channels) raw samples.
+    16-bit samples keep their high byte (8-bit output contract)."""
+    h = bytes2d.shape[0]
+    if bit_depth == 16:
+        return bytes2d.reshape(h, -1)[:, 0 : w_px * channels * 2 : 2].reshape(
+            h, w_px, channels
+        )
+    if bit_depth == 8:
+        return bytes2d.reshape(h, w_px, channels)
+    bits = np.unpackbits(bytes2d, axis=1)
+    n = w_px * channels
+    vals = np.zeros((h, n), dtype=np.uint8)
+    for b in range(bit_depth):
+        vals = (vals << 1) | bits[:, b::bit_depth][:, :n]
+    return vals.reshape(h, w_px, channels)
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """PNG → (H, W, C) uint8. Supports gray/RGB/RGBA/gray+alpha and
+    palette (PLTE, with tRNS → RGBA), bit depths 1/2/4/8/16 (16-bit
+    keeps the high byte), all five row filters, and Adam7 interlace."""
+    if not data.startswith(PNG_MAGIC):
+        raise ValueError("not a PNG")
+    pos = 8
+    width = height = None
+    color_type = bit_depth = interlace = None
+    idat = bytearray()
+    plte = None
+    trns = None
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        ctype = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # len + type + body + crc
+        if ctype == b"IHDR":
+            width, height, bit_depth, color_type, _comp, _filt, interlace = (
+                struct.unpack(">IIBBBBB", body)
+            )
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(body, np.uint8).reshape(-1, 3)
+        elif ctype == b"tRNS":
+            trns = np.frombuffer(body, np.uint8)
+        elif ctype == b"IDAT":
+            idat.extend(body)
+        elif ctype == b"IEND":
+            break
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
+    if channels is None:
+        raise NotImplementedError(f"PNG color type {color_type}")
+    if bit_depth not in (1, 2, 4, 8, 16):
+        raise NotImplementedError(f"PNG bit depth {bit_depth}")
+    raw = zlib.decompress(bytes(idat))
+
+    if interlace:  # Adam7: seven independently-filtered sub-images
+        img = np.zeros((height, width, channels), dtype=np.uint8)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (width - x0 + dx - 1) // dx
+            ph = (height - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            block, used = _png_unfilter(raw, off, pw, ph, channels, bit_depth)
+            off += used
+            img[y0::dy, x0::dx] = _png_samples(block, pw, channels, bit_depth)
+    else:
+        block, _used = _png_unfilter(raw, 0, width, height, channels, bit_depth)
+        img = _png_samples(block, width, channels, bit_depth)
+
+    if color_type == 3:  # palette indices → RGB(A)
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE")
+        idx = img[..., 0]
+        rgb = plte[np.minimum(idx, len(plte) - 1)]
+        if trns is not None:
+            alpha = np.full(len(plte), 255, np.uint8)
+            alpha[: len(trns)] = trns
+            return np.dstack([rgb, alpha[np.minimum(idx, len(plte) - 1)]])
+        return rgb
+    if color_type == 0 and bit_depth < 8:  # scale gray to full range
+        img = (img.astype(np.uint16) * (255 // ((1 << bit_depth) - 1))).astype(np.uint8)
+    return img
 
 
 def encode_png(img: np.ndarray) -> bytes:
@@ -213,6 +284,95 @@ def decode_gif(data: bytes) -> np.ndarray:
         else:
             pos += 1
     raise ValueError("GIF has no image data")
+
+
+def decode_gif_frames(data: bytes) -> list[np.ndarray]:
+    """Animated GIF → list of composed (H, W, 3) uint8 frames.
+
+    Applies graphic-control-extension transparency and disposal methods
+    (1 keep, 2 restore-background, 3 restore-previous) so each returned
+    frame is the full composed canvas — the input contract for
+    video-style frame sampling over GIF payloads.
+    """
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    width, height = struct.unpack("<HH", data[6:10])
+    flags = data[10]
+    bg_idx = data[11]
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = np.frombuffer(data[pos : pos + 3 * n], np.uint8).reshape(n, 3)
+        pos += 3 * n
+    bg = gct[bg_idx] if gct is not None and bg_idx < len(gct) else np.zeros(3, np.uint8)
+    canvas = np.broadcast_to(bg, (height, width, 3)).copy()
+    frames: list[np.ndarray] = []
+    transparent = None
+    disposal = 0
+    while pos < len(data):
+        block = data[pos]
+        if block == 0x21:
+            label = data[pos + 1]
+            pos += 2
+            if label == 0xF9 and data[pos] >= 4:  # graphic control extension
+                gflags = data[pos + 1]
+                disposal = (gflags >> 2) & 0x7
+                transparent = data[pos + 4] if gflags & 1 else None
+            while data[pos]:
+                pos += data[pos] + 1
+            pos += 1
+        elif block == 0x2C:
+            left, top, iw, ih = struct.unpack("<HHHH", data[pos + 1 : pos + 9])
+            iflags = data[pos + 9]
+            pos += 10
+            ct = gct
+            if iflags & 0x80:
+                n = 2 << (iflags & 0x07)
+                ct = np.frombuffer(data[pos : pos + 3 * n], np.uint8).reshape(n, 3)
+                pos += 3 * n
+            if ct is None:
+                raise ValueError("GIF image has no color table")
+            min_code = data[pos]
+            pos += 1
+            chunks = []
+            while data[pos]:
+                ln = data[pos]
+                chunks.append(data[pos + 1 : pos + 1 + ln])
+                pos += ln + 1
+            pos += 1
+            idx = np.array(
+                _lzw_decode(b"".join(chunks), min_code, iw * ih)[: iw * ih],
+                dtype=np.int32,
+            ).reshape(ih, iw)
+            if iflags & 0x40:
+                order = np.concatenate(
+                    [np.arange(0, ih, 8), np.arange(4, ih, 8),
+                     np.arange(2, ih, 4), np.arange(1, ih, 2)]
+                )
+                inv = np.empty(ih, dtype=np.int64)
+                inv[order] = np.arange(len(order))
+                idx = idx[inv]
+            prev = canvas.copy() if disposal == 3 else None
+            region = canvas[top : top + ih, left : left + iw]
+            px = ct[np.clip(idx, 0, len(ct) - 1)]
+            if transparent is not None:
+                mask = idx != transparent
+                region[mask] = px[mask]
+            else:
+                region[...] = px
+            frames.append(canvas.copy())
+            if disposal == 2:  # restore background in the frame rect
+                canvas[top : top + ih, left : left + iw] = bg
+            elif disposal == 3 and prev is not None:
+                canvas = prev
+            disposal = 0
+            transparent = None
+        elif block == 0x3B:
+            break
+        else:
+            pos += 1
+    return frames
 
 
 def _lzw_decode(data: bytes, min_code_size: int, limit: int) -> list[int]:

@@ -225,6 +225,114 @@ def test_jpeg_progressive_roundtrip():
     assert int(np.abs(decg[..., 0].astype(int) - g.astype(int)).max()) <= 3
 
 
+def _png_chunk(ctype, body):
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(body)) + ctype + body
+        + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+    )
+
+
+def _make_png(w, h, bit_depth, color_type, raw_rows, extra=b"", interlace=0):
+    import struct
+    import zlib
+
+    from datafusion_python_spark.operators.codecs import PNG_MAGIC
+
+    ihdr = struct.pack(">IIBBBBB", w, h, bit_depth, color_type, 0, 0, interlace)
+    return (
+        PNG_MAGIC + _png_chunk(b"IHDR", ihdr) + extra
+        + _png_chunk(b"IDAT", zlib.compress(raw_rows)) + _png_chunk(b"IEND", b"")
+    )
+
+
+def test_png_palette_trns_and_bit_depths():
+    from datafusion_python_spark.operators.codecs import decode_png
+
+    rng = np.random.default_rng(0)
+    pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, (10, 13), dtype=np.uint8)
+    raw = b"".join(b"\x00" + idx[y].tobytes() for y in range(10))
+    png = _make_png(13, 10, 8, 3, raw, extra=_png_chunk(b"PLTE", pal.tobytes()))
+    assert (decode_png(png) == pal[idx]).all()
+    # tRNS → RGBA with per-index alpha
+    png_t = _make_png(
+        13, 10, 8, 3, raw,
+        extra=_png_chunk(b"PLTE", pal.tobytes()) + _png_chunk(b"tRNS", bytes([10] * 8)),
+    )
+    dec = decode_png(png_t)
+    assert dec.shape[2] == 4 and (dec[..., 3] == np.where(idx < 8, 10, 255)).all()
+    # 16-bit RGB keeps the high byte
+    img8 = rng.integers(0, 256, (5, 4, 3), dtype=np.uint8)
+    img16 = (img8.astype(np.uint16) << 8) | 0x37
+    raw16 = b"".join(b"\x00" + img16[y].astype(">u2").tobytes() for y in range(5))
+    assert (decode_png(_make_png(4, 5, 16, 2, raw16)) == img8).all()
+    # 1-bit grayscale scales to full range
+    g1 = rng.integers(0, 2, (4, 11), dtype=np.uint8)
+    raw1 = b"".join(b"\x00" + np.packbits(g1[y]).tobytes() for y in range(4))
+    assert (decode_png(_make_png(11, 4, 1, 0, raw1))[..., 0] == g1 * 255).all()
+
+
+def test_png_adam7_interlace():
+    from datafusion_python_spark.operators.codecs import _ADAM7, decode_png
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (11, 9, 3), dtype=np.uint8)
+    passes = []
+    for x0, y0, dx, dy in _ADAM7:
+        sub = img[y0::dy, x0::dx]
+        if sub.size:
+            passes.append(b"".join(b"\x00" + sub[y].tobytes() for y in range(sub.shape[0])))
+    png7 = _make_png(9, 11, 8, 2, b"".join(passes), interlace=1)
+    assert (decode_png(png7) == img).all()
+
+
+def test_gif_animation_frames():
+    import struct
+
+    from datafusion_python_spark.operators.codecs import (
+        _lzw_encode,
+        decode_gif_frames,
+    )
+
+    # 2-frame animation: full first frame, then a sub-rect patch with
+    # transparency — frame 2 must compose over frame 1
+    pal = np.array([[0, 0, 0], [255, 0, 0], [0, 255, 0], [0, 0, 255]], np.uint8)
+    f1 = np.ones((6, 8), np.uint8)  # all red
+    patch = np.array([[2, 0], [0, 3]], np.uint8)  # green/transparent/blue (0=transparent)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", 8, 6)
+    out += bytes([0x80 | 0x11, 0, 0])  # GCT, 4 colors (size field 1)
+    out += pal.tobytes()
+
+    def frame(img, left, top, gce_transparent=None):
+        b = bytearray()
+        if gce_transparent is not None:
+            b += bytes([0x21, 0xF9, 4, 0x05, 0, 0, gce_transparent, 0])  # keep + transp
+        h, w = img.shape
+        b += b"\x2c" + struct.pack("<HHHH", left, top, w, h) + b"\x00"
+        b += bytes([2])
+        lzw = _lzw_encode(img.reshape(-1), 2)
+        for i in range(0, len(lzw), 255):
+            c = lzw[i : i + 255]
+            b += bytes([len(c)]) + c
+        b += b"\x00"
+        return b
+
+    out += frame(f1, 0, 0)
+    out += frame(patch, 3, 2, gce_transparent=0)
+    out += b"\x3b"
+    frames = decode_gif_frames(bytes(out))
+    assert len(frames) == 2
+    assert (frames[0] == pal[1]).all()  # all red
+    # frame 2: red canvas with green at (2,3), blue at (3,4); transparent holes stay red
+    assert (frames[1][2, 3] == pal[2]).all()
+    assert (frames[1][3, 4] == pal[3]).all()
+    assert (frames[1][2, 4] == pal[1]).all() and (frames[1][3, 3] == pal[1]).all()
+
+
 def test_gif_roundtrip_exact_palette():
     img = np.zeros((20, 30, 3), np.uint8)
     img[5:15, 10:20] = [255, 0, 0]
