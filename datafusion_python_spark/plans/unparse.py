@@ -12,10 +12,11 @@ ANSI apart from identifier quoting.
 
 Supported relational core (the reference test surface): Project, Filter,
 Aggregate (+HAVING as an outer filter), Sort, Global/LocalLimit, Offset,
-Join (all types incl. cross), Union/Distinct/Deduplicate, Window,
-SubqueryAlias, Range, and leaf relations (catalog tables by name;
-file-scan relations as ``parquet.`path```). Anything else raises
-NotImplementedError naming the node, never emitting wrong SQL.
+Join (all types incl. cross/semi/anti), Union/Except/Intersect (ALL and
+DISTINCT), Distinct/Deduplicate, Window, SubqueryAlias, Range,
+OneRowRelation (FROM-less selects), and leaf relations (catalog tables
+by name; file-scan relations as ``parquet.`path```). Anything else
+raises NotImplementedError naming the node, never emitting wrong SQL.
 
 Dialects map to identifier quoting: default/mysql keep Spark's
 backticks; postgres/duckdb/sqlite rewrite them to double quotes.
@@ -66,6 +67,10 @@ class _Unparse:
             ct = child.catalogTable()
             if ct.isDefined():
                 return ct.get().identifier().quotedString()
+        if name == "Join":
+            # inline the join as a FROM fragment so both sides keep their
+            # relation names — attribute SQL qualifies by those names
+            return self._join_from(child)
         return f"({self.plan(child)}) AS {self.fresh()}"
 
     # -- leaves -----------------------------------------------------------
@@ -187,19 +192,36 @@ class _Unparse:
         return self.plan(p.plan())
 
     # -- binary / n-ary ----------------------------------------------------
-    def _join(self, p) -> str:
-        jt = p.joinType().sql()  # INNER / LEFT OUTER / CROSS / ...
+    def _join_from(self, p) -> str:
+        jt = p.joinType().sql()  # INNER / LEFT OUTER / LEFT SEMI / CROSS / ...
         left = self._from(p.left())
         right = self._from(p.right())
         cond = p.condition()
         on = f" ON {cond.get().sql()}" if cond.isDefined() else ""
         if not on and jt == "INNER":
             jt = "CROSS"
-        return f"SELECT * FROM {left} {jt} JOIN {right}{on}"
+        return f"{left} {jt} JOIN {right}{on}"
+
+    def _join(self, p) -> str:
+        return f"SELECT * FROM {self._join_from(p)}"
 
     def _union(self, p) -> str:
         parts = [f"SELECT * FROM {self._from(c)}" for c in _seq(p.children())]
         return " UNION ALL ".join(parts)
+
+    def _except(self, p) -> str:
+        op = "EXCEPT ALL" if p.isAll() else "EXCEPT"
+        return (
+            f"SELECT * FROM {self._from(p.left())} {op} "
+            f"SELECT * FROM {self._from(p.right())}"
+        )
+
+    def _intersect(self, p) -> str:
+        op = "INTERSECT ALL" if p.isAll() else "INTERSECT"
+        return (
+            f"SELECT * FROM {self._from(p.left())} {op} "
+            f"SELECT * FROM {self._from(p.right())}"
+        )
 
 
 _QUOTE_DIALECTS = {"postgres", "duckdb", "sqlite"}

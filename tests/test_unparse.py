@@ -60,3 +60,24 @@ def test_unsupported_node_raises(spark):
     df = spark.createDataFrame([(1,)], "x: long")  # LocalRelation leaf
     with pytest.raises(NotImplementedError, match="unparse"):
         Unparser().plan_to_sql(df)
+
+
+def test_roundtrip_setops_and_semi_anti_joins(spark):
+    from datafusion_python_spark.api.context import SessionContext
+
+    ctx = SessionContext()
+    ctx.from_pydict({"x": [1, 2, 2, 3]}, "t_unp_a")
+    ctx.from_pydict({"x": [2, 3], "y": [20, 30]}, "t_unp_b")
+    a, b = ctx.table("t_unp_a"), ctx.table("t_unp_b")
+    cases = [
+        (a.except_all(b[["x"]]), [1, 2]),
+        (a.intersect(b[["x"]]), [2, 3]),
+        (a.intersect(b[["x"]], distinct=False), [2, 3]),
+        (a.join(b, on="x", how="semi"), [2, 2, 3]),
+        (a.join(b, on="x", how="anti"), [1]),
+        (a.join(b, on="x", how="inner"), [2, 2, 3]),
+    ]
+    for df, expect in cases:
+        sql = Unparser().plan_to_sql(df)
+        got = sorted(r["x"] for r in ctx.sql(sql).to_pylist())
+        assert got == expect, sql
