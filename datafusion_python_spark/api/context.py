@@ -350,6 +350,9 @@ class SessionContext:
             data = pa.Table.from_batches([data])
         if not isinstance(data, pa.Table) and hasattr(data, "__arrow_c_stream__"):
             data = pa.table(data)
+        if not isinstance(data, pa.Table) and hasattr(data, "__arrow_c_array__"):
+            # Arrow PyCapsule array protocol (ref from_arrow accepts both)
+            data = pa.Table.from_batches([pa.record_batch(data)])
         try:
             # Spark 4 accepts a pyarrow Table directly — Arrow-native path,
             # no pandas round-trip (which loses ns-timestamp/decimal

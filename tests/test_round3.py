@@ -88,6 +88,27 @@ def test_dataframe_indexing(spark):
     assert "DataFrame can only be indexed by string index or indices" in e_info.value.args[0]
 
 
+def test_from_arrow_c_protocols(spark):
+    # ref from_arrow: accepts __arrow_c_stream__ AND __arrow_c_array__ objects
+    import pyarrow as pa
+
+    from datafusion_python_spark.api.context import SessionContext
+
+    ctx = SessionContext()
+    tbl = pa.table({"a": [1, 2, 3]})
+
+    class StreamOnly:
+        def __arrow_c_stream__(self, requested_schema=None):
+            return tbl.__arrow_c_stream__(requested_schema)
+
+    class ArrayOnly:
+        def __arrow_c_array__(self, requested_schema=None):
+            return tbl.to_batches()[0].__arrow_c_array__(requested_schema)
+
+    assert ctx.from_arrow(StreamOnly()).to_pylist() == [{"a": 1}, {"a": 2}, {"a": 3}]
+    assert ctx.from_arrow(ArrayOnly()).to_pylist() == [{"a": 1}, {"a": 2}, {"a": 3}]
+
+
 def test_lit_pyarrow_scalar(spark):
     # ref tests/test_expr.py test_round_trip_pyscalar_value
     import pyarrow as pa
