@@ -283,8 +283,10 @@ class SessionContext:
             reader = reader.schema(self._schema(schema))
         else:
             reader = reader.option("inferSchema", "true")
-        paths = [path] if isinstance(path, str) else list(path)
-        return DataFrame(reader.csv(*paths))
+        paths = [path] if isinstance(path, str) else [str(p) for p in path]
+        # DataFrameReader.csv takes ONE path-or-list arg (second positional
+        # is the schema) — unlike .parquet(*paths)
+        return DataFrame(reader.csv(paths if len(paths) > 1 else paths[0]))
 
     def read_json(
         self,
@@ -299,8 +301,9 @@ class SessionContext:
         reader = self.spark.read
         if schema is not None:
             reader = reader.schema(self._schema(schema))
-        paths = [path] if isinstance(path, str) else list(path)
-        return DataFrame(reader.json(*paths))
+        paths = [path] if isinstance(path, str) else [str(p) for p in path]
+        # DataFrameReader.json takes ONE path-or-list arg (see read_csv)
+        return DataFrame(reader.json(paths if len(paths) > 1 else paths[0]))
 
     def read_avro(
         self, path: str, schema=None, file_extension: str = ".avro", **_: Any

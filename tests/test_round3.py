@@ -88,6 +88,20 @@ def test_dataframe_indexing(spark):
     assert "DataFrame can only be indexed by string index or indices" in e_info.value.args[0]
 
 
+def test_read_csv_json_path_lists(spark, tmp_path):
+    # ref io.py: read_csv/read_json accept lists of paths (and pathlib)
+    from datafusion_python_spark.api.context import SessionContext
+
+    ctx = SessionContext()
+    for i in (1, 2):
+        (tmp_path / f"f{i}.csv").write_text(f"a,b\n{i},{i * 10}\n")
+        (tmp_path / f"f{i}.json").write_text('{"a": %d}\n' % i)
+    csv_paths = [str(tmp_path / "f1.csv"), str(tmp_path / "f2.csv")]
+    assert sorted(r["a"] for r in ctx.read_csv(csv_paths).to_pylist()) == [1, 2]
+    json_paths = [tmp_path / "f1.json", tmp_path / "f2.json"]  # pathlib ok
+    assert sorted(r["a"] for r in ctx.read_json(json_paths).to_pylist()) == [1, 2]
+
+
 def test_from_arrow_c_protocols(spark):
     # ref from_arrow: accepts __arrow_c_stream__ AND __arrow_c_array__ objects
     import pyarrow as pa
