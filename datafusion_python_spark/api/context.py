@@ -12,6 +12,7 @@ keeps scans distributed and pushdown-capable at any scale.
 
 from __future__ import annotations
 
+import os
 from typing import Any, Iterable, Sequence
 
 from pyspark.sql import SparkSession
@@ -256,7 +257,10 @@ class SessionContext:
         reader = self.spark.read
         if schema is not None:
             reader = reader.schema(self._schema(schema))
-        paths = [path] if isinstance(path, str) else list(path)
+        if isinstance(path, (str, os.PathLike)):
+            paths = [str(path)]
+        else:
+            paths = [str(p) for p in path]
         df = reader.parquet(*paths)
         df = fix_ns_timestamps(df, paths[0])
         return DataFrame(df)
