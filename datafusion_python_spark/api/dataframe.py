@@ -786,7 +786,7 @@ class DataFrame:
             writer = writer.option(
                 "parquet.compression.codec.zstd.level", str(compression_level)
             )
-        writer.option("compression", compression).parquet(path)
+        writer.option("compression", compression).parquet(str(path))
 
     def write_parquet_with_options(
         self,
@@ -802,13 +802,13 @@ class DataFrame:
             writer = writer.partitionBy(*write_options.partition_by)
         for k, v in options._spark_options().items():
             writer = writer.option(k, v)
-        writer.parquet(path)
+        writer.parquet(str(path))
 
     def write_csv(self, path: str, with_header: bool = False, write_options=None) -> None:
-        self.df.write.mode("overwrite").option("header", str(with_header).lower()).csv(path)
+        self.df.write.mode("overwrite").option("header", str(with_header).lower()).csv(str(path))
 
     def write_json(self, path: str, write_options=None) -> None:
-        self.df.write.mode("overwrite").json(path)
+        self.df.write.mode("overwrite").json(str(path))
 
     def write_table(self, name: str, write_options: DataFrameWriteOptions | None = None) -> None:
         mode = "append"
