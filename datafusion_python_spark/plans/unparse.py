@@ -32,8 +32,9 @@ def _seq(s) -> list:
 
 
 class _Unparse:
-    def __init__(self) -> None:
+    def __init__(self, spark=None) -> None:
         self.n = 0
+        self.spark = spark  # needed only to materialize LocalRelation rows
 
     def fresh(self) -> str:
         self.n += 1
@@ -209,6 +210,54 @@ class _Unparse:
         parts = [f"SELECT * FROM {self._from(c)}" for c in _seq(p.children())]
         return " UNION ALL ".join(parts)
 
+    # -- local data: unparse as VALUES ------------------------------------
+    def _sql_literal(self, v) -> str:
+        import datetime
+
+        if v is None:
+            return "NULL"
+        if isinstance(v, bool):
+            return "TRUE" if v else "FALSE"
+        if isinstance(v, (int, float)):
+            return repr(v)
+        if isinstance(v, str):
+            return "'" + v.replace("'", "''") + "'"
+        if isinstance(v, datetime.datetime):
+            return f"TIMESTAMP '{v.isoformat(sep=' ')}'"
+        if isinstance(v, datetime.date):
+            return f"DATE '{v.isoformat()}'"
+        raise NotImplementedError(
+            f"unparse: VALUES literal for type {type(v).__name__}"
+        )
+
+    def _localrelation(self, p) -> str:
+        """In-memory data (from_pydict / createDataFrame) → VALUES form.
+        LocalRelation rows are driver-resident by definition, so
+        collecting them here is bounded."""
+        if self.spark is None:
+            raise NotImplementedError(
+                "unparse: LocalRelation needs a SparkSession to render VALUES"
+            )
+        from pyspark.sql import DataFrame as SparkDF
+
+        jdf = self.spark._jvm.org.apache.spark.sql.classic.Dataset.ofRows(
+            self.spark._jsparkSession, p
+        )
+        pdf = SparkDF(jdf, self.spark)
+        cols = ", ".join(f"`{c}`" for c in pdf.columns)
+        rows = pdf.collect()
+        alias = self.fresh()
+        if not rows:  # typed empty relation
+            attrs = _seq(p.output())
+            nulls = ", ".join(
+                f"CAST(NULL AS {a.dataType().sql()}) AS `{a.name()}`" for a in attrs
+            )
+            return f"SELECT {nulls} WHERE 1 = 0"
+        vals = ", ".join(
+            "(" + ", ".join(self._sql_literal(v) for v in row) + ")" for row in rows
+        )
+        return f"SELECT * FROM VALUES {vals} AS {alias}({cols})"
+
     def _except(self, p) -> str:
         op = "EXCEPT ALL" if p.isAll() else "EXCEPT"
         return (
@@ -233,7 +282,7 @@ def plan_to_sql(plan, dialect: str = "default", pretty: bool = False) -> str:
     df = getattr(plan, "_df", plan)
     sdf = getattr(df, "df", df)
     jplan = sdf._jdf.queryExecution().analyzed()
-    sql = _Unparse().plan(jplan)
+    sql = _Unparse(spark=sdf.sparkSession).plan(jplan)
     if dialect in _QUOTE_DIALECTS:
         sql = re.sub(r"`([^`]*)`", r'"\1"', sql)
     if pretty:

@@ -81,3 +81,29 @@ def test_roundtrip_setops_and_semi_anti_joins(spark):
         sql = Unparser().plan_to_sql(df)
         got = sorted(r["x"] for r in ctx.sql(sql).to_pylist())
         assert got == expect, sql
+
+
+def test_roundtrip_local_relation_values(spark):
+    import datetime
+
+    from datafusion_python_spark.api.context import SessionContext
+    from datafusion_python_spark.api.expr import col
+
+    ctx = SessionContext()
+    # in-memory frames (LocalRelation) unparse as VALUES — incl. string
+    # escaping, dates and timestamps
+    df = ctx.from_pydict({"a": [1, 2, 3], "s": ["x", "it's", "z"]})
+    flt = df.filter(col("a") > 1)
+    sql = Unparser().plan_to_sql(flt)
+    assert "VALUES" in sql and "it''s" in sql
+    assert sorted(r["a"] for r in ctx.sql(sql).to_pylist()) == [2, 3]
+    d2 = ctx.from_pydict(
+        {"d": [datetime.date(2024, 1, 5)], "t": [datetime.datetime(2024, 1, 5, 3, 4, 5)]}
+    )
+    assert ctx.sql(Unparser().plan_to_sql(d2)).to_pylist() == d2.to_pylist()
+    # typed empty relation keeps its schema
+    import pyarrow as pa
+
+    empty = ctx.from_arrow(pa.table({"a": pa.array([], "int64")}))
+    out = ctx.sql(Unparser().plan_to_sql(empty))
+    assert out.to_pylist() == [] and dict(out.df.dtypes)["a"] == "bigint"
