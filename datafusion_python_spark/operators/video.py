@@ -97,8 +97,16 @@ def decode_avi_mjpeg(
     return out
 
 
-def encode_avi_mjpeg(frames: list[np.ndarray], fps: float = 10.0, quality: int = 90) -> bytes:
-    """Minimal RIFF-AVI writer: each frame JPEG-compressed into a 00dc chunk."""
+def encode_avi_mjpeg(
+    frames: list[np.ndarray],
+    fps: float = 10.0,
+    quality: int = 90,
+    audio: np.ndarray | None = None,
+    sample_rate: int = 16000,
+) -> bytes:
+    """Minimal RIFF-AVI writer: each frame JPEG-compressed into a 00dc
+    chunk; optional PCM16 mono ``audio`` becomes a second stream of
+    per-frame-interleaved 01wb chunks."""
     from datafusion_python_spark.operators.jpeg import encode_jpeg
 
     if not frames:
@@ -107,10 +115,11 @@ def encode_avi_mjpeg(frames: list[np.ndarray], fps: float = 10.0, quality: int =
     jpegs = [encode_jpeg(f, quality=quality) for f in frames]
     us_per_frame = int(1e6 / fps)
     max_bytes = max(len(j) for j in jpegs)
+    n_streams = 2 if audio is not None else 1
 
     avih = struct.pack(
         "<IIIIIIIIII4I",
-        us_per_frame, max_bytes * int(fps), 0, 0x10, len(frames), 0, 1,
+        us_per_frame, max_bytes * int(fps), 0, 0x10, len(frames), 0, n_streams,
         max_bytes, w, h, 0, 0, 0, 0,
     )
     strh = (
@@ -127,10 +136,78 @@ def encode_avi_mjpeg(frames: list[np.ndarray], fps: float = 10.0, quality: int =
         return b"LIST" + struct.pack("<I", 4 + len(body)) + ltype + body
 
     strl = lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf))
+    audio_chunks: list[bytes] = []
+    if audio is not None:
+        pcm = np.asarray(audio, dtype=np.int16)
+        spf = max(1, int(sample_rate / fps))  # samples per video frame
+        strh_a = (
+            b"auds" + b"\x00\x00\x00\x00"
+            + struct.pack("<IHHIIIIIIIi4H", 0, 0, 0, 0, 1, sample_rate, 0,
+                          len(pcm), spf * 2, 0, -1, 0, 0, 0, 0)
+        )
+        # WAVEFORMATEX: PCM, mono, 16-bit
+        strf_a = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+        strl += lst(b"strl", chunk(b"strh", strh_a) + chunk(b"strf", strf_a))
+        for i in range(len(frames)):
+            seg = pcm[i * spf : (i + 1) * spf]
+            audio_chunks.append(chunk(b"01wb", seg.tobytes()))
     hdrl = lst(b"hdrl", chunk(b"avih", avih) + strl)
-    movi = lst(b"movi", b"".join(chunk(b"00dc", j) for j in jpegs))
+    movi_body = b"".join(
+        chunk(b"00dc", j) + (audio_chunks[i] if i < len(audio_chunks) else b"")
+        for i, j in enumerate(jpegs)
+    )
+    movi = lst(b"movi", movi_body)
     body = b"AVI " + hdrl + movi
     return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_avi_audio(data: bytes) -> tuple[np.ndarray, int]:
+    """PCM16 audio track of an AVI → (samples int16, sample_rate).
+
+    Walks strl headers for the 'auds' stream's sample rate, then
+    concatenates its '##wb' chunks from the movi list."""
+    if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not an AVI")
+    sample_rate = None
+    pos = 12
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        (size,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        if cid == b"LIST":
+            ltype = data[pos + 8 : pos + 12]
+            if ltype in (b"hdrl", b"strl"):
+                pos += 12
+                continue
+            if ltype == b"movi":
+                break
+        if cid == b"strh" and data[pos + 8 : pos + 12] == b"auds":
+            # rate field of the stream header (scale=1 → rate = samples/s)
+            (sample_rate,) = struct.unpack("<I", data[pos + 8 + 24 : pos + 8 + 28])
+        pos += 8 + size + (size & 1)
+    if sample_rate is None:
+        raise ValueError("AVI has no audio stream")
+    chunks = []
+    # reuse the movi walk, collecting '##wb' audio payloads
+    pos = 12
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        (size,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        if cid == b"LIST" and data[pos + 8 : pos + 12] == b"movi":
+            end = pos + 8 + size
+            p = pos + 12
+            while p + 8 <= min(end, len(data)):
+                fid = data[p : p + 4]
+                (fsize,) = struct.unpack("<I", data[p + 4 : p + 8])
+                if fid[2:4] == b"wb":
+                    chunks.append(data[p + 8 : p + 8 + fsize])
+                p += 8 + fsize + (fsize & 1)
+            break
+        if cid == b"LIST":
+            pos += 12
+            continue
+        pos += 8 + size + (size & 1)
+    samples = np.frombuffer(b"".join(chunks), dtype=np.int16)
+    return samples, sample_rate
 
 
 # --- MP4 / ISO-BMFF probe ----------------------------------------------------

@@ -408,6 +408,26 @@ def test_avi_mjpeg_roundtrip():
     assert len(decode_avi_mjpeg(avi, [0, 3, 5])) == 3
 
 
+def test_avi_audio_track_roundtrip():
+    from datafusion_python_spark.operators.video import (
+        decode_avi_audio,
+        decode_avi_mjpeg,
+        encode_avi_mjpeg,
+    )
+
+    frames = [_gradient(16, 24)] * 5
+    t = np.arange(8000)
+    tone = (np.sin(2 * np.pi * 440 * t / 16000) * 10000).astype(np.int16)
+    avi = encode_avi_mjpeg(frames, fps=10.0, audio=tone, sample_rate=16000)
+    samples, sr = decode_avi_audio(avi)
+    assert sr == 16000 and (samples[: 1600 * 5] == tone[: 1600 * 5]).all()
+    assert len(decode_avi_mjpeg(avi)) == 5  # video stream unaffected
+    import pytest
+
+    with pytest.raises(ValueError):
+        decode_avi_audio(encode_avi_mjpeg(frames[:2]))  # no audio stream
+
+
 def test_mp4_mp3_probes():
     from datafusion_python_spark.operators.video import (
         make_mp3_probe_bytes,
