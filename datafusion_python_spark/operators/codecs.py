@@ -516,6 +516,21 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     return arr, sr
 
 
+def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
+    """(n, channels) or (n,) int16 PCM → WAV bytes (twin of decode_wav,
+    for writing processed audio back out)."""
+    arr = np.asarray(samples, dtype=np.int16)
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(arr.shape[1])
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(arr.tobytes())
+    return buf.getvalue()
+
+
 def resize_nearest(img: np.ndarray, max_side: int) -> np.ndarray:
     """Nearest-neighbor downscale keeping aspect; no-op if already small."""
     h, w = img.shape[:2]

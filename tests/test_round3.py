@@ -408,6 +408,18 @@ def test_avi_mjpeg_roundtrip():
     assert len(decode_avi_mjpeg(avi, [0, 3, 5])) == 3
 
 
+def test_wav_encode_decode_roundtrip():
+    from datafusion_python_spark.operators.codecs import decode_wav, encode_wav
+
+    t = np.arange(4000)
+    tone = (np.sin(2 * np.pi * 220 * t / 8000) * 12000).astype(np.int16)
+    s, sr = decode_wav(encode_wav(tone, 8000))
+    assert sr == 8000 and (s[:, 0] == tone).all()
+    stereo = np.stack([tone, -tone], axis=1)
+    s2, _ = decode_wav(encode_wav(stereo, 8000))
+    assert (s2 == stereo).all()
+
+
 def test_avi_audio_track_roundtrip():
     from datafusion_python_spark.operators.video import (
         decode_avi_audio,
