@@ -119,6 +119,7 @@ class SessionContext:
         shim = self._statement_shim(query)
         if shim is not None:
             return shim
+        query = self._rewrite_datafusion_sql(query)
         if named_params:
             df = self.spark.sql(query, args=named_params)
         else:
@@ -192,6 +193,85 @@ class SessionContext:
         return DataFrame(
             self.spark.createDataFrame([(df.count(),)], "count: bigint")
         )
+
+    @staticmethod
+    def _rewrite_datafusion_sql(query: str) -> str:
+        """Translate DataFusion SQL-isms Spark's parser rejects into their
+        Spark-native spellings (ref sqlparser-rs GenericDialect features;
+        tests/test_lambda.py test_sql_lambda_keyword_syntax):
+
+        - ``[1, 2, 3]`` array literals → ``array(1, 2, 3)`` (indexing
+          like ``a[1]`` is left alone — a ``[`` after an identifier /
+          ``)`` / ``]`` is subscripting in both engines)
+        - ``lambda x: body`` / ``lambda x, y: body`` keyword lambdas →
+          Spark's arrow form ``x -> body`` / ``(x, y) -> body``
+        - DataFusion-only higher-order function names → Spark builtins
+          (array_transform→transform, array_filter→filter,
+          array_any_match→exists, array_all_match→forall, + aliases)
+
+        All passes are single-quote-aware; the bracket pass tracks
+        nesting so inner literals rewrite too.
+        """
+        import re
+
+        if not re.search(r"(?i)\blambda\b|\[|_transform\s*\(|_filter\s*\(|_match\s*\(", query):
+            return query
+
+        out: list[str] = []
+        stack: list[bool] = []  # True = literal bracket we opened as array(
+        i, n = 0, len(query)
+        while i < n:
+            ch = query[i]
+            if ch == "'":  # skip string literal ('' escapes)
+                j = i + 1
+                while j < n:
+                    if query[j] == "'" and not (j + 1 < n and query[j + 1] == "'"):
+                        break
+                    j += 2 if query[j] == "'" else 1
+                out.append(query[i : j + 1])
+                i = j + 1
+                continue
+            if ch == "[":
+                # subscripting (a[1]) has the bracket flush against the
+                # value; a literal bracket follows a delimiter/space
+                prev = query[i - 1] if i > 0 else ""
+                is_subscript = bool(prev) and (prev.isalnum() or prev in ")]`_")
+                if is_subscript:
+                    out.append("[")
+                    stack.append(False)
+                else:
+                    out.append("array(")
+                    stack.append(True)
+                i += 1
+                continue
+            if ch == "]":
+                out.append(")" if stack and stack.pop() else "]")
+                i += 1
+                continue
+            m = re.match(r"(?i)lambda\s+([A-Za-z_]\w*(?:\s*,\s*[A-Za-z_]\w*)*)\s*:", query[i:])
+            if m:
+                params = [p.strip() for p in m.group(1).split(",")]
+                head = params[0] if len(params) == 1 else "(" + ", ".join(params) + ")"
+                out.append(f"{head} ->")
+                i += m.end()
+                continue
+            out.append(ch)
+            i += 1
+        rewritten = "".join(out)
+        for dfn, spk in (
+            ("array_transform", "transform"),
+            ("list_transform", "transform"),
+            ("array_filter", "filter"),
+            ("list_filter", "filter"),
+            ("array_any_match", "exists"),
+            ("list_any_match", "exists"),
+            ("any_match", "exists"),
+            ("array_all_match", "forall"),
+            ("list_all_match", "forall"),
+            ("all_match", "forall"),
+        ):
+            rewritten = re.sub(rf"(?i)\b{dfn}\s*\(", f"{spk}(", rewritten)
+        return rewritten
 
     @staticmethod
     def _rewrite_url_tables(query: str) -> str:

@@ -1137,10 +1137,37 @@ def generate_series(start, stop=None, step=1) -> Expr:
 gen_series = generate_series
 
 
-# higher-order: Python lambdas pass through natively (ref analyzer.rs
-# lambda resolution is unnecessary on Spark — SURVEY §2.8)
+# higher-order: a Python callable is introspected for its parameter names
+# and bound via lambda_ (so the user's names survive into the plan —
+# ref _to_lambda, functions/__init__.py:564-583); an explicit lambda_()
+# Expr invokes the catalyst function with the prebuilt LambdaFunction,
+# mirroring pyspark's _invoke_higher_order_function.
+def _to_lambda(fn) -> Expr:
+    if isinstance(fn, Expr):
+        return fn
+    if not callable(fn):
+        raise TypeError(f"expected an Expr or callable, got {type(fn).__name__}")
+    import inspect
+
+    params = list(inspect.signature(fn).parameters)
+    if not params:
+        raise ValueError("lambda callable must accept at least one parameter")
+    return lambda_(params, fn(*[lambda_var(p) for p in params]))
+
+
+def _hof(sql_name: str, arr, fn) -> Expr:
+    from pyspark.sql.classic.column import Column as ClassicColumn, _to_seq
+
+    from pyspark import SparkContext
+
+    lam = _to_lambda(fn)
+    sc = SparkContext._active_spark_context
+    jc = sc._jvm.PythonSQLUtils.fn(sql_name, _to_seq(sc, [_u(arr)._jc, _u(lam)._jc]))
+    return Expr(ClassicColumn(jc))
+
+
 def array_transform(arr, fn) -> Expr:
-    return Expr(F.transform(_u(arr), lambda x: _u(fn(Expr(x)))))
+    return _hof("transform", arr, fn)
 
 
 list_transform = array_transform
@@ -1148,18 +1175,18 @@ transform = array_transform
 
 
 def array_filter(arr, fn) -> Expr:
-    return Expr(F.filter(_u(arr), lambda x: _u(fn(Expr(x)))))
+    return _hof("filter", arr, fn)
 
 
 list_filter = array_filter
 
 
 def array_any_match(arr, fn) -> Expr:
-    return Expr(F.exists(_u(arr), lambda x: _u(fn(Expr(x)))))
+    return _hof("exists", arr, fn)
 
 
 def array_all_match(arr, fn) -> Expr:
-    return Expr(F.forall(_u(arr), lambda x: _u(fn(Expr(x)))))
+    return _hof("forall", arr, fn)
 
 
 # ---------------------------------------------------------------------------
@@ -1341,23 +1368,47 @@ def approx_percentile_cont_with_weight(e, weight, percentile) -> Expr:
     )
 
 
+# Spark uniquifies each UnresolvedNamedLambdaVariable ("v" -> "v_3"), so
+# the body and the LambdaFunction's argument list must share the SAME
+# variable instance; lambda_var registers the instance it handed out and
+# lambda_ picks it back up by the user-visible name.
+_LAMBDA_VARS: dict[str, Column] = {}
+
+
 def lambda_var(name: str) -> Expr:
-    """Unsupported explicit-lambda form (ref functions/__init__.py:512):
-    Spark's higher-order functions bind Python callables, which is the
-    supported path here (e.g. array_transform(arr, lambda x: ...))."""
-    raise NotImplementedError(
-        "lambda_var: pass a Python callable to the higher-order function "
-        "instead (Spark HOFs bind lambdas natively)"
-    )
+    """Unresolved reference to a lambda parameter (ref
+    functions/__init__.py:512). Backed by Spark's own
+    ``UnresolvedNamedLambdaVariable``, so any builtin applies over it and
+    Catalyst binds it inside the owning higher-order function."""
+    from pyspark.sql.functions.builtin import _unresolved_named_lambda_variable
+
+    c = _unresolved_named_lambda_variable(name)
+    _LAMBDA_VARS[name] = c
+    return Expr(c)
 
 
 def lambda_(params, body) -> Expr:
-    """Unsupported explicit-lambda form (ref functions/__init__.py:535);
-    pass a Python callable to the higher-order function instead."""
-    raise NotImplementedError(
-        "lambda_: pass a Python callable to the higher-order function "
-        "instead (Spark HOFs bind lambdas natively)"
-    )
+    """Explicit lambda from parameter names + body Expr (ref
+    functions/__init__.py:535). Builds a Catalyst ``LambdaFunction`` via the
+    same ``PythonSQLUtils.lambdaFunction`` path PySpark's callable binding
+    uses; the result is an Expr the higher-order functions accept in place
+    of a Python callable."""
+    from pyspark.sql.classic.column import Column as ClassicColumn, _to_seq
+    from pyspark.sql.functions.builtin import _unresolved_named_lambda_variable
+
+    from pyspark import SparkContext
+
+    sc = SparkContext._active_spark_context
+    body_e = body if isinstance(body, Expr) else Expr(_u(body))
+    jvars = [
+        _LAMBDA_VARS[p] if p in _LAMBDA_VARS else _unresolved_named_lambda_variable(p)
+        for p in params
+    ]
+    jargs = _to_seq(sc, [v._jc for v in jvars])
+    jlam = sc._jvm.PythonSQLUtils.lambdaFunction(_u(body_e)._jc, jargs)
+    out = Expr(ClassicColumn(jlam))
+    out._is_lambda = True
+    return out
 
 
 # aliases matching the reference's own alias surface
