@@ -25,6 +25,18 @@ from .expr import Expr, _spark_type
 __all__ = ["SessionContext", "SQLOptions"]
 
 
+class TableProviderExportable:
+    """Type hint for objects exposing a ``__datafusion_table_provider__``
+    PyCapsule (ref context.py:129). The capsule protocol is
+    engine-internal to DataFusion's FFI; on Spark the analogous
+    integration point is :meth:`SessionContext.register_table_provider`,
+    which accepts these objects and registers their data when a
+    Spark-readable form is available."""
+
+    def __datafusion_table_provider__(self, session: Any) -> object:  # noqa: D105
+        ...
+
+
 class SQLOptions:
     """DDL/DML gating (ref context.py:469-531).
 

@@ -367,6 +367,32 @@ class DataFrame:
             group_by = [group_by]
         if isinstance(aggs, (Expr, Column, _UdafCall)):
             aggs = [aggs]
+        marks = [
+            g._grouping_set
+            for g in (group_by or [])
+            if isinstance(g, Expr) and getattr(g, "_grouping_set", None)
+        ]
+        if marks:
+            # GroupingSet.rollup/cube/grouping_sets (ref expr.py:1737):
+            # dispatch to Spark's native multi-level grouping operators
+            if len(group_by) != 1:
+                raise ValueError(
+                    "a GroupingSet expression must be the sole group_by entry"
+                )
+            kind, payload = marks[0]
+            agg_cols = [_c(a) for a in aggs]
+            if kind == "rollup":
+                return DataFrame(self.df.rollup(*payload).agg(*agg_cols))
+            if kind == "cube":
+                return DataFrame(self.df.cube(*payload).agg(*agg_cols))
+            flat: list = []
+            seen: set = set()
+            for lst in payload:
+                for c in lst:
+                    if str(c) not in seen:
+                        seen.add(str(c))
+                        flat.append(c)
+            return DataFrame(self.df.groupingSets(payload, *flat).agg(*agg_cols))
         udaf_calls = [a for a in aggs if isinstance(a, _UdafCall)]
         if udaf_calls:
             return self._aggregate_with_udafs(group_by or [], aggs)

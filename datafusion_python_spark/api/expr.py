@@ -20,8 +20,10 @@ from pyspark.sql import Window as SparkWindow
 from pyspark.sql import types as T
 
 __all__ = [
+    "EXPR_TYPE_ERROR",
     "Expr",
     "CaseBuilder",
+    "GroupingSet",
     "Window",
     "WindowFrame",
     "SortExpr",
@@ -30,6 +32,9 @@ __all__ = [
     "lit",
     "literal",
 ]
+
+# ref expr.py:77 — the canonical construction-error message
+EXPR_TYPE_ERROR = "Use col()/column() or lit()/literal() to construct expressions"
 
 _TYPE_ALIASES = {
     "int8": T.ByteType(),
@@ -533,6 +538,39 @@ class Expr:
 
     def __reduce__(self):
         return (Expr.from_bytes, (self.to_bytes(),))
+
+
+class GroupingSet:
+    """Factory for grouping-set expressions usable as the ``group_by``
+    of :meth:`DataFrame.aggregate` (ref expr.py:1737-1860). On Spark
+    these dispatch to the native ``rollup`` / ``cube`` /
+    ``groupingSets`` relational operators — a single multi-level
+    aggregation pass, same as DataFusion's."""
+
+    @staticmethod
+    def _mark(kind: str, payload) -> "Expr":
+        e = Expr(F.lit(0))
+        e._grouping_set = (kind, payload)
+        return e
+
+    @staticmethod
+    def rollup(*exprs) -> "Expr":
+        """``GROUP BY ROLLUP(a, b)`` — all prefixes (ref expr.py:1751)."""
+        return GroupingSet._mark("rollup", [_c(col(e) if isinstance(e, str) else e) for e in exprs])
+
+    @staticmethod
+    def cube(*exprs) -> "Expr":
+        """``GROUP BY CUBE(a, b)`` — all subsets (ref expr.py:1790)."""
+        return GroupingSet._mark("cube", [_c(col(e) if isinstance(e, str) else e) for e in exprs])
+
+    @staticmethod
+    def grouping_sets(*expr_lists) -> "Expr":
+        """Arbitrary ``GROUPING SETS ((..), (..))`` (ref expr.py:1841)."""
+        sets = [
+            [_c(col(e) if isinstance(e, str) else e) for e in lst]
+            for lst in expr_lists
+        ]
+        return GroupingSet._mark("grouping_sets", sets)
 
 
 class SortExpr:

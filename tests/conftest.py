@@ -15,3 +15,10 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir():
     return SF_DIR
+
+
+@pytest.fixture(scope="session")
+def spark_ctx():
+    from datafusion_python_spark import SessionContext
+
+    return SessionContext()
