@@ -688,9 +688,14 @@ class DataFrame:
 
     # -- execution / export ---------------------------------------------------------
     def collect(self):
-        """list[pyarrow.RecordBatch] like the reference (dataframe.py:959)."""
+        """list[pyarrow.RecordBatch] like the reference (dataframe.py:959).
+
+        Batching is deterministic: chunks are combined and re-split at
+        DataFusion's default batch size (8192), so a small result is a
+        single batch regardless of how many Spark partitions produced
+        it — matching what the reference's tests assert on."""
         tbl = self.df.toArrow()
-        return tbl.to_batches()
+        return tbl.combine_chunks().to_batches(max_chunksize=8192)
 
     def to_arrow_table(self):
         return self.df.toArrow()

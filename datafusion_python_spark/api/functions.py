@@ -516,13 +516,10 @@ def date_bin(stride, source, origin=None) -> Expr:
         m = _re.match(r"(\d+)\s*(\w+)", stride)
         qty, unit = int(m.group(1)), m.group(2).rstrip("s")
         fixed = {"second": 1, "minute": 60, "hour": 3600, "day": 86400, "week": 604800}
+        if unit in ("month", "year"):
+            return _date_bin_months(qty * (12 if unit == "year" else 1), source, origin)
         if unit not in fixed:
-            # calendar-length strides need interval arithmetic, not epoch
-            # math — DataFusion supports them; not implemented here yet
-            raise NotImplementedError(
-                f"date_bin stride unit {unit!r} (calendar-length strides like "
-                "month/year are not supported; use date_trunc for those)"
-            )
+            raise NotImplementedError(f"date_bin stride unit {unit!r}")
         secs = fixed[unit] * qty
     else:
         raise TypeError("date_bin stride must be a string like '15 minutes'")
@@ -532,6 +529,29 @@ def date_bin(stride, source, origin=None) -> Expr:
     # to the stride boundary at-or-below them (DataFusion floor semantics)
     binned = org + F.floor((src - org) / secs).cast("long") * secs
     return Expr(F.timestamp_seconds(binned))
+
+
+def _date_bin_months(qty: int, source, origin) -> Expr:
+    """Calendar-length date_bin strides (N months / years): bins are
+    ``origin + k*qty months`` and a source maps to the largest such bin
+    at-or-below it (DataFusion's datetime_expressions date_bin month
+    semantics, floor toward the past). Month-end days clamp the way
+    interval arithmetic does in both engines (Jan 31 + 1 month = end of
+    February). All-builtin column math — no UDF."""
+    src = _u(source)
+    org = _u(origin) if origin is not None else F.lit("1970-01-01").cast("timestamp")
+    # whole calendar months between, ignoring day-of-month ...
+    k = (F.year(src) - F.year(org)) * 12 + (F.month(src) - F.month(org))
+    n = F.floor(k / F.lit(qty)).cast("int") * qty
+    zero = F.lit(0)
+
+    def shift(months):
+        return org + F.make_interval(zero, months, zero, zero, zero, zero, F.lit(0.0))
+
+    b = shift(n)
+    # ... then step one stride back when day/time-of-month puts the
+    # candidate bin start after the source
+    return Expr(F.when(src < b, shift(n - qty)).otherwise(b))
 
 
 def make_date(y, m, d) -> Expr:

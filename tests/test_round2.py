@@ -279,8 +279,57 @@ def test_date_bin_floor_before_origin(spark):
     binned = dpf.date_bin("1 hour", Expr(F.col("t")), origin).expr
     got = df.select(binned.cast("string").alias("b")).first()["b"]
     assert got == "2000-12-31 23:00:00"  # floor, not truncate-toward-zero
-    with pytest.raises(NotImplementedError):
-        dpf.date_bin("1 month", Expr(F.col("t")), origin)
+
+
+def test_date_bin_calendar_strides(spark):
+    """Month/year strides: bins are origin + k*stride calendar months
+    (DataFusion date_bin month semantics). Cross-checked against
+    DuckDB's time_bucket for month-aligned origins — where the two
+    engines agree — plus a pinned mid-month-origin case (DataFusion
+    anchors at the origin's day; DuckDB's time_bucket does not)."""
+    import duckdb
+
+    rows = [
+        "2019-12-31 23:59:59",
+        "2020-01-15 10:00:00",
+        "2020-02-29 00:00:00",
+        "2020-03-01 00:00:00",
+        "2021-07-04 12:30:00",
+        "1969-06-01 00:00:00",
+        "2024-11-15 00:00:00",
+    ]
+    df = spark.createDataFrame([(r,) for r in rows], ["t"]).select(
+        F.col("t").cast("timestamp").alias("t")
+    )
+    for stride, origin in [
+        ("1 month", "2020-01-01"),
+        ("3 months", "1970-01-01"),
+        ("1 year", "1970-01-01"),
+    ]:
+        o = Expr(F.lit(origin).cast("timestamp"))
+        got = [
+            r["b"]
+            for r in df.select(
+                dpf.date_bin(stride, Expr(F.col("t")), o).expr.cast("string").alias("b")
+            ).collect()
+        ]
+        vals = ",".join(f"('{r}')" for r in rows)
+        want = [
+            str(r[0])
+            for r in duckdb.sql(
+                f"select time_bucket(INTERVAL '{stride}', ts::timestamp, "
+                f"TIMESTAMP '{origin}') from (values {vals}) v(ts)"
+            ).fetchall()
+        ]
+        assert got == want, f"{stride} from {origin}"
+    # mid-month origin: bins anchor at the origin's day-of-month
+    o = Expr(F.lit("2020-01-15").cast("timestamp"))
+    got = (
+        df.filter(F.col("t") == "2020-02-29 00:00:00")
+        .select(dpf.date_bin("2 months", Expr(F.col("t")), o).expr.cast("string").alias("b"))
+        .first()["b"]
+    )
+    assert got == "2020-01-15 00:00:00"
 
 
 def test_range_negative_step(spark):

@@ -1,0 +1,105 @@
+"""Run the reference's OWN test suite against this package.
+
+The shim at tools/refshim presents ``datafusion_python_spark`` as
+``datafusion``; this runner pytests each file in
+/root/reference/python/tests (read-only — no bytecode, no cache)
+against it and writes a per-file pass/fail summary to REFCONFORM.json.
+
+This is the strongest conformance evidence available: the tests were
+written by the reference's authors for the reference's behavior, and
+are executed here byte-for-byte unmodified.
+
+Usage: python tools/refconform.py [test_file_substring ...]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import subprocess
+import sys
+from pathlib import Path
+
+REF_TESTS = Path("/root/reference/python/tests")
+REPO = Path(__file__).resolve().parent.parent
+
+# Files whose failures are environmental, not semantic (documented in
+# REFCONFORM.json so the numbers stay honest):
+#   test_input: needs the reference repo's `testing` data submodule,
+#     absent from the checkout — unrunnable against the reference itself.
+ENV_LIMITED = {"test_input.py"}
+
+
+def run_file(path: Path, timeout: int = 900) -> dict:
+    env = dict(os.environ)
+    env["PYTHONDONTWRITEBYTECODE"] = "1"
+    env["PYTHONPATH"] = f"{REPO}/tools/refshim:{REPO}"
+    cmd = [
+        sys.executable,
+        "-m",
+        "pytest",
+        str(path),
+        "-p",
+        "no:cacheprovider",
+        "--rootdir",
+        "/root/reference/python",
+        "-q",
+        "--tb=no",
+    ]
+    try:
+        proc = subprocess.run(
+            cmd, capture_output=True, text=True, timeout=timeout, cwd="/tmp", env=env
+        )
+        out = proc.stdout + proc.stderr
+    except subprocess.TimeoutExpired as ex:
+        out = (ex.stdout or b"").decode() if isinstance(ex.stdout, bytes) else (ex.stdout or "")
+        return {"file": path.name, "timeout": True, "raw": out[-2000:]}
+    counts = {}
+    for kind in ("passed", "failed", "error", "errors", "skipped", "xfailed", "xpassed"):
+        m = re.search(rf"(\d+) {kind}", out)
+        if m:
+            counts[kind.rstrip("s") if kind == "errors" else kind] = int(m.group(1))
+    failed_names = re.findall(r"(?:FAILED|ERROR) [^:]+::(\S+)", out)
+    return {
+        "file": path.name,
+        "passed": counts.get("passed", 0),
+        "failed": counts.get("failed", 0) + counts.get("error", 0),
+        "skipped": counts.get("skipped", 0),
+        "failed_tests": failed_names[:40],
+        "env_limited": path.name in ENV_LIMITED,
+    }
+
+
+def main() -> int:
+    picks = sys.argv[1:]
+    files = sorted(REF_TESTS.glob("test_*.py"))
+    if picks:
+        files = [f for f in files if any(p in f.name for p in picks)]
+    results = []
+    tot_pass = tot_fail = 0
+    for f in files:
+        r = run_file(f)
+        results.append(r)
+        if r.get("timeout"):
+            print(f"TIMEOUT {f.name}")
+            continue
+        tot_pass += r["passed"]
+        tot_fail += 0 if r["env_limited"] else r["failed"]
+        tag = " [env-limited]" if r["env_limited"] and r["failed"] else ""
+        print(f"{f.name}: {r['passed']} passed, {r['failed']} failed{tag}")
+        for name in r["failed_tests"][:10]:
+            print(f"    FAIL {name}")
+    summary = {
+        "total_passed": tot_pass,
+        "total_failed_non_env": tot_fail,
+        "files": results,
+    }
+    out_path = REPO / "REFCONFORM.json"
+    out_path.write_text(json.dumps(summary, indent=1))
+    print(f"\nTOTAL: {tot_pass} passed, {tot_fail} failed (non-env) -> {out_path}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,55 @@
+"""Import shim: presents ``datafusion_python_spark`` under the name
+``datafusion`` so the reference's own test suite (and any user code
+written against apache/datafusion-python) runs unmodified against this
+package. Used by tools/refconform.py; also a one-line migration path
+for real users (put this directory on PYTHONPATH).
+"""
+
+import importlib
+import sys
+
+import datafusion_python_spark as _pkg
+
+_this = sys.modules[__name__]
+for _k in dir(_pkg):
+    if not _k.startswith("_"):
+        setattr(_this, _k, getattr(_pkg, _k))
+__all__ = list(getattr(_pkg, "__all__", []))
+__version__ = getattr(_pkg, "__version__", "0.0.0-spark")
+
+_SUBMODULES = {
+    "catalog": "datafusion_python_spark.api.catalog",
+    "common": "datafusion_python_spark.common",
+    "context": "datafusion_python_spark.api.context",
+    "dataframe": "datafusion_python_spark.api.dataframe",
+    "dataframe_formatter": "datafusion_python_spark.api.dataframe_formatter",
+    "expr": "datafusion_python_spark.api.expr",
+    "functions": "datafusion_python_spark.api.functions",
+    "input": "datafusion_python_spark.input",
+    "io": "datafusion_python_spark.io",
+    "ipc": "datafusion_python_spark.api.ipc",
+    "object_store": "datafusion_python_spark.sources.object_store",
+    "options": "datafusion_python_spark.api.options",
+    "plan": "datafusion_python_spark.api.plan",
+    "record_batch": "datafusion_python_spark.api.record_batch",
+    "substrait": "datafusion_python_spark.api.substrait",
+    "unparser": "datafusion_python_spark.api.substrait",
+    "user_defined": "datafusion_python_spark.api.udf",
+}
+
+for _name, _target in _SUBMODULES.items():
+    _mod = importlib.import_module(_target)
+    sys.modules[f"datafusion.{_name}"] = _mod
+    setattr(_this, _name, _mod)
+
+# `from datafusion.functions import spark`
+sys.modules["datafusion.functions.spark"] = importlib.import_module(
+    "datafusion_python_spark.api.spark_functions"
+)
+# keep `datafusion.input.location` importable through the package path
+sys.modules["datafusion.input.base"] = importlib.import_module(
+    "datafusion_python_spark.input.base"
+)
+sys.modules["datafusion.input.location"] = importlib.import_module(
+    "datafusion_python_spark.input.location"
+)
