@@ -14,6 +14,8 @@ from __future__ import annotations
 
 from typing import Any, Iterable, Sequence
 
+import pyarrow as pa
+
 from pyspark.sql import Column
 from pyspark.sql import DataFrame as SparkDF
 from pyspark.sql import Window as SparkWindow
@@ -687,6 +689,34 @@ class DataFrame:
         return DataFrame(out)
 
     # -- execution / export ---------------------------------------------------------
+    @staticmethod
+    def _normalize_arrow(tbl):
+        """Spark's Arrow export names list elements ``element`` and marks
+        them non-null when provably so; Arrow's (and DataFusion's)
+        convention is a nullable ``item`` field. Normalize so results
+        compare equal to hand-built pyarrow arrays (a zero-copy
+        metadata-only cast)."""
+
+        def fix(t):
+            if pa.types.is_list(t):
+                return pa.list_(pa.field("item", fix(t.value_type)))
+            if pa.types.is_large_list(t):
+                return pa.large_list(pa.field("item", fix(t.value_type)))
+            if pa.types.is_fixed_size_list(t):
+                return pa.list_(pa.field("item", fix(t.value_type)), t.list_size)
+            if pa.types.is_struct(t):
+                return pa.struct(
+                    [pa.field(f.name, fix(f.type), nullable=f.nullable) for f in t]
+                )
+            if pa.types.is_map(t):
+                return pa.map_(fix(t.key_type), fix(t.item_type))
+            return t
+
+        schema = pa.schema(
+            [pa.field(f.name, fix(f.type), nullable=f.nullable, metadata=f.metadata) for f in tbl.schema]
+        )
+        return tbl.cast(schema) if schema != tbl.schema else tbl
+
     def collect(self):
         """list[pyarrow.RecordBatch] like the reference (dataframe.py:959).
 
@@ -694,17 +724,17 @@ class DataFrame:
         DataFusion's default batch size (8192), so a small result is a
         single batch regardless of how many Spark partitions produced
         it — matching what the reference's tests assert on."""
-        tbl = self.df.toArrow()
+        tbl = self._normalize_arrow(self.df.toArrow())
         return tbl.combine_chunks().to_batches(max_chunksize=8192)
 
     def to_arrow_table(self):
-        return self.df.toArrow()
+        return self._normalize_arrow(self.df.toArrow())
 
     def collect_column(self, column_name: str):
         """Execute for a single column → pyarrow ChunkedArray (ref
         dataframe.py collect_column). Column pruning reaches the scan —
         only the requested column is read."""
-        return self.df.select(column_name).toArrow().column(0)
+        return self._normalize_arrow(self.df.select(column_name).toArrow()).column(0)
 
     def collect_partitioned(self) -> list[list]:
         """list[list[RecordBatch]] preserving input partitioning (ref

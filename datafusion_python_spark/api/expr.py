@@ -91,12 +91,26 @@ def _spark_type(t: Any):
     raise TypeError(f"unsupported type spec: {t!r}")
 
 
+def _ensure_jvm() -> None:
+    """DataFusion expressions are context-free; classic-PySpark Columns
+    need a live JVM. Bootstrapping the shared session on first
+    expression construction lets module-level expression building (a
+    pattern all over the reference's test suite) work unchanged."""
+    from pyspark import SparkContext
+
+    if SparkContext._active_spark_context is None:
+        from ..session import get_spark
+
+        get_spark()
+
+
 def _c(v: Any) -> Column:
     """Unwrap Expr | Column | python literal → Column."""
     if isinstance(v, Expr):
         return v.expr
     if isinstance(v, Column):
         return v
+    _ensure_jvm()
     return F.lit(v)
 
 
@@ -367,6 +381,7 @@ class Expr:
     # -- constructors (ref Expr.column / Expr.literal / Expr.string_literal) --
     @staticmethod
     def column(value: str) -> "Expr":
+        _ensure_jvm()
         return Expr(F.col(value))
 
     @staticmethod
@@ -693,11 +708,13 @@ class _Col:
     ``col("a")`` and ``col.a`` (ref col.py:23-41 Col class)."""
 
     def __call__(self, name: str) -> Expr:
+        _ensure_jvm()
         return Expr(F.col(name))
 
     def __getattr__(self, name: str) -> Expr:
         if name.startswith("__"):  # dunder probes (pickle/copy/IPython)
             raise AttributeError(name)
+        _ensure_jvm()
         return Expr(F.col(name))
 
 
@@ -711,6 +728,7 @@ def lit(value: Any) -> Expr:
     test_round_trip_pyscalar_value)."""
     import pyarrow as pa
 
+    _ensure_jvm()
     if isinstance(value, pa.Scalar):
         from pyspark.sql.pandas.types import from_arrow_type
 

@@ -31,6 +31,9 @@ def _u(x: Any) -> Column:
 # ---------------------------------------------------------------------------
 # column / literal / misc core
 def col(name: str) -> Expr:
+    from .expr import _ensure_jvm
+
+    _ensure_jvm()
     return Expr(F.col(name))
 
 
@@ -595,6 +598,13 @@ def _chrono_to_java(fmt: str) -> str:
 # ---------------------------------------------------------------------------
 # aggregates — honor Expr builder state (distinct/filter/order_by)
 def _agg_input(e) -> tuple[Column, dict]:
+    if isinstance(e, SortExpr):
+        # DataFusion lets a SortExpr be the aggregate input to convey
+        # ordering (e.g. t-digest build order); the value column is its
+        # inner expression
+        c, state = _agg_input(e.inner)
+        state["order_by"] = [e]
+        return c, state
     if isinstance(e, Expr):
         state = {
             "distinct": e._distinct,
@@ -604,6 +614,28 @@ def _agg_input(e) -> tuple[Column, dict]:
         }
         return e.expr, state
     return _u(e), {"distinct": False, "filter": None, "order_by": None, "null_treatment": None}
+
+
+def _ignore_nulls(null_treatment, state: dict) -> bool:
+    """True when nulls should be ignored. Accepts the string forms and
+    the common.NullTreatment enum (ref NullTreatment.IGNORE_NULLS)."""
+    v = null_treatment if null_treatment is not None else state["null_treatment"]
+    if v is None:
+        return False
+    v = getattr(v, "value", v)
+    return str(v).lower().startswith("ignore")
+
+
+def _ob(order_by, state: dict):
+    """Resolve the effective order_by: explicit kwarg wins over builder
+    state; a bare Expr/SortExpr is accepted like a one-element list
+    (ref signatures take ``Expr | SortExpr | list``)."""
+    ob = order_by if order_by is not None else state["order_by"]
+    if ob is None:
+        return None
+    if isinstance(ob, (list, tuple)):
+        return list(ob) or None
+    return [ob]
 
 
 def _filtered(c: Column, state: dict) -> Column:
@@ -629,25 +661,47 @@ def _mk_agg(base_fn, distinct_fn=None):
     return agg
 
 
+def _median_distinct(c: Column) -> Column:
+    # exact DISTINCT median: sorted set, middle element (avg of the two
+    # middles for even cardinality) — float64 like DataFusion's
+    arr = F.array_sort(F.collect_set(c))
+    n = F.size(arr)
+    lo = F.element_at(arr, ((n + 1) / 2).cast("int")).cast("double")
+    hi = F.element_at(arr, (n / 2 + 1).cast("int")).cast("double")
+    return (lo + hi) / 2
+
+
 sum = _mk_agg(F.sum, F.sum_distinct)  # noqa: A001
-min = _mk_agg(F.min)  # noqa: A001
-max = _mk_agg(F.max)  # noqa: A001
-avg = _mk_agg(F.avg)
+# DISTINCT is a no-op for order/bool/bitwise-idempotent aggregates
+min = _mk_agg(F.min, F.min)  # noqa: A001
+max = _mk_agg(F.max, F.max)  # noqa: A001
+avg = _mk_agg(F.avg, lambda c: F.sum_distinct(c) / F.count_distinct(c))
 mean = avg
-median = _mk_agg(F.median)
-count = _mk_agg(F.count, F.count_distinct)
+median = _mk_agg(F.median, _median_distinct)
+_count_agg = _mk_agg(F.count, F.count_distinct)
+
+
+def count(e=None, distinct: bool = False, filter=None, order_by=None, null_treatment=None) -> Expr:
+    if e is None:  # bare count() counts rows (ref count(expr=None) -> COUNT(1))
+        e = Expr(F.lit(1))
+    return _count_agg(e, distinct=distinct, filter=filter, order_by=order_by, null_treatment=null_treatment)
 stddev = _mk_agg(F.stddev)
 stddev_pop = _mk_agg(F.stddev_pop)
 stddev_samp = _mk_agg(F.stddev_samp)
 var = _mk_agg(F.var_samp)
 var_pop = _mk_agg(F.var_pop)
 var_samp = _mk_agg(F.var_samp)
-bit_and = _mk_agg(F.bit_and)
-bit_or = _mk_agg(F.bit_or)
-bit_xor = _mk_agg(F.bit_xor)
-bool_and = _mk_agg(F.bool_and)
-bool_or = _mk_agg(F.bool_or)
-approx_median = _mk_agg(lambda c: F.percentile_approx(c, 0.5))
+bit_and = _mk_agg(F.bit_and, F.bit_and)
+bit_or = _mk_agg(F.bit_or, F.bit_or)
+bit_xor = _mk_agg(
+    F.bit_xor,
+    lambda c: F.aggregate(
+        F.collect_set(c), F.lit(0).cast("long"), lambda a, x: a.bitwiseXOR(x.cast("long"))
+    ),
+)
+bool_and = _mk_agg(F.bool_and, F.bool_and)
+bool_or = _mk_agg(F.bool_or, F.bool_or)
+approx_median = _mk_agg(lambda c: F.percentile_approx(c, 0.5).cast("double"))
 approx_distinct = _mk_agg(F.approx_count_distinct)
 
 
@@ -657,66 +711,52 @@ def count_star(filter=None) -> Expr:
     return Expr(F.count(F.lit(1)))
 
 
-def covar(a, b) -> Expr:
-    return Expr(F.covar_samp(_u(a), _u(b)))
+def _mk_agg2(base_fn):
+    # two-column aggregates with the standard builder kwargs; ``filter``
+    # masks BOTH inputs (ref: AggregateExprBuilder filter applies to the
+    # whole aggregate row)
+    def agg(a, b, distinct: bool = False, filter=None, null_treatment=None) -> Expr:
+        ca, cb = _u(a), _u(b)
+        if filter is not None:
+            pred = _u(filter)
+            ca, cb = F.when(pred, ca), F.when(pred, cb)
+        return Expr(base_fn(ca, cb))
+
+    return agg
 
 
-def covar_samp(a, b) -> Expr:
-    return Expr(F.covar_samp(_u(a), _u(b)))
+covar = _mk_agg2(F.covar_samp)
+covar_samp = _mk_agg2(F.covar_samp)
+covar_pop = _mk_agg2(F.covar_pop)
+corr = _mk_agg2(F.corr)
+regr_avgx = _mk_agg2(F.regr_avgx)
+regr_avgy = _mk_agg2(F.regr_avgy)
+regr_count = _mk_agg2(F.regr_count)
+regr_intercept = _mk_agg2(F.regr_intercept)
+regr_r2 = _mk_agg2(F.regr_r2)
+regr_slope = _mk_agg2(F.regr_slope)
+regr_sxx = _mk_agg2(F.regr_sxx)
+regr_sxy = _mk_agg2(F.regr_sxy)
+regr_syy = _mk_agg2(F.regr_syy)
 
 
-def covar_pop(a, b) -> Expr:
-    return Expr(F.covar_pop(_u(a), _u(b)))
-
-
-def corr(a, b) -> Expr:
-    return Expr(F.corr(_u(a), _u(b)))
-
-
-def regr_avgx(y, x) -> Expr:
-    return Expr(F.regr_avgx(_u(y), _u(x)))
-
-
-def regr_avgy(y, x) -> Expr:
-    return Expr(F.regr_avgy(_u(y), _u(x)))
-
-
-def regr_count(y, x) -> Expr:
-    return Expr(F.regr_count(_u(y), _u(x)))
-
-
-def regr_intercept(y, x) -> Expr:
-    return Expr(F.regr_intercept(_u(y), _u(x)))
-
-
-def regr_r2(y, x) -> Expr:
-    return Expr(F.regr_r2(_u(y), _u(x)))
-
-
-def regr_slope(y, x) -> Expr:
-    return Expr(F.regr_slope(_u(y), _u(x)))
-
-
-def regr_sxx(y, x) -> Expr:
-    return Expr(F.regr_sxx(_u(y), _u(x)))
-
-
-def regr_sxy(y, x) -> Expr:
-    return Expr(F.regr_sxy(_u(y), _u(x)))
-
-
-def regr_syy(y, x) -> Expr:
-    return Expr(F.regr_syy(_u(y), _u(x)))
-
-
-def approx_percentile_cont(e, percentile: float, num_centroids: int | None = None) -> Expr:
-    c, _ = _agg_input(e)
+def approx_percentile_cont(
+    e, percentile: float, num_centroids: int | None = None, filter=None
+) -> Expr:
+    c, state = _agg_input(e)
+    if filter is not None:
+        state["filter"] = _u(filter)
+    c = _filtered(c, state)
     acc = num_centroids if num_centroids else 10000
-    return Expr(F.percentile_approx(c, percentile, acc))
+    # DataFusion's t-digest returns float64 regardless of input type
+    return Expr(F.percentile_approx(c, percentile, acc).cast("double"))
 
 
-def percentile_cont(e, percentile: float) -> Expr:
-    c, _ = _agg_input(e)
+def percentile_cont(e, percentile: float, filter=None) -> Expr:
+    c, state = _agg_input(e)
+    if filter is not None:
+        state["filter"] = _u(filter)
+    c = _filtered(c, state)
     return Expr(F.percentile(c, F.lit(percentile)))
 
 
@@ -727,34 +767,66 @@ def grouping(e) -> Expr:
     return Expr(F.grouping(_u(e)))
 
 
-def first_value(e, order_by=None, null_treatment=None) -> Expr:
+def _kept_structs(c: Column, pred: Column | None, ignore: bool) -> Column:
+    """collect_list of single-field structs with FILTER/IGNORE NULLS
+    applied by dropping rows (null structs), preserving genuine null
+    values under RESPECT NULLS."""
+    cond = c.isNotNull() if ignore else None
+    if pred is not None:
+        cond = pred if cond is None else (pred & cond)
+    s = F.struct(c.alias("v"))
+    if cond is not None:
+        s = F.when(cond, s)
+    return F.collect_list(s)
+
+
+def first_value(e, filter=None, order_by=None, null_treatment=None) -> Expr:
     c, state = _agg_input(e)
-    ob = order_by or state["order_by"]
-    ignore = (null_treatment or state["null_treatment"] or "").lower().startswith("ignore")
+    if filter is not None:
+        state["filter"] = _u(filter)
+    pred = state["filter"]
+    ob = _ob(order_by, state)
+    ignore = _ignore_nulls(null_treatment, state)
     if ob:
-        return Expr(_ordered_values(c, ob, skip_null_values=ignore)[0]["v"])
+        return Expr(_ordered_values(c, ob, skip_null_values=ignore, pred=pred)[0]["v"])
+    if pred is not None:
+        return Expr(F.element_at(_kept_structs(c, pred, ignore), 1)["v"])
     return Expr(F.first(c, ignorenulls=ignore))
 
 
-def last_value(e, order_by=None, null_treatment=None) -> Expr:
+def last_value(e, filter=None, order_by=None, null_treatment=None) -> Expr:
     c, state = _agg_input(e)
-    ob = order_by or state["order_by"]
-    ignore = (null_treatment or state["null_treatment"] or "").lower().startswith("ignore")
+    if filter is not None:
+        state["filter"] = _u(filter)
+    pred = state["filter"]
+    ob = _ob(order_by, state)
+    ignore = _ignore_nulls(null_treatment, state)
     if ob:
-        lst = _ordered_values(c, ob, skip_null_values=ignore)
+        lst = _ordered_values(c, ob, skip_null_values=ignore, pred=pred)
+        return Expr(F.element_at(lst, F.size(lst))["v"])
+    if pred is not None:
+        lst = _kept_structs(c, pred, ignore)
         return Expr(F.element_at(lst, F.size(lst))["v"])
     return Expr(F.last(c, ignorenulls=ignore))
 
 
-def nth_value(e, n: int, order_by=None) -> Expr:
+def nth_value(e, n: int, filter=None, order_by=None, null_treatment=None) -> Expr:
     c, state = _agg_input(e)
-    ob = order_by or state["order_by"]
+    if filter is not None:
+        state["filter"] = _u(filter)
+    pred = state["filter"]
+    ignore = _ignore_nulls(null_treatment, state)
+    ob = _ob(order_by, state)
     if ob:
-        return Expr(F.element_at(_ordered_values(c, ob), n)["v"])
-    return Expr(F.element_at(F.collect_list(c), n))
+        return Expr(
+            F.element_at(_ordered_values(c, ob, skip_null_values=ignore, pred=pred), n)["v"]
+        )
+    return Expr(F.element_at(_kept_structs(c, pred, ignore), n)["v"])
 
 
-def _ordered_values(c: Column, order_by_keys, skip_null_values: bool = False) -> Column:
+def _ordered_values(
+    c: Column, order_by_keys, skip_null_values: bool = False, pred: Column | None = None
+) -> Column:
     """Collect ``(keys…, value)`` structs and sort by the keys with an
     explicit comparator honoring per-key direction and null placement.
 
@@ -762,15 +834,22 @@ def _ordered_values(c: Column, order_by_keys, skip_null_values: bool = False) ->
     direction — unlike unary-minus negation, which only works on numerics.
     Runs inside codegen (higher-order array_sort), one aggregation state
     per group — scale behavior identical to collect_list.
+
+    ``pred`` (the aggregate FILTER clause) drops rows entirely — unlike
+    null-masking the value, which would surface as a null element under
+    RESPECT NULLS.
     """
     keys = [to_sort_expr(k) for k in order_by_keys]
     fields = [k.inner.expr.alias(f"k{i}") for i, k in enumerate(keys)]
     fields.append(c.alias("v"))
     pairs = F.struct(*fields)
-    if skip_null_values:
+    cond = c.isNotNull() if skip_null_values else None
+    if pred is not None:
+        cond = pred if cond is None else (pred & cond)
+    if cond is not None:
         # a null struct is dropped by collect_list — this is how IGNORE
-        # NULLS removes rows (a struct with a null field is NOT null)
-        pairs = F.when(c.isNotNull(), pairs)
+        # NULLS / FILTER remove rows (a struct with a null field is NOT null)
+        pairs = F.when(cond, pairs)
 
     def cmp(left: Column, right: Column) -> Column:
         res = F.lit(0)
@@ -799,30 +878,38 @@ def array_agg(e, distinct: bool = False, filter=None, order_by=None, null_treatm
     c, state = _agg_input(e)
     if filter is not None:
         state["filter"] = _u(filter)
-    ignore = str(null_treatment or state["null_treatment"] or "").lower().startswith("ignore")
-    c = _filtered(c, state)
-    ob = order_by or state["order_by"]
+    pred = state["filter"]
+    ignore = _ignore_nulls(null_treatment, state)
+    ob = _ob(order_by, state)
     if ob:
         return Expr(
-            F.transform(_ordered_values(c, ob, skip_null_values=ignore), lambda s: s["v"])
+            F.transform(
+                _ordered_values(c, ob, skip_null_values=ignore, pred=pred),
+                lambda s: s["v"],
+            )
         )
     if distinct or state["distinct"]:
-        return Expr(F.collect_set(c))  # set semantics: nulls excluded (documented)
+        # set semantics: nulls excluded (documented); masking is safe here
+        return Expr(F.collect_set(_filtered(c, state)))
     if ignore:
-        return Expr(F.collect_list(c))
-    return Expr(
-        F.transform(F.collect_list(F.struct(c.alias("v"))), lambda s: s["v"])
-    )
+        return Expr(F.collect_list(_filtered(c, state)))
+    return Expr(F.transform(_kept_structs(c, pred, False), lambda s: s["v"]))
 
 
-def string_agg(e, delimiter: str = ",", order_by=None) -> Expr:
+def string_agg(e, delimiter: str = ",", filter=None, order_by=None) -> Expr:
     c, state = _agg_input(e)
-    ob = order_by or state["order_by"]
+    if filter is not None:
+        state["filter"] = _u(filter)
+    pred = state["filter"]
+    ob = _ob(order_by, state)
     if ob:
         return Expr(
-            F.array_join(F.transform(_ordered_values(c, ob), lambda s: s["v"]), delimiter)
+            F.array_join(
+                F.transform(_ordered_values(c, ob, pred=pred), lambda s: s["v"]),
+                delimiter,
+            )
         )
-    return Expr(F.array_join(F.collect_list(c), delimiter))
+    return Expr(F.array_join(F.collect_list(_filtered(c, state)), delimiter))
 
 
 # ---------------------------------------------------------------------------
@@ -1376,16 +1463,24 @@ def union_tag(union_expr) -> Expr:
     )
 
 
-def approx_percentile_cont_with_weight(e, weight, percentile) -> Expr:
+def approx_percentile_cont_with_weight(
+    e, weight, percentile, num_centroids: int | None = None, filter=None
+) -> Expr:
     """Weighted percentile aggregate (ref functions/__init__.py
     approx_percentile_cont_with_weight). Spark's ``percentile`` takes an
     integral frequency column — EXACT weighted percentile where the
     reference's is a t-digest approximation (strictly tighter, documented
-    deviation). Weights are cast to int (frequencies)."""
+    deviation). Weights are cast to int (frequencies); num_centroids is
+    accepted for signature parity (the exact path has no sketch)."""
+    c, state = _agg_input(e)  # accepts SortExpr input like the reference
+    if filter is not None:
+        state["filter"] = _u(filter)
+    c = _filtered(c, state)
     p = percentile if isinstance(percentile, (int, float)) else _u(percentile)
-    return Expr(
-        F.percentile(_u(e), F.lit(p) if isinstance(p, (int, float)) else p, _u(weight).cast("int"))
-    )
+    # fractional weights: scale to integral frequencies (percentiles are
+    # invariant under uniform weight scaling; 1e6 keeps int weights exact)
+    freq = F.greatest(F.round(_u(weight) * 1000000).cast("long"), F.lit(0).cast("long"))
+    return Expr(F.percentile(c, F.lit(p) if isinstance(p, (int, float)) else p, freq))
 
 
 # Spark uniquifies each UnresolvedNamedLambdaVariable ("v" -> "v_3"), so

@@ -1,0 +1,85 @@
+"""Semantic (embedding-space) deduplication — SemDeDup.
+
+Shape from Abbas et al. 2023 ("SemDeDup: Data-efficient learning at
+web-scale through semantic deduplication", arXiv:2303.09540): cluster
+the corpus embeddings with k-means, compare cosine similarity ONLY
+within a cluster, and drop every point that has a more-canonical
+near-duplicate. The reference engine has no semantic-dedup operator;
+this is a beyond-parity pipeline op built on the IVF machinery in
+:mod:`.similarity`.
+
+100 TB design:
+- clustering reuses :func:`..operators.similarity.ivf_centroids` —
+  deterministic seeds, optional Lloyd refinement passes, and only
+  ``n_clusters`` rows ever reach the driver;
+- assignment is :func:`..operators.similarity.ivf_assign` — codegen
+  argmax over compiled centroid literals, a map-only pass (no UDF, no
+  broadcast state);
+- the quadratic pairwise stage is fenced inside clusters: the
+  self-join keys on the cell id, so each partition holds one cluster's
+  members and total work is Σ|cluster|² ≈ n²/k instead of n²;
+- the drop is a single distinct + LeftAnti join on the id — the
+  canonical-survivor rule (keep the lowest id of any near-dup pair) is
+  deterministic and embarrassingly parallel.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .similarity import cosine_similarity_col, ivf_assign, ivf_centroids
+
+
+def semantic_dup_ids(
+    assigned: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "ivf_cell",
+) -> DataFrame:
+    """Ids that have a lower-id near-duplicate in the same cluster."""
+    a = assigned.select(
+        F.col(cell_col).alias("cell"),
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).cast("array<double>").alias("va"),
+    )
+    b = assigned.select(
+        F.col(cell_col).alias("cell"),
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).cast("array<double>").alias("vb"),
+    )
+    return (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(cosine_similarity_col(F.col("va"), F.col("vb")) >= threshold)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    n_clusters: int = 8,
+    threshold: float = 0.5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    refine_iters: int = 0,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """SemDeDup: cluster-bounded cosine dedup over an embedding column.
+
+    Returns the surviving rows of ``df`` with an ``ivf_cell`` cluster-id
+    column appended. A row is dropped iff some lower-``id_col`` row in
+    the SAME cluster has cosine similarity ≥ ``threshold`` with it —
+    near-duplicates straddling a cluster boundary are kept (the
+    documented SemDeDup approximation that makes the op linear-ish).
+    """
+    cents = (
+        centroids
+        if centroids is not None
+        else ivf_centroids(df, n_clusters, id_col, vec_col, refine_iters)
+    )
+    assigned = ivf_assign(df, cents, vec_col=vec_col)
+    dups = semantic_dup_ids(assigned, threshold, id_col, vec_col)
+    return assigned.join(dups, id_col, "left_anti")

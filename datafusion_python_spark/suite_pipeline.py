@@ -317,6 +317,61 @@ ORDER BY id_a, id_b
 
 
 # --------------------------------------------------------------------------
+# SemDeDup (Abbas et al. 2023): k-means cluster -> within-cluster cosine
+# -> drop rows with a lower-id near-duplicate. Cluster-bounded pairwise
+# (n²/k), codegen assignment, LeftAnti drop — operators/semdedup.py.
+def pipe_semantic_dedup(spark, sf_dir):
+    from .operators.semdedup import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = semantic_dedup(emb, n_clusters=8, threshold=0.4)
+    return out.select(
+        "vec_id", "label", F.col("ivf_cell").cast("long").alias("cell")
+    ).orderBy("vec_id")
+
+
+# Oracle: fully re-derived — seeds are the first 8 vectors by id (cell =
+# vec_id), assignment is argmax cosine (tie -> lowest cell, mirroring
+# Spark's array_sort of (-cos, cell) structs), the dup rule is "exists a
+# lower-id same-cell neighbor with cosine >= threshold".
+PIPE_SEMANTIC_DEDUP_SQL = """
+WITH cents AS (
+  SELECT vec_id AS c, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id < 8
+),
+corpus AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+),
+cosd AS (
+  SELECT corpus.vec_id, cents.c,
+         list_inner_product(v, cv)
+           / (sqrt(list_inner_product(v, v)) * sqrt(list_inner_product(cv, cv))) AS cs
+  FROM corpus, cents
+),
+assigned AS (
+  SELECT vec_id, c AS cell FROM (
+    SELECT vec_id, c,
+           row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, c) AS rn
+    FROM cosd
+  ) WHERE rn = 1
+),
+dups AS (
+  SELECT DISTINCT b.vec_id AS vec_id
+  FROM corpus a
+  JOIN assigned ca ON ca.vec_id = a.vec_id
+  JOIN assigned cb ON cb.cell = ca.cell
+  JOIN corpus b ON b.vec_id = cb.vec_id
+  WHERE a.vec_id < b.vec_id
+    AND list_inner_product(a.v, b.v)
+        / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))) >= 0.4
+)
+SELECT corpus.vec_id, corpus.label, assigned.cell
+FROM corpus JOIN assigned USING (vec_id)
+WHERE corpus.vec_id NOT IN (SELECT vec_id FROM dups)
+ORDER BY vec_id
+"""
+
+
+# --------------------------------------------------------------------------
 # Per-label embedding centroids (posexplode → group avg).
 def pipe_emb_centroid(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
