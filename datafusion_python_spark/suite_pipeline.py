@@ -1419,4 +1419,5 @@ PIPELINE_QUERIES: dict[str, tuple] = {
     "pipe_token_pack": (pipe_token_pack, PIPE_TOKEN_PACK_SQL),
     "pipe_repetition": (pipe_repetition, PIPE_REPETITION_SQL),
     "pipe_minhash_cluster": (pipe_minhash_cluster, PIPE_MINHASH_CLUSTER_SQL),
+    "pipe_semantic_dedup": (pipe_semantic_dedup, PIPE_SEMANTIC_DEDUP_SQL),
 }

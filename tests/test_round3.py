@@ -549,3 +549,50 @@ def test_extract_features_real_jpeg_gif(spark):
     a = np.array(out[0]["feature"])
     b = np.array(out[1]["feature"])
     assert float(np.abs(a - b).max()) < 0.2
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup (operators/semdedup.py)
+def test_semantic_dedup_matches_bruteforce(spark, sf_dir):
+    """Survivors == brute-force evaluation of the SemDeDup rule (drop any
+    row with a lower-id same-cluster neighbor at cosine >= t)."""
+    import itertools
+
+    import numpy as np
+
+    from datafusion_python_spark.operators.semdedup import semantic_dedup
+    from datafusion_python_spark.operators.similarity import ivf_assign, ivf_centroids
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = semantic_dedup(emb, n_clusters=4, threshold=0.4)
+    got = sorted(r["vec_id"] for r in out.select("vec_id").collect())
+
+    cents = ivf_centroids(emb, 4)
+    rows = ivf_assign(emb, cents).select("vec_id", "ivf_cell", "embedding").collect()
+    by_cell = {}
+    for r in rows:
+        by_cell.setdefault(r["ivf_cell"], []).append(
+            (r["vec_id"], np.array(r["embedding"], dtype=np.float64))
+        )
+    dropped = set()
+    for members in by_cell.values():
+        members.sort()
+        for (ia, va), (ib, vb) in itertools.combinations(members, 2):
+            cos = float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb)))
+            if cos >= 0.4:
+                dropped.add(ib)
+    want = sorted(r["vec_id"] for r in rows if r["vec_id"] not in dropped)
+    assert got == want
+    assert len(dropped) > 0  # the threshold actually bites on this data
+
+
+def test_semantic_dedup_plan_is_cluster_bounded(spark, sf_dir):
+    """The pairwise stage must join on the cluster id — never a cartesian
+    product — and assignment must stay a map-only codegen pass."""
+    from datafusion_python_spark.operators.semdedup import semantic_dedup
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = semantic_dedup(emb, n_clusters=4, threshold=0.4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "PythonUDF" not in plan
