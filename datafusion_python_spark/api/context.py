@@ -226,7 +226,10 @@ class SessionContext:
         """
         import re
 
-        if not re.search(r"(?i)\blambda\b|\[|_transform\s*\(|_filter\s*\(|_match\s*\(", query):
+        if not re.search(
+            r"(?i)\blambda\b|\[|_transform\s*\(|_filter\s*\(|_match\s*\(|generate_series\s*\(",
+            query,
+        ):
             return query
 
         out: list[str] = []
@@ -270,6 +273,22 @@ class SessionContext:
             out.append(ch)
             i += 1
         rewritten = "".join(out)
+        # generate_series TVF: inclusive bounds, column `value` -> Spark's
+        # native exclusive-bound range TVF (still a lazy, splittable scan)
+        rewritten = re.sub(
+            r"(?i)\b(FROM|JOIN)\s+generate_series\s*\(([^()]*)\)",
+            lambda m: (
+                f"{m.group(1)} (SELECT id AS value FROM range("
+                + ", ".join(
+                    f"({a.strip()}) + 1"
+                    if i == (1 if len(m.group(2).split(",")) > 1 else 0)
+                    else a.strip()
+                    for i, a in enumerate(m.group(2).split(","))
+                )
+                + "))"
+            ),
+            rewritten,
+        )
         for dfn, spk in (
             ("array_transform", "transform"),
             ("list_transform", "transform"),
@@ -379,7 +398,13 @@ class SessionContext:
             reader = reader.schema(self._schema(schema))
         else:
             reader = reader.option("inferSchema", "true")
-        paths = [path] if isinstance(path, str) else [str(p) for p in path]
+        import os as _os
+
+        paths = (
+            [str(path)]
+            if isinstance(path, (str, _os.PathLike))
+            else [str(p) for p in path]
+        )
         # DataFrameReader.csv takes ONE path-or-list arg (second positional
         # is the schema) — unlike .parquet(*paths)
         return DataFrame(reader.csv(paths if len(paths) > 1 else paths[0]))
@@ -397,7 +422,13 @@ class SessionContext:
         reader = self.spark.read
         if schema is not None:
             reader = reader.schema(self._schema(schema))
-        paths = [path] if isinstance(path, str) else [str(p) for p in path]
+        import os as _os
+
+        paths = (
+            [str(path)]
+            if isinstance(path, (str, _os.PathLike))
+            else [str(p) for p in path]
+        )
         # DataFrameReader.json takes ONE path-or-list arg (see read_csv)
         return DataFrame(reader.json(paths if len(paths) > 1 else paths[0]))
 
@@ -442,7 +473,7 @@ class SessionContext:
             out.df.createOrReplaceTempView(name)
         return out
 
-    def from_arrow(self, data, name: str | None = None) -> DataFrame:
+    def from_arrow(self, data, name: str | None = None, n_partitions: int = 1) -> DataFrame:
         import pyarrow as pa
 
         if isinstance(data, pa.RecordBatch):
@@ -459,6 +490,11 @@ class SessionContext:
             sdf = self.spark.createDataFrame(data)
         except Exception:
             sdf = self.spark.createDataFrame(data.to_pandas())
+        # honor the declared partition structure (reference MemTable: one
+        # partition per provided batch list; from_arrow = one) — keeps
+        # collect_partitioned shapes and written-file order deterministic.
+        # coalesce is a narrow op: no shuffle, row order preserved.
+        sdf = sdf.coalesce(max(1, n_partitions))
         out = DataFrame(sdf)
         if name:
             out.df.createOrReplaceTempView(name)
@@ -470,7 +506,11 @@ class SessionContext:
         import pyarrow as pa
 
         batches = [b for part in partitions for b in part]
-        return self.from_arrow(pa.Table.from_batches(batches), name)
+        if not batches and schema is not None:
+            return self.from_arrow(pa.Table.from_batches([], schema=schema), name)
+        return self.from_arrow(
+            pa.Table.from_batches(batches), name, n_partitions=max(1, len(partitions))
+        )
 
     # -- registration ---------------------------------------------------------------
     def register_parquet(self, name: str, path: str, **kwargs: Any) -> None:

@@ -12,6 +12,7 @@ count/write. Plan introspection maps to Spark's queryExecution.
 
 from __future__ import annotations
 
+import os
 from typing import Any, Iterable, Sequence
 
 import pyarrow as pa
@@ -180,8 +181,14 @@ class DataFrameWriteOptions:
     ) -> None:
         self.insert_operation = insert_operation
         self.single_file_output = single_file_output
-        self.partition_by = list(partition_by or [])
-        self.sort_by = list(sort_by or [])
+
+        def norm(x):
+            if x is None:
+                return []
+            return list(x) if isinstance(x, (list, tuple)) else [x]
+
+        self.partition_by = norm(partition_by)
+        self.sort_by = norm(sort_by)
 
 
 def _join_how(how: str) -> str:
@@ -279,11 +286,49 @@ class DataFrame:
 
         return ExecutionPlan(self)
 
-    def explain(self, verbose: bool = False, analyze: bool = False) -> None:
-        self.df.explain(extended=verbose)
+    def explain(self, verbose: bool = False, analyze: bool = False, format: str | None = None) -> None:  # noqa: A002
+        """Print the plan (ref dataframe.py explain). ``format`` accepts
+        the reference's ExplainFormat ("indent"/"tree") and Spark's
+        native modes; "tree" maps to Spark's formatted display."""
+        fmt = getattr(format, "value", format)
+        if fmt is None:
+            self.df.explain(extended=verbose)
+        elif str(fmt).lower() in ("tree", "formatted"):
+            self.df.explain(mode="formatted")
+        elif str(fmt).lower() == "indent":
+            self.df.explain(extended=verbose)
+        else:
+            raise ValueError(f"unknown explain format: {format!r}")
+
+    def _limited_batches(self, n: int):
+        tbl = self._normalize_arrow(self.df.limit(n + 1).toArrow()).combine_chunks()
+        has_more = tbl.num_rows > n
+        return tbl.slice(0, n).to_batches(), tbl.schema, has_more
 
     def __repr__(self) -> str:
-        return f"DataFrame({self.df.schema.simpleString()})"
+        from .dataframe_formatter import get_formatter
+
+        fmt = get_formatter()
+        batches, schema, has_more = self._limited_batches(fmt.repr_rows)
+        body = fmt.format_str(batches, schema, has_more=has_more)
+        return f"DataFrame()\n{body}"
+
+    def _repr_html_(self) -> str:
+        from .dataframe_formatter import get_formatter
+
+        fmt = get_formatter()
+        batches, schema, has_more = self._limited_batches(fmt.max_rows)
+        return fmt.format_html(batches, schema, has_more=has_more)
+
+    @staticmethod
+    def default_str_repr(batches, schema, has_more: bool, table_uuid: str | None = None) -> str:
+        """Default string rendering of record batches (ref
+        dataframe.py:404)."""
+        from .dataframe_formatter import DataFrameHtmlFormatter
+
+        return DataFrameHtmlFormatter().format_str(
+            list(batches), schema, has_more=has_more, table_uuid=table_uuid
+        )
 
     def __getitem__(self, key) -> "DataFrame":
         """Column-subset indexing: ``df["a"]``, ``df["a", "b"]``,
@@ -825,12 +870,45 @@ class DataFrame:
         return streams
 
     def __iter__(self):
-        return iter(self.collect())
+        """Iterate RecordBatch wrappers via the incremental stream (ref
+        dataframe.py:1817 — streaming, no up-front collect)."""
+        return iter(self.execute_stream())
 
     def __arrow_c_stream__(self, requested_schema=None):
-        return self.df.toArrow().__arrow_c_stream__(requested_schema)
+        """Arrow PyCapsule stream (ref dataframe.py __arrow_c_stream__):
+        streams batches incrementally (no collect), honoring a
+        ``requested_schema`` by projecting to its column subset/order
+        and casting types."""
+        from .record_batch import arrow_batch_iter
+
+        sdf = self.df
+        if requested_schema is not None:
+            want = pa.schema(requested_schema)
+            sdf = sdf.select(*[f.name for f in want])
+        schema = self._normalize_arrow(sdf.limit(0).toArrow()).schema
+        if requested_schema is not None:
+            schema = want
+
+        def gen():
+            for b in arrow_batch_iter(sdf, 8192):
+                t = self._normalize_arrow(pa.Table.from_batches([b]))
+                if requested_schema is not None:
+                    t = t.cast(want)
+                yield from t.to_batches()
+
+        return pa.RecordBatchReader.from_batches(schema, gen()).__arrow_c_stream__()
 
     # -- writers -----------------------------------------------------------------
+    def _write_df(self, write_options: "DataFrameWriteOptions | None"):
+        """Apply DataFrameWriteOptions.sort_by before writing: a global
+        orderBy range-partitions the output, so partition files carry
+        ascending key ranges and a read-back preserves the order at any
+        partition count."""
+        if write_options and write_options.sort_by:
+            keys = [to_sort_expr(k)._to_spark() for k in write_options.sort_by]
+            return self.df.orderBy(*keys)
+        return self.df
+
     def write_parquet(
         self,
         path: str,
@@ -840,7 +918,7 @@ class DataFrame:
     ) -> None:
         if isinstance(compression, ParquetWriterOptions):
             return self.write_parquet_with_options(path, compression, write_options)
-        writer = self.df.write.mode("overwrite")
+        writer = self._write_df(write_options).write.mode("overwrite")
         if write_options and write_options.partition_by:
             writer = writer.partitionBy(*write_options.partition_by)
         if compression_level is not None and compression == "zstd":
@@ -858,7 +936,7 @@ class DataFrame:
         """Write parquet with full writer options, including per-column
         bloom-filter/dictionary settings (ref dataframe.py:1583;
         ParquetColumnOptions ref dataframe.py:296)."""
-        writer = self.df.write.mode("overwrite")
+        writer = self._write_df(write_options).write.mode("overwrite")
         if write_options and write_options.partition_by:
             writer = writer.partitionBy(*write_options.partition_by)
         for k, v in options._spark_options().items():
@@ -866,20 +944,76 @@ class DataFrame:
         writer.parquet(str(path))
 
     def write_csv(self, path: str, with_header: bool = False, write_options=None) -> None:
-        self.df.write.mode("overwrite").option("header", str(with_header).lower()).csv(str(path))
+        writer = self._write_df(write_options).write.mode("overwrite")
+        if write_options and write_options.partition_by:
+            writer = writer.partitionBy(*write_options.partition_by)
+        writer.option("header", str(with_header).lower()).csv(str(path))
 
     def write_json(self, path: str, write_options=None) -> None:
-        self.df.write.mode("overwrite").json(str(path))
+        writer = self._write_df(write_options).write.mode("overwrite")
+        if write_options and write_options.partition_by:
+            writer = writer.partitionBy(*write_options.partition_by)
+        writer.json(str(path))
 
     def write_table(self, name: str, write_options: DataFrameWriteOptions | None = None) -> None:
         mode = "append"
         if write_options and write_options.insert_operation in ("overwrite", "replace"):
             mode = "overwrite"
-        self.df.write.mode(mode).saveAsTable(name)
+        spark = self.df.sparkSession
+        sdf = self._write_df(write_options)
+        # a registered temp view is our analogue of DataFusion's MemTable:
+        # INSERT appends by replacing the view with old ∪ new (both lazy)
+        short = name.split(".")[-1]
+        try:
+            is_temp = any(
+                t.name == short and t.isTemporary for t in spark.catalog.listTables()
+            )
+        except Exception:
+            is_temp = False
+        if is_temp:
+            if mode == "overwrite":
+                sdf.createOrReplaceTempView(name)
+            else:
+                spark.table(name).unionByName(sdf).createOrReplaceTempView(name)
+            return
+        if not spark.catalog.tableExists(name):
+            # the catalog has no such table, so a directory at its
+            # managed location is an orphan from an earlier session —
+            # Spark refuses to create over it (LOCATION_ALREADY_EXISTS);
+            # clear it the way a fresh engine (or the in-memory
+            # reference) effectively would
+            import shutil
+            from urllib.parse import urlparse
+
+            warehouse = spark.conf.get("spark.sql.warehouse.dir")
+            loc = urlparse(warehouse)
+            base = loc.path if loc.scheme in ("", "file") else None
+            if base and "." not in name:
+                orphan = os.path.join(base, name.lower())
+                if os.path.isdir(orphan):
+                    shutil.rmtree(orphan, ignore_errors=True)
+        sdf.write.mode(mode).saveAsTable(name)
 
     # -- misc ---------------------------------------------------------------------
     def fill_null(self, value, subset: Sequence[str] | None = None) -> "DataFrame":
-        return DataFrame(self.df.na.fill(value, subset=list(subset) if subset else None))
+        """Fill nulls with ``value`` coerced to each column's type (ref
+        dataframe.py fill_null: one value fills ALL types — 0 becomes
+        "0" in strings, False in booleans, a date fills date columns).
+        Columns whose type can't hold the value are left unchanged
+        (try_cast yields null → coalesce keeps the original)."""
+        targets = set(subset) if subset else {f.name for f in self.df.schema.fields}
+        cols = []
+        for fld in self.df.schema.fields:
+            if fld.name in targets:
+                try:
+                    filler = F.lit(value).try_cast(fld.dataType)
+                except Exception:
+                    filler = None
+                if filler is not None:
+                    cols.append(F.coalesce(F.col(fld.name), filler).alias(fld.name))
+                    continue
+            cols.append(F.col(fld.name))
+        return DataFrame(self.df.select(*cols))
 
     def fill_nan(self, value, subset: Sequence[str] | None = None) -> "DataFrame":
         # NaN only — nulls stay null (Spark's na.fill replaces both, the

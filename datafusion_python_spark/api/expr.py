@@ -368,6 +368,12 @@ class Expr:
 
     # -- window attach (ref expr.py:1074 Expr.over) ---------------------------
     def over(self, window: "Window") -> "Expr":
+        if getattr(self, "_over_fn", None) is not None:
+            wf = window.window_frame
+            if wf is None or wf.units != "groups":
+                # value functions built without explicit partition/order
+                # re-bind natively inside the window spec
+                return self._over_fn(window)
         wf = window.window_frame
         if wf is not None and wf.units == "groups":
             # Defer: the GROUPS rewrite needs a dense_rank helper column
@@ -628,7 +634,13 @@ class WindowFrame:
     def __init__(self, units: str, start_bound: int | None, end_bound: int | None) -> None:
         units = units.lower()
         if units not in ("rows", "range", "groups"):
-            raise ValueError(f"invalid frame units: {units}")
+            # NotImplementedError to match the reference's error class
+            raise NotImplementedError(f"invalid frame units: {units}")
+        if units == "groups" and (start_bound is None or end_bound is None):
+            # ref expr.py:1605-1608 — groups requires both bounds
+            raise NotImplementedError(
+                "groups frames require explicit start and end bounds"
+            )
         self.units = units
         self.start_bound = start_bound
         self.end_bound = end_bound
@@ -649,8 +661,14 @@ class Window:
         order_by: list | None = None,
         null_treatment: str | None = None,
     ) -> None:
-        self.partition_by = partition_by or []
-        self.order_by = order_by or []
+        def norm(x):
+            # a bare Expr/SortExpr reads like a one-element list (ref)
+            if x is None:
+                return []
+            return list(x) if isinstance(x, (list, tuple)) else [x]
+
+        self.partition_by = norm(partition_by)
+        self.order_by = norm(order_by)
         self.window_frame = window_frame
         self.null_treatment = null_treatment
 
@@ -662,7 +680,9 @@ class Window:
                 "expression with Expr.over and project it through the "
                 "DataFrame wrapper"
             )
-        spec = SparkWindow.partitionBy(*[_c(p) for p in self.partition_by])
+        spec = SparkWindow.partitionBy(
+            *[F.col(p) if isinstance(p, str) else _c(p) for p in self.partition_by]
+        )
         if self.order_by:
             spec = spec.orderBy(*[to_sort_expr(k)._to_spark() for k in self.order_by])
         if self.window_frame is not None:

@@ -229,7 +229,12 @@ pow = power  # noqa: A001
 
 
 def round(e, decimal_places=0) -> Expr:  # noqa: A001
-    places = decimal_places if isinstance(decimal_places, int) else 0
+    if isinstance(decimal_places, Expr):
+        try:
+            decimal_places = int(decimal_places.python_value())
+        except Exception:
+            decimal_places = 0
+    places = int(decimal_places) if isinstance(decimal_places, (int, float)) else 0
     return Expr(F.round(_u(e), places))
 
 
@@ -780,6 +785,24 @@ def _kept_structs(c: Column, pred: Column | None, ignore: bool) -> Column:
     return F.collect_list(s)
 
 
+def _defer_over(out: Expr, native: Column, extra_order=None, stable: bool = False) -> Expr:
+    """Attach a window re-binder: ``expr.over(Window(...))`` rebuilds the
+    NATIVE windowed form (F.first/F.last/F.nth_value/...) inside the
+    window spec instead of windowing the aggregate-context composition."""
+
+    def over_fn(window):
+        w2 = Window(
+            partition_by=window.partition_by,
+            window_frame=window.window_frame,
+            order_by=(list(extra_order or []) or list(window.order_by)) or None,
+            null_treatment=window.null_treatment,
+        )
+        return Expr(native.over(w2._to_spark()))
+
+    out._over_fn = over_fn
+    return out
+
+
 def first_value(e, filter=None, order_by=None, null_treatment=None) -> Expr:
     c, state = _agg_input(e)
     if filter is not None:
@@ -788,10 +811,14 @@ def first_value(e, filter=None, order_by=None, null_treatment=None) -> Expr:
     ob = _ob(order_by, state)
     ignore = _ignore_nulls(null_treatment, state)
     if ob:
-        return Expr(_ordered_values(c, ob, skip_null_values=ignore, pred=pred)[0]["v"])
-    if pred is not None:
-        return Expr(F.element_at(_kept_structs(c, pred, ignore), 1)["v"])
-    return Expr(F.first(c, ignorenulls=ignore))
+        out = Expr(_ordered_values(c, ob, skip_null_values=ignore, pred=pred)[0]["v"])
+    elif pred is not None:
+        out = Expr(F.element_at(_kept_structs(c, pred, ignore), 1)["v"])
+    else:
+        out = Expr(F.first(c, ignorenulls=ignore))
+    if pred is None:
+        _defer_over(out, F.first(c, ignorenulls=ignore), extra_order=ob)
+    return out
 
 
 def last_value(e, filter=None, order_by=None, null_treatment=None) -> Expr:
@@ -803,11 +830,15 @@ def last_value(e, filter=None, order_by=None, null_treatment=None) -> Expr:
     ignore = _ignore_nulls(null_treatment, state)
     if ob:
         lst = _ordered_values(c, ob, skip_null_values=ignore, pred=pred)
-        return Expr(F.element_at(lst, F.size(lst))["v"])
-    if pred is not None:
+        out = Expr(F.element_at(lst, F.size(lst))["v"])
+    elif pred is not None:
         lst = _kept_structs(c, pred, ignore)
-        return Expr(F.element_at(lst, F.size(lst))["v"])
-    return Expr(F.last(c, ignorenulls=ignore))
+        out = Expr(F.element_at(lst, F.size(lst))["v"])
+    else:
+        out = Expr(F.last(c, ignorenulls=ignore))
+    if pred is None:
+        _defer_over(out, F.last(c, ignorenulls=ignore), extra_order=ob)
+    return out
 
 
 def nth_value(e, n: int, filter=None, order_by=None, null_treatment=None) -> Expr:
@@ -818,10 +849,14 @@ def nth_value(e, n: int, filter=None, order_by=None, null_treatment=None) -> Exp
     ignore = _ignore_nulls(null_treatment, state)
     ob = _ob(order_by, state)
     if ob:
-        return Expr(
+        out = Expr(
             F.element_at(_ordered_values(c, ob, skip_null_values=ignore, pred=pred), n)["v"]
         )
-    return Expr(F.element_at(_kept_structs(c, pred, ignore), n)["v"])
+    else:
+        out = Expr(F.element_at(_kept_structs(c, pred, ignore), n)["v"])
+    if pred is None:
+        _defer_over(out, F.nth_value(c, n, ignoreNulls=ignore), extra_order=ob)
+    return out
 
 
 def _ordered_values(
@@ -915,17 +950,35 @@ def string_agg(e, delimiter: str = ",", filter=None, order_by=None) -> Expr:
 # ---------------------------------------------------------------------------
 # window functions (ref functions/__init__.py:6553-7053) — partition_by /
 # order_by kwargs build the OVER clause, like the reference
-def _win(col: Column, partition_by, order_by_keys) -> Column:
+def _pcol(p) -> Column:
+    # partition keys: a string names a column (not a literal)
+    return F.col(p) if isinstance(p, str) else _u(p)
+
+
+def _win(col: Column, partition_by, order_by_keys, stable: bool = False) -> Column:
     from pyspark.sql import Window as W
 
-    spec = W.partitionBy(*[_u(p) for p in (partition_by or [])])
-    if order_by_keys:
-        spec = spec.orderBy(*[to_sort_expr(k)._to_spark() for k in order_by_keys])
+    # bare Expr/SortExpr accepted like one-element lists (ref signatures)
+    parts = partition_by if isinstance(partition_by, (list, tuple)) else (
+        [] if partition_by is None else [partition_by]
+    )
+    keys = order_by_keys if isinstance(order_by_keys, (list, tuple)) else (
+        [] if order_by_keys is None else [order_by_keys]
+    )
+    spec = W.partitionBy(*[_pcol(p) for p in parts])
+    if keys:
+        sort_cols = [to_sort_expr(k)._to_spark() for k in keys]
+        if stable:
+            # DataFusion breaks order-key ties by input order (stable
+            # window sort); pin it with a per-row monotonic id so
+            # positional functions (row_number/ntile/lead/lag) match
+            sort_cols.append(F.monotonically_increasing_id().asc())
+        spec = spec.orderBy(*sort_cols)
     return col.over(spec)
 
 
 def row_number(partition_by=None, order_by=None) -> Expr:
-    return Expr(_win(F.row_number(), partition_by, order_by))
+    return Expr(_win(F.row_number(), partition_by, order_by, stable=True))
 
 
 def rank(partition_by=None, order_by=None) -> Expr:
@@ -945,17 +998,17 @@ def cume_dist(partition_by=None, order_by=None) -> Expr:
 
 
 def ntile(n: int, partition_by=None, order_by=None) -> Expr:
-    return Expr(_win(F.ntile(n), partition_by, order_by))
+    return Expr(_win(F.ntile(n), partition_by, order_by, stable=True))
 
 
 def lead(e, shift_offset: int = 1, default_value=None, partition_by=None, order_by=None) -> Expr:
     c = F.lead(_u(e), shift_offset, default_value)
-    return Expr(_win(c, partition_by, order_by))
+    return Expr(_win(c, partition_by, order_by, stable=True))
 
 
 def lag(e, shift_offset: int = 1, default_value=None, partition_by=None, order_by=None) -> Expr:
     c = F.lag(_u(e), shift_offset, default_value)
-    return Expr(_win(c, partition_by, order_by))
+    return Expr(_win(c, partition_by, order_by, stable=True))
 
 
 # ---------------------------------------------------------------------------

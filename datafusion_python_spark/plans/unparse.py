@@ -169,6 +169,13 @@ class _Unparse:
             f"SELECT * FROM {self._from(p.child())} OFFSET {p.offsetExpr().sql()}"
         )
 
+    def _repartition(self, p) -> str:
+        # physical layout only — no effect on the relational result
+        return self.plan(p.child())
+
+    def _repartitionbyexpression(self, p) -> str:
+        return self.plan(p.child())
+
     def _distinct(self, p) -> str:
         return f"SELECT DISTINCT * FROM {self._from(p.child())}"
 

@@ -691,10 +691,12 @@ def win_groups_frame(spark, sf_dir):
         order_by=[day.sort()],
         window_frame=WindowFrame("groups", 1, 0),
     )
+    # bounds must be explicit for groups (ref WindowFrame: "If unit
+    # type is groups, this parameter must be set")
     running = DFWindow(
         partition_by=[dfcol("user_id")],
         order_by=[day.sort()],
-        window_frame=WindowFrame("groups", None, 0),
+        window_frame=WindowFrame("groups", 2, 0),
     )
     step = DFWrap(ev).select(
         dfcol("user_id"),
@@ -726,7 +728,8 @@ WITH d AS (
 ), dd AS (
   SELECT user_id, day,
          day_sum + coalesce(lag(day_sum) OVER (PARTITION BY user_id ORDER BY day), 0) AS gsum,
-         sum(day_cnt) OVER (PARTITION BY user_id ORDER BY day) AS gcnt
+         sum(day_cnt) OVER (PARTITION BY user_id ORDER BY day
+                            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS gcnt
   FROM d
 )
 SELECT e.user_id, e.event_id, round(dd.gsum, 2) AS g_sum, dd.gcnt AS g_cnt

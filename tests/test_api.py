@@ -140,11 +140,19 @@ def test_window_frame_groups(ctx):
     ).sort("v").to_pydict()
     assert out["gsum"] == [2, 2, 6, 6, 9]
 
-    # unbounded-preceding groups frame == running sum over whole groups
+    # groups frames require explicit bounds, matching the reference
+    # (ref expr.py:1605-1608, tests/test_dataframe.py
+    # test_invalid_window_frame[groups-None-0])
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError, match="(?i)groups"):
+        WindowFrame("groups", None, 0)
+
+    # wide explicit bound == running count over whole peer groups
     w2 = Window(
         partition_by=[col("g")],
         order_by=[col("v").sort()],
-        window_frame=WindowFrame("groups", None, 0),
+        window_frame=WindowFrame("groups", 10, 0),
     )
     out2 = d.select(
         col("v"), f.count(col("v")).over(w2).alias("gcnt")
