@@ -315,12 +315,34 @@ def levenshtein(a, b) -> Expr:
     return Expr(F.levenshtein(_u(a), _u(b)))
 
 
-def lpad(s, n, pad: str = " ") -> Expr:
-    return Expr(F.lpad(_u(s), n, pad))
+def _pystr(v, default=None):
+    """Accept str | literal Expr for string-valued args."""
+    if isinstance(v, Expr):
+        try:
+            return str(v.python_value())
+        except Exception:
+            return default
+    return v if isinstance(v, str) else default
 
 
-def rpad(s, n, pad: str = " ") -> Expr:
-    return Expr(F.rpad(_u(s), n, pad))
+def _pyint(n, default=None):
+    """Accept int | literal Expr for count-style args."""
+    if isinstance(n, Expr):
+        try:
+            return int(n.python_value())
+        except Exception:
+            return default
+    return int(n) if isinstance(n, (int, float)) else default
+
+
+def lpad(s, n, pad=" ") -> Expr:
+    pad = pad.python_value() if isinstance(pad, Expr) else (pad if pad is not None else " ")
+    return Expr(F.lpad(_u(s), _pyint(n, 0), pad))
+
+
+def rpad(s, n, pad=" ") -> Expr:
+    pad = pad.python_value() if isinstance(pad, Expr) else (pad if pad is not None else " ")
+    return Expr(F.rpad(_u(s), _pyint(n, 0), pad))
 
 
 def overlay(s, replace_s, pos, length_n=None) -> Expr:
@@ -357,8 +379,8 @@ def substr_index(s, delim, count) -> Expr:
 substring_index = substr_index
 
 
-def translate(s, from_s: str, to_s: str) -> Expr:
-    return Expr(F.translate(_u(s), from_s, to_s))
+def translate(s, from_s, to_s) -> Expr:
+    return Expr(F.translate(_u(s), _pystr(from_s, ""), _pystr(to_s, "")))
 
 
 def to_hex(e) -> Expr:
@@ -392,22 +414,61 @@ def regexp_match(s, pattern, flags=None) -> Expr:
 
 
 def regexp_replace(s, pattern, replacement, flags=None) -> Expr:
-    return Expr(F.regexp_replace(_u(s), _flagged(pattern, flags), replacement))
+    pat = _flagged(pattern, flags)
+    rep = replacement if isinstance(replacement, str) else _u(replacement)
+    if not isinstance(pat, str):
+        pat = pat if isinstance(pat, Column) else F.lit(pat)
+        rep = F.lit(rep) if isinstance(rep, str) else rep
+    return Expr(F.regexp_replace(_u(s), pat, rep))
 
 
 def regexp_count(s, pattern, start=None, flags=None) -> Expr:
-    return Expr(F.regexp_count(_u(s), F.lit(_flagged(pattern, flags))))
+    c = _u(s)
+    st = _pyint(start, 1) or 1
+    if st > 1:
+        c = F.substr(c, F.lit(st))
+    return Expr(F.regexp_count(c, F.lit(_flagged(pattern, flags))).cast("long"))
 
 
-def regexp_instr(s, pattern, start=None, flags=None) -> Expr:
-    return Expr(F.regexp_instr(_u(s), F.lit(_flagged(pattern, flags))))
+def regexp_instr(s, pattern, start=None, n=None, flags=None, sub_expr=None) -> Expr:
+    """Position of the n-th regex match (of capture group ``sub_expr``)
+    at or after ``start`` (ref functions/__init__.py:1919). Composed
+    from Spark's regexp_instr over a shrinking search window: each of
+    the n-1 leading matches advances the window past its full match —
+    all codegen, no UDF; n/start/sub_expr accept literal ints."""
+    pat = _flagged(pattern, flags)
+    pat_str = pat if isinstance(pat, str) else None
+    pat_l = F.lit(pat) if isinstance(pat, str) else pat
+    idx = _pyint(sub_expr, 0) or 0
+    st = _pyint(start, 1) or 1
+    nn = _pyint(n, 1) or 1
+    c = _u(s)
+    frm = F.lit(st)
+    for _ in range(max(0, nn - 1)):
+        sub = F.substr(c, frm)
+        p = F.regexp_instr(sub, pat_l, 0)
+        absp = F.when(p == 0, F.lit(0)).otherwise(p + frm - 1)
+        mlen = (
+            F.length(F.regexp_extract(sub, pat_str, 0))
+            if pat_str is not None
+            else F.lit(1)
+        )
+        # past-the-end sentinel when no further match exists
+        frm = F.when(absp == 0, F.length(c) + 1).otherwise(absp + F.greatest(mlen, F.lit(1)))
+    sub = F.substr(c, frm)
+    p = F.regexp_instr(sub, pat_l, idx)
+    return Expr(F.when(p == 0, F.lit(0)).otherwise(p + frm - 1).cast("long"))
 
 
 def _flagged(pattern, flags):
     if isinstance(pattern, Expr):
-        return pattern.expr
+        v = _pystr(pattern)
+        if v is None:
+            return pattern.expr  # dynamic pattern column; flags unsupported
+        pattern = v
     if flags:
-        return f"(?{flags}){pattern}"
+        flags = _pystr(flags, flags) or ""
+        return f"(?{flags}){pattern}" if flags else pattern
     return pattern
 
 
@@ -1689,3 +1750,7 @@ def _attach_expr_methods() -> None:
 
 
 _attach_expr_methods()
+
+
+# ref functions/spark.py — importable as functions.spark
+from . import spark_functions as spark  # noqa: E402
