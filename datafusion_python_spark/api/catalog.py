@@ -65,11 +65,18 @@ class Table:
 class Schema:
     """A database within a catalog (ref catalog.py:123)."""
 
-    def __init__(self, spark: SparkSession, name: str) -> None:
+    def __init__(self, spark: SparkSession, name: str, ctx=None) -> None:
         self._spark = spark
         self.name = name
+        self._ctx = ctx
 
     def names(self) -> set[str]:
+        # When navigated from a SessionContext, list only that context's
+        # registrations — DataFusion contexts are isolated; Spark temp
+        # views are session-global (see SessionContext._registered_names).
+        reg = getattr(self._ctx, "_registered_names", None)
+        if reg is not None:
+            return set(reg)
         return {t.name for t in self._spark.catalog.listTables(self.name)}
 
     def table_names(self) -> set[str]:
@@ -80,9 +87,14 @@ class Schema:
 
     def register_table(self, name: str, table_df) -> None:
         table_df.df.createOrReplaceTempView(name)
+        if self._ctx is not None:
+            self._ctx._note_table(name)
 
     def deregister_table(self, name: str) -> None:
         self._spark.catalog.dropTempView(name)
+        reg = getattr(self._ctx, "_registered_names", None)
+        if reg is not None:
+            reg.discard(name)
 
     def table_exist(self, name: str) -> bool:
         return name in self.names()
@@ -254,9 +266,10 @@ class ProviderCatalog:
 class Catalog:
     """Top-level catalog (ref catalog.py:51)."""
 
-    def __init__(self, spark: SparkSession, name: str = "spark_catalog") -> None:
+    def __init__(self, spark: SparkSession, name: str = "spark_catalog", ctx=None) -> None:
         self._spark = spark
         self.name = name
+        self._ctx = ctx
 
     def names(self) -> set[str]:
         return {d.name for d in self._spark.catalog.listDatabases()}
@@ -265,7 +278,7 @@ class Catalog:
         return self.names()
 
     def schema(self, name: str = "default") -> Schema:
-        return Schema(self._spark, name)
+        return Schema(self._spark, name, ctx=self._ctx)
 
     database = schema
 

@@ -118,6 +118,30 @@ class SessionContext:
                 self.spark.catalog.setCurrentDatabase(default_schema)
             except Exception:
                 pass
+        # names created by the CREATE TABLE memory-table shim (see
+        # _statement_shim) — INSERT INTO these re-registers the view
+        self._memory_tables: set[str] = set()
+        # tables registered through THIS context. DataFusion contexts are
+        # isolated; Spark temp views are session-global — the catalog
+        # listing (ctx.catalog().schema().names()) reports only this
+        # context's registrations to preserve the reference's isolation
+        # semantics (ref tests/test_sql.py test_register_csv).
+        self._registered_names: set[str] = set()
+        # DataFusion never constant-folds a scan into the plan; Catalyst's
+        # ConvertToLocalRelation folds Project/Filter into in-memory
+        # relations, which erases the nodes plan introspection
+        # (to_variant, ref tests/test_expr.py) walks. Excluding the rule
+        # only affects literal LocalRelations — file scans are untouched.
+        try:
+            key = "spark.sql.optimizer.excludedRules"
+            rule = "org.apache.spark.sql.catalyst.optimizer.ConvertToLocalRelation"
+            current = self.spark.conf.get(key, None)
+            if not current:
+                self.spark.conf.set(key, rule)
+            elif rule not in current:
+                self.spark.conf.set(key, f"{current},{rule}")
+        except Exception:
+            pass
 
     # -- SQL ----------------------------------------------------------------
     def sql(self, query: str, options: SQLOptions | None = None, **named_params) -> DataFrame:
@@ -132,36 +156,151 @@ class SessionContext:
         if shim is not None:
             return shim
         query = self._rewrite_datafusion_sql(query)
-        if named_params:
-            df = self.spark.sql(query, args=named_params)
-        else:
-            df = self.spark.sql(query)
+        try:
+            if named_params:
+                df = self.spark.sql(query, args=named_params)
+            else:
+                df = self.spark.sql(query)
+        except Exception as ex:
+            raise self._translate_analysis_error(ex) from None
         return DataFrame(df)
 
+    @staticmethod
+    def _translate_analysis_error(ex: Exception) -> Exception:
+        """Map Catalyst analysis errors onto the reference's error text
+        where its tests assert exact messages (ref datafusion-common
+        error.rs plan_err formats)."""
+        try:
+            from pyspark.errors import AnalysisException
+
+            if isinstance(ex, AnalysisException):
+                cond = None
+                for probe in ("getCondition", "getErrorClass"):
+                    try:
+                        cond = getattr(ex, probe)()
+                        break
+                    except Exception:
+                        continue
+                if cond == "TABLE_OR_VIEW_NOT_FOUND":
+                    params = ex.getMessageParameters() or {}
+                    rel = str(params.get("relationName", "")).replace("`", "")
+                    if rel and "." not in rel:
+                        rel = f"datafusion.public.{rel}"
+                    return ValueError(
+                        f"Error during planning: table '{rel}' not found"
+                    )
+        except Exception:
+            pass
+        return ex
+
     def _statement_shim(self, query: str):
-        """Accept DataFusion statements Spark's parser rejects but whose
-        execution is a no-op in the reference too (ref tests/test_expr.py
-        test_create_index/test_transaction_start/test_transaction_end):
+        """Accept DataFusion statements Spark's parser handles
+        differently (or rejects), preserving the reference's observable
+        behavior (ref tests/test_expr.py test_create_index /
+        test_transaction_* / test_dml_statement):
 
         - ``CREATE INDEX ...`` — neither engine builds a real index
           (DataFusion only parses it); Spark prunes via parquet
           statistics / file layout instead. Accepted, returns empty.
         - ``START TRANSACTION / BEGIN / COMMIT / ROLLBACK`` —
           single-statement engines; accepted as no-ops.
+        - ``CREATE TABLE t (cols)`` — DataFusion builds an in-memory
+          MemTable scoped to the context; the Spark-first analogue is a
+          temp view over an empty DataFrame (NOT a warehouse table —
+          keeps contexts ephemeral like the reference's).
+        - ``INSERT INTO t ...`` for such memory tables — executed by
+          re-registering the union (Spark can't insert into a plain
+          temp view); returns the written row count like DataFusion.
 
-        Returns an empty DataFrame for shimmed statements, else None.
+        Each shimmed DataFrame carries ``_plan_variant`` so
+        ``logical_plan().to_variant()`` downcasts like the reference.
+        Returns None for statements Spark should parse natively.
         """
         import re
 
+        from . import expr_nodes as _v
+
         q = query.strip().rstrip(";").strip()
+        if not hasattr(self, "_memory_tables"):
+            self._memory_tables = set()
+
+        def _tag(df, variant):
+            df._plan_variant = variant
+            return df
+
         # bare statements only — Spark 4's BEGIN ... END compound scripts
         # must still reach the native parser
-        if re.match(r"(?is)^CREATE\s+(UNIQUE\s+)?INDEX\s+", q) or re.fullmatch(
+        if re.match(r"(?is)^CREATE\s+(UNIQUE\s+)?INDEX\s+", q):
+            return _tag(
+                DataFrame(self.spark.createDataFrame([], "result string")),
+                _v.CreateIndex(),
+            )
+        m = re.fullmatch(
             r"(?is)(START\s+TRANSACTION|BEGIN(\s+(TRANSACTION|WORK))?"
             r"|COMMIT(\s+WORK)?|ROLLBACK(\s+WORK)?)",
             q,
-        ):
-            return DataFrame(self.spark.createDataFrame([], "result string"))
+        )
+        if m:
+            kind = m.group(1).split()[0].upper()
+            variant = (
+                _v.TransactionStart()
+                if kind in ("START", "BEGIN")
+                else _v.TransactionEnd()
+            )
+            return _tag(
+                DataFrame(self.spark.createDataFrame([], "result string")), variant
+            )
+        # CREATE TABLE name (col defs) — memory table (no USING / AS /
+        # LOCATION clause, which stay native)
+        m = re.match(
+            r"(?is)^CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+(IF\s+NOT\s+EXISTS\s+)?"
+            r"([\w.]+)\s*\((.+)\)\s*$",
+            q,
+        )
+        if m and not re.search(r"(?is)\b(USING|LOCATION|STORED)\b", q):
+            name = m.group(3)
+            ddl = m.group(4)
+            df = self.spark.createDataFrame([], ddl)
+            df.createOrReplaceTempView(name.split(".")[-1])
+            self._memory_tables.add(name.split(".")[-1].lower())
+            self._note_table(name.split(".")[-1])
+            return _tag(
+                DataFrame(self.spark.createDataFrame([], "result string")),
+                _v.CreateMemoryTable(name=name),
+            )
+        # CREATE TABLE name AS <query> — memory CTAS
+        m = re.match(
+            r"(?is)^CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+(IF\s+NOT\s+EXISTS\s+)?"
+            r"([\w.]+)\s+AS\s+(.+)$",
+            q,
+        )
+        if m and not re.search(r"(?is)\b(USING|LOCATION|STORED)\b", q):
+            name = m.group(3)
+            df = self.spark.sql(self._rewrite_datafusion_sql(m.group(4)))
+            df.createOrReplaceTempView(name.split(".")[-1])
+            self._memory_tables.add(name.split(".")[-1].lower())
+            self._note_table(name.split(".")[-1])
+            return _tag(
+                DataFrame(self.spark.createDataFrame([], "result string")),
+                _v.CreateMemoryTable(name=name),
+            )
+        # INSERT INTO memory-table
+        m = re.match(r"(?is)^INSERT\s+INTO\s+([\w.]+)\s+(.+)$", q)
+        if m and m.group(1).split(".")[-1].lower() in self._memory_tables:
+            name = m.group(1).split(".")[-1]
+            body = m.group(2)
+            existing = self.spark.table(name)
+            rows = self.spark.sql(self._rewrite_datafusion_sql(body))
+            cols = existing.columns
+            aligned = rows.toDF(*cols)
+            for f in existing.schema.fields:
+                aligned = aligned.withColumn(
+                    f.name, aligned[f.name].cast(f.dataType)
+                )
+            n = aligned.count()
+            existing.unionByName(aligned).createOrReplaceTempView(name)
+            out = DataFrame(self.spark.createDataFrame([(n,)], "count: bigint"))
+            return _tag(out, _v.DmlStatement(name=name))
         return None
 
     @staticmethod
@@ -173,14 +312,15 @@ class SessionContext:
         import re
 
         m = re.match(
-            r"(?is)^\s*COPY\s+(\(.*\)|[\w.]+)\s+TO\s+'([^']+)'"
+            r"(?is)^\s*COPY\s+(\(.*\)|[\w.]+)\s+TO\s+(?:'([^']+)'|([\w./-]+))"
             r"(?:\s+STORED\s+AS\s+(\w+))?"
             r"(?:\s+PARTITIONED\s+BY\s+\(([^)]*)\))?\s*;?\s*$",
             query,
         )
         if not m:
             return None
-        source, path, fmt, part = m.groups()
+        source, path, bare_path, fmt, part = m.groups()
+        path = path or bare_path
         if fmt is None:
             ext = path.rsplit(".", 1)[-1].lower()
             fmt = ext if ext in ("parquet", "csv", "json") else "parquet"
@@ -202,9 +342,13 @@ class SessionContext:
         else:
             raise ValueError(f"COPY TO: unsupported format {fmt!r}")
         # DataFusion's COPY returns the written row count
-        return DataFrame(
+        from . import expr_nodes as _v
+
+        out = DataFrame(
             self.spark.createDataFrame([(df.count(),)], "count: bigint")
         )
+        out._plan_variant = _v.CopyTo(url=path, format=fmt)
+        return out
 
     @staticmethod
     def _rewrite_datafusion_sql(query: str) -> str:
@@ -334,6 +478,35 @@ class SessionContext:
         out._url_table = True
         return out
 
+    def _register_object_store_for_path(self, path, store) -> None:
+        """Parse a URL-style path and register ``store`` for its scheme +
+        host (ref context.py:616-653) — the convenience used by the
+        ``object_store=`` parameter on register_*/read_* file methods."""
+        from urllib.parse import urlparse
+
+        parsed = urlparse(str(path))
+        if not parsed.scheme:
+            raise ValueError(
+                f"Cannot determine object store URL from path {str(path)!r}. "
+                "The path must use a URL scheme (e.g. 's3://bucket/key')."
+            )
+        if parsed.scheme != "file" and not parsed.netloc:
+            raise ValueError(
+                f"Cannot determine object store URL from path {str(path)!r}. "
+                "The path must include a host or bucket (e.g. 's3://bucket/key')."
+            )
+        scheme = f"{parsed.scheme}://"
+        host = parsed.netloc or None
+        self.register_object_store(scheme, store, host=host)
+
+    def _maybe_store(self, path, kwargs: dict) -> None:
+        """Pop ``object_store`` from kwargs and register it for path
+        (first path of a list)."""
+        store = kwargs.pop("object_store", None)
+        if store is not None:
+            first = path[0] if isinstance(path, (list, tuple)) else path
+            self._register_object_store_for_path(first, store)
+
     def register_object_store(self, schema: str, store, host: str | None = None) -> None:
         """Register cloud storage credentials/endpoints (ref context.py:595,
         object_store.py:21-27) by applying the store's Hadoop FS configs to
@@ -348,8 +521,24 @@ class SessionContext:
     def sql_with_options(self, query: str, options: SQLOptions) -> DataFrame:
         return self.sql(query, options=options)
 
-    def parse_sql_expr(self, sql: str) -> Expr:
-        return Expr(F.expr(sql))
+    def parse_sql_expr(self, sql: str, df_schema=None) -> Expr:
+        """Parse an SQL expression string (ref context.py parse_sql_expr;
+        the schema argument is accepted for signature parity — Spark
+        resolves lazily against the enclosing plan)."""
+        return Expr(F.expr(self._rewrite_datafusion_sql(sql)))
+
+    def enable_ident_normalization(self) -> bool:
+        """DataFusion's identifier-normalization toggle (ref
+        sql_parser.enable_ident_normalization). Spark lowercases
+        unquoted identifiers the same way; the setting is tracked so
+        SET statements round-trip."""
+        try:
+            v = self.spark.conf.get(
+                "datafusion.sql_parser.enable_ident_normalization"
+            )
+            return str(v).lower() != "false"
+        except Exception:
+            return True
 
     # -- reads ----------------------------------------------------------------
     def read_parquet(
@@ -362,6 +551,7 @@ class SessionContext:
         schema=None,
         **_: Any,
     ) -> DataFrame:
+        self._maybe_store(path, _)
         from ..tables import enable_ns_reads, fix_ns_timestamps
 
         enable_ns_reads(self.spark)
@@ -389,6 +579,15 @@ class SessionContext:
         options=None,
         **_: Any,
     ) -> DataFrame:
+        self._maybe_store(path, _)
+        if delimiter is not None and len(delimiter) != 1:
+            raise ValueError("delimiter must be a single character")
+        if file_compression_type is not None and file_compression_type not in (
+            "gzip", "bz2", "xz", "zstd", "gz",
+        ):
+            raise ValueError(
+                "file_compression_type must be one of: gzip, bz2, xz, zstd"
+            )
         reader = self.spark.read.option("header", str(has_header).lower()).option("sep", delimiter)
         if options is not None:  # CsvReadOptions: full option translation
             schema = options.schema if schema is None else schema
@@ -419,6 +618,7 @@ class SessionContext:
         file_compression_type: str | None = None,
         **_: Any,
     ) -> DataFrame:
+        self._maybe_store(path, _)
         reader = self.spark.read
         if schema is not None:
             reader = reader.schema(self._schema(schema))
@@ -439,6 +639,7 @@ class SessionContext:
         the classpath (native, block-splittable); otherwise falls back to
         the pure-Python container reader in ``sources/avro.py`` —
         binaryFile distribution + Arrow-batched mapInPandas decode."""
+        self._maybe_store(path, _)
         try:
             return DataFrame(self.spark.read.format("avro").load(path))
         except Exception as ex:
@@ -467,10 +668,18 @@ class SessionContext:
 
         return self.from_arrow(pa.Table.from_pylist(data), name)
 
+    def _fresh_name(self) -> str:
+        """Unique memtable name, reference format c<uuid-hex> (ref
+        context.py create_dataframe)."""
+        import uuid
+
+        return "c" + uuid.uuid4().hex
+
     def from_pandas(self, df, name: str | None = None) -> DataFrame:
         out = DataFrame(self.spark.createDataFrame(df))
-        if name:
-            out.df.createOrReplaceTempView(name)
+        name = name or self._fresh_name()
+        out.df.createOrReplaceTempView(name)
+        self._note_table(name)
         return out
 
     def from_arrow(self, data, name: str | None = None, n_partitions: int = 1) -> DataFrame:
@@ -483,6 +692,43 @@ class SessionContext:
         if not isinstance(data, pa.Table) and hasattr(data, "__arrow_c_array__"):
             # Arrow PyCapsule array protocol (ref from_arrow accepts both)
             data = pa.Table.from_batches([pa.record_batch(data)])
+        # view/large types aren't accepted by Spark's Arrow ingestion;
+        # cast them up-front so the ARROW-NATIVE path is taken (the
+        # pandas fallback silently turns NaN into null)
+        if isinstance(data, pa.Table):
+            def _devw(t):
+                if pa.types.is_string_view(t) or pa.types.is_large_string(t):
+                    return pa.string()
+                if pa.types.is_binary_view(t) or pa.types.is_large_binary(t):
+                    return pa.binary()
+                if pa.types.is_list_view(t):
+                    return pa.list_(_devw(t.value_type))
+                if pa.types.is_large_list(t):
+                    return pa.list_(_devw(t.value_type))
+                if pa.types.is_list(t):
+                    return pa.list_(_devw(t.value_type))
+                if pa.types.is_struct(t):
+                    return pa.struct([pa.field(f.name, _devw(f.type), nullable=f.nullable) for f in t])
+                return t
+
+            tgt = pa.schema(
+                [pa.field(f.name, _devw(f.type), nullable=f.nullable) for f in data.schema]
+            )
+            if tgt != data.schema:
+                cols = []
+                for i, f in enumerate(tgt):
+                    col = data.column(i)
+                    if f.type != data.schema.field(i).type:
+                        try:
+                            col = col.cast(f.type)
+                        except Exception:
+                            # view-type casts unsupported in this pyarrow:
+                            # rebuild (in-memory ingestion path, small data)
+                            col = pa.chunked_array(
+                                [pa.array(col.to_pylist(), type=f.type)]
+                            )
+                    cols.append(col)
+                data = pa.Table.from_arrays(cols, schema=tgt)
         try:
             # Spark 4 accepts a pyarrow Table directly — Arrow-native path,
             # no pandas round-trip (which loses ns-timestamp/decimal
@@ -496,8 +742,11 @@ class SessionContext:
         # coalesce is a narrow op: no shuffle, row order preserved.
         sdf = sdf.coalesce(max(1, n_partitions))
         out = DataFrame(sdf)
-        if name:
-            out.df.createOrReplaceTempView(name)
+        # every in-memory frame registers (the reference's from_arrow /
+        # create_dataframe always create a named MemTable)
+        name = name or self._fresh_name()
+        out.df.createOrReplaceTempView(name)
+        self._note_table(name)
         return out
 
     create_dataframe_from_logical_plan = None  # plan interchange: unsupported
@@ -513,17 +762,26 @@ class SessionContext:
         )
 
     # -- registration ---------------------------------------------------------------
+    def _note_table(self, name: str) -> None:
+        if not hasattr(self, "_registered_names"):
+            self._registered_names = set()
+        self._registered_names.add(name)
+
     def register_parquet(self, name: str, path: str, **kwargs: Any) -> None:
         self.read_parquet(path, **kwargs).df.createOrReplaceTempView(name)
+        self._note_table(name)
 
     def register_csv(self, name: str, path: str, **kwargs: Any) -> None:
         self.read_csv(path, **kwargs).df.createOrReplaceTempView(name)
+        self._note_table(name)
 
     def register_json(self, name: str, path: str, **kwargs: Any) -> None:
         self.read_json(path, **kwargs).df.createOrReplaceTempView(name)
+        self._note_table(name)
 
     def register_avro(self, name: str, path: str, **kwargs: Any) -> None:
         self.read_avro(path, **kwargs).df.createOrReplaceTempView(name)
+        self._note_table(name)
 
     def register_listing_table(self, name: str, path: str, **kwargs: Any) -> None:
         self.register_parquet(name, path, **kwargs)
@@ -551,31 +809,44 @@ class SessionContext:
         if files and fmt == "parquet":
             df = self.spark.read.parquet(*files)
             df.createOrReplaceTempView(name)
+            self._note_table(name)
             return
         try:
             from ..sources.arrow_dataset import read_dataset
 
             df = read_dataset(self.spark, dataset)
             df.createOrReplaceTempView(name)
+            self._note_table(name)
         except Exception:
             # datasets without scanner support — materialize
             self.from_arrow(dataset.to_table(), name)
 
     def register_view(self, name: str, df: DataFrame) -> None:
         df.df.createOrReplaceTempView(name)
+        self._note_table(name)
 
     def register_table(self, name: str, table) -> None:
         if isinstance(table, DataFrame):
             table.df.createOrReplaceTempView(name)
+            self._note_table(name)
         else:
             raise TypeError("only DataFrame-backed tables are supported")
 
     def deregister_table(self, name: str) -> None:
         self.spark.catalog.dropTempView(name)
+        if hasattr(self, "_registered_names"):
+            self._registered_names.discard(name)
 
     # -- catalog ---------------------------------------------------------------------
     def table(self, name: str) -> DataFrame:
-        return DataFrame(self.spark.table(name))
+        try:
+            return DataFrame(self.spark.table(name))
+        except Exception as ex:
+            # the reference raises KeyError for unknown tables
+            msg = str(ex)
+            if "TABLE_OR_VIEW_NOT_FOUND" in msg or "cannot be found" in msg:
+                raise KeyError(name) from None
+            raise
 
     def table_exist(self, name: str) -> bool:
         return self.spark.catalog.tableExists(name)
@@ -592,7 +863,7 @@ class SessionContext:
         providers = getattr(self, "_catalog_providers", {})
         if name in providers:
             return ProviderCatalog(self.spark, name, providers[name])
-        return Catalog(self.spark, name)
+        return Catalog(self.spark, name, ctx=self)
 
     def register_catalog_provider(self, name: str, provider) -> None:
         """Register a Python CatalogProvider (ref context.py:948,
@@ -722,12 +993,14 @@ class SessionContext:
         return sorted(self._udf_registry("udtf"))
 
     # -- arrow/batch/table ingestion (ref context.py:973-1035, 1297, 2025) --------------
-    def read_arrow(self, data, name: str | None = None) -> DataFrame:
+    def read_arrow(self, data, name: str | None = None, **kwargs: Any) -> DataFrame:
         """Create a DataFrame from any Arrow-protocol object (ref
         read_arrow) — alias of :meth:`from_arrow`."""
+        self._maybe_store(data, kwargs)
         return self.from_arrow(data, name)
 
-    def register_arrow(self, name: str, data) -> None:
+    def register_arrow(self, name: str, data, **kwargs: Any) -> None:
+        self._maybe_store(data, kwargs)
         self.from_arrow(data, name)
 
     def read_batch(self, batch) -> DataFrame:

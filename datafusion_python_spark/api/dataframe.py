@@ -257,10 +257,29 @@ class DataFrame:
 
     # -- schema / introspection -------------------------------------------
     def schema(self):
-        """pyarrow schema of the relation (ref dataframe.py:430)."""
-        import pyarrow as pa
+        """pyarrow schema of the relation (ref dataframe.py:430).
+        Spark drops StructField metadata on Arrow export; re-attach it so
+        alias(..., metadata=...) round-trips like the reference."""
+        import json
 
-        return pa.schema(self.df.limit(0).toArrow().schema)
+        from .expr import ARROW_LIT_META_KEY
+
+        base = self._restore_arrow_types(
+            self._normalize_arrow(self.df.limit(0).toArrow())
+        ).schema
+        try:
+            sfields = {f.name: f.metadata for f in self.df.schema.fields}
+        except Exception:
+            return pa.schema(base)
+        out = []
+        for f in base:
+            md = {
+                k: v if isinstance(v, (str, bytes)) else json.dumps(v)
+                for k, v in (sfields.get(f.name) or {}).items()
+                if k != ARROW_LIT_META_KEY
+            }
+            out.append(f.with_metadata(md) if md else f)
+        return pa.schema(out)
 
     @property
     def columns(self) -> list[str]:
@@ -301,7 +320,9 @@ class DataFrame:
             raise ValueError(f"unknown explain format: {format!r}")
 
     def _limited_batches(self, n: int):
-        tbl = self._normalize_arrow(self.df.limit(n + 1).toArrow()).combine_chunks()
+        tbl = self._restore_arrow_types(
+            self._normalize_arrow(self.df.limit(n + 1).toArrow())
+        ).combine_chunks()
         has_more = tbl.num_rows > n
         return tbl.slice(0, n).to_batches(), tbl.schema, has_more
 
@@ -750,8 +771,10 @@ class DataFrame:
             if pa.types.is_fixed_size_list(t):
                 return pa.list_(pa.field("item", fix(t.value_type)), t.list_size)
             if pa.types.is_struct(t):
+                # Spark proves struct children non-null for literals;
+                # Arrow/DataFusion convention keeps them nullable
                 return pa.struct(
-                    [pa.field(f.name, fix(f.type), nullable=f.nullable) for f in t]
+                    [pa.field(f.name, fix(f.type), nullable=True) for f in t]
                 )
             if pa.types.is_map(t):
                 return pa.map_(fix(t.key_type), fix(t.item_type))
@@ -762,6 +785,70 @@ class DataFrame:
         )
         return tbl.cast(schema) if schema != tbl.schema else tbl
 
+    def _restore_arrow_types(self, tbl):
+        """Cast back columns whose Spark field metadata carries an
+        ``__arrow_lit_type__`` tag (Arrow types Spark cannot represent
+        natively ride through the engine in a lossless storage encoding
+        — see expr._lit_scalar)."""
+        import base64
+
+        from .expr import ARROW_LIT_META_KEY
+
+        try:
+            fields = self.df.schema.fields
+        except Exception:
+            return tbl
+        for f in fields:
+            md = f.metadata or {}
+            user_md = {
+                k: v if isinstance(v, (str, bytes)) else __import__("json").dumps(v)
+                for k, v in md.items()
+                if k != ARROW_LIT_META_KEY
+            }
+            if user_md:
+                idx = tbl.schema.get_field_index(f.name)
+                if idx >= 0:
+                    fld = tbl.schema.field(idx).with_metadata(user_md)
+                    tbl = tbl.set_column(idx, fld, tbl.column(idx))
+            tag = md.get(ARROW_LIT_META_KEY)
+            if not tag:
+                continue
+            try:
+                target = pa.ipc.read_schema(
+                    pa.BufferReader(base64.b64decode(tag))
+                ).field(0).type
+                idx = tbl.schema.get_field_index(f.name)
+                if idx < 0:
+                    continue
+                col = tbl.column(idx)
+                try:
+                    restored = col.cast(target)
+                except Exception:
+                    if pa.types.is_interval(target):
+                        restored = pa.chunked_array([
+                            pa.array(
+                                [
+                                    None
+                                    if v is None
+                                    else (v["months"], v["days"], v["nanoseconds"])
+                                    for v in chunk.to_pylist()
+                                ],
+                                type=target,
+                            )
+                            for chunk in col.chunks
+                        ], type=target)
+                    else:
+                        restored = pa.chunked_array([
+                            pa.array(chunk.to_pylist(), type=target)
+                            for chunk in col.chunks
+                        ], type=target)
+                tbl = tbl.set_column(
+                    idx, pa.field(f.name, target, nullable=True), restored
+                )
+            except Exception:
+                continue
+        return tbl
+
     def collect(self):
         """list[pyarrow.RecordBatch] like the reference (dataframe.py:959).
 
@@ -769,17 +856,19 @@ class DataFrame:
         DataFusion's default batch size (8192), so a small result is a
         single batch regardless of how many Spark partitions produced
         it — matching what the reference's tests assert on."""
-        tbl = self._normalize_arrow(self.df.toArrow())
+        tbl = self._restore_arrow_types(self._normalize_arrow(self.df.toArrow()))
         return tbl.combine_chunks().to_batches(max_chunksize=8192)
 
     def to_arrow_table(self):
-        return self._normalize_arrow(self.df.toArrow())
+        return self._restore_arrow_types(self._normalize_arrow(self.df.toArrow()))
 
     def collect_column(self, column_name: str):
         """Execute for a single column → pyarrow ChunkedArray (ref
         dataframe.py collect_column). Column pruning reaches the scan —
         only the requested column is read."""
-        return self._normalize_arrow(self.df.select(column_name).toArrow()).column(0)
+        return self._restore_arrow_types(
+            self._normalize_arrow(self.df.select(column_name).toArrow())
+        ).column(0)
 
     def collect_partitioned(self) -> list[list]:
         """list[list[RecordBatch]] preserving input partitioning (ref
@@ -885,13 +974,17 @@ class DataFrame:
         if requested_schema is not None:
             want = pa.schema(requested_schema)
             sdf = sdf.select(*[f.name for f in want])
-        schema = self._normalize_arrow(sdf.limit(0).toArrow()).schema
+        schema = self._restore_arrow_types(
+            self._normalize_arrow(sdf.limit(0).toArrow())
+        ).schema
         if requested_schema is not None:
             schema = want
 
         def gen():
             for b in arrow_batch_iter(sdf, 8192):
-                t = self._normalize_arrow(pa.Table.from_batches([b]))
+                t = self._restore_arrow_types(
+                    self._normalize_arrow(pa.Table.from_batches([b]))
+                )
                 if requested_schema is not None:
                     t = t.cast(want)
                 yield from t.to_batches()

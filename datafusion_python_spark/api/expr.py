@@ -176,6 +176,20 @@ class Expr:
 
     # -- python dunder surface -------------------------------------------
     def __repr__(self) -> str:
+        # Literals render in the reference's Rust Debug form —
+        # Expr(Utf8("x")) / Expr(Int64(5)) / Expr(List([1, 2, 3])) —
+        # which its tests assert on (tests/test_expr.py).
+        ro = getattr(self, "_repr_override", None)
+        if ro is not None:
+            return ro
+        try:
+            from .expr_nodes import Literal as _LitVariant
+
+            v = self.to_variant()
+            if isinstance(v, _LitVariant):
+                return f"Expr({v!r})"
+        except Exception:
+            pass
         return f"Expr({self.expr})"
 
     def __add__(self, o): return _e(self.expr + _c(o))
@@ -219,10 +233,9 @@ class Expr:
             )
         )
 
-    def __bool__(self):
-        raise ValueError(
-            "Expr cannot be evaluated to a boolean; use & | ~ for logic"
-        )
+    # NOTE: no __bool__ override — the reference Expr is a plain truthy
+    # object (its tests rely on `assert expr_a == expr_b` passing by
+    # truthiness of the comparison expression).
 
     # -- naming / casting --------------------------------------------------
     def alias(self, name: str, metadata: dict | None = None) -> "Expr":
@@ -452,7 +465,13 @@ class Expr:
         from ..common import RexType
 
         try:
-            cls = self._jnode().getClass().getSimpleName()
+            n = self._jnode()
+            if (
+                n.getClass().getSimpleName() == "Cast"
+                and n.child().getClass().getSimpleName() == "Literal"
+            ):
+                return RexType.Literal
+            cls = n.getClass().getSimpleName()
         except Exception:
             return RexType.Other
         return {
@@ -491,22 +510,38 @@ class Expr:
         """Extract the Python value of a literal expression (ref
         python_value; raises ValueError for non-literals)."""
         n = self._jnode()
+        # look through the Int64-defaulting lit cast (see lit())
+        if (
+            n.getClass().getSimpleName() == "Cast"
+            and n.child().getClass().getSimpleName() == "Literal"
+        ):
+            n = n.child()
         if n.getClass().getSimpleName() != "Literal":
             raise ValueError(f"not a literal expression: {self.expr}")
         return n.value()
 
     def variant_name(self) -> str:
-        """Name of the underlying expression variant (ColumnNode class)."""
+        """Name of the underlying expression variant (ColumnNode class).
+        The Int64-defaulting lit cast (see lit()) is transparent."""
         try:
-            return self._jnode().getClass().getSimpleName()
+            n = self._jnode()
+            if (
+                n.getClass().getSimpleName() == "Cast"
+                and n.child().getClass().getSimpleName() == "Literal"
+            ):
+                return "Literal"
+            return n.getClass().getSimpleName()
         except Exception:
             return type(self.expr).__name__
 
     def to_variant(self):
-        """The reference downcasts to a Rust expression variant; the
-        Spark analogue is the ColumnNode, exposed via the introspection
-        methods (variant_name / rex_*). Returns self."""
-        return self
+        """Downcast to the matching expression variant class (ref
+        expr.py Expr.to_variant → Rust enum downcast). Dispatches on
+        the underlying ColumnNode / Catalyst expression — see
+        expr_nodes.py."""
+        from .expr_nodes import expr_to_variant
+
+        return expr_to_variant(self)
 
     def types(self):
         """Data type of this expression when derivable without a plan
@@ -540,9 +575,11 @@ class Expr:
         return json.dumps(payload).encode()
 
     @staticmethod
-    def from_bytes(data: bytes) -> "Expr":
+    def from_bytes(data: bytes, ctx=None) -> "Expr":
         """Reconstruct an expression serialized by :meth:`to_bytes` on
-        the receiving session (see :func:`..api.ipc.set_worker_ctx`)."""
+        the receiving session (see :func:`..api.ipc.set_worker_ctx`).
+        ``ctx`` matches the reference signature — the decode uses the
+        session's JVM, which is process-shared here."""
         import base64
         import json
 
@@ -710,13 +747,53 @@ class CaseBuilder:
         out._whens = self._whens + [(cond, _c(result))]
         return out
 
+    @staticmethod
+    def _kind(c: Column) -> str | None:
+        """Coarse literal type class for eager CASE type-checking
+        (DataFusion coerces at plan time and raises on mixed result
+        types; Spark would silently coerce to string)."""
+        try:
+            n = c._jc.node()
+            if (
+                n.getClass().getSimpleName() == "Cast"
+                and n.child().getClass().getSimpleName() == "Literal"
+            ):
+                n = n.child()
+            if n.getClass().getSimpleName() != "Literal":
+                return None
+            v = n.value()
+        except Exception:
+            return None
+        if isinstance(v, bool):
+            return "bool"
+        if isinstance(v, (int, float)):
+            return "num"
+        if isinstance(v, str):
+            return "str"
+        return None
+
+    def _check_types(self, extra: Column | None = None) -> None:
+        kinds = {k for k in (
+            [self._kind(res) for _, res in self._whens]
+            + ([self._kind(extra)] if extra is not None else [])
+        ) if k is not None}
+        if len(kinds) > 1:
+            raise ValueError(
+                "CASE expression result branches have multiple data types "
+                f"({', '.join(sorted(kinds))}); all WHEN/ELSE results must "
+                "coerce to a common type"
+            )
+
     def otherwise(self, default) -> Expr:
+        d = _c(default)
+        self._check_types(d)
         col = None
         for cond, res in self._whens:
             col = F.when(cond, res) if col is None else col.when(cond, res)
-        return _e(col.otherwise(_c(default)))
+        return _e(col.otherwise(d))
 
     def end(self) -> Expr:
+        self._check_types()
         col = None
         for cond, res in self._whens:
             col = F.when(cond, res) if col is None else col.when(cond, res)
@@ -744,16 +821,162 @@ column = _Col()
 
 def lit(value: Any) -> Expr:
     """Literal (ref expr.py:834). pyarrow Scalars are accepted and keep
-    their Arrow type (ref Expr.literal / tests/test_expr.py
-    test_round_trip_pyscalar_value)."""
+    their EXACT Arrow type through collect/export (ref Expr.literal /
+    tests/test_expr.py test_round_trip_pyscalar_value): types Spark
+    represents natively pass straight through; the rest ride as their
+    lossless storage encoding plus an ``__arrow_lit_type__`` field-
+    metadata tag that DataFrame's Arrow export casts back."""
     import pyarrow as pa
 
     _ensure_jvm()
     if isinstance(value, pa.Scalar):
-        from pyspark.sql.pandas.types import from_arrow_type
-
-        return Expr(F.lit(value.as_py()).cast(from_arrow_type(value.type)))
+        return _lit_scalar(value)
+    if not isinstance(value, pa.Array) and hasattr(value, "__arrow_c_array__"):
+        # Arrow PyCapsule protocol objects (arro3 / nanoarrow scalars &
+        # arrays): single-element payloads are scalars, else array lits
+        arr = pa.array(value)
+        if len(arr) == 1 and not hasattr(value, "__len__"):
+            return _lit_scalar(arr[0])
+        value = arr
+    if isinstance(value, int) and not isinstance(value, bool):
+        # DataFusion plans a bare Python int as Int64; Spark's lit makes
+        # an Int32. The cast's Cast(Literal) node is transparently
+        # unwrapped by python_value / to_variant.
+        if -(2**63) <= value < 2**63:
+            return Expr(F.lit(value).cast(T.LongType()))
+        return Expr(F.lit(value))
+    if isinstance(value, (list, tuple)):
+        try:
+            value = pa.array(value)
+        except Exception:
+            return Expr(F.lit(list(value)))
+    if isinstance(value, pa.Array):
+        e = _lit_scalar(pa.scalar(value.to_pylist(), type=pa.list_(value.type)))
+        # the reference Debug-renders array literals as List([...])
+        e._repr_override = f"Expr(List({value.to_pylist()}))"
+        return e
     return Expr(F.lit(value))
+
+
+# Arrow-literal fidelity helpers ------------------------------------------
+
+ARROW_LIT_META_KEY = "__arrow_lit_type__"
+
+
+def _arrow_type_faithful(t) -> bool:
+    """True when a Spark round-trip re-exports this Arrow type
+    bit-identically (no metadata tag needed)."""
+    import pyarrow as pa
+
+    if pa.types.is_null(t) or pa.types.is_boolean(t) or pa.types.is_string(t):
+        return True
+    if pa.types.is_integer(t) and not pa.types.is_unsigned_integer(t):
+        return True
+    if pa.types.is_float32(t) or pa.types.is_float64(t):
+        return True
+    if pa.types.is_binary(t) or pa.types.is_date32(t):
+        return True
+    if pa.types.is_decimal128(t):
+        return True
+    if pa.types.is_timestamp(t) and t.unit == "us" and t.tz == "UTC":
+        # naive µs goes through the tag path: F.lit(datetime) builds a
+        # session-zoned TimestampType, which exports tz-aware
+        return True
+    if pa.types.is_list(t):
+        return _arrow_type_faithful(t.value_type)
+    if pa.types.is_struct(t):
+        return all(_arrow_type_faithful(f.type) for f in t)
+    if pa.types.is_map(t):
+        return _arrow_type_faithful(t.key_type) and _arrow_type_faithful(t.item_type)
+    return False
+
+
+def _build_typed_lit(value, t) -> Column:
+    """A Spark Column literal of the Spark type matching Arrow type
+    ``t`` (recursive — F.lit alone can't build structs/maps)."""
+    import pyarrow as pa
+    from pyspark.sql.pandas.types import from_arrow_type
+
+    if value is None:
+        return F.lit(None).cast(from_arrow_type(t))
+    if pa.types.is_struct(t):
+        return F.struct(
+            *[_build_typed_lit(value.get(f.name), f.type).alias(f.name) for f in t]
+        )
+    if pa.types.is_map(t):
+        items = list(value.items()) if isinstance(value, dict) else list(value)
+        if not items:
+            return F.lit(None).cast(from_arrow_type(t))
+        return F.map_from_arrays(
+            F.array(*[_build_typed_lit(k, t.key_type) for k, _ in items]),
+            F.array(*[_build_typed_lit(v, t.item_type) for _, v in items]),
+        )
+    if (
+        pa.types.is_list(t)
+        or pa.types.is_large_list(t)
+        or pa.types.is_fixed_size_list(t)
+    ):
+        if not value:
+            return F.lit([]).cast(
+                from_arrow_type(pa.list_(t.value_type))
+            )
+        return F.array(*[_build_typed_lit(v, t.value_type) for v in value])
+    return F.lit(value).cast(from_arrow_type(t))
+
+
+def _lit_scalar(s) -> Expr:
+    """pa.Scalar → Expr preserving the exact Arrow type (see lit)."""
+    import base64
+
+    import pyarrow as pa
+
+    t = s.type
+    if _arrow_type_faithful(t):
+        return Expr(_build_typed_lit(s.as_py(), t))
+
+    # storage encoding: a Spark-representable column whose export can be
+    # cast back to the exact Arrow type by _restore_arrow_types
+    v = s.as_py()
+    if pa.types.is_unsigned_integer(t):
+        if v is not None and int(v) > 2**63 - 1:
+            col = F.lit(str(int(v)))  # uint64 beyond Java long: decimal string
+        else:
+            col = F.lit(int(v) if v is not None else None).cast("bigint")
+    elif pa.types.is_decimal256(t):
+        col = F.lit(str(v) if v is not None else None)
+    elif pa.types.is_large_string(t) or pa.types.is_string_view(t):
+        col = F.lit(v)
+    elif pa.types.is_large_binary(t) or pa.types.is_fixed_size_binary(t) or pa.types.is_binary_view(t):
+        col = F.lit(bytes(v) if v is not None else None).cast("binary")
+    elif (
+        pa.types.is_date64(t)
+        or pa.types.is_time32(t)
+        or pa.types.is_time64(t)
+        or pa.types.is_timestamp(t)
+        or pa.types.is_duration(t)
+    ):
+        raw = s.value  # epoch / midnight offset in the type's own unit
+        col = F.lit(int(raw) if raw is not None else None).cast("bigint")
+    elif pa.types.is_interval(t):  # month_day_nano
+        mdn = s.value
+        if mdn is None:
+            col = F.lit(None).cast("struct<months:int,days:int,nanoseconds:bigint>")
+        else:
+            col = F.struct(
+                F.lit(int(mdn.months)).cast("int").alias("months"),
+                F.lit(int(mdn.days)).cast("int").alias("days"),
+                F.lit(int(mdn.nanoseconds)).cast("bigint").alias("nanoseconds"),
+            )
+    elif pa.types.is_large_list(t) or pa.types.is_fixed_size_list(t):
+        col = _build_typed_lit(v, pa.list_(t.value_type))
+    else:
+        # last resort: storage as the as_py value, restore by rebuild
+        col = F.lit(v)
+
+    tag = base64.b64encode(
+        pa.schema([pa.field("t", t)]).serialize().to_pybytes()
+    ).decode()
+    return Expr(col.alias("literal", metadata={ARROW_LIT_META_KEY: tag}))
 
 
 literal = lit
@@ -763,30 +986,39 @@ literal = lit
 # Coercion helpers (ref expr.py:288-440): accepted by higher-level APIs so
 # user code written against the reference's utilities keeps working.
 def ensure_expr(value) -> Column:
-    """Unwrap an Expr to its Spark Column; reject non-Expr values (ref
-    ensure_expr — strings are NOT coerced here, by design)."""
+    """Unwrap an Expr to its Spark Column; reject non-Expr values with
+    the reference's canonical TypeError (ref expr.py:288 — strings are
+    NOT coerced here, by design)."""
     if isinstance(value, Expr):
         return value.expr
     if isinstance(value, Column):
         return value
-    raise TypeError(f"expected Expr, got {type(value).__name__}: {value!r}")
+    raise TypeError(EXPR_TYPE_ERROR)
 
 
 def ensure_expr_list(values) -> list[Column]:
-    """ensure_expr over a sequence (ref ensure_expr_list)."""
-    return [ensure_expr(v) for v in values]
+    """ensure_expr over a possibly-nested iterable; string-likes are
+    atomic (rejected), matching ref expr.py:313-341."""
+    def _iter(items):
+        for v in items:
+            if isinstance(v, Iterable) and not isinstance(
+                v, (Expr, str, bytes, bytearray)
+            ):
+                yield from _iter(v)
+            else:
+                yield ensure_expr(v)
+
+    return list(_iter(values))
 
 
 def coerce_to_expr(value) -> "Expr":
-    """Wrap any value as an Expr: Expr passes through, strings become
-    column references, other values become literals (ref coerce_to_expr)."""
+    """Wrap any value as an Expr: Expr passes through, everything else
+    (including strings) becomes a LITERAL — ref expr.py:343-359."""
     if isinstance(value, Expr):
         return value
     if isinstance(value, Column):
         return Expr(value)
-    if isinstance(value, str):
-        return Expr(F.col(value))
-    return Expr(F.lit(value))
+    return Expr.literal(value)
 
 
 def coerce_to_expr_or_none(value):
@@ -820,3 +1052,14 @@ def sort_list_to_raw_sort_list(sort_list) -> list[Column] | None:
     if isinstance(sort_list, (Expr, SortExpr, str)):
         sort_list = [sort_list]
     return [sort_or_default(e) for e in sort_list]
+
+
+# -- plan / expression variant classes (ref expr.py:85-200 re-exports) ----
+# Imported last: expr_nodes imports Expr from this module at call time.
+from .expr_nodes import *  # noqa: E402,F401,F403
+from .expr_nodes import __all__ as _variant_all  # noqa: E402
+
+# ``SortKey`` is a typing alias in the reference (expr.py:1734)
+SortKey = Expr | SortExpr | str
+
+__all__ = list(dict.fromkeys(__all__ + _variant_all + ["SortKey"]))

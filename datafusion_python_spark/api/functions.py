@@ -95,7 +95,9 @@ def nanvl(a, b) -> Expr:
 
 
 def isnan(e) -> Expr:
-    return Expr(F.isnan(_u(e)))
+    # DataFusion propagates NULL; Spark's isnan(NULL) is false
+    c = _u(e)
+    return Expr(F.when(c.isNull(), F.lit(None).cast("boolean")).otherwise(F.isnan(c)))
 
 
 def iszero(e) -> Expr:
@@ -103,7 +105,21 @@ def iszero(e) -> Expr:
 
 
 def arrow_typeof(e) -> Expr:
-    return Expr(F.typeof(_u(e)))
+    # Spark typeof emits SQL names (array<bigint>); DataFusion emits the
+    # arrow DataType Debug form (List(Int64)). Static string translation
+    # — order matters (bigint before int, etc.)
+    c = F.typeof(_u(e))
+    for old, new in (
+        ("bigint", "Int64"), ("tinyint", "Int8"), ("smallint", "Int16"),
+        ("int", "Int32"), ("double", "Float64"), ("float", "Float32"),
+        ("string", "Utf8"), ("boolean", "Boolean"), ("binary", "Binary"),
+        ("date", "Date32"),
+        ("timestamp_ntz", "Timestamp(Microsecond, None)"),
+        ("timestamp", 'Timestamp(Microsecond, Some("UTC"))'),
+        ("array<", "List("), (">", ")"),
+    ):
+        c = F.replace(c, F.lit(old), F.lit(new))
+    return Expr(c)
 
 
 def arrow_cast(e, to) -> Expr:
@@ -147,6 +163,24 @@ def row(*es) -> Expr:
 
 # ---------------------------------------------------------------------------
 # math (ref functions/__init__.py:941-2928 math section)
+
+def _arrow_typed(col: Column, patype, name: str) -> Column:
+    """Attach the Arrow-export restore tag (see expr._lit_scalar /
+    DataFrame._restore_arrow_types) for functions whose DataFusion
+    return type Spark cannot represent (u64 lengths, second-precision
+    timestamps). The storage column is lossless; export casts back."""
+    import base64
+
+    import pyarrow as pa
+
+    from .expr import ARROW_LIT_META_KEY
+
+    tag = base64.b64encode(
+        pa.schema([pa.field("t", patype)]).serialize().to_pybytes()
+    ).decode()
+    return col.alias(name, metadata={ARROW_LIT_META_KEY: tag})
+
+
 def _m1(fn):
     def f(e) -> Expr:
         return Expr(fn(_u(e)))
@@ -162,17 +196,40 @@ asinh = _m1(F.asinh)
 atan = _m1(F.atan)
 atanh = _m1(F.atanh)
 cbrt = _m1(F.cbrt)
-ceil = _m1(F.ceil)
+def ceil(e) -> Expr:
+    # DataFusion coerces ceil/floor to Float64; Spark returns LONG
+    return Expr(F.ceil(_u(e)).cast("double"))
 cos = _m1(F.cos)
 cosh = _m1(F.cosh)
 cot = _m1(F.cot)
 degrees = _m1(F.degrees)
 exp = _m1(F.exp)
 factorial = _m1(F.factorial)
-floor = _m1(F.floor)
-ln = _m1(F.log)
-log10 = _m1(F.log10)
-log2 = _m1(F.log2)
+def floor(e) -> Expr:
+    return Expr(F.floor(_u(e)).cast("double"))
+
+
+def _log_df(spark_log, c):
+    # DataFusion log semantics: log(0) -> -inf, log(<0) -> NaN; Spark
+    # returns NULL for both. Null input stays null.
+    return (
+        F.when(c.isNull(), F.lit(None).cast("double"))
+        .when(c == 0, F.lit(float("-inf")))
+        .when(c < 0, F.lit(float("nan")))
+        .otherwise(spark_log(c))
+    )
+
+
+def ln(e) -> Expr:
+    return Expr(_log_df(F.log, _u(e)))
+
+
+def log10(e) -> Expr:
+    return Expr(_log_df(F.log10, _u(e)))
+
+
+def log2(e) -> Expr:
+    return Expr(_log_df(F.log2, _u(e)))
 radians = _m1(F.radians)
 signum = _m1(F.signum)
 sin = _m1(F.sin)
@@ -259,7 +316,10 @@ ltrim = _m1(F.ltrim)
 rtrim = _m1(F.rtrim)
 trim = _m1(F.trim)
 btrim = _m1(F.trim)
-md5 = _m1(F.md5)
+def md5(e) -> Expr:
+    # DataFusion md5 returns a lowercase hex STRING (unlike sha*, which
+    # return binary digests) — same as Spark. Keep the string form.
+    return Expr(F.md5(_u(e)))
 octet_length = _m1(F.octet_length)
 reverse = _m1(F.reverse)
 char_length = _m1(F.length)
@@ -384,7 +444,8 @@ def translate(s, from_s, to_s) -> Expr:
 
 
 def to_hex(e) -> Expr:
-    return Expr(F.hex(_u(e)))
+    # DataFusion renders lowercase hex; Spark uppercase
+    return Expr(F.lower(F.hex(_u(e))))
 
 
 def encode(e, encoding: str) -> Expr:
@@ -488,19 +549,21 @@ def digest(e, method) -> Expr:
 
 
 def sha224(e) -> Expr:
-    return Expr(F.sha2(_u(e), 224))
+    # DataFusion digest functions return BINARY digests (Spark's sha2
+    # returns a hex string)
+    return Expr(F.unhex(F.sha2(_u(e), 224)))
 
 
 def sha256(e) -> Expr:
-    return Expr(F.sha2(_u(e), 256))
+    return Expr(F.unhex(F.sha2(_u(e), 256)))
 
 
 def sha384(e) -> Expr:
-    return Expr(F.sha2(_u(e), 384))
+    return Expr(F.unhex(F.sha2(_u(e), 384)))
 
 
 def sha512(e) -> Expr:
-    return Expr(F.sha2(_u(e), 512))
+    return Expr(F.unhex(F.sha2(_u(e), 512)))
 
 
 # ---------------------------------------------------------------------------
@@ -552,7 +615,16 @@ def to_unixtime(e) -> Expr:
 
 
 def from_unixtime(e) -> Expr:
-    return Expr(F.timestamp_seconds(_u(e).cast("long")))
+    # DataFusion returns Timestamp(Second, None)
+    import pyarrow as pa
+
+    return Expr(
+        _arrow_typed(
+            F.timestamp_seconds(_u(e).cast("long")),
+            pa.timestamp("s"),
+            "from_unixtime",
+        )
+    )
 
 
 def date_part(part, e) -> Expr:
@@ -1123,7 +1195,9 @@ empty = array_empty
 
 
 def array_length(arr) -> Expr:
-    return Expr(F.size(_u(arr)).cast("long"))
+    import pyarrow as pa
+
+    return Expr(_arrow_typed(F.size(_u(arr)).cast("long"), pa.uint64(), "array_length"))
 
 
 list_length = array_length
@@ -1281,21 +1355,34 @@ def arrays_zip(*arrs) -> Expr:
 
 
 def array_dims(arr) -> Expr:
+    # DataFusion: dims of an EMPTY (or null) list is NULL; nested lists
+    # report [outer, inner] — u64 elements. The inner size must stay
+    # STATICALLY type-safe for 1-D inputs, so the nested branch measures
+    # the first element through its string form (never taken at runtime
+    # for 1-D arrays; analysis-legal for both).
+    import pyarrow as pa
+
     a = _u(arr)
-    inner = F.element_at(a, 1)
-    return Expr(
-        F.when(
-            inner.isNotNull() & (F.typeof(inner).startswith("array")),
-            F.array(F.size(a).cast("long"), F.size(inner).cast("long")),
-        ).otherwise(F.array(F.size(a).cast("long")))
+    inner_s = F.element_at(a, 1).cast("string")
+    inner_body = F.regexp_replace(inner_s, r"^\[|\]$", "")
+    inner_size = F.when(inner_body == "", F.lit(0)).otherwise(
+        F.size(F.split(inner_body, ","))
     )
+    dims = F.when(a.isNull() | (F.size(a) == 0), F.lit(None).cast("array<long>")).when(
+        F.typeof(a).like("array<array%"),
+        F.array(F.size(a).cast("long"), inner_size.cast("long")),
+    ).otherwise(F.array(F.size(a).cast("long")))
+    return Expr(_arrow_typed(dims, pa.list_(pa.uint64()), "array_dims"))
 
 
 def array_ndims(arr) -> Expr:
+    import pyarrow as pa
+
     a = _u(arr)
-    return Expr(
-        F.when(F.typeof(F.element_at(a, 1)).startswith("array"), F.lit(2)).otherwise(F.lit(1)).cast("long")
-    )
+    nd = F.when(a.isNull(), F.lit(None).cast("long")).when(
+        F.typeof(a).like("array<array%"), F.lit(2).cast("long")
+    ).otherwise(F.lit(1).cast("long"))
+    return Expr(_arrow_typed(nd, pa.uint64(), "array_ndims"))
 
 
 def array_distance(a, b) -> Expr:
@@ -1333,7 +1420,9 @@ list_join = array_to_string
 
 
 def flatten(arr) -> Expr:
-    return Expr(F.flatten(_u(arr)))
+    # DataFusion drops NULL inner lists; Spark's flatten nulls the whole
+    # result if any element is null
+    return Expr(F.flatten(F.filter(_u(arr), lambda x: x.isNotNull())))
 
 
 def range(start, stop=None, step=1) -> Expr:  # noqa: A001

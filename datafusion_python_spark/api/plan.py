@@ -36,11 +36,27 @@ class LogicalPlan:
     def optimized(self) -> str:
         return optimized_logical_plan(getattr(self._df, "df", self._df))
 
+    def _variant_jplan(self):
+        sdf = getattr(self._df, "df", self._df)
+        return sdf._jdf.queryExecution().analyzed()
+
     def to_variant(self):
-        raise NotImplementedError(
-            "to_variant exposes DataFusion's plan enum; use display() or "
-            "the pyspark DataFrame's queryExecution via df.df"
+        """Downcast to the matching plan-variant class (ref
+        LogicalPlan.to_variant; see expr_nodes.py for the
+        Catalyst↔DataFusion node mapping)."""
+        from .expr_nodes import build_plan_env, plan_to_variant
+
+        tagged = getattr(self._df, "_plan_variant", None)
+        if tagged is not None:
+            return tagged
+        sdf = getattr(self._df, "df", self._df)
+        # env (exprId → base relation) always comes from the analyzed
+        # tree: the optimizer collapses the View nodes that carry the
+        # base names, but exprIds are stable across optimization.
+        env = build_plan_env(
+            sdf._jdf.queryExecution().analyzed(), spark=sdf.sparkSession
         )
+        return plan_to_variant(self._variant_jplan(), env)
 
     def display_graphviz(self) -> str:
         """DOT-format rendering of the logical operator tree (ref
@@ -50,13 +66,23 @@ class LogicalPlan:
     def inputs(self) -> list["LogicalPlan"]:
         """Child plans (ref plan.py inputs). Catalyst children are
         display-only views — they wrap the same DataFrame but print the
-        subtree."""
+        subtree (analyzed form, so to_variant keeps working down the
+        tree)."""
+        from .expr_nodes import build_plan_env
+
         sdf = getattr(self._df, "df", self._df)
-        jplan = sdf._jdf.queryExecution().logical()
+        jplan = self._variant_jplan()
+        # exprId → base-name env from the analyzed tree (views survive
+        # there); the children walked are from this plan's own tree
+        env = build_plan_env(
+            sdf._jdf.queryExecution().analyzed(), spark=sdf.sparkSession
+        )
         kids = jplan.children()
         out = []
         for i in range(kids.size()):
-            out.append(_JPlanView(kids.apply(i)))
+            v = _JPlanView(kids.apply(i))
+            v._env = env
+            out.append(v)
         return out
 
     def to_bytes(self) -> bytes:
@@ -101,11 +127,12 @@ class LogicalPlan:
 
 
 class _JPlanView(LogicalPlan):
-    """Display-only view over a raw Catalyst plan node (no DataFrame)."""
+    """Subtree view over a raw Catalyst plan node (no DataFrame)."""
 
     def __init__(self, jplan) -> None:  # noqa: super-init-not-called
         self._jplan = jplan
         self._df = None
+        self._env = None
 
     def display(self) -> str:
         return self._jplan.toString()
@@ -115,7 +142,18 @@ class _JPlanView(LogicalPlan):
 
     def inputs(self) -> list["LogicalPlan"]:
         kids = self._jplan.children()
-        return [_JPlanView(kids.apply(i)) for i in range(kids.size())]
+        out = []
+        for i in range(kids.size()):
+            v = _JPlanView(kids.apply(i))
+            v._env = self._env
+            out.append(v)
+        return out
+
+    def to_variant(self):
+        from .expr_nodes import build_plan_env, plan_to_variant
+
+        env = self._env or build_plan_env(self._jplan)
+        return plan_to_variant(self._jplan, dict(env))
 
     def to_bytes(self) -> bytes:
         raise NotImplementedError("serialize the root plan, not a subtree view")
@@ -144,6 +182,10 @@ class OptimizedLogicalPlan(LogicalPlan):
 
     def display(self) -> str:
         return self.optimized()
+
+    def _variant_jplan(self):
+        sdf = getattr(self._df, "df", self._df)
+        return sdf._jdf.queryExecution().optimizedPlan()
 
 
 class ExecutionPlan:

@@ -58,10 +58,11 @@ shiftrightunsigned = _w2(F.shiftrightunsigned)
 def if_(cond, a, b): return Expr(F.when(_c(cond), _c(a)).otherwise(_c(b)))
 def spark_cast(e, t): return Expr(_c(e).cast(t))
 
-# datetime
-add_months = _w2(F.add_months)
-date_add = _w2(F.date_add)
-date_sub = _w2(F.date_sub)
+# datetime — count args must be INT (lit() defaults Python ints to
+# bigint per DataFusion semantics; Spark's date arithmetic wants int)
+def add_months(d, n): return Expr(F.add_months(_c(d), _c(n).cast("int")))
+def date_add(d, n): return Expr(F.date_add(_c(d), _c(n).cast("int")))
+def date_sub(d, n): return Expr(F.date_sub(_c(d), _c(n).cast("int")))
 hour = _w1(F.hour)
 minute = _w1(F.minute)
 second = _w1(F.second)

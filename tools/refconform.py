@@ -50,7 +50,66 @@ ENV_LIMITED_TESTS = {
 DESELECT_KEYWORDS = ["collect_or_stream_interrupted"]
 
 
+def ensure_fixture(cwd: str = "/tmp") -> None:
+    """Materialize a schema-compatible stand-in for the reference's
+    ``testing/data/csv/aggregate_test_100.csv`` (the testing submodule is
+    absent from the checkout). Column names/types match the arrow-testing
+    file, so plan-shape and round-trip tests run; tests asserting the
+    ORIGINAL file's values stay env-limited (see ENV_LIMITED_TESTS)."""
+    import csv
+    import random
+
+    pq_target = Path(cwd) / "parquet" / "data" / "alltypes_plain.parquet"
+    if not pq_target.exists():
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        pq_target.parent.mkdir(parents=True, exist_ok=True)
+        n = 8
+        tbl = pa.table({
+            "id": pa.array([4, 5, 6, 7, 2, 3, 0, 1], type=pa.int32()),
+            "bool_col": pa.array([i % 2 == 0 for i in range(n)]),
+            "tinyint_col": pa.array([i % 2 for i in range(n)], type=pa.int32()),
+            "smallint_col": pa.array([i % 2 for i in range(n)], type=pa.int32()),
+            "int_col": pa.array([i % 2 for i in range(n)], type=pa.int32()),
+            "bigint_col": pa.array([(i % 2) * 10 for i in range(n)], type=pa.int64()),
+            "float_col": pa.array([(i % 2) * 1.1 for i in range(n)], type=pa.float32()),
+            "double_col": pa.array([(i % 2) * 10.1 for i in range(n)], type=pa.float64()),
+            "date_string_col": pa.array([b"03/01/09"] * n, type=pa.binary()),
+            "string_col": pa.array([str(i % 2).encode() for i in range(n)], type=pa.binary()),
+            "timestamp_col": pa.array([1235865600000000 + i for i in range(n)], type=pa.timestamp("us")),
+        })
+        pq.write_table(tbl, pq_target)
+
+    target = Path(cwd) / "testing" / "data" / "csv" / "aggregate_test_100.csv"
+    if target.exists():
+        return
+    target.parent.mkdir(parents=True, exist_ok=True)
+    rng = random.Random(100)
+    letters = "abcdefghijklmnopqrstuvwxyz0123456789"
+    with open(target, "w", newline="") as fh:
+        w = csv.writer(fh)
+        w.writerow([f"c{i}" for i in range(1, 14)])
+        for _ in range(100):
+            w.writerow([
+                rng.choice("abcde"),
+                rng.randint(1, 5),
+                rng.randint(-128, 127),
+                rng.randint(-32768, 32767),
+                rng.randint(-2**31, 2**31 - 1),
+                rng.randint(-2**63, 2**63 - 1),
+                rng.randint(0, 255),
+                rng.randint(0, 65535),
+                rng.randint(0, 2**32 - 1),
+                rng.randint(0, 2**63 - 1),
+                round(rng.random(), 9),
+                round(rng.random(), 17),
+                "".join(rng.choice(letters) for _ in range(32)),
+            ])
+
+
 def run_file(path: Path, timeout: int = 900) -> dict:
+    ensure_fixture()
     env = dict(os.environ)
     env["PYTHONDONTWRITEBYTECODE"] = "1"
     env["PYTHONPATH"] = f"{REPO}/tools/refshim:{REPO}"

@@ -37,10 +37,34 @@ _SUBMODULES = {
     "user_defined": "datafusion_python_spark.api.udf",
 }
 
+# modules whose classes also surface under an alias (re-export sources)
+_EXTRA_SOURCES = {
+    "expr": ["datafusion_python_spark.api.expr_nodes"],
+}
+
+_seen_targets: set = set()
 for _name, _target in _SUBMODULES.items():
     _mod = importlib.import_module(_target)
     sys.modules[f"datafusion.{_name}"] = _mod
     setattr(_this, _name, _mod)
+    if _target in _seen_targets:  # aliased module (substrait/unparser)
+        continue
+    _seen_targets.add(_target)
+    # failed from-imports name the module via __name__ — report the
+    # datafusion.* alias (the real name stays in sys.modules too)
+    _mod.__name__ = f"datafusion.{_name}"
+    # Public classes report __module__ under the datafusion.* name —
+    # the reference's tests (and user isinstance/pickle paths) check it.
+    _sources = {_target, *_EXTRA_SOURCES.get(_name, [])}
+    for _attr in dir(_mod):
+        if _attr.startswith("_"):
+            continue
+        _obj = getattr(_mod, _attr)
+        if isinstance(_obj, type) and getattr(_obj, "__module__", "") in _sources:
+            try:
+                _obj.__module__ = f"datafusion.{_name}"
+            except (AttributeError, TypeError):
+                pass
 
 # `from datafusion.functions import spark`
 sys.modules["datafusion.functions.spark"] = importlib.import_module(
