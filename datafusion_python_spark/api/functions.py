@@ -285,7 +285,21 @@ def power(base, exponent) -> Expr:
 pow = power  # noqa: A001
 
 
+def round_places(decimal_places) -> int:
+    if isinstance(decimal_places, Expr):
+        try:
+            return int(decimal_places.python_value())
+        except Exception:
+            return 0
+    return int(decimal_places) if isinstance(decimal_places, (int, float)) else 0
+
+
 def round(e, decimal_places=0) -> Expr:  # noqa: A001
+    from .udf import _UdwfCall
+
+    if isinstance(e, _UdwfCall):
+        d = decimal_places
+        return e.with_post(lambda c: F.round(c, round_places(d)))
     if isinstance(decimal_places, Expr):
         try:
             decimal_places = int(decimal_places.python_value())
@@ -328,7 +342,10 @@ length = _m1(F.length)
 
 
 def concat(*es) -> Expr:
-    return Expr(F.concat(*[_u(e) for e in es]))
+    # DataFusion concat SKIPS null arguments (Spark's nulls the result)
+    return Expr(
+        F.concat(*[F.coalesce(_u(e).cast("string"), F.lit("")) for e in es])
+    )
 
 
 def concat_ws(sep: str, *es) -> Expr:

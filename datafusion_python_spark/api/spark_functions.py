@@ -14,6 +14,17 @@ from pyspark.sql import functions as F
 from .expr import Expr, _c
 
 
+def _pv(v, default=None):
+    """Python value from a native literal or a literal Expr (count/str
+    style args that pyspark wants as plain Python values)."""
+    if isinstance(v, Expr):
+        try:
+            return v.python_value()
+        except Exception:
+            return default
+    return v if v is not None else default
+
+
 def _w1(fn):
     def g(e):
         return Expr(fn(_c(e)))
@@ -37,9 +48,14 @@ collect_set = _w1(F.collect_set)
 # arrays
 array_contains = _w2(F.array_contains)
 def array(*es): return Expr(F.array(*[_c(e) for e in es]))
-shuffle = _w1(F.shuffle)
-def array_repeat(e, n): return Expr(F.array_repeat(_c(e), n))
-def slice(arr, start, length): return Expr(F.slice(_c(arr), start, length))  # noqa: A001
+def shuffle(e, seed=None):
+    if seed is not None:
+        raise NotImplementedError(
+            "spark.shuffle: the seed parameter is not supported"
+        )
+    return Expr(F.shuffle(_c(e)))
+def array_repeat(e, n): return Expr(F.array_repeat(_c(e), _c(n)))
+def slice(arr, start, length): return Expr(F.slice(_c(arr), _c(start), _c(length)))  # noqa: A001
 size = _w1(F.size)
 
 # bits / bitmaps
@@ -67,11 +83,11 @@ hour = _w1(F.hour)
 minute = _w1(F.minute)
 second = _w1(F.second)
 last_day = _w1(F.last_day)
-def next_day(e, day): return Expr(F.next_day(_c(e), day))
+def next_day(e, day): return Expr(F.next_day(_c(e), _pv(day, day) if isinstance(day, Expr) else day))
 date_diff = _w2(F.datediff)
-def date_trunc(fmt, e): return Expr(F.date_trunc(fmt, _c(e)))
-def trunc(e, fmt): return Expr(F.trunc(_c(e), fmt))
-def date_part(part, e): return Expr(F.date_part(F.lit(part), _c(e)))
+def date_trunc(fmt, e): return Expr(F.date_trunc(_pv(fmt, fmt) if isinstance(fmt, Expr) else fmt, _c(e)))
+def trunc(e, fmt): return Expr(F.trunc(_c(e), _pv(fmt, fmt) if isinstance(fmt, Expr) else fmt))
+def date_part(part, e): return Expr(F.date_part(F.lit(_pv(part, part)) if isinstance(part, Expr) else F.lit(part), _c(e)))
 from_utc_timestamp = _w2(F.from_utc_timestamp)
 to_utc_timestamp = _w2(F.to_utc_timestamp)
 unix_date = _w1(F.unix_date)
@@ -79,22 +95,28 @@ unix_micros = _w1(F.unix_micros)
 unix_millis = _w1(F.unix_millis)
 unix_seconds = _w1(F.unix_seconds)
 def make_interval(years=0, months=0, weeks=0, days=0, hours=0, mins=0, secs=0):
-    return Expr(F.make_interval(_c(years), _c(months), _c(weeks), _c(days), _c(hours), _c(mins), _c(secs)))
+    def iv(v):  # interval parts must be INT columns
+        return _c(v).cast("int")
+
+    return Expr(F.make_interval(iv(years), iv(months), iv(weeks), iv(days), iv(hours), iv(mins), _c(secs).cast("decimal(18,6)")))
 def make_dt_interval(days=0, hours=0, mins=0, secs=0):
-    return Expr(F.make_dt_interval(_c(days), _c(hours), _c(mins), _c(secs)))
+    return Expr(F.make_dt_interval(_c(days).cast("int"), _c(hours).cast("int"), _c(mins).cast("int"), _c(secs).cast("decimal(18,6)")))
 
 # hash
 crc32 = _w1(F.crc32)
 sha1 = _w1(F.sha1)
-def sha2(e, bits): return Expr(F.sha2(_c(e), bits))
+def sha2(e, bits): return Expr(F.sha2(_c(e), int(_pv(bits, 256))))
 def xxhash64(*es): return Expr(F.xxhash64(*[_c(e) for e in es]))
 
 # json / map
-def json_tuple(e, *fields): return Expr(F.json_tuple(_c(e), *fields))
+def json_tuple(e, *fields):
+    return Expr(F.json_tuple(_c(e), *[
+        _pv(f, f) if isinstance(f, Expr) else f for f in fields
+    ]))
 map_from_arrays = _w2(F.map_from_arrays)
 map_from_entries = _w1(F.map_from_entries)
 def str_to_map(e, pair_delim=",", kv_delim=":"):
-    return Expr(F.str_to_map(_c(e), F.lit(pair_delim), F.lit(kv_delim)))
+    return Expr(F.str_to_map(_c(e), _c(pair_delim), _c(kv_delim)))
 
 # math
 abs = _w1(F.abs)  # noqa: A001
@@ -106,7 +128,7 @@ hex = _w1(F.hex)  # noqa: A001
 def modulus(a, b): return Expr(_c(a) % _c(b))
 pmod = _w2(F.pmod)
 rint = _w1(F.rint)
-def round(e, scale=0): return Expr(F.round(_c(e), scale))  # noqa: A001
+def round(e, scale=0): return Expr(F.round(_c(e), int(_pv(scale, 0) or 0)))  # noqa: A001
 unhex = _w1(F.unhex)
 def width_bucket(v, lo, hi, n): return Expr(F.width_bucket(_c(v), _c(lo), _c(hi), _c(n)))
 csc = _w1(F.csc)
@@ -120,26 +142,34 @@ base64 = _w1(F.base64)
 char = _w1(F.char)
 def concat(*es): return Expr(F.concat(*[_c(e) for e in es]))
 def elt(n, *es): return Expr(F.elt(_c(n), *[_c(e) for e in es]))
-def ilike(s, pat): return Expr(_c(s).ilike(pat))
+def ilike(s, pat, escapeChar=None):
+    if escapeChar is not None:
+        raise NotImplementedError("spark.ilike: escapeChar is not supported")
+    return Expr(_c(s).ilike(_pv(pat, pat) if isinstance(pat, Expr) else pat))
 length = _w1(F.length)
-def like(s, pat): return Expr(_c(s).like(pat))
+def like(s, pat, escapeChar=None):
+    if escapeChar is not None:
+        raise NotImplementedError("spark.like: escapeChar is not supported")
+    return Expr(_c(s).like(_pv(pat, pat) if isinstance(pat, Expr) else pat))
 def luhn_check(e): return Expr(F.call_function("luhn_check", _c(e)))
-def format_string(fmt, *es): return Expr(F.format_string(fmt, *[_c(e) for e in es]))
+def format_string(fmt, *es):
+    fmt = _pv(fmt, fmt) if isinstance(fmt, Expr) else fmt
+    return Expr(F.format_string(fmt, *[_c(e) for e in es]))
 def space(n): return Expr(F.call_function("space", _c(n)))
-def substring(s, pos, ln): return Expr(F.substring(_c(s), pos, ln))
+def substring(s, pos, ln): return Expr(F.substring(_c(s), _c(pos), _c(ln)))
 unbase64 = _w1(F.unbase64)
 soundex = _w1(F.soundex)
 def is_valid_utf8(e): return Expr(F.is_valid_utf8(_c(e)))
 def make_valid_utf8(e): return Expr(F.make_valid_utf8(_c(e)))
 def parse_url(e, part, key=None):
     if key is not None:
-        return Expr(F.parse_url(_c(e), F.lit(part), F.lit(key)))
-    return Expr(F.parse_url(_c(e), F.lit(part)))
+        return Expr(F.parse_url(_c(e), _c(part), _c(key)))
+    return Expr(F.parse_url(_c(e), _c(part)))
 def try_parse_url(e, part, key=None):
     try:
         if key is not None:
-            return Expr(F.try_parse_url(_c(e), F.lit(part), F.lit(key)))
-        return Expr(F.try_parse_url(_c(e), F.lit(part)))
+            return Expr(F.try_parse_url(_c(e), _c(part), _c(key)))
+        return Expr(F.try_parse_url(_c(e), _c(part)))
     except AttributeError:  # pyspark < 4.0
         return parse_url(e, part, key)
 def url_decode(e): return Expr(F.url_decode(_c(e)))

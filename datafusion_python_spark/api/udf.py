@@ -36,6 +36,31 @@ __all__ = [
 ]
 
 
+def _pickle_module_by_value(obj) -> None:
+    """Make the object's defining module pickle BY VALUE (pyspark's
+    cloudpickle). User accumulator/evaluator classes often live in
+    modules whose import re-runs driver-only code (the reference's own
+    test files build expressions at module level); by-value pickling
+    keeps Spark workers from importing them at all — matching the
+    reference's self-contained UDF blobs (ref ipc/pickle codec)."""
+    import sys
+
+    mod = sys.modules.get(getattr(obj, "__module__", None) or "")
+    if mod is None:
+        return
+    name = mod.__name__
+    if name == "__main__" or name.startswith(
+        ("datafusion", "pyspark", "pyarrow", "pandas", "numpy", "builtins")
+    ):
+        return
+    try:
+        from pyspark import cloudpickle
+
+        cloudpickle.register_pickle_by_value(mod)
+    except Exception:
+        pass
+
+
 class _CallableName(str):
     """The reference exposes ``udf.name()`` (a method); earlier rounds of
     this package exposed ``udf.name`` (an attribute). A callable str
@@ -51,7 +76,10 @@ class ScalarUDF:
         self.input_types = input_types
         self.return_type = return_type
         self.volatility = volatility
-        self.name = _CallableName(name or fn.__name__)
+        self.name = _CallableName(
+            name or getattr(fn, "__name__", type(fn).__name__)
+        )
+        _pickle_module_by_value(fn)
 
         spark_ret = _spark_type(self._type_name(return_type))
 
@@ -64,6 +92,9 @@ class ScalarUDF:
                 out = out.combine_chunks()
             return out.to_pandas()
 
+        # the UDF's registered name must surface in expression displays /
+        # canonical names (ref: canonical_name contains the udf name)
+        pandas_wrapper.__name__ = str(self.name)
         self._pudf = F.pandas_udf(pandas_wrapper, returnType=spark_ret)
         if volatility == "volatile":
             self._pudf = self._pudf.asNondeterministic()
@@ -99,21 +130,30 @@ def udf(*args, **kwargs):
     return deco
 
 
-class Accumulator:
+import abc
+
+
+class Accumulator(metaclass=abc.ABCMeta):
     """Subclass contract (ref user_defined.py:358): state / update /
-    merge / evaluate over pyarrow values."""
+    merge / evaluate over pyarrow values. ABC so missing overrides fail
+    at instantiation with Python's standard message (the reference's
+    tests assert on it)."""
 
+    @abc.abstractmethod
     def state(self) -> list:
-        raise NotImplementedError
+        ...
 
+    @abc.abstractmethod
     def update(self, *values) -> None:
-        raise NotImplementedError
+        ...
 
+    @abc.abstractmethod
     def merge(self, states: list) -> None:
-        raise NotImplementedError
+        ...
 
+    @abc.abstractmethod
     def evaluate(self):
-        raise NotImplementedError
+        ...
 
 
 class AggregateUDF:
@@ -122,6 +162,7 @@ class AggregateUDF:
         self.input_types = input_types
         self.return_type = return_type
         self.name = _CallableName(name or getattr(accum, "__name__", "udaf"))
+        _pickle_module_by_value(accum)
         self._spark_ret = _spark_type(ScalarUDF._type_name(return_type))
         self._grouped_agg_udf = None
 
@@ -213,9 +254,41 @@ class _UdafCall:
         return _UdafCall(self.udf, self.args, name)
 
 
-def udaf(accum, input_types=None, return_type=None, state_type=None, volatility: str = "immutable", name: str | None = None):
-    """ref user_defined.py:358-706."""
-    return AggregateUDF(accum, input_types, return_type, state_type, volatility, name)
+def udaf(accum=None, input_types=None, return_type=None, state_type=None, volatility: str = "immutable", name: str | None = None):
+    """ref user_defined.py:358-706. Three call forms:
+
+    - ``udaf(AccumClass, input, ret, state, volatility=...)``
+    - ``udaf(lambda: AccumClass(...), input, ret, state, ...)``
+    - decorator: ``@udaf(input, ret, state, volatility)`` over a
+      zero-arg factory function
+    """
+    import pyarrow as pa
+
+    if isinstance(accum, (pa.DataType, list)) or accum is None:
+        # decorator form: first positional is the input type
+        dec_input, dec_ret, dec_state = accum, input_types, return_type
+        dec_vol = state_type if isinstance(state_type, str) else volatility
+
+        def decorator(fn):
+            return AggregateUDF(fn, dec_input, dec_ret, dec_state, dec_vol, name or fn.__name__)
+
+        return decorator
+    if isinstance(accum, type) and not issubclass(accum, Accumulator):
+        # duck-typed accumulators (full method surface) are accepted;
+        # anything else is the reference's TypeError
+        if not all(
+            callable(getattr(accum, m, None))
+            for m in ("state", "update", "merge", "evaluate")
+        ):
+            raise TypeError(
+                f"`accum` must inherit from Accumulator, got {accum!r}"
+            )
+    out = AggregateUDF(accum, input_types, return_type, state_type, volatility, name)
+    # probe-instantiate once so abstract-method errors surface at
+    # definition time like the reference's (which validates eagerly)
+    if isinstance(accum, type) and issubclass(accum, Accumulator):
+        accum()
+    return out
 
 
 class WindowEvaluator:
@@ -274,6 +347,12 @@ class WindowUDF:
         self.return_type = return_type
         self.name = _CallableName(name or getattr(evaluator, "__name__", "udwf"))
         self._spark_ret = _spark_type(ScalarUDF._type_name(return_type))
+        _pickle_module_by_value(evaluator)
+
+    def __call__(self, *args) -> "_UdwfCall":
+        """Start the window expression-builder chain (ref
+        user_defined.py WindowUDF.__call__)."""
+        return _UdwfCall(self, args)
 
     def apply(
         self,
@@ -316,6 +395,15 @@ class WindowUDF:
                     r = ev.evaluate(arrays, (s, e))
                     out_vals.append(r.as_py() if hasattr(r, "as_py") else r)
                 vals = pd.Series(out_vals)
+            elif ev.supports_bounded_execution():
+                # ref user_defined.py: bounded evaluators run evaluate()
+                # per row over their self-declared get_range (inclusive
+                # bounds, frame ignored)
+                out_vals = []
+                for i in range(n):
+                    r = ev.evaluate(arrays, ev.get_range(i, n))
+                    out_vals.append(r.as_py() if hasattr(r, "as_py") else r)
+                vals = pd.Series(out_vals)
             elif ev.include_rank():
                 ranked = []
                 if order_by:
@@ -343,16 +431,80 @@ class WindowUDF:
         return DF(df.df.groupBy(*partition_by).applyInPandas(run, schema=schema))
 
 
-def udwf(evaluator, input_types=None, return_type=None, volatility: str = "immutable", name: str | None = None):
-    """ref user_defined.py:709 — returns a WindowUDF whose ``apply`` emulates
-    ``expr.over(window)`` for unbounded frames."""
+class _UdwfCall:
+    """A pending UDWF invocation built through the reference's
+    expression-builder chain (ref user_defined.py WindowUDF.__call__ →
+    builder → build()). DataFrame.select detects these and evaluates
+    them via WindowUDF.apply (applyInPandas)."""
+
+    def __init__(self, udf, args, frame=None, partition=None, order=None, alias=None):
+        self.udf = udf
+        self.args = list(args)
+        self.frame = frame
+        self.partition = list(partition or [])
+        self.order = list(order or [])
+        self.alias_name = alias
+        self.post: list = []  # Column→Column transforms applied after eval
+
+    def _copy(self, **kw):
+        out = _UdwfCall(self.udf, self.args, self.frame, self.partition,
+                        self.order, self.alias_name)
+        out.post = list(self.post)
+        for k, v in kw.items():
+            setattr(out, k, v)
+        return out
+
+    def with_post(self, fn):
+        """Wrap the evaluated window column in a scalar transform (lets
+        udwf results compose inside scalar functions, e.g.
+        ``f.round(my_udwf(col), 3)``)."""
+        out = self._copy()
+        out.post = self.post + [fn]
+        return out
+
+    def window_frame(self, wf):
+        return self._copy(frame=wf)
+
+    def partition_by(self, *cols):
+        return self._copy(partition=list(cols))
+
+    def order_by(self, *keys):
+        return self._copy(order=list(keys))
+
+    def build(self):
+        return self
+
+    def alias(self, name: str):
+        return self._copy(alias_name=name)
+
+
+def udwf(evaluator=None, input_types=None, return_type=None, volatility: str = "immutable", name: str | None = None):
+    """ref user_defined.py:709. Forms:
+
+    - ``udwf(EvaluatorClass | factory, input, ret, volatility=...)``
+    - decorator ``@udwf([input], ret, "volatility")`` over a factory
+    """
+    import pyarrow as pa
+
+    if evaluator is None or isinstance(evaluator, (pa.DataType, list)):
+        dec_in, dec_ret = evaluator, input_types
+        dec_vol = return_type if isinstance(return_type, str) else volatility
+
+        def deco(fn):
+            return WindowUDF(fn, dec_in, dec_ret, dec_vol, name or fn.__name__)
+
+        return deco
+    if isinstance(evaluator, type) and not issubclass(evaluator, WindowEvaluator):
+        raise TypeError(
+            "`func` must implement the abstract base class WindowEvaluator"
+        )
     return WindowUDF(evaluator, input_types, return_type, volatility, name)
 
 
-class TableFunction:
-    """UDTF (ref user_defined.py TableFunction / udtf.rs): a class with an
-    ``eval`` yielding rows, registered for SQL ``SELECT * FROM fn(...)``
-    via Spark 3.5+ Python UDTFs."""
+class SparkTableFunction:
+    """Spark-native row-generating Python UDTF: a class with an ``eval``
+    yielding rows, registered for SQL ``SELECT * FROM fn(...)`` via
+    Spark 3.5+ Python UDTFs (executor-side, beyond-parity surface)."""
 
     def __init__(self, cls, return_type: str, name: str | None = None):
         from pyspark.sql.functions import udtf as spark_udtf
@@ -367,17 +519,71 @@ class TableFunction:
         spark.udtf.register(self.name, self._udtf)
 
 
-def udtf(cls=None, return_type: str | None = None, name: str | None = None):
-    """Decorator/factory: ``@udtf(return_type="a int, b string")``."""
-    if cls is not None and return_type is None:
-        raise TypeError("udtf requires return_type='col type, ...'")
-    if cls is not None:
-        return TableFunction(cls, return_type, name)
+def TableFunction(name, func=None, ctx=None, *, with_session: bool = False):
+    """Reference TableFunction constructor (ref user_defined.py:1124):
+    ``TableFunction(name, func, ctx=None, with_session=False)`` →
+    planning-time table function."""
+    return PyTableFunction(func, name, with_session)
 
-    def deco(c):
-        return TableFunction(c, return_type, name)
 
-    return deco
+class PyTableFunction:
+    """Reference-style table function (ref user_defined.py:1124
+    TableFunction, crates/core/src/udtf.rs): a Python callable invoked
+    at PLANNING time with literal Exprs, returning a Table / pyarrow
+    dataset. SQL calls (``SELECT * FROM fn(args)``) are rewritten by
+    SessionContext.sql — the function runs once on the driver and its
+    result registers as the scanned relation (same execution model as
+    the reference's UDTF, which also materializes the provider at plan
+    time)."""
+
+    def __init__(self, fn, name: str | None = None, with_session: bool = False):
+        if (
+            getattr(fn, "__datafusion_table_function__", None) is not None
+            and with_session
+        ):
+            raise TypeError(
+                "with_session=True is not supported for FFI-exported table "
+                "functions (__datafusion_table_function__ capsule exports)"
+            )
+        self.fn = fn
+        self.name = _CallableName(name or getattr(fn, "__name__", "table_fn"))
+        self.with_session = with_session
+
+    def __call__(self, *args, **kwargs):
+        return self.fn(*args, **kwargs)
+
+    def _register(self, spark) -> None:
+        pass  # planning-time only — SessionContext.sql dispatches by name
+
+
+def udtf(arg=None, name: str | None = None, return_type: str | None = None, with_session: bool = False):
+    """Table-function factory, three forms (ref user_defined.py udtf):
+
+    - ``udtf(fn, "name"[, with_session=True])`` — planning-time table fn
+    - ``@udtf("name"[, with_session=True])`` — decorator form of the same
+    - ``@udtf(return_type="a int, b string")`` — Spark-native Python UDTF
+      (row-generating ``eval`` class, executor-side)
+    """
+    if isinstance(arg, str) and return_type is None:
+        dname = arg
+
+        def deco_ref(fn):
+            return PyTableFunction(fn, dname, with_session)
+
+        return deco_ref
+    if return_type is not None:
+        if arg is None:
+            def deco_spark(c):
+                return SparkTableFunction(c, return_type, name)
+
+            return deco_spark
+        return SparkTableFunction(arg, return_type, name)
+    if callable(arg) or getattr(arg, "__datafusion_table_function__", None) is not None:
+        return PyTableFunction(arg, name, with_session)
+    raise TypeError(
+        "udtf requires a callable + name, a name for decorator use, or "
+        "return_type='col type, ...' for the Spark-native form"
+    )
 
 
 # -- reference class-method surface (ref user_defined.py: ScalarUDF.udf etc.) --

@@ -317,6 +317,9 @@ def test_udaf_grouped(ctx):
             self.s = 0.0
             self.n = 0
 
+        def state(self):
+            return [self.s, self.n]
+
         def update(self, values):
             self.s += sum(v.as_py() for v in values)
             self.n += len(values)
@@ -346,12 +349,12 @@ def test_describe_reference_shape(ctx):
 
 def test_catalog_navigation(ctx, df):
     cat = ctx.catalog()
-    assert "default" in cat.names()
-    sch = cat.schema("default")
+    assert "public" in cat.names()  # DataFusion's default schema name
+    sch = cat.schema("public")
     assert "t_abc" in sch.names()
     t = sch.table("t_abc")
     assert t.to_df().count() == 3
-    assert [f.name for f in t.schema()] == ["a", "b", "c"]
+    assert [f.name for f in t.schema] == ["a", "b", "c"]
 
 
 def test_explain_plans(df):

@@ -280,8 +280,9 @@ def test_plan_methods(ctx):
     ep = ExecutionPlan(d)
     assert ep.partition_count() >= 1
     assert isinstance(ep.children(), list)
-    with pytest.raises(NotImplementedError):
-        ep.to_bytes()
+    # physical plans round-trip as logical + display snapshot
+    restored = ExecutionPlan.from_bytes(ep.to_bytes())
+    assert str(restored) == str(ep)
 
 
 def test_catalog_additions(ctx):

@@ -112,7 +112,12 @@ def run_file(path: Path, timeout: int = 900) -> dict:
     ensure_fixture()
     env = dict(os.environ)
     env["PYTHONDONTWRITEBYTECODE"] = "1"
-    env["PYTHONPATH"] = f"{REPO}/tools/refshim:{REPO}"
+    # /root/reference/python makes `tests.test_*` importable inside Spark
+    # PYTHON WORKERS — cloudpickle references test-module classes (UDAF
+    # accumulators, UDWF evaluators) by module path
+    env["PYTHONPATH"] = (
+        f"{REPO}/tools/refshim:{REPO}:/root/reference/python"
+    )
     cmd = [
         sys.executable,
         "-m",
