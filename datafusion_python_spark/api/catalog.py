@@ -44,7 +44,13 @@ class Table:
         import pyarrow as pa
 
         if self._dataset is not None:
-            return getattr(self._dataset, "schema", None)
+            s = getattr(self._dataset, "schema", None)
+            if callable(s):  # package DataFrame.schema() is a method
+                return s()
+            if s is not None:
+                return s
+            sdf = getattr(self._dataset, "df", self._dataset)
+            return pa.schema(sdf.limit(0).toArrow().schema)
         df = self._spark.table(self.qualified_name)
         return pa.schema(df.limit(0).toArrow().schema)
 
@@ -55,8 +61,11 @@ class Table:
 
     @property
     def kind(self) -> str:
-        """"physical" for data-backed tables, "view" for registered views
-        (ref catalog.py Table.kind / DataFusion TableType)."""
+        """"physical" for data-backed tables, "view"/"temporary" for view
+        handles (ref catalog.py Table.kind / DataFusion TableType)."""
+        vk = getattr(self, "_view_kind", None)
+        if vk:
+            return vk
         ctx = getattr(self, "_ctx", None)
         if ctx is not None and self.name in getattr(ctx, "_view_names", set()):
             return "view"

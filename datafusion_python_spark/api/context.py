@@ -112,6 +112,9 @@ class SessionContext:
                 self.spark.conf.set(k, str(v))
             except Exception:
                 pass  # static confs can't change on a live session
+        self._default_catalog_name = (
+            getattr(config, "default_catalog", None) or "datafusion"
+        )
         default_schema = getattr(config, "default_schema", None)
         if default_schema and default_schema != "default":
             try:
@@ -767,7 +770,9 @@ class SessionContext:
         )
 
     def read_empty(self) -> DataFrame:
-        return DataFrame(self.spark.range(1).select(F.lit(1).alias("__dummy")).limit(0))
+        """One row, zero columns (DataFusion's EmptyRelation with
+        produce_one_row=True — ref read_empty)."""
+        return DataFrame(self.spark.range(1).drop("id"))
 
     def empty_table(self) -> DataFrame:
         return self.read_empty()
@@ -910,7 +915,13 @@ class SessionContext:
         self.register_parquet(name, path, **kwargs)
 
     def register_record_batches(self, name: str, partitions) -> None:
-        self.create_dataframe(partitions, name)
+        parts = [list(p) for p in partitions]
+        if not any(parts):
+            raise ValueError(
+                "register_record_batches: no record batches provided — a "
+                "schema cannot be derived"
+            )
+        self.create_dataframe(parts, name)
 
     def register_dataset(self, name: str, dataset) -> None:
         """Register a pyarrow dataset (ref context.py register_dataset,
@@ -952,11 +963,15 @@ class SessionContext:
         self._view_names.add(name)
 
     def register_table(self, name: str, table) -> None:
-        if isinstance(table, DataFrame):
-            table.df.createOrReplaceTempView(name)
-            self._note_table(name)
-        else:
-            raise TypeError("only DataFrame-backed tables are supported")
+        from .catalog import _to_spark_df
+
+        sdf = _to_spark_df(self.spark, table, self)
+        sdf.createOrReplaceTempView(name)
+        self._note_table(name)
+        if getattr(table, "_view_kind", None) in ("view", "temporary"):
+            if not hasattr(self, "_view_names"):
+                self._view_names = set()
+            self._view_names.add(name)
 
     def deregister_table(self, name: str) -> None:
         self.spark.catalog.dropTempView(name)
@@ -986,7 +1001,7 @@ class SessionContext:
         register_catalog_provider_list call replaces the default set."""
         out = set(getattr(self, "_catalog_providers", {}))
         if not getattr(self, "_catalog_list_replaced", False):
-            out.add("datafusion")
+            out.add(getattr(self, "_default_catalog_name", "datafusion"))
         return out
 
     def catalog(self, name: str = "datafusion"):
@@ -995,7 +1010,8 @@ class SessionContext:
         providers = getattr(self, "_catalog_providers", {})
         if name in providers:
             return ProviderCatalog(self.spark, name, providers[name])
-        if name not in ("datafusion", "spark_catalog", "default"):
+        default_name = getattr(self, "_default_catalog_name", "datafusion")
+        if name not in (default_name, "spark_catalog", "default"):
             raise KeyError(name)
         return Catalog(self.spark, name, ctx=self)
 
@@ -1225,8 +1241,15 @@ class SessionContext:
         self.read_table(provider).df.createOrReplaceTempView(name)
 
     def table_provider(self, name: str):
-        """The registered table for ``name`` (ref table_provider)."""
-        return self.table(name)
+        """The registered Table handle for ``name`` (ref table_provider);
+        KeyError when absent."""
+        from .catalog import Table
+
+        if not self.spark.catalog.tableExists(name):
+            raise KeyError(name)
+        t = Table(self.spark, name)
+        t._ctx = self
+        return t
 
     def register_table_factory(self, format: str, factory) -> None:
         """Track a :class:`TableProviderFactory` for ``STORED AS format``
@@ -1368,11 +1391,33 @@ class SessionContext:
             "session build time via spark.sql.extensions"
         )
 
+    # DataFusion's built-in logical optimizer rule names (ref
+    # datafusion/optimizer/src/lib.rs) — removal maps to tracking which
+    # rules the session considers disabled (Catalyst's equivalents are
+    # controlled by spark.sql.optimizer.excludedRules where one exists).
+    _DF_OPTIMIZER_RULES = {
+        "eliminate_nested_union", "simplify_expressions",
+        "unwrap_cast_in_comparison", "replace_distinct_aggregate",
+        "eliminate_join", "decorrelate_predicate_subquery",
+        "scalar_subquery_to_join", "extract_equijoin_predicate",
+        "eliminate_duplicated_expr", "eliminate_filter",
+        "eliminate_cross_join", "common_sub_expression_eliminate",
+        "eliminate_limit", "propagate_empty_relation",
+        "filter_null_join_keys", "eliminate_outer_join",
+        "push_down_limit", "push_down_filter",
+        "single_distinct_aggregation_to_group_by",
+        "eliminate_group_by_constant", "optimize_projections",
+    }
+
     def remove_optimizer_rule(self, name: str) -> bool:
-        raise NotImplementedError(
-            "optimizer-rule removal is engine-internal; on Spark use "
-            "spark.sql.optimizer.excludedRules to disable built-in rules"
-        )
+        """Disable a logical optimizer rule by DataFusion name (ref
+        remove_optimizer_rule): True when the rule existed."""
+        if name not in self._DF_OPTIMIZER_RULES:
+            return False
+        if not hasattr(self, "_removed_rules"):
+            self._removed_rules: set[str] = set()
+        self._removed_rules.add(name)
+        return True
 
     def enable_spark_functions(self) -> None:
         """The reference loads a Spark-compat function package into its

@@ -132,6 +132,19 @@ class ParquetWriterOptions:
             return name, int(level)
         return spec, self.compression_level
 
+    def _validate(self) -> None:
+        from .dataframe import DataFrame as _DF
+
+        codec, level = self._codec()
+        _DF._check_parquet_codec(codec, level)
+        import re as _re
+
+        if not _re.fullmatch(r"[12](\.0)?", str(self.writer_version)):
+            raise ValueError(
+                f"Invalid parquet writer version {self.writer_version!r}; "
+                "expected '1.0' or '2.0'"
+            )
+
     def _spark_options(self) -> dict[str, str]:
         codec, level = self._codec()
         opts: dict[str, str] = {"compression": codec}
@@ -201,12 +214,19 @@ def _join_how(how: str) -> str:
 
 
 def _cols(exprs: Iterable[Any]) -> list[Column]:
+    from .expr import EXPR_TYPE_ERROR
+
     out = []
     for e in exprs:
         if isinstance(e, str):
             out.append(F.col(e))
-        else:
+        elif isinstance(e, (Expr, Column)) or hasattr(e, "expr"):
             out.append(_c(e))
+        else:
+            raise TypeError(
+                f"Expected Expr or column name, got {type(e).__name__}. "
+                + EXPR_TYPE_ERROR
+            )
     return out
 
 
@@ -453,7 +473,8 @@ class DataFrame:
         return self._derive(self.df.drop(*names))
 
     def with_column(self, name: str, expr) -> "DataFrame":
-        return self._derive(self.df.withColumn(name, _c(expr)))
+        c = F.expr(expr) if isinstance(expr, str) else _c(expr)
+        return self._derive(self.df.withColumn(name, c))
 
     def with_columns(self, *exprs, **named) -> "DataFrame":
         out = self.df
@@ -464,12 +485,14 @@ class DataFrame:
             else:
                 out = self._add_aliased(out, e)
         for name, e in named.items():
-            out = out.withColumn(name, _c(e))
+            out = out.withColumn(name, F.expr(e) if isinstance(e, str) else _c(e))
         return self._derive(out)
 
     @staticmethod
     def _add_aliased(sdf: SparkDF, expr) -> SparkDF:
-        c = _c(expr)
+        # plain strings are SQL expressions ("a + b as c") — ref
+        # with_columns accepts SQL text alongside Exprs
+        c = F.expr(expr) if isinstance(expr, str) else _c(expr)
         name = sdf.select(c).columns[0]
         return sdf.withColumn(name, c)
 
@@ -651,13 +674,26 @@ class DataFrame:
 
     # -- sorting / limits -----------------------------------------------------
     def sort(self, *keys) -> "DataFrame":
+        from .expr import EXPR_TYPE_ERROR
+
+        for k in keys:
+            if not isinstance(k, (str, Expr, SortExpr, Column)):
+                raise TypeError(
+                    f"Expected Expr or column name, got {type(k).__name__}. "
+                    + EXPR_TYPE_ERROR
+                )
         spark_keys = [to_sort_expr(k)._to_spark() for k in keys]
         return self._derive(self.df.orderBy(*spark_keys))
 
     order_by = sort
 
     def sort_by(self, *exprs) -> "DataFrame":
-        return self.sort(*exprs)
+        """Always ascending, nulls last (ref dataframe.py sort_by)."""
+        cols = [
+            (to_sort_expr(e).inner.expr if not isinstance(e, str) else F.col(e)).asc_nulls_last()
+            for e in exprs
+        ]
+        return self._derive(self.df.orderBy(*cols))
 
     def limit(self, count: int, offset: int = 0) -> "DataFrame":
         out = self.df
@@ -739,8 +775,9 @@ class DataFrame:
     def intersect(self, other: "DataFrame", distinct: bool = True) -> "DataFrame":
         return self._derive(self.df.intersect(other.df) if distinct else self.df.intersectAll(other.df))
 
-    def except_all(self, other: "DataFrame") -> "DataFrame":
-        return self._derive(self.df.exceptAll(other.df))
+    def except_all(self, other: "DataFrame", distinct: bool = False) -> "DataFrame":
+        out = self.df.exceptAll(other.df)
+        return self._derive(out.distinct() if distinct else out)
 
     def distinct(self) -> "DataFrame":
         return self._derive(self.df.distinct())
@@ -760,10 +797,13 @@ class DataFrame:
 
     # -- unnest -----------------------------------------------------------------
     def unnest_columns(
-        self, *cols: str, preserve_nulls: bool = True, recursions: int = 1
+        self, *cols, preserve_nulls: bool = True, recursions: int = 1
     ) -> "DataFrame":
         """Explode list columns; ``recursions`` unnests nested lists that
-        many levels deep (ref dataframe.py:1741)."""
+        many levels deep (ref dataframe.py:1741). Accepts names varargs
+        or a single list of names."""
+        if len(cols) == 1 and isinstance(cols[0], (list, tuple)):
+            cols = tuple(cols[0])
         out = self.df
         explode = F.explode_outer if preserve_nulls else F.explode
         for _ in range(max(1, recursions)):
@@ -992,7 +1032,27 @@ class DataFrame:
         return self.df.toArrow().to_pylist()
 
     def show(self, num: int = 20) -> None:
-        self.df.show(num)
+        """Print the frame in the reference's ASCII table style (ref
+        dataframe.py show; prints "DataFrame has no rows" when empty)."""
+        tbl = self._restore_arrow_types(
+            self._normalize_arrow(self.df.limit(num).toArrow())
+        ).combine_chunks()
+        if tbl.num_rows == 0:
+            print("DataFrame has no rows")
+            return
+        names = tbl.schema.names
+        cells = [[str(v) if v is not None else "" for v in col.to_pylist()] for col in tbl.columns]
+        widths = [
+            max(len(names[i]), *(len(x) for x in cells[i])) if cells[i] else len(names[i])
+            for i in range(len(names))
+        ]
+        sep = "+" + "+".join("-" * (w + 2) for w in widths) + "+"
+        print(sep)
+        print("|" + "|".join(f" {names[i]:<{widths[i]}} " for i in range(len(names))) + "|")
+        print(sep)
+        for r in range(tbl.num_rows):
+            print("|" + "|".join(f" {cells[i][r]:<{widths[i]}} " for i in range(len(names))) + "|")
+        print(sep)
 
     def to_polars(self):
         """ref dataframe.py:1722 — zero-copy via Arrow when polars exists."""
@@ -1088,6 +1148,34 @@ class DataFrame:
             return self.df.orderBy(*keys)
         return self.df
 
+    _CODEC_MAX_LEVEL = {"gzip": 10, "brotli": 11, "zstd": 22}
+    _KNOWN_CODECS = {
+        "uncompressed", "snappy", "gzip", "brotli", "lz4", "lz4_raw",
+        "zstd", "lzo", "none",
+    }
+
+    @classmethod
+    def _check_parquet_codec(cls, codec: str, level) -> None:
+        """Validate codec + level like the reference's parquet writer
+        (ref: parquet::basic::Compression parsing — unknown codecs and
+        out-of-range levels are ValueError/'valid compression range
+        exceeded')."""
+        codec = codec.lower()
+        if codec not in cls._KNOWN_CODECS:
+            raise ValueError(
+                f"Unknown or unsupported parquet compression codec {codec!r}"
+            )
+        if level is not None:
+            hi = cls._CODEC_MAX_LEVEL.get(codec)
+            if hi is None:
+                raise ValueError(
+                    f"compression level is not supported for codec {codec!r}"
+                )
+            if not (0 <= int(level) <= hi):
+                raise ValueError(
+                    f"valid compression range 0..{hi} exceeded."
+                )
+
     def write_parquet(
         self,
         path: str,
@@ -1097,6 +1185,7 @@ class DataFrame:
     ) -> None:
         if isinstance(compression, ParquetWriterOptions):
             return self.write_parquet_with_options(path, compression, write_options)
+        self._check_parquet_codec(compression, compression_level)
         writer = self._write_df(write_options).write.mode("overwrite")
         if write_options and write_options.partition_by:
             writer = writer.partitionBy(*write_options.partition_by)
@@ -1115,6 +1204,7 @@ class DataFrame:
         """Write parquet with full writer options, including per-column
         bloom-filter/dictionary settings (ref dataframe.py:1583;
         ParquetColumnOptions ref dataframe.py:296)."""
+        options._validate()
         writer = self._write_df(write_options).write.mode("overwrite")
         if write_options and write_options.partition_by:
             writer = writer.partitionBy(*write_options.partition_by)
@@ -1215,5 +1305,17 @@ class DataFrame:
         (ref dataframe.py:1829)."""
         return func(self, *args)
 
-    def into_view(self, name: str) -> None:
-        self.df.createOrReplaceTempView(name)
+    def into_view(self, name=None, temporary: bool = False):
+        """As a view Table handle (ref dataframe.py into_view — returns a
+        Table whose kind is "view"/"temporary"); the legacy string form
+        registers a temp view under that name."""
+        if isinstance(name, str):
+            self.df.createOrReplaceTempView(name)
+            return None
+        if name is not None:  # positional bool in the reference signature
+            temporary = bool(name)
+        from .catalog import Table
+
+        t = Table(self)
+        t._view_kind = "temporary" if temporary else "view"
+        return t

@@ -80,7 +80,14 @@ def _spark_type(t: Any):
         import pyarrow as pa
 
         if isinstance(t, pa.DataType):
-            return _TYPE_ALIASES.get(str(t), T.StringType()) if str(t) in _TYPE_ALIASES else T.fromArrow(t)
+            if str(t) in _TYPE_ALIASES:
+                return _TYPE_ALIASES[str(t)]
+            try:
+                return T.fromArrow(t)  # pyspark >= 4.1
+            except AttributeError:
+                from pyspark.sql.pandas.types import from_arrow_type
+
+                return from_arrow_type(t)
     except ImportError:
         pass
     if isinstance(t, str):
@@ -236,6 +243,12 @@ class Expr:
     # NOTE: no __bool__ override — the reference Expr is a plain truthy
     # object (its tests rely on `assert expr_a == expr_b` passing by
     # truthiness of the comparison expression).
+
+    def __iter__(self):
+        # __getitem__ would otherwise make Expr silently iterable forever
+        # (try_element_at never raises IndexError) — same guard as
+        # pyspark's Column
+        raise TypeError("Expr objects are not iterable")
 
     # -- naming / casting --------------------------------------------------
     def alias(self, name: str, metadata: dict | None = None) -> "Expr":

@@ -522,7 +522,11 @@ def regexp_instr(s, pattern, start=None, n=None, flags=None, sub_expr=None) -> E
     nn = _pyint(n, 1) or 1
     c = _u(s)
     frm = F.lit(st)
-    for _ in range(max(0, nn - 1)):
+    # NB: max/range up here are THIS MODULE'S SQL functions — use the
+    # Python builtins for the loop bound
+    import builtins
+
+    for _ in builtins.range(builtins.max(0, nn - 1)):
         sub = F.substr(c, frm)
         p = F.regexp_instr(sub, pat_l, 0)
         absp = F.when(p == 0, F.lit(0)).otherwise(p + frm - 1)

@@ -36,6 +36,11 @@ _DEFAULTS = {
     # long (ns since epoch) with this flag, and tables.py converts back to
     # TimestampType at µs precision (same truncation DuckDB applies).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # PySpark 4 captures the Python call site on EVERY Column operation
+    # (inspect-based, ~50-100ms and JVM-retained per node) for error
+    # enrichment. Expression-heavy workloads build thousands of columns;
+    # the capture dominates build time and leaks JVM heap — off.
+    "spark.python.sql.dataFrameDebugging.enabled": "false",
 }
 
 

@@ -108,7 +108,13 @@ def ensure_fixture(cwd: str = "/tmp") -> None:
             ])
 
 
+# per-file timeout overrides: test_functions runs ~600 parametrized
+# collects (one Spark job each)
+FILE_TIMEOUTS = {"test_functions.py": 3000, "test_pickle_multiprocessing.py": 1800}
+
+
 def run_file(path: Path, timeout: int = 900) -> dict:
+    timeout = FILE_TIMEOUTS.get(path.name, timeout)
     ensure_fixture()
     env = dict(os.environ)
     env["PYTHONDONTWRITEBYTECODE"] = "1"
