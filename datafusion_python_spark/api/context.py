@@ -864,6 +864,24 @@ class SessionContext:
         # partition per provided batch list; from_arrow = one) — keeps
         # collect_partitioned shapes and written-file order deterministic.
         # coalesce is a narrow op: no shuffle, row order preserved.
+        # re-attach Arrow field metadata (createDataFrame drops it); also
+        # recorded process-wide for functions.arrow_metadata, which is
+        # expression-level and cannot see the frame (documented: last
+        # registration of a column name wins)
+        try:
+            from .functions import _FIELD_METADATA
+
+            for f_ in data.schema:
+                if f_.metadata:
+                    md = {
+                        k.decode() if isinstance(k, bytes) else str(k):
+                        v.decode() if isinstance(v, bytes) else str(v)
+                        for k, v in f_.metadata.items()
+                    }
+                    sdf = sdf.withMetadata(f_.name, md)
+                    _FIELD_METADATA[f_.name] = md
+        except Exception:
+            pass
         sdf = sdf.coalesce(max(1, n_partitions))
         out = DataFrame(sdf)
         if had_view:

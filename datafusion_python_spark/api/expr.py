@@ -95,6 +95,10 @@ def _spark_type(t: Any):
         if key in _TYPE_ALIASES:
             return _TYPE_ALIASES[key]
         return t  # let Spark's DDL parser handle it ("decimal(10,2)" etc.)
+    # python types are accepted by the reference's cast (ref expr.py cast)
+    _PY_TYPES = {str: T.StringType(), int: T.LongType(), float: T.DoubleType(), bool: T.BooleanType()}
+    if t in _PY_TYPES:
+        return _PY_TYPES[t]
     raise TypeError(f"unsupported type spec: {t!r}")
 
 
@@ -232,6 +236,18 @@ class Expr:
         not raise on short arrays."""
         if isinstance(key, str):
             return _e(self.expr.getField(key))
+        if isinstance(key, slice):
+            # Python 0-based half-open → DataFusion array_slice 1-based
+            # inclusive (ref expr.py:743-764)
+            from . import functions as _fn
+
+            start = 1 if key.start is None else (
+                key.start + 1 if isinstance(key.start, int) else key.start + Expr(F.lit(1))
+            )
+            stop = key.stop  # inclusive bound == exclusive python stop
+            if stop is None:
+                stop = Expr(F.size(self.expr).cast("int"))
+            return _fn.array_slice(self, start, stop, key.step)
         # DataFusion list indexing is 0-based; Spark element_at is 1-based
         return _e(
             F.try_element_at(

@@ -122,7 +122,28 @@ def arrow_typeof(e) -> Expr:
     return Expr(c)
 
 
+def _lit_only(value, fname: str, arg: str, default=None):
+    """Literal-only argument intake (ref TestPythonicNativeTypes):
+    native values pass through; a literal Expr is unwrapped with the
+    reference's DeprecationWarning."""
+    if isinstance(value, Expr):
+        import warnings
+
+        warnings.warn(
+            f"Passing Expr for {fname}() argument {arg!r} is deprecated; "
+            "pass a native Python value instead",
+            DeprecationWarning,
+            stacklevel=3,
+        )
+        v = _pystr(value)
+        if v is None:
+            v = _pyint(value)
+        return v if v is not None else default
+    return value
+
+
 def arrow_cast(e, to) -> Expr:
+    to = _lit_only(to, "arrow_cast", "data_type", "string") if isinstance(to, Expr) else to
     return (e if isinstance(e, Expr) else Expr(_u(e))).cast(to)
 
 
@@ -130,11 +151,13 @@ def cast_to_type(e, to) -> Expr:
     return arrow_cast(e, to)
 
 
-def try_cast_to_type(e, to) -> Expr:
+def try_cast_to_type(e, to, _fname: str = "try_cast_to_type") -> Expr:
+    to = _lit_only(to, _fname, "data_type", "string") if isinstance(to, Expr) else to
     return (e if isinstance(e, Expr) else Expr(_u(e))).try_cast(to)
 
 
-arrow_try_cast = try_cast_to_type
+def arrow_try_cast(e, to) -> Expr:
+    return try_cast_to_type(e, to, _fname="arrow_try_cast")
 
 
 def greatest(*es) -> Expr:
@@ -154,7 +177,12 @@ def uuid() -> Expr:
 
 
 def version() -> Expr:
-    return Expr(F.version())
+    """Engine version string (ref functions/__init__.py version — the
+    reference returns "Apache DataFusion <v>"; this engine reports its
+    compatibility target plus the Spark build)."""
+    return Expr(
+        F.concat(F.lit("Apache DataFusion (Spark engine) "), F.version())
+    )
 
 
 def row(*es) -> Expr:
@@ -234,7 +262,14 @@ radians = _m1(F.radians)
 signum = _m1(F.signum)
 sin = _m1(F.sin)
 sinh = _m1(F.sinh)
-sqrt = _m1(F.sqrt)
+def sqrt(e) -> Expr:
+    # DataFusion's sqrt errors on negative input (arrow kernel); Spark
+    # returns NaN
+    c = _u(e)
+    return Expr(
+        F.when(c < 0, F.raise_error(F.lit("sqrt of a negative number")))
+        .otherwise(F.sqrt(c))
+    )
 tan = _m1(F.tan)
 tanh = _m1(F.tanh)
 
@@ -466,14 +501,17 @@ def to_hex(e) -> Expr:
 
 
 def encode(e, encoding: str) -> Expr:
+    encoding = _lit_only(encoding, "encode", "encoding", "utf-8")
     if encoding in ("base64",):
-        return Expr(F.base64(_u(e)))
+        # DataFusion emits UNPADDED base64 (arrow encode kernel)
+        return Expr(F.regexp_replace(F.base64(_u(e)), "=+$", ""))
     if encoding in ("hex",):
         return Expr(F.hex(_u(e)))
     return Expr(F.encode(_u(e), encoding))
 
 
 def decode(e, encoding: str) -> Expr:
+    encoding = _lit_only(encoding, "decode", "encoding", "utf-8")
     if encoding in ("base64",):
         return Expr(F.unbase64(_u(e)))
     if encoding in ("hex",):
@@ -550,12 +588,16 @@ def _flagged(pattern, flags):
         pattern = v
     if flags:
         flags = _pystr(flags, flags) or ""
+        # 'g' (global) is DataFusion-only; Spark regex ops are always
+        # global and reject the inline flag
+        flags = flags.replace("g", "")
         return f"(?{flags}){pattern}" if flags else pattern
     return pattern
 
 
 # crypto / hash
 def digest(e, method) -> Expr:
+    method = _lit_only(method, "digest", "method", "sha256")
     m = method if isinstance(method, str) else "sha256"
     c = _u(e)
     if m == "md5":
@@ -600,6 +642,11 @@ def current_date() -> Expr:
     return Expr(F.current_date())
 
 
+def today() -> Expr:
+    """Alias of current_date (ref functions/__init__.py today — Date32)."""
+    return Expr(F.current_date())
+
+
 def to_date(e, *formats) -> Expr:
     if formats:
         return Expr(F.to_date(_u(e), _chrono_to_java(formats[0])))
@@ -607,9 +654,12 @@ def to_date(e, *formats) -> Expr:
 
 
 def to_timestamp(e, *formats) -> Expr:
+    # DataFusion to_timestamp yields a NAIVE timestamp (Timestamp(ns,
+    # None)); Spark's NTZ type is the match (exact under the pinned UTC
+    # session)
     if formats:
-        return Expr(F.to_timestamp(_u(e), _chrono_to_java(formats[0])))
-    return Expr(F.to_timestamp(_u(e)))
+        return Expr(F.to_timestamp_ntz(_u(e), F.lit(_chrono_to_java(formats[0]))))
+    return Expr(F.to_timestamp_ntz(_u(e)))
 
 
 def to_timestamp_seconds(e) -> Expr:
@@ -648,21 +698,28 @@ def from_unixtime(e) -> Expr:
     )
 
 
-def date_part(part, e) -> Expr:
+def date_part(part, e, _fname: str = "date_part") -> Expr:
+    part = _lit_only(part, _fname, "part", "year")
     p = part if isinstance(part, str) else "year"
     return Expr(F.date_part(F.lit(p), _u(e)))
 
 
-datepart = date_part
-extract = date_part
+def datepart(part, e) -> Expr:
+    return date_part(part, e, _fname="datepart")
 
 
-def date_trunc(part, e) -> Expr:
+def extract(part, e) -> Expr:
+    return date_part(part, e, _fname="extract")
+
+
+def date_trunc(part, e, _fname: str = "date_trunc") -> Expr:
+    part = _lit_only(part, _fname, "part", "day")
     p = part if isinstance(part, str) else "day"
     return Expr(F.date_trunc(p, _u(e)))
 
 
-datetrunc = date_trunc
+def datetrunc(part, e) -> Expr:
+    return date_trunc(part, e, _fname="datetrunc")
 
 
 def date_bin(stride, source, origin=None) -> Expr:
@@ -720,7 +777,8 @@ def make_date(y, m, d) -> Expr:
     return Expr(F.make_date(_u(y), _u(m), _u(d)))
 
 
-def to_char(e, fmt: str) -> Expr:
+def to_char(e, fmt) -> Expr:
+    fmt = _pystr(fmt, "%Y-%m-%d") if isinstance(fmt, Expr) else fmt
     return Expr(F.date_format(_u(e), _chrono_to_java(fmt)))
 
 
@@ -1198,14 +1256,21 @@ def array_compact(arr) -> Expr:
 
 
 def array_element(arr, i) -> Expr:
-    return Expr(F.element_at(_u(arr), _u(i)))
+    # Spark element_at requires an INT index (lit ints are Int64);
+    # try_element_at: DataFusion returns NULL out of bounds, ANSI raises
+    iv = _pyint(i, None)
+    ix = F.lit(iv).cast("int") if isinstance(iv, int) else _u(i).cast("int")
+    return Expr(F.try_element_at(_u(arr), ix))
 
 
 array_extract = array_element
 
 
-def element_at(arr, i) -> Expr:
-    return Expr(F.element_at(_u(arr), _u(i)))
+def element_at(m, key) -> Expr:
+    """Alias of map_extract (ref functions/__init__.py element_at — the
+    reference's element_at is the MAP accessor returning a 1-element
+    list; arrays use array_element)."""
+    return map_extract(m, key)
 
 
 def array_empty(arr) -> Expr:
@@ -1241,8 +1306,18 @@ def array_has_any(arr, other) -> Expr:
 arrays_overlap = array_has_any
 
 
-def array_position(arr, v) -> Expr:
-    return Expr(F.array_position(_u(arr), _u(v)).cast("long"))
+def array_position(arr, v, start=None) -> Expr:
+    """1-based position of the first match; NULL when absent (DataFusion
+    semantics — Spark's array_position returns 0). Optional ``start``
+    searches from that 1-based index."""
+    a = _u(arr)
+    if start is not None:
+        st = _pyint(start, 1) or 1
+        p = F.array_position(F.slice(a, st, F.size(a)), _u(v))
+        pos = F.when(p > 0, (p + F.lit(st - 1)).cast("long"))
+        return Expr(pos)
+    p = F.array_position(a, _u(v))
+    return Expr(F.when(p > 0, p.cast("long")))
 
 
 array_indexof = array_position
@@ -1284,21 +1359,18 @@ def array_remove_all(arr, v) -> Expr:
 
 
 def array_repeat(v, n) -> Expr:
-    return Expr(F.array_repeat(_u(v), n if isinstance(n, int) else _u(n)))
+    return Expr(F.array_repeat(_u(v), n if isinstance(n, int) else _u(n).cast("int")))
 
 
 def array_replace(arr, from_v, to_v) -> Expr:
+    """Replace the FIRST occurrence (ref array_replace). Indexed
+    transform — arrays_zip is avoided because its struct field names
+    follow the input expression names."""
     a = _u(arr)
     fv, tv = _u(from_v), _u(to_v)
     found = F.array_position(a, fv)
     return Expr(
-        F.when(
-            found > 0,
-            F.transform(
-                F.arrays_zip(a, F.sequence(F.lit(1), F.size(a))),
-                lambda s: F.when(s["1"] == found, tv).otherwise(s["0"]),
-            ),
-        ).otherwise(a)
+        F.transform(a, lambda x, i: F.when(i + 1 == found, tv).otherwise(x))
     )
 
 
@@ -1329,11 +1401,28 @@ sort = array_sort
 
 
 def array_slice(arr, begin, end, stride=None) -> Expr:
+    """DataFusion array_slice: 1-based INCLUSIVE bounds, negative counts
+    from the end (-1 = last), optional stride (ref
+    functions/__init__.py array_slice). Column-safe: built from
+    sequence + element_at so bounds/stride may be expressions."""
     a = _u(arr)
-    b = begin if isinstance(begin, int) else 1
-    e = end if isinstance(end, int) else None
-    ln = (e - b + 1) if e is not None else None
-    return Expr(F.slice(a, b, ln if ln is not None else F.size(a)))
+
+    def norm(v):
+        c = _u(v).cast("int") if not isinstance(v, int) else F.lit(v).cast("int")
+        return F.when(c < 0, F.size(a) + c + 1).otherwise(c)
+
+    b = norm(begin)
+    e = F.least(norm(end), F.size(a))
+    st = (
+        F.lit(1).cast("int")
+        if stride is None
+        else (_u(stride).cast("int") if not isinstance(stride, int) else F.lit(stride).cast("int"))
+    )
+    idxs = F.when(b <= e, F.sequence(b, e, st)).otherwise(
+        F.array().cast("array<int>")
+    )
+    valid = F.filter(idxs, lambda i: (i >= 1) & (i <= F.size(a)))
+    return Expr(F.transform(valid, lambda i: F.element_at(a, i)))
 
 
 def array_intersect(a, b) -> Expr:
@@ -1355,8 +1444,9 @@ def array_resize(arr, size, value=None) -> Expr:
 
 
 def array_any_value(arr) -> Expr:
+    # NULL (not an error) for empty/all-null arrays
     a = _u(arr)
-    return Expr(F.element_at(F.array_compact(a), 1))
+    return Expr(F.try_element_at(F.array_compact(a), F.lit(1)))
 
 
 def array_max(arr) -> Expr:
@@ -1372,7 +1462,18 @@ def array_reverse(arr) -> Expr:
 
 
 def arrays_zip(*arrs) -> Expr:
-    return Expr(F.arrays_zip(*[_u(a) for a in arrs]))
+    """Element-wise zip; DataFusion names the struct fields 1..n (Spark
+    uses the input column names) — rebuilt with named_struct."""
+    import builtins
+
+    cols = [_u(a) for a in arrs]
+    n = builtins.len(cols)
+    sz = F.greatest(*[F.size(c) for c in cols]) if n > 1 else F.size(cols[0])
+    idxs = F.sequence(F.lit(1), F.greatest(sz, F.lit(0)))
+    return Expr(F.transform(idxs, lambda i: F.named_struct(*[
+        x for j, c in builtins.enumerate(cols)
+        for x in (F.lit(str(j + 1)), F.try_element_at(c, i))
+    ])))
 
 
 def array_dims(arr) -> Expr:
@@ -1406,33 +1507,59 @@ def array_ndims(arr) -> Expr:
     return Expr(_arrow_typed(nd, pa.uint64(), "array_ndims"))
 
 
+def _same_len_guard(a, b, out):
+    """NULL-safe length assertion: mismatched vector lengths raise at
+    execute (ref: arrow kernels error with 'same length')."""
+    return F.when(
+        F.size(a) != F.size(b),
+        F.raise_error(F.lit("vector arguments must have the same length")),
+    ).otherwise(out)
+
+
 def array_distance(a, b) -> Expr:
-    d = F.zip_with(_u(a).cast("array<double>"), _u(b).cast("array<double>"), lambda x, y: (x - y) * (x - y))
-    return Expr(F.sqrt(F.aggregate(d, F.lit(0.0), lambda acc, v: acc + v)))
+    aa, bb = _u(a).cast("array<double>"), _u(b).cast("array<double>")
+    d = F.zip_with(aa, bb, lambda x, y: (x - y) * (x - y))
+    out = F.sqrt(F.aggregate(d, F.lit(0.0), lambda acc, v: acc + v))
+    return Expr(_same_len_guard(aa, bb, out))
 
 
 def cosine_distance(a, b) -> Expr:
     from ..operators.similarity import cosine_similarity_col
 
-    return Expr(1 - cosine_similarity_col(_u(a).cast("array<double>"), _u(b).cast("array<double>")))
+    aa, bb = _u(a).cast("array<double>"), _u(b).cast("array<double>")
+    return Expr(_same_len_guard(aa, bb, 1 - cosine_similarity_col(aa, bb)))
 
 
 def inner_product(a, b) -> Expr:
-    d = F.zip_with(_u(a).cast("array<double>"), _u(b).cast("array<double>"), lambda x, y: x * y)
-    return Expr(F.aggregate(d, F.lit(0.0), lambda acc, v: acc + v))
+    aa, bb = _u(a).cast("array<double>"), _u(b).cast("array<double>")
+    d = F.zip_with(aa, bb, lambda x, y: x * y)
+    out = F.aggregate(d, F.lit(0.0), lambda acc, v: acc + v)
+    return Expr(_same_len_guard(aa, bb, out))
 
 
 def string_to_array(s, delimiter=",", null_string=None) -> Expr:
-    d = delimiter if isinstance(delimiter, str) else ","
-    return Expr(F.split(_u(s), d))
+    d = _pystr(delimiter, ",") if isinstance(delimiter, Expr) else (delimiter or ",")
+    import re as _re
+
+    parts = F.split(_u(s), _re.escape(d))
+    if null_string is None:
+        return Expr(parts)
+    ns = _u(null_string)
+    return Expr(F.transform(parts, lambda x: F.when(x == ns, F.lit(None)).otherwise(x)))
 
 
 string_to_list = string_to_array
 
 
 def array_to_string(arr, delimiter=",", null_string=None) -> Expr:
-    d = delimiter if isinstance(delimiter, str) else ","
-    return Expr(F.array_join(_u(arr), d, null_string))
+    # DataFusion renders numeric elements via Rust Display (1.0 -> "1");
+    # Spark casts 1.0 -> "1.0" — trim the trailing .0 to match
+    d = _pystr(delimiter, ",") if isinstance(delimiter, Expr) else (delimiter or ",")
+    rendered = F.transform(
+        _u(arr),
+        lambda x: F.regexp_replace(x.cast("string"), r"^(-?\d+)\.0$", r"$1"),
+    )
+    return Expr(F.array_join(rendered, d, null_string))
 
 
 array_join = array_to_string
@@ -1527,6 +1654,13 @@ def struct(*es) -> Expr:
 
 
 def named_struct(*pairs) -> Expr:
+    """Struct from (name, value) pairs — flat varargs or a single list
+    of tuples (ref functions/__init__.py named_struct)."""
+    if len(pairs) == 1 and isinstance(pairs[0], (list, tuple)) and pairs[0] and isinstance(pairs[0][0], (list, tuple)):
+        flat: list = []
+        for name, value in pairs[0]:
+            flat.extend((name, value))
+        pairs = tuple(flat)
     args: list[Column] = []
     it = iter(pairs)
     for name in it:
@@ -1536,13 +1670,47 @@ def named_struct(*pairs) -> Expr:
     return Expr(F.named_struct(*args))
 
 
-def get_field(e, name) -> Expr:
-    if isinstance(name, str):
-        return Expr(_u(e).getField(name))
-    return Expr(F.element_at(_u(e), _u(name)))
+def get_field(e, *names) -> Expr:
+    """Nested struct-field access (ref functions/__init__.py get_field):
+    ``get_field(col, "a", "b")`` walks outer→inner; requires at least
+    one field name."""
+    if not names:
+        raise ValueError("get_field requires at least one field name")
+    c = _u(e)
+    for name in names:
+        if isinstance(name, str):
+            c = c.getField(name)
+        else:
+            c = F.element_at(c, _u(name))
+    return Expr(c)
 
 
 def make_map(*pairs) -> Expr:
+    """Map constructor (ref functions/__init__.py make_map):
+    ``make_map({k: v, ...})`` | ``make_map([keys], [values])`` |
+    flat ``make_map(k1, v1, k2, v2, ...)``."""
+    if len(pairs) == 1 and isinstance(pairs[0], dict):
+        flat: list = []
+        for k, v in pairs[0].items():
+            flat.extend((k, v))
+        pairs = tuple(flat)
+    elif (
+        len(pairs) == 2
+        and isinstance(pairs[0], (list, tuple))
+        and isinstance(pairs[1], (list, tuple))
+    ):
+        keys, vals = pairs[0], pairs[1]
+        if len(keys) != len(vals):
+            raise ValueError(
+                "make_map keys and values must have the same length"
+            )
+        return Expr(F.map_from_arrays(
+            F.array(*[_u(k) for k in keys]), F.array(*[_u(v) for v in vals])
+        ))
+    if len(pairs) % 2 != 0:
+        raise ValueError(
+            "make_map expects an even number of key/value arguments"
+        )
     return Expr(F.create_map(*[_u(p) for p in pairs]))
 
 
@@ -1559,7 +1727,9 @@ def map_entries(m) -> Expr:
 
 
 def map_extract(m, key) -> Expr:
-    return Expr(F.array(F.element_at(_u(m), _u(key))))
+    """A LIST holding the value for ``key``, [NULL] when absent (ref
+    functions/__init__.py map_extract)."""
+    return Expr(F.array(F.try_element_at(_u(m), _u(key))))
 
 
 # ---------------------------------------------------------------------------
@@ -1659,13 +1829,40 @@ def arrow_field(e) -> Expr:
     )
 
 
+# column-name → Arrow field metadata, recorded at in-memory ingestion
+# (see SessionContext.from_arrow) — arrow_metadata is expression-level
+# and cannot see the enclosing frame
+_FIELD_METADATA: dict = {}
+
+
 def arrow_metadata(e, key=None) -> Expr:
-    """Unsupported: see arrow_field (ref functions/__init__.py:3222). Use
-    ``df.schema[<name>].metadata``."""
-    raise NotImplementedError(
-        "arrow_metadata: per-expression metadata introspection is not "
-        "available in Spark; read df.schema[<name>].metadata instead"
-    )
+    """Arrow field metadata of the expression (ref
+    functions/__init__.py:3222): a map of all pairs, or the value for
+    ``key``. Sources: alias-attached metadata on the expression itself,
+    else the ingestion-recorded metadata for the referenced column."""
+    key = _lit_only(key, "arrow_metadata", "key") if key is not None else None
+    md = {}
+    try:
+        n = e._jnode() if isinstance(e, Expr) else None
+        if n is not None and n.getClass().getSimpleName() == "Alias":
+            import json as _json
+
+            md = _json.loads(str(n.metadata().json())) if hasattr(n, "metadata") else {}
+    except Exception:
+        md = {}
+    if not md:
+        try:
+            name = str(e.expr._jc.toString()).split(".")[-1].strip("`")
+            md = _FIELD_METADATA.get(name, {})
+        except Exception:
+            md = {}
+    if key is not None:
+        return Expr(F.lit(md.get(key)))
+    if not md:
+        return Expr(F.lit(None).cast("map<string,string>"))
+    return Expr(F.create_map(*[
+        x for k, v in md.items() for x in (F.lit(str(k)), F.lit(str(v)))
+    ]))
 
 
 def union_extract(union_expr, field_name) -> Expr:

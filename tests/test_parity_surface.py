@@ -48,7 +48,9 @@ def test_expr_method_forms(ctx):
     d = ctx.from_pydict({"x": [-2.0, 9.0], "s": ["Ab", "cD"]})
     out = d.select(
         col("x").abs().alias("a"),
-        col("x").sqrt().alias("r"),
+        # negative sqrt errors, matching the reference's
+        # test_sqrt_rejects_negative_input
+        col("x").abs().sqrt().alias("r"),
         col("s").upper().alias("u"),
         col("s").lower().md5().alias("h"),
         col("s").length().alias("n"),
