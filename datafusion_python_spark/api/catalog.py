@@ -96,6 +96,9 @@ def _to_spark_df(spark, table, ctx=None):
     inner = getattr(obj, "_dataset", None)
     if inner is not None:
         obj = inner
+    if isinstance(obj, Table) and obj._spark is not None:
+        # catalog-navigated Table: resolve through the session catalog
+        return obj._spark.table(obj.qualified_name)
     if hasattr(obj, "df"):  # package DataFrame
         return obj.df
     if hasattr(obj, "createOrReplaceTempView"):  # pyspark DataFrame

@@ -157,6 +157,7 @@ class CsvReadOptions:
         self.file_compression_type = file_compression_type
         self.null_regex = null_regex
         self.truncated_rows = truncated_rows
+        self.file_sort_order = file_sort_order
 
     # reference-style with_* chaining (options.py builder pattern)
     def _with(self, **kv) -> "CsvReadOptions":
@@ -196,6 +197,15 @@ class CsvReadOptions:
     def with_file_extension(self, file_extension: str) -> "CsvReadOptions":
         return self._with(file_extension=file_extension)
 
+    def with_schema_infer_max_records(self, n: int) -> "CsvReadOptions":
+        return self._with(schema_infer_max_records=n)
+
+    def with_table_partition_cols(self, cols: list) -> "CsvReadOptions":
+        return self._with(table_partition_cols=cols)
+
+    def with_file_sort_order(self, order: list) -> "CsvReadOptions":
+        return self._with(file_sort_order=order)
+
     def with_file_compression_type(self, t: str) -> "CsvReadOptions":
         return self._with(file_compression_type=t)
 
@@ -222,16 +232,13 @@ class CsvReadOptions:
         if self.truncated_rows:
             opts["mode"] = "PERMISSIVE"
         if self.null_regex:
-            # Spark matches literal null tokens, not regex; accept a plain
-            # literal, reject actual regex syntax rather than mis-match
+            # Spark's nullValue matches literal tokens; plain literals map
+            # there (nulls apply before type inference). Real regexes are
+            # applied post-read by read_csv to string columns.
             import re as _re
 
-            if not _re.fullmatch(r"[A-Za-z0-9 _\-.]*", self.null_regex):
-                raise NotImplementedError(
-                    "Spark's nullValue matches a literal string; regex null "
-                    f"markers are not supported (got {self.null_regex!r})"
-                )
-            opts["nullValue"] = self.null_regex
+            if _re.fullmatch(r"[A-Za-z0-9 _\-.]*", self.null_regex):
+                opts["nullValue"] = self.null_regex
         return opts
 
     def kwargs(self) -> dict:

@@ -91,8 +91,11 @@ class SQLOptions:
         if not self._allow_statements:
             head = q.strip().split(None, 1)[0].lower() if q.strip() else ""
             if head in ("set", "use"):
+                # reference error names the statement's plan variant
+                # (Statement(SetVariable ...))
+                variant = "SetVariable" if head == "set" else "Use"
                 raise ValueError(
-                    f"statement not allowed by SQLOptions: {head.upper()}"
+                    f"Statement not allowed by SQLOptions: {variant}"
                 )
 
 
@@ -153,6 +156,7 @@ class SessionContext:
         if getattr(self, "_url_table", False):
             query = self._rewrite_url_tables(query)
         query = self._rewrite_py_udtfs(query)
+        query = self._rewrite_sql_udwfs(query)
         query = self._rewrite_provider_tables(query)
         copy = self._parse_copy_to(query)
         if copy is not None:
@@ -175,7 +179,30 @@ class SessionContext:
             df = df.toDF(*[
                 _re.sub(r"^col(\d+)$", r"column\1", c) for c in df.columns
             ])
-        return DataFrame(df)
+        out = DataFrame(df)
+        empties = getattr(self, "_empty_table_names", None)
+        if empties:
+            import re as _re
+
+            if any(_re.search(rf"\b{_re.escape(n)}\b", query) for n in empties):
+                out._emit_empty_batch = True
+        ds_stats = getattr(self, "_dataset_stats", None)
+        if ds_stats:
+            import re as _re
+
+            paths = []
+            for n, p in ds_stats.items():
+                if _re.search(rf"\b{_re.escape(n)}\b", query):
+                    try:
+                        offset = os.path.getsize(p)
+                    except OSError:
+                        offset = 0
+                    paths.append((p, offset))
+            if paths:
+                # explain() reads pushFilters telemetry written by THIS
+                # query's planning (events after the recorded offsets)
+                out._dataset_stats_paths = paths
+        return out
 
     @staticmethod
     def _translate_analysis_error(ex: Exception) -> Exception:
@@ -200,6 +227,14 @@ class SessionContext:
                         rel = f"datafusion.public.{rel}"
                     return ValueError(
                         f"Error during planning: table '{rel}' not found"
+                    )
+                if cond == "UNRESOLVED_ROUTINE" or "TABLE_VALUED_FUNCTION" in str(cond):
+                    params = ex.getMessageParameters() or {}
+                    fn = str(
+                        params.get("routineName", params.get("name", ""))
+                    ).replace("`", "")
+                    return ValueError(
+                        f"Error during planning: Invalid function '{fn}'"
                     )
         except Exception:
             pass
@@ -298,6 +333,62 @@ class SessionContext:
             query = pat.sub(repl, query)
         return query
 
+    def _rewrite_sql_udwfs(self, query: str) -> str:
+        """Execute registered window UDFs referenced from SQL (ref
+        context.py register_udwf + sql). Spark has no SQL registration
+        for Python window functions, so ``fn(args) OVER (spec)`` is
+        evaluated through the DataFrame-side evaluator (WindowUDF.apply,
+        one applyInPandas per partition group), materialized as a temp
+        view with the window column appended, and the call site replaced
+        by that column. Supports the reference's test shapes: a single
+        source table in FROM, plain column arguments, PARTITION BY /
+        ORDER BY column lists."""
+        import re
+
+        reg = getattr(self, "_udf_regs", {}).get("udwf", {})
+        names = [n for n in reg if re.search(
+            rf"(?is)\b{re.escape(str(n))}\s*\(.*?OVER\b", query
+        )]
+        if not names:
+            return query
+        m_from = re.search(r"(?is)\bFROM\s+([\w.]+)", query)
+        if not m_from:
+            return query
+        table = m_from.group(1)
+        df = self.table(table)
+        counter = 0
+        for name in names:
+            pat = re.compile(
+                rf"(?is)\b{re.escape(str(name))}\s*\(([^()]*)\)\s+OVER\s*\(([^()]*)\)"
+            )
+
+            def repl(m, name=name):
+                nonlocal counter, df
+                counter += 1
+                args = [a.strip() for a in m.group(1).split(",") if a.strip()]
+                spec = m.group(2)
+                mp = re.search(r"(?is)PARTITION\s+BY\s+(.+?)(ORDER\s+BY|$)", spec)
+                mo = re.search(r"(?is)ORDER\s+BY\s+(.+)$", spec)
+                parts = [
+                    c.strip() for c in (mp.group(1) if mp else "").split(",") if c.strip()
+                ]
+                orders = [
+                    re.sub(r"(?is)\s+(ASC|DESC)\s*$", "", c).strip()
+                    for c in (mo.group(1) if mo else "").split(",")
+                    if c.strip()
+                ]
+                out_col = f"__udwf_{name}_{counter}"
+                df = reg[name].apply(df, parts, orders, args, out_col)
+                return out_col
+            query = pat.sub(repl, query)
+        if counter:
+            view = f"__udwf_src_{id(df)}"
+            df.df.createOrReplaceTempView(view)
+            query = re.sub(
+                rf"(?is)\bFROM\s+{re.escape(table)}\b", f"FROM {view}", query
+            )
+        return query
+
     def _statement_shim(self, query: str):
         """Accept DataFusion statements Spark's parser handles
         differently (or rejects), preserving the reference's observable
@@ -393,10 +484,26 @@ class SessionContext:
                 DataFrame(self.spark.createDataFrame([], "result string")),
                 _v.CreateMemoryTable(name=name),
             )
-        # INSERT INTO memory-table
-        m = re.match(r"(?is)^INSERT\s+INTO\s+([\w.]+)\s+(.+)$", q)
-        if m and m.group(1).split(".")[-1].lower() in self._memory_tables:
-            name = m.group(1).split(".")[-1]
+        # SET statements Spark's parser rejects (e.g. ``SET time zone = 1``
+        # — Spark's SET TIME ZONE wants a string/interval): recorded as a
+        # session variable, matching DataFusion's accept-and-store
+        m = re.match(r"(?is)^SET\s+(.+?)\s*=\s*(.+)$", q)
+        if m:
+            try:
+                return _tag(DataFrame(self.spark.sql(q)), _v.SetVariable())
+            except Exception:
+                if not hasattr(self, "_session_vars"):
+                    self._session_vars: dict = {}
+                self._session_vars[m.group(1).strip().lower()] = m.group(2).strip()
+                return _tag(
+                    DataFrame(self.spark.createDataFrame([], "result string")),
+                    _v.SetVariable(),
+                )
+        # INSERT INTO memory-table (DataFusion also quotes targets with
+        # double quotes — an identifier quote in its dialect)
+        m = re.match(r"(?is)^INSERT\s+INTO\s+(\"[\w.]+\"|[\w.]+)\s+(.+)$", q)
+        if m and m.group(1).strip('"').split(".")[-1].lower() in self._memory_tables:
+            name = m.group(1).strip('"').split(".")[-1]
             body = m.group(2)
             existing = self.spark.table(name)
             rows = self.spark.sql(self._rewrite_datafusion_sql(body))
@@ -409,6 +516,18 @@ class SessionContext:
             n = aligned.count()
             existing.unionByName(aligned).createOrReplaceTempView(name)
             out = DataFrame(self.spark.createDataFrame([(n,)], "count: bigint"))
+            return _tag(out, _v.DmlStatement(name=name))
+        if m and m.group(1).strip('"').split(".")[-1] in getattr(
+            self, "_registered_names", set()
+        ):
+            # INSERT into a registered non-memory table (e.g. a pyarrow
+            # dataset): like DataFusion, planning succeeds and the
+            # provider rejects the write at execution
+            name = m.group(1).strip('"').split(".")[-1]
+            out = DataFrame(self.spark.createDataFrame([], "count: bigint"))
+            out._deferred_error = Exception(
+                f"Data source '{name}' does not support INSERT"
+            )
             return _tag(out, _v.DmlStatement(name=name))
         return None
 
@@ -633,8 +752,30 @@ class SessionContext:
     def parse_sql_expr(self, sql: str, df_schema=None) -> Expr:
         """Parse an SQL expression string (ref context.py parse_sql_expr;
         the schema argument is accepted for signature parity — Spark
-        resolves lazily against the enclosing plan)."""
-        return Expr(F.expr(self._rewrite_datafusion_sql(sql)))
+        resolves lazily against the enclosing plan). The repr renders
+        literals in DataFusion's typed Debug form (Int64(1) + Int64(2))."""
+        e = Expr(F.expr(self._rewrite_datafusion_sql(sql)))
+        try:
+            e._repr_override = f"Expr({self._df_expr_display(sql)})"
+        except Exception:
+            pass
+        return e
+
+    @staticmethod
+    def _df_expr_display(sql: str) -> str:
+        """DataFusion-style display of an SQL expression: literals get
+        their Rust Debug type tags; everything else passes through."""
+        import re
+
+        def token(m):
+            s = m.group(0)
+            if s.startswith("'"):
+                return f'Utf8("{s[1:-1]}")'
+            if "." in s or "e" in s.lower():
+                return f"Float64({float(s)})"
+            return f"Int64({int(s)})"
+
+        return re.sub(r"'(?:[^']|'')*'|\b\d+(?:\.\d+)?(?:[eE][+-]?\d+)?\b", token, sql.strip())
 
     def enable_ident_normalization(self) -> bool:
         """DataFusion's identifier-normalization toggle (ref
@@ -697,12 +838,25 @@ class SessionContext:
             raise ValueError(
                 "file_compression_type must be one of: gzip, bz2, xz, zstd"
             )
-        reader = self.spark.read.option("header", str(has_header).lower()).option("sep", delimiter)
+        null_regex = None
+        part_cols = table_partition_cols
         if options is not None:  # CsvReadOptions: full option translation
             schema = options.schema if schema is None else schema
+            has_header = options.has_header
+            delimiter = options.delimiter
+            null_regex = options.null_regex
+            if part_cols is None:
+                part_cols = options.table_partition_cols
+        reader = self.spark.read.option("header", str(has_header).lower()).option("sep", delimiter)
+        if options is not None:
             for k, v in options.spark_options().items():
                 reader = reader.option(k, v)
-        if schema is not None:
+        if not part_cols:
+            # DataFusion only derives hive-partition columns when asked
+            # (table_partition_cols); recursive lookup disables Spark's
+            # automatic partition discovery
+            reader = reader.option("recursiveFileLookup", "true")
+        if schema is not None and not part_cols:
             reader = reader.schema(self._schema(schema))
         else:
             reader = reader.option("inferSchema", "true")
@@ -716,7 +870,55 @@ class SessionContext:
         # DataFrameReader.csv takes ONE path-or-list arg (second positional
         # is the schema) — unlike .parquet(*paths)
         sdf = reader.csv(paths if len(paths) > 1 else paths[0])
-        if schema is None:
+        part_names = []
+        if part_cols:
+            # declared partition columns: cast discovery output to the
+            # declared arrow types, keep them rightmost (DataFusion order)
+            import base64 as _b64
+
+            import pyarrow as _pa
+
+            from .expr import ARROW_LIT_META_KEY
+
+            for spec in part_cols:
+                pname, ptype = spec if isinstance(spec, (list, tuple)) else (spec, None)
+                part_names.append(pname)
+                if pname not in sdf.columns:
+                    continue
+                if isinstance(ptype, _pa.DataType):
+                    from pyspark.sql.pandas.types import from_arrow_type
+
+                    sdf = sdf.withColumn(pname, sdf[pname].cast(from_arrow_type(ptype)))
+                # path-derived partition values are never null
+                tag = _b64.b64encode(
+                    _pa.schema([
+                        _pa.field(
+                            "t",
+                            ptype if isinstance(ptype, _pa.DataType) else _pa.string(),
+                            nullable=False,
+                        )
+                    ]).serialize().to_pybytes()
+                ).decode()
+                sdf = sdf.withMetadata(pname, {ARROW_LIT_META_KEY: tag})
+        if not has_header:
+            # DataFusion names headerless columns column_1..column_N
+            sdf = sdf.select(*[
+                sdf[c].alias(f"column_{i + 1}") if c.startswith("_c") else sdf[c]
+                for i, c in enumerate(cc for cc in sdf.columns if cc not in part_names)
+            ] + [sdf[c] for c in part_names])
+        if null_regex:
+            # DataFusion nulls out whole fields matching the regex at
+            # parse time; applied post-read to string columns here
+            from pyspark.sql import types as _T
+
+            for f in sdf.schema.fields:
+                if isinstance(f.dataType, _T.StringType) and f.name not in part_names:
+                    sdf = sdf.withColumn(
+                        f.name,
+                        F.when(sdf[f.name].rlike(f"^(?:{null_regex})$"), F.lit(None))
+                        .otherwise(sdf[f.name]),
+                    )
+        if schema is None or part_cols:
             # DataFusion's CSV inference types integers as Int64; Spark
             # infers int32 — widen so schemas agree
             from pyspark.sql import types as _T
@@ -724,7 +926,37 @@ class SessionContext:
             for f in sdf.schema.fields:
                 if isinstance(f.dataType, _T.IntegerType):
                     sdf = sdf.withColumn(f.name, sdf[f.name].cast("bigint"))
-        return DataFrame(sdf)
+        out = DataFrame(sdf)
+        self._tag_declared_schema(out, schema)
+        return out
+
+    @staticmethod
+    def _tag_declared_schema(out: DataFrame, schema) -> None:
+        """Attach Arrow-fidelity metadata for a user-declared pa.Schema so
+        exports restore exact types AND nullability (Spark's reader result
+        is always nullable) — rides the same ``__arrow_lit_type__``
+        channel as typed literals."""
+        import pyarrow as _pa
+
+        if not isinstance(schema, _pa.Schema):
+            return
+        import base64 as _b64
+
+        from .expr import ARROW_LIT_META_KEY, _arrow_type_faithful
+
+        sdf = out.df
+        for fld in schema:
+            if fld.name not in sdf.columns:
+                continue
+            if fld.nullable and _arrow_type_faithful(fld.type):
+                continue
+            tag = _b64.b64encode(
+                _pa.schema([_pa.field("t", fld.type, nullable=fld.nullable)])
+                .serialize()
+                .to_pybytes()
+            ).decode()
+            sdf = sdf.withMetadata(fld.name, {ARROW_LIT_META_KEY: tag})
+        out.df = sdf
 
     def read_json(
         self,
@@ -802,10 +1034,20 @@ class SessionContext:
         self._note_table(name)
         return out
 
-    def from_arrow(self, data, name: str | None = None, n_partitions: int = 1) -> DataFrame:
+    def from_arrow(
+        self,
+        data,
+        name: str | None = None,
+        n_partitions: int = 1,
+        _register: bool = True,
+        _explicit_batches: bool = False,
+    ) -> DataFrame:
         import pyarrow as pa
 
         if isinstance(data, pa.RecordBatch):
+            # an explicit (even zero-row) batch is stored AS a batch by
+            # the reference's MemTable and re-emitted on scan
+            _explicit_batches = True
             data = pa.Table.from_batches([data])
         if not isinstance(data, pa.Table) and hasattr(data, "__arrow_c_stream__"):
             data = pa.table(data)
@@ -888,11 +1130,22 @@ class SessionContext:
             # DataFusion kernels preserve Utf8View; exports restore it on
             # derived string outputs (see DataFrame._restore_arrow_types)
             out._arrow_view_hint = list(had_view)
+        if _explicit_batches and getattr(data, "num_rows", None) == 0:
+            # a MemTable holding one explicit empty batch still EMITS that
+            # batch (test_register_batch_empty); a batch-less empty Table
+            # emits nothing (test_from_arrow_table_empty)
+            out._emit_empty_batch = True
+        if not _register:  # read_batch/read_batches: unnamed frames
+            return out
         # every in-memory frame registers (the reference's from_arrow /
         # create_dataframe always create a named MemTable)
         name = name or self._fresh_name()
         out.df.createOrReplaceTempView(name)
         self._note_table(name)
+        if getattr(out, "_emit_empty_batch", False):
+            if not hasattr(self, "_empty_table_names"):
+                self._empty_table_names: set[str] = set()
+            self._empty_table_names.add(name)
         return out
 
     create_dataframe_from_logical_plan = None  # plan interchange: unsupported
@@ -958,17 +1211,42 @@ class SessionContext:
         """
         files = list(getattr(dataset, "files", None) or [])
         fmt = getattr(getattr(dataset, "format", None), "default_extname", None)
-        if files and fmt == "parquet":
+        trivial_parts = True
+        try:
+            for frag in dataset.get_fragments():
+                pe = getattr(frag, "partition_expression", None)
+                if pe is not None and str(pe) not in ("true", "bool_literal(true)"):
+                    # explicit fragment partition expressions only the
+                    # pyarrow scanner can honor (native reader would
+                    # drop them — wrong results, not just pushdown loss)
+                    trivial_parts = False
+                    break
+        except Exception:
+            pass
+        if (
+            files
+            and fmt == "parquet"
+            and trivial_parts
+            and all(os.path.exists(f) for f in files)
+        ):
             df = self.spark.read.parquet(*files)
             df.createOrReplaceTempView(name)
             self._note_table(name)
             return
         try:
+            import tempfile
+
             from ..sources.arrow_dataset import read_dataset
 
-            df = read_dataset(self.spark, dataset)
+            stats = tempfile.NamedTemporaryFile(
+                prefix=f"ds_{name}_", suffix=".stats", delete=False
+            ).name
+            df = read_dataset(self.spark, dataset, stats_path=stats)
             df.createOrReplaceTempView(name)
             self._note_table(name)
+            if not hasattr(self, "_dataset_stats"):
+                self._dataset_stats: dict[str, str] = {}
+            self._dataset_stats[name] = stats
         except Exception:
             # datasets without scanner support — materialize
             self.from_arrow(dataset.to_table(), name)
@@ -1001,9 +1279,17 @@ class SessionContext:
         try:
             return DataFrame(self.spark.table(name))
         except Exception as ex:
-            # the reference raises KeyError for unknown tables
+            # the reference raises KeyError for unknown tables; names that
+            # don't even parse as identifiers (dashes etc.) are equally
+            # "not found"
             msg = str(ex)
-            if "TABLE_OR_VIEW_NOT_FOUND" in msg or "cannot be found" in msg:
+            if (
+                "TABLE_OR_VIEW_NOT_FOUND" in msg
+                or "cannot be found" in msg
+                or "PARSE_SYNTAX_ERROR" in msg
+                or "INVALID_IDENTIFIER" in msg
+                or type(ex).__name__ == "ParseException"
+            ):
                 raise KeyError(name) from None
             raise
 
@@ -1108,6 +1394,8 @@ class SessionContext:
     def _deregister(self, kind: str, name: str) -> None:
         self._udf_registry(kind).pop(name, None)
         self._udf_names().discard(name)
+        if kind == "udtf":
+            getattr(self, "_py_table_fns", {}).pop(name, None)
         try:
             self.spark.sql(f"DROP TEMPORARY FUNCTION IF EXISTS {name}")
         except Exception:
@@ -1205,41 +1493,77 @@ class SessionContext:
         return sorted(self._udf_registry("udtf"))
 
     # -- arrow/batch/table ingestion (ref context.py:973-1035, 1297, 2025) --------------
+    @staticmethod
+    def _load_ipc(path) -> Any:
+        """Arrow IPC file/stream → pyarrow Table (ref read_arrow path
+        form). Memory-mapped: zero-copy on the driver; Spark then
+        distributes the batches. IPC files are driver-materialized by
+        design — the scale path for file data is parquet."""
+        import pyarrow as pa
+
+        try:
+            with pa.memory_map(str(path)) as source:
+                return pa.ipc.open_file(source).read_all()
+        except pa.ArrowInvalid:
+            with pa.memory_map(str(path)) as source:
+                return pa.ipc.open_stream(source).read_all()
+
     def read_arrow(self, data, name: str | None = None, **kwargs: Any) -> DataFrame:
-        """Create a DataFrame from any Arrow-protocol object (ref
-        read_arrow) — alias of :meth:`from_arrow`."""
+        """Create a DataFrame from any Arrow-protocol object, or from an
+        Arrow IPC file path (ref read_arrow)."""
         self._maybe_store(data, kwargs)
+        if isinstance(data, (str, os.PathLike)):
+            data = self._load_ipc(data)
         return self.from_arrow(data, name)
 
     def register_arrow(self, name: str, data, **kwargs: Any) -> None:
         self._maybe_store(data, kwargs)
+        if isinstance(data, (str, os.PathLike)):
+            data = self._load_ipc(data)
         self.from_arrow(data, name)
 
     def read_batch(self, batch) -> DataFrame:
         import pyarrow as pa
 
-        return self.from_arrow(pa.Table.from_batches([batch]))
+        # read_* forms produce an unnamed frame (no catalog entry)
+        return self.from_arrow(
+            pa.Table.from_batches([batch]), _register=False, _explicit_batches=True
+        )
 
     def read_batches(self, batches) -> DataFrame:
         import pyarrow as pa
 
-        return self.from_arrow(pa.Table.from_batches(list(batches)))
+        return self.from_arrow(
+            pa.Table.from_batches(list(batches)), _register=False, _explicit_batches=True
+        )
 
     def register_batch(self, name: str, batch) -> None:
         import pyarrow as pa
 
-        self.from_arrow(pa.Table.from_batches([batch]), name)
+        self.from_arrow(pa.Table.from_batches([batch]), name, _explicit_batches=True)
 
     def read_table(self, table) -> DataFrame:
-        """DataFrame from a Table / DataFrame / pyarrow object (ref
-        read_table)."""
+        """DataFrame from a catalog Table / DataFrame / pyarrow dataset or
+        table (ref read_table)."""
+        from .catalog import Table as _CatTable
+
         if isinstance(table, DataFrame):
             return table
+        if isinstance(table, _CatTable):
+            ds = table._dataset
+            if ds is None:
+                return DataFrame(self.spark.table(table.qualified_name))
+            table = ds  # fall through to dataset/arrow handling below
         inner = getattr(table, "df", None)  # catalog.Table wraps a Spark DF
         if inner is not None:
             return DataFrame(getattr(inner, "df", inner))
         if hasattr(table, "createOrReplaceTempView"):  # bare Spark DF
             return DataFrame(table)
+        if hasattr(table, "get_fragments"):  # pyarrow dataset: lazy scan
+            name = f"__read_table_{id(table)}"
+            self.register_dataset(name, table)
+            self._registered_names.discard(name)  # unnamed read, not a registration
+            return DataFrame(self.spark.table(name))
         return self.from_arrow(table)
 
     def from_polars(self, data, name: str | None = None) -> DataFrame:
@@ -1303,12 +1627,6 @@ class SessionContext:
         ms = self.spark.sparkContext.startTime
         dt = datetime.datetime.fromtimestamp(ms / 1000, tz=datetime.timezone.utc)
         return dt.isoformat()
-
-    def enable_ident_normalization(self) -> bool:
-        """True when identifiers are lowercased/case-insensitive (ref
-        enable_ident_normalization) — the inverse of Spark's
-        spark.sql.caseSensitive."""
-        return self.spark.conf.get("spark.sql.caseSensitive", "false") == "false"
 
     def copied_config(self):
         """Independent copy of the active SessionConfig (ref
@@ -1452,11 +1770,13 @@ class SessionContext:
         if isinstance(schema, T.StructType):
             return schema
         if isinstance(schema, pa.Schema):
+            from pyspark.sql.pandas.types import from_arrow_type
+
             return T.StructType(
                 [
                     T.StructField(f.name, _spark_type(str(f.type)) if str(f.type) in
                                   ("int8", "int16", "int32", "int64", "float32", "float64", "string", "bool")
-                                  else T.fromArrow(f.type), f.nullable)
+                                  else from_arrow_type(f.type), f.nullable)
                     for f in schema
                 ]
             )

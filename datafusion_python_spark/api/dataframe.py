@@ -347,6 +347,28 @@ class DataFrame:
             self.df.explain(extended=verbose)
         else:
             raise ValueError(f"unknown explain format: {format!r}")
+        self._explain_dataset_scans()
+
+    def _explain_dataset_scans(self) -> None:
+        """Append pyarrow-dataset scan details (ref DatasetExec display:
+        ``filter_expr=<pyarrow Expression>``). explain() above forced
+        physical planning, so the source's pushFilters telemetry for this
+        query is on disk; print the filters that reached the scanner."""
+        paths = getattr(self, "_dataset_stats_paths", None)
+        if not paths:
+            return
+        import json as _json
+
+        for path, offset in paths:
+            try:
+                with open(path) as fh:
+                    fh.seek(offset)
+                    events = [_json.loads(ln) for ln in fh if ln.strip()]
+            except OSError:
+                continue
+            for ev in events:
+                if ev.get("event") == "pushFilters" and ev.get("filter_expr"):
+                    print(f"DatasetExec: filter_expr={ev['filter_expr']}")
 
     def _limited_batches(self, n: int):
         tbl = self._restore_arrow_types(
@@ -940,9 +962,10 @@ class DataFrame:
             if not tag:
                 continue
             try:
-                target = pa.ipc.read_schema(
+                tagged_field = pa.ipc.read_schema(
                     pa.BufferReader(base64.b64decode(tag))
-                ).field(0).type
+                ).field(0)
+                target = tagged_field.type
                 idx = tbl.schema.get_field_index(f.name)
                 if idx < 0:
                     continue
@@ -969,7 +992,9 @@ class DataFrame:
                             for chunk in col.chunks
                         ], type=target)
                 tbl = tbl.set_column(
-                    idx, pa.field(f.name, target, nullable=True), restored
+                    idx,
+                    pa.field(f.name, target, nullable=tagged_field.nullable),
+                    restored,
                 )
             except Exception:
                 continue
@@ -982,8 +1007,35 @@ class DataFrame:
         DataFusion's default batch size (8192), so a small result is a
         single batch regardless of how many Spark partitions produced
         it — matching what the reference's tests assert on."""
+        import pyarrow as pa
+
+        err = getattr(self, "_deferred_error", None)
+        if err is not None:
+            # DML whose provider rejects the write: planning succeeded in
+            # sql(); the failure belongs to execution (DataFusion timing)
+            raise err
+        if not self.df.columns:
+            # zero-column relations (EmptyRelation with produce_one_row):
+            # Arrow export drops the row count — rebuild it from count()
+            n = self.df.count()
+            tbl = pa.table({"__": list(range(n))}).select([])
+            return tbl.to_batches() or [
+                pa.RecordBatch.from_struct_array(
+                    pa.array([{}] * n, type=pa.struct([]))
+                )
+            ]
         tbl = self._restore_arrow_types(self._normalize_arrow(self.df.toArrow()))
-        return tbl.combine_chunks().to_batches(max_chunksize=8192)
+        batches = tbl.combine_chunks().to_batches(max_chunksize=8192)
+        if not batches and getattr(self, "_emit_empty_batch", False):
+            # a MemTable scan of an explicitly-registered empty batch
+            # still yields that (schema-carrying, zero-row) batch
+            batches = [
+                pa.RecordBatch.from_pydict(
+                    {f.name: pa.array([], type=f.type) for f in tbl.schema},
+                    schema=tbl.schema,
+                )
+            ]
+        return batches
 
     def to_arrow_table(self):
         return self._restore_arrow_types(self._normalize_arrow(self.df.toArrow()))

@@ -428,7 +428,25 @@ class WindowUDF:
 
         from .dataframe import DataFrame as DF
 
-        return DF(df.df.groupBy(*partition_by).applyInPandas(run, schema=schema))
+        out = df.df.groupBy(*partition_by).applyInPandas(run, schema=schema)
+        # declared Arrow return types Spark can't hold natively (uint64
+        # etc.) ride the metadata channel so exports restore them
+        try:
+            import base64
+
+            import pyarrow as pa
+
+            from .expr import ARROW_LIT_META_KEY, _arrow_type_faithful
+
+            ret_arrow = self.return_type
+            if isinstance(ret_arrow, pa.DataType) and not _arrow_type_faithful(ret_arrow):
+                tag = base64.b64encode(
+                    pa.schema([pa.field("t", ret_arrow)]).serialize().to_pybytes()
+                ).decode()
+                out = out.withMetadata(out_col, {ARROW_LIT_META_KEY: tag})
+        except Exception:
+            pass
+        return DF(out)
 
 
 class _UdwfCall:

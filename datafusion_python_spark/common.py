@@ -407,6 +407,13 @@ class DFSchema:
         sdf = getattr(df, "df", df)
         return cls(sdf.limit(0).toArrow().schema)
 
+    @classmethod
+    def empty(cls) -> "DFSchema":
+        """Field-less schema (ref DFSchema::empty)."""
+        import pyarrow as pa
+
+        return cls(pa.schema([]))
+
     def field_names(self) -> list[str]:
         return list(self._schema.names)
 

@@ -36,54 +36,76 @@ import json
 from typing import Any
 
 
-def _to_arrow_expr(f):
+def _to_arrow_expr(f, schema=None):
     """One pyspark Filter dataclass → pyarrow.dataset Expression, or None
     when the predicate has no scanner form (mirrors
-    pyarrow_filter_expression.rs:34-49's operator table)."""
+    pyarrow_filter_expression.rs:34-49's operator table). Nested column
+    refs are rejected (the reference's DatasetExec doesn't push them
+    either); datetime literals are cast to the declared field type so the
+    scanner's comparison kernel binds (s/us scalars vs ns columns)."""
+    import pyarrow as pa
     import pyarrow.dataset as pads
     from pyspark.sql import datasource as dsf
 
     def field(attr):
-        # ColumnPath is a tuple of name parts; nested refs use subfields
-        col = pads.field(attr[0])
-        for part in attr[1:]:
-            col = col[part]
-        return col
+        if len(attr) != 1:
+            raise _Unsupported  # nested refs: no scanner pushdown
+        if schema is not None and attr[0] not in schema.names:
+            raise _Unsupported
+        return pads.field(attr[0])
 
-    if isinstance(f, dsf.EqualTo):
-        return field(f.attribute) == f.value
-    if isinstance(f, dsf.EqualNullSafe):
-        return None  # scanner == has no NULL-safe semantics
-    if isinstance(f, dsf.GreaterThan):
-        return field(f.attribute) > f.value
-    if isinstance(f, dsf.GreaterThanOrEqual):
-        return field(f.attribute) >= f.value
-    if isinstance(f, dsf.LessThan):
-        return field(f.attribute) < f.value
-    if isinstance(f, dsf.LessThanOrEqual):
-        return field(f.attribute) <= f.value
-    if isinstance(f, dsf.In):
-        return field(f.attribute).isin(list(f.values))
-    if isinstance(f, dsf.IsNull):
-        return field(f.attribute).is_null()
-    if isinstance(f, dsf.IsNotNull):
-        return ~field(f.attribute).is_null()
-    if isinstance(f, dsf.Not):
-        inner = _to_arrow_expr(f.child)
-        return None if inner is None else ~inner
-    if isinstance(f, dsf.StringStartsWith):
-        import pyarrow.compute as pc
+    def val(attr, v):
+        import datetime as _dt
 
-        return pc.starts_with(field(f.attribute), f.value)
-    if isinstance(f, dsf.StringEndsWith):
-        import pyarrow.compute as pc
+        if schema is not None and isinstance(v, (_dt.datetime, _dt.date)):
+            t = schema.field(attr[0]).type
+            if pa.types.is_timestamp(t) or pa.types.is_date(t):
+                return pa.scalar(v).cast(t)
+        return v
 
-        return pc.ends_with(field(f.attribute), f.value)
-    if isinstance(f, dsf.StringContains):
-        import pyarrow.compute as pc
+    try:
+        if isinstance(f, dsf.EqualTo):
+            return field(f.attribute) == val(f.attribute, f.value)
+        if isinstance(f, dsf.EqualNullSafe):
+            return None  # scanner == has no NULL-safe semantics
+        if isinstance(f, dsf.GreaterThan):
+            return field(f.attribute) > val(f.attribute, f.value)
+        if isinstance(f, dsf.GreaterThanOrEqual):
+            return field(f.attribute) >= val(f.attribute, f.value)
+        if isinstance(f, dsf.LessThan):
+            return field(f.attribute) < val(f.attribute, f.value)
+        if isinstance(f, dsf.LessThanOrEqual):
+            return field(f.attribute) <= val(f.attribute, f.value)
+        if isinstance(f, dsf.In):
+            return field(f.attribute).isin(
+                [val(f.attribute, v) for v in f.values]
+            )
+        if isinstance(f, dsf.IsNull):
+            return field(f.attribute).is_null()
+        if isinstance(f, dsf.IsNotNull):
+            return ~field(f.attribute).is_null()
+        if isinstance(f, dsf.Not):
+            inner = _to_arrow_expr(f.child, schema)
+            return None if inner is None else ~inner
+        if isinstance(f, dsf.StringStartsWith):
+            import pyarrow.compute as pc
 
-        return pc.match_substring(field(f.attribute), f.value)
+            return pc.starts_with(field(f.attribute), f.value)
+        if isinstance(f, dsf.StringEndsWith):
+            import pyarrow.compute as pc
+
+            return pc.ends_with(field(f.attribute), f.value)
+        if isinstance(f, dsf.StringContains):
+            import pyarrow.compute as pc
+
+            return pc.match_substring(field(f.attribute), f.value)
+    except _Unsupported:
+        return None
     return None
+
+
+class _Unsupported(Exception):
+    """Predicate shape the scanner can't express (nested ref etc.)."""
 
 
 def _log_stats(path: str | None, payload: dict[str, Any]) -> None:
@@ -131,15 +153,21 @@ def make_datasource_class(dataset, stats_path: str | None = None):
             self.filter_expr = None
 
         def pushFilters(self, filters):
+            from pyspark.sql.datasource import IsNotNull
+
             pushed, rejected = [], []
-            expr = None
+            expr = display = None
             for f in filters:
-                e = _to_arrow_expr(f)
+                e = _to_arrow_expr(f, arrow_schema)
                 if e is None:
                     rejected.append(f)
-                else:
-                    pushed.append(f)
-                    expr = e if expr is None else expr & e
+                    continue
+                pushed.append(f)
+                expr = e if expr is None else expr & e
+                if not isinstance(f, IsNotNull):
+                    # Catalyst injects IsNotNull guards DataFusion's
+                    # planner doesn't — keep them out of the display
+                    display = e if display is None else display & e
             self.filter_expr = expr
             _log_stats(
                 stats_path,
@@ -147,6 +175,9 @@ def make_datasource_class(dataset, stats_path: str | None = None):
                     "event": "pushFilters",
                     "pushed": [repr(f) for f in pushed],
                     "rejected": [repr(f) for f in rejected],
+                    # pyarrow's Expression repr — the reference's
+                    # DatasetExec prints the same string in explain()
+                    "filter_expr": str(display) if display is not None else None,
                 },
             )
             yield from rejected
@@ -155,10 +186,28 @@ def make_datasource_class(dataset, stats_path: str | None = None):
             return [InputPartition(0)]
 
         def read(self, partition):
+            import pyarrow as pa
+
+            # Spark's Arrow ingestion is µs-precision; align batch types
+            # with the declared (from_arrow_schema-converted) schema
+            def _spark_type(t):
+                if pa.types.is_timestamp(t) and t.unit == "ns":
+                    return pa.timestamp("us", t.tz)
+                if pa.types.is_large_string(t):
+                    return pa.string()
+                if pa.types.is_large_binary(t):
+                    return pa.binary()
+                return t
+
+            target = pa.schema(
+                [pa.field(f.name, _spark_type(f.type), f.nullable) for f in arrow_schema]
+            )
             scanner = _open_dataset().scanner(filter=self.filter_expr)
             n = 0
             for batch in scanner.to_batches():
                 n += batch.num_rows
+                if batch.schema != target:
+                    batch = pa.Table.from_batches([batch]).cast(target).to_batches()[0]
                 yield batch
             _log_stats(stats_path, {"event": "read", "scanned_rows": n})
 

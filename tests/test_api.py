@@ -427,7 +427,11 @@ def test_csv_read_options_builder_chain(tmp_path):
     assert rows[1]["b"] is None
     import pytest as _pytest
 
-    with _pytest.raises(NotImplementedError):
-        CsvReadOptions().with_null_regex(r"N/?A").spark_options()
+    # real regex null markers now apply post-read (string columns)
+    p2 = tmp_path / "t2.csv"
+    p2.write_text("a;b\n1;x\n2;N/A\n3;NA\n")
+    df2 = ctx.read_csv(str(p2), options=CsvReadOptions().with_delimiter(";").with_null_regex(r"N/?A"))
+    rows2 = sorted(df2.to_pylist(), key=lambda r: r["a"])
+    assert rows2[1]["b"] is None and rows2[2]["b"] is None and rows2[0]["b"] == "x"
     with _pytest.raises(ValueError):
         CsvReadOptions().with_delimiter(";;")
