@@ -150,9 +150,38 @@ class SessionContext:
             pass
 
     # -- SQL ----------------------------------------------------------------
-    def sql(self, query: str, options: SQLOptions | None = None, **named_params) -> DataFrame:
+    def sql(
+        self,
+        query: str,
+        options: SQLOptions | None = None,
+        param_values: dict | None = None,
+        **named_params,
+    ) -> DataFrame:
         if options is not None:
             options._check(query)
+        if named_params:
+            # $name token substitution (ref sql(**named_params)):
+            # DataFrames substitute as registered views, other values as
+            # their SQL text; a kwarg referenced as :name instead binds as
+            # a parser parameter
+            for k, v in named_params.items():
+                if f"${k}" not in query and f":{k}" in query:
+                    param_values = dict(param_values or {})
+                    param_values[k] = v
+                    continue
+                if isinstance(v, DataFrame) or hasattr(v, "createOrReplaceTempView"):
+                    view = f"__param_{k}"
+                    (v.df if isinstance(v, DataFrame) else v).createOrReplaceTempView(view)
+                    rep = view
+                else:
+                    rep = str(v)
+                query = query.replace(f"${k}", rep)
+        if param_values:
+            # true parser-level parameters: DataFusion's $name → Spark's
+            # :name named-parameter binding
+            import re as _re
+
+            query = _re.sub(r"\$(\w+)", r":\1", query)
         if getattr(self, "_url_table", False):
             query = self._rewrite_url_tables(query)
         query = self._rewrite_py_udtfs(query)
@@ -167,12 +196,13 @@ class SessionContext:
         query = self._rewrite_datafusion_sql(query)
         bare_values = __import__("re").match(r"(?is)^\s*VALUES\s*\(", query)
         try:
-            if named_params:
-                df = self.spark.sql(query, args=named_params)
+            if param_values:
+                df = self.spark.sql(query, args=param_values)
             else:
                 df = self.spark.sql(query)
         except Exception as ex:
             raise self._translate_analysis_error(ex) from None
+        df = self._qualify_agg_names(df, query)
         if bare_values:
             import re as _re
 
@@ -203,6 +233,30 @@ class SessionContext:
                 # query's planning (events after the recorded offsets)
                 out._dataset_stats_paths = paths
         return out
+
+    def _qualify_agg_names(self, df, query: str):
+        """DataFusion displays unaliased aggregates over a qualified
+        column as ``fn(table.col)``; Spark drops the qualifier. Rename
+        matching output columns for single-table SELECTs (ref
+        tests/test_sql.py test_register_csv_list)."""
+        import re
+
+        m = re.match(
+            r"(?is)^\s*SELECT\b.*?\bFROM\s+([A-Za-z_]\w*)\s*(?:$|WHERE|GROUP|ORDER|LIMIT|HAVING)",
+            query,
+        )
+        if not m:
+            return df
+        table = m.group(1)
+        pat = re.compile(r"^(\w+)\(([A-Za-z_]\w*)\)$")
+        renames = {}
+        for c in df.columns:
+            pm = pat.match(c)
+            if pm and f"{pm.group(1)}({table}.{pm.group(2)})" not in df.columns:
+                renames[c] = f"{pm.group(1)}({table}.{pm.group(2)})"
+        if not renames:
+            return df
+        return df.toDF(*[renames.get(c, c) for c in df.columns])
 
     @staticmethod
     def _translate_analysis_error(ex: Exception) -> Exception:
@@ -599,10 +653,16 @@ class SessionContext:
         import re
 
         if not re.search(
-            r"(?i)\blambda\b|\[|_transform\s*\(|_filter\s*\(|_match\s*\(|generate_series\s*\(",
+            r"(?i)\blambda\b|\[|_transform\s*\(|_filter\s*\(|_match\s*\(|generate_series\s*\(|float\s*\(",
             query,
         ):
             return query
+        # sized float type names (DataFusion dialect): float(32) / float(64)
+        query = re.sub(
+            r"(?i)\bfloat\s*\(\s*(\d+)\s*\)",
+            lambda m: "float" if int(m.group(1)) <= 32 else "double",
+            query,
+        )
 
         out: list[str] = []
         stack: list[bool] = []  # True = literal bracket we opened as array(
@@ -727,6 +787,39 @@ class SessionContext:
         host = parsed.netloc or None
         self.register_object_store(scheme, store, host=host)
 
+    @staticmethod
+    def _localize_http(path):
+        """Fetch http(s) paths into a content-addressed local cache (one
+        driver-side download; Spark reads the local copy). Non-HTTP paths
+        pass through untouched."""
+        import hashlib
+        import tempfile
+        import urllib.request
+
+        def one(p):
+            s = str(p)
+            if not s.startswith(("http://", "https://")):
+                return p
+            suffix = os.path.splitext(s.split("?")[0])[1] or ".dat"
+            dest = os.path.join(
+                tempfile.gettempdir(),
+                f"http_cache_{hashlib.md5(s.encode()).hexdigest()}{suffix}",
+            )
+            if not os.path.exists(dest):
+                tmp = dest + ".part"
+                with urllib.request.urlopen(s) as r, open(tmp, "wb") as fh:
+                    while True:
+                        chunk = r.read(1 << 20)
+                        if not chunk:
+                            break
+                        fh.write(chunk)
+                os.replace(tmp, dest)
+            return dest
+
+        if isinstance(path, (list, tuple)):
+            return [one(p) for p in path]
+        return one(path)
+
     def _maybe_store(self, path, kwargs: dict) -> None:
         """Pop ``object_store`` from kwargs and register it for path
         (first path of a list)."""
@@ -802,8 +895,23 @@ class SessionContext:
         **_: Any,
     ) -> DataFrame:
         self._maybe_store(path, _)
+        path = self._localize_http(path)
         from ..tables import enable_ns_reads, fix_ns_timestamps
 
+        if table_partition_cols and any(
+            isinstance(t, str)
+            for spec in table_partition_cols
+            if isinstance(spec, (list, tuple)) and len(spec) == 2
+            for t in (spec[1],)
+        ):
+            import warnings
+
+            warnings.warn(
+                "using literals for table_partition_cols data types is "
+                "deprecated; use pyarrow data types instead",
+                DeprecationWarning,
+                stacklevel=2,
+            )
         enable_ns_reads(self.spark)
         reader = self.spark.read
         if schema is not None:
@@ -814,7 +922,41 @@ class SessionContext:
             paths = [str(p) for p in path]
         df = reader.parquet(*paths)
         df = fix_ns_timestamps(df, paths[0])
-        return DataFrame(df)
+        footer = self._parquet_footer_schema(paths[0])
+        if footer is not None:
+            import pyarrow as _pa
+
+            dtypes = dict(df.dtypes)
+            for fld in footer:
+                # ns-normalization yields an instant TIMESTAMP; a naive
+                # footer type round-trips through NTZ (exact: UTC session)
+                if (
+                    _pa.types.is_timestamp(fld.type)
+                    and fld.type.tz is None
+                    and dtypes.get(fld.name) == "timestamp"
+                ):
+                    df = df.withColumn(fld.name, df[fld.name].cast("timestamp_ntz"))
+        out = DataFrame(df)
+        self._tag_declared_schema(out, footer)
+        return out
+
+    @staticmethod
+    def _parquet_footer_schema(path: str):
+        """Arrow schema from the parquet footer (first file), used to
+        restore types Spark widens on read (ns/ms/s timestamps,
+        duration, fixed-size binary, large_*). One driver-side footer
+        read, memoized by tables._NS_COLS_CACHE's sibling path list."""
+        try:
+            import pyarrow.parquet as pq
+
+            from ..tables import _parquet_files
+
+            files = _parquet_files(path)
+            if not files:
+                return None
+            return pq.read_schema(files[0])
+        except Exception:
+            return None
 
     def read_csv(
         self,
@@ -830,6 +972,7 @@ class SessionContext:
         **_: Any,
     ) -> DataFrame:
         self._maybe_store(path, _)
+        path = self._localize_http(path)
         if delimiter is not None and len(delimiter) != 1:
             raise ValueError("delimiter must be a single character")
         if file_compression_type is not None and file_compression_type not in (
@@ -969,6 +1112,13 @@ class SessionContext:
         **_: Any,
     ) -> DataFrame:
         self._maybe_store(path, _)
+        path = self._localize_http(path)
+        if file_compression_type is not None and file_compression_type not in (
+            "gzip", "bz2", "xz", "zstd", "gz",
+        ):
+            raise ValueError(
+                "file_compression_type must be one of: gzip, bz2, xz, zstd"
+            )
         reader = self.spark.read
         if schema is not None:
             reader = reader.schema(self._schema(schema))
@@ -980,7 +1130,9 @@ class SessionContext:
             else [str(p) for p in path]
         )
         # DataFrameReader.json takes ONE path-or-list arg (see read_csv)
-        return DataFrame(reader.json(paths if len(paths) > 1 else paths[0]))
+        out = DataFrame(reader.json(paths if len(paths) > 1 else paths[0]))
+        self._tag_declared_schema(out, schema)
+        return out
 
     def read_avro(
         self, path: str, schema=None, file_extension: str = ".avro", **_: Any
@@ -990,6 +1142,7 @@ class SessionContext:
         the pure-Python container reader in ``sources/avro.py`` —
         binaryFile distribution + Arrow-batched mapInPandas decode."""
         self._maybe_store(path, _)
+        path = self._localize_http(path)
         try:
             return DataFrame(self.spark.read.format("avro").load(path))
         except Exception as ex:

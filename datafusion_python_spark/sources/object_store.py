@@ -109,17 +109,17 @@ class MicrosoftAzure:
 
 
 class Http:
-    """ref object_store.py Http — Spark has no HTTP FileSystem; raises at
-    registration so the failure is explicit rather than at first read."""
+    """ref object_store.py Http. Hadoop has no HTTP FileSystem, so
+    http(s) paths are fetched driver-side into a local cache at read
+    time (see SessionContext._localize_http) — the single-node analogue
+    of the reference's range-read HTTP store. The scale path for large
+    remote data remains a real object store (S3/GCS/Azure)."""
 
     def __init__(self, url: str) -> None:
         self.url = url
 
     def _hadoop_conf(self) -> dict[str, str]:
-        raise NotImplementedError(
-            "Http object store: Hadoop has no HTTP FileSystem; download the "
-            "file locally or serve it from an object store"
-        )
+        return {}  # registration is a no-op; reads localize on demand
 
 
 def apply_store(spark, store) -> dict[str, str]:

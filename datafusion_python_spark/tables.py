@@ -41,16 +41,34 @@ _NS_COLS_CACHE: dict[str, list[str]] = {}
 _DF_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 
+def _parquet_files(path: str) -> list[str]:
+    """Local .parquet files under ``path`` (itself, direct children, or
+    hive-partitioned descendants); file:// URLs are unwrapped."""
+    p = str(path)
+    if p.startswith("file://"):
+        p = p[len("file://"):]
+    if not os.path.isdir(p):
+        return [p] if os.path.exists(p) else []
+    direct = sorted(glob.glob(os.path.join(p, "*.parquet")))
+    if direct:
+        return direct
+    return sorted(glob.glob(os.path.join(p, "**", "*.parquet"), recursive=True))
+
+
 def _ns_timestamp_cols(path: str) -> list[str]:
     """Column names stored as parquet TIMESTAMP(NANOS) under ``path``."""
     cached = _NS_COLS_CACHE.get(path)
     if cached is not None:
         return cached
-    files = sorted(glob.glob(os.path.join(path, "*.parquet"))) if os.path.isdir(path) else [path]
+    files = _parquet_files(path)
     if not files:
         _NS_COLS_CACHE[path] = []
         return []
-    schema = pq.read_schema(files[0])
+    try:
+        schema = pq.read_schema(files[0])
+    except Exception:
+        _NS_COLS_CACHE[path] = []
+        return []
     out = []
     for name, typ in zip(schema.names, schema.types):
         if str(typ).startswith("timestamp[ns"):

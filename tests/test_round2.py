@@ -148,8 +148,8 @@ def test_register_object_store(ctx, spark):
     hconf = spark.sparkContext._jsc.hadoopConfiguration()
     assert hconf.get("fs.s3a.bucket.examplebucket.access.key") == "AKEXAMPLE"
     assert hconf.get("fs.s3a.bucket.examplebucket.endpoint.region") == "eu-central-1"
-    with pytest.raises(NotImplementedError):
-        ctx.register_object_store("http://", Http("http://example.com"))
+    # Http registration is a no-op (reads localize driver-side on demand)
+    ctx.register_object_store("http://", Http("http://example.com"))
 
 
 def test_udfs_listing(ctx):

@@ -39,6 +39,10 @@ ENV_LIMITED_TESTS = {
     "test_read_csv_list": "needs testing/data submodule",
     "test_read_avro": "needs testing/data submodule",
     "test_location_input": "needs testing/data submodule",
+    "test_register_http_csv": (
+        "needs outbound network (the container has none); http paths "
+        "localize via SessionContext._localize_http when network exists"
+    ),
     "test_collect_or_stream_interrupted": (
         "KeyboardInterrupt delivery into an in-flight py4j JVM call is not "
         "supported by the Spark driver architecture (engine difference, "
