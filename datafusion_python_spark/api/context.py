@@ -1211,15 +1211,29 @@ class SessionContext:
         # cast them up-front so the ARROW-NATIVE path is taken (the
         # pandas fallback silently turns NaN into null)
         had_view: list = []
+        orig_schema = data.schema if isinstance(data, pa.Table) else None
         if isinstance(data, pa.Table):
             def _devw(t):
                 if pa.types.is_string_view(t) or pa.types.is_large_string(t):
                     return pa.string()
                 if pa.types.is_binary_view(t) or pa.types.is_large_binary(t):
                     return pa.binary()
+                if pa.types.is_fixed_size_binary(t):
+                    return pa.binary()
+                if pa.types.is_float16(t):
+                    return pa.float32()
+                if pa.types.is_date64(t):
+                    return pa.date32()
+                if pa.types.is_timestamp(t) and t.unit in ("s", "ms", "ns"):
+                    return pa.timestamp("us", t.tz)
+                if pa.types.is_unsigned_integer(t):
+                    return {
+                        "uint8": pa.int16(), "uint16": pa.int32(),
+                        "uint32": pa.int64(), "uint64": pa.decimal128(20, 0),
+                    }[str(t)]
                 if pa.types.is_list_view(t):
                     return pa.list_(_devw(t.value_type))
-                if pa.types.is_large_list(t):
+                if pa.types.is_large_list(t) or pa.types.is_fixed_size_list(t):
                     return pa.list_(_devw(t.value_type))
                 if pa.types.is_list(t):
                     return pa.list_(_devw(t.value_type))
@@ -1277,6 +1291,23 @@ class SessionContext:
                     _FIELD_METADATA[f_.name] = md
         except Exception:
             pass
+        if orig_schema is not None:
+            # declared Arrow types Spark stores widened (float16, date64,
+            # unsigned, s/ms timestamps …) are tagged so exports restore
+            # the original type bit-exactly
+            try:
+                import base64 as _b64
+
+                from .expr import ARROW_LIT_META_KEY, _arrow_type_faithful
+
+                for f_ in orig_schema:
+                    if not _arrow_type_faithful(f_.type) and f_.name in sdf.columns:
+                        tag = _b64.b64encode(
+                            pa.schema([pa.field("t", f_.type)]).serialize().to_pybytes()
+                        ).decode()
+                        sdf = sdf.withMetadata(f_.name, {ARROW_LIT_META_KEY: tag})
+            except Exception:
+                pass
         sdf = sdf.coalesce(max(1, n_partitions))
         out = DataFrame(sdf)
         if had_view:
@@ -1294,6 +1325,9 @@ class SessionContext:
         # create_dataframe always create a named MemTable)
         name = name or self._fresh_name()
         out.df.createOrReplaceTempView(name)
+        # the table name doubles as a qualifier (column("name.col")), so
+        # the returned frame carries a Spark subquery alias
+        out.df = out.df.alias(name)
         self._note_table(name)
         if getattr(out, "_emit_empty_batch", False):
             if not hasattr(self, "_empty_table_names"):
@@ -1309,9 +1343,15 @@ class SessionContext:
         batches = [b for part in partitions for b in part]
         if not batches and schema is not None:
             return self.from_arrow(pa.Table.from_batches([], schema=schema), name)
-        return self.from_arrow(
-            pa.Table.from_batches(batches), name, n_partitions=max(1, len(partitions))
+        out = self.from_arrow(
+            pa.Table.from_batches(batches),
+            name,
+            n_partitions=max(1, len(partitions)),
+            _explicit_batches=True,
         )
+        # original batch boundaries, for streams that reproduce them
+        out._batch_layout = [b.num_rows for b in batches]
+        return out
 
     # -- registration ---------------------------------------------------------------
     def _note_table(self, name: str) -> None:

@@ -282,6 +282,10 @@ class DataFrame:
         hint = getattr(self, "_arrow_view_hint", None)
         if hint:
             out._arrow_view_hint = list(hint)
+        if getattr(self, "_emit_empty_batch", False):
+            # a MemTable scan of explicit empty batches keeps emitting a
+            # (possibly filtered) schema-carrying batch downstream
+            out._emit_empty_batch = True
         return out
 
     # -- schema / introspection -------------------------------------------
@@ -429,6 +433,7 @@ class DataFrame:
                if not isinstance(e, (str, Column))):
             sdf, cols = _resolve_groups_frames(self.df, exprs)
             return self._derive(sdf.select(*cols))
+        exprs = tuple(self._first_match(e) for e in exprs)
         return self._derive(self.df.select(*_cols(exprs)))
 
     def _select_with_udwf(self, exprs) -> "DataFrame":
@@ -492,7 +497,12 @@ class DataFrame:
         return self._derive(self.df.select(*names))
 
     def drop(self, *names: str) -> "DataFrame":
-        return self._derive(self.df.drop(*names))
+        # '"Name"' is a quoted identifier in the DataFusion dialect
+        stripped = [
+            n[1:-1] if isinstance(n, str) and len(n) > 1 and n[0] == n[-1] == '"' else n
+            for n in names
+        ]
+        return self._derive(self.df.drop(*stripped))
 
     def with_column(self, name: str, expr) -> "DataFrame":
         c = F.expr(expr) if isinstance(expr, str) else _c(expr)
@@ -522,9 +532,40 @@ class DataFrame:
         return self._derive(self.df.withColumnRenamed(old, new))
 
     def cast(self, mapping: dict) -> "DataFrame":
+        """Cast columns to the given types (ref dataframe.py cast).
+        Arrow types Spark can't hold natively (float16, unsigned ints,
+        nested lists of them) are stored in the nearest Spark type with a
+        metadata tag; schema()/collect restore the declared type."""
+        import base64
+
+        from .expr import (
+            ARROW_LIT_META_KEY,
+            _arrow_type_faithful,
+            _storage_spark_type,
+        )
+
+        from pyspark.sql import types as T
+
         out = self.df
         for name, typ in mapping.items():
-            out = out.withColumn(name, F.col(name).cast(_spark_type(typ)))
+            if isinstance(typ, pa.DataType) and not _arrow_type_faithful(typ):
+                target = _storage_spark_type(typ)
+                src = out[name]
+                if isinstance(target, T.ArrayType) and not str(
+                    dict(out.dtypes).get(name, "")
+                ).startswith("array"):
+                    # arrow casts a primitive to list by wrapping each
+                    # value in a one-element list; Spark needs it spelled
+                    casted = F.array(src.cast(target.elementType))
+                else:
+                    casted = src.cast(target)
+                out = out.withColumn(name, casted)
+                tag = base64.b64encode(
+                    pa.schema([pa.field("t", typ)]).serialize().to_pybytes()
+                ).decode()
+                out = out.withMetadata(name, {ARROW_LIT_META_KEY: tag})
+            else:
+                out = out.withColumn(name, F.col(name).cast(_spark_type(typ)))
         return self._derive(out)
 
     # -- filters -----------------------------------------------------------
@@ -547,6 +588,12 @@ class DataFrame:
             group_by = [group_by]
         if isinstance(aggs, (Expr, Column, _UdafCall)):
             aggs = [aggs]
+        for a in aggs or []:
+            if not isinstance(a, (Expr, Column, _UdafCall)):
+                raise TypeError(
+                    "aggregate expressions must be Expr. "
+                    "Use col()/column() or lit()/literal() to build them."
+                )
         marks = [
             g._grouping_set
             for g in (group_by or [])
@@ -695,6 +742,29 @@ class DataFrame:
         return self._derive(exploded)
 
     # -- sorting / limits -----------------------------------------------------
+    def _first_match(self, item):
+        """Resolve a bare column reference that is duplicated in this
+        frame's schema to its FIRST occurrence (DataFusion picks the
+        leftmost match; Spark raises AMBIGUOUS_REFERENCE). Qualified and
+        computed expressions pass through untouched."""
+        import re
+
+        name = None
+        if isinstance(item, str):
+            name = item
+        else:
+            target = item.expr if isinstance(item, Expr) else item
+            if isinstance(target, Column):
+                try:
+                    s = str(target._jc)
+                except Exception:
+                    s = None
+                if s is not None and re.fullmatch(r"[A-Za-z_]\w*", s):
+                    name = s
+        if name is not None and self.df.columns.count(name) > 1:
+            return Expr(self.df[self.df.columns.index(name)])
+        return item
+
     def sort(self, *keys) -> "DataFrame":
         from .expr import EXPR_TYPE_ERROR
 
@@ -704,7 +774,13 @@ class DataFrame:
                     f"Expected Expr or column name, got {type(k).__name__}. "
                     + EXPR_TYPE_ERROR
                 )
-        spark_keys = [to_sort_expr(k)._to_spark() for k in keys]
+        fixed = [
+            SortExpr(
+                self._first_match(k.inner), k.ascending, k.nulls_first
+            ) if isinstance(k, SortExpr) else self._first_match(k)
+            for k in keys
+        ]
+        spark_keys = [to_sort_expr(k)._to_spark() for k in fixed]
         return self._derive(self.df.orderBy(*spark_keys))
 
     order_by = sort
@@ -748,8 +824,26 @@ class DataFrame:
         ``left_on``/``right_on`` keeps both key columns.
         """
         how_s = _join_how(how)
-        if join_keys is not None:  # legacy tuple form
+        if join_keys is not None:  # legacy keyword form, deprecated
+            import warnings
+
+            warnings.warn(
+                "`join_keys` is deprecated; use `on` or `left_on`/`right_on`",
+                DeprecationWarning,
+                stacklevel=2,
+            )
             left_on, right_on = join_keys
+        if (
+            isinstance(on, tuple)
+            and len(on) == 2
+            and isinstance(on[0], (list, tuple))
+            and isinstance(on[1], (list, tuple))
+        ):
+            # pre-43.0.0 positional join_keys tuple
+            left_on, right_on = on
+            on = None
+        if on is not None and (left_on is not None or right_on is not None):
+            raise ValueError("`left_on` or `right_on` should not provided with `on`")
         if on is not None:
             keys = [on] if isinstance(on, str) else list(on)
             if coalesce_duplicate_keys:
@@ -759,20 +853,34 @@ class DataFrame:
                 c = self.df[k] == right.df[k]
                 cond = c if cond is None else (cond & c)
             return self._derive(self.df.join(right.df, cond, how_s))
-        if left_on is not None and right_on is not None:
+        if (left_on is None) != (right_on is None):
+            raise ValueError("`left_on` and `right_on` should both be provided.")
+        if left_on is not None:
             lks = [left_on] if isinstance(left_on, str) else list(left_on)
             rks = [right_on] if isinstance(right_on, str) else list(right_on)
+            if coalesce_duplicate_keys and lks == rks:
+                # same-named keys coalesce exactly like USING (one key
+                # column in the output, full-join keys merged)
+                return self._derive(self.df.join(right.df, lks, how_s))
             cond = None
             for lk, rk in zip(lks, rks):
                 c = self.df[lk] == right.df[rk]
                 cond = c if cond is None else (cond & c)
             return self._derive(self.df.join(right.df, cond, how_s))
-        raise ValueError("join requires on= or left_on=/right_on=")
+        raise ValueError(
+            "either `on` or `left_on` and `right_on` should be provided."
+        )
 
     def join_on(self, right: "DataFrame", *on_exprs, how: str = "inner") -> "DataFrame":
-        """Expression join (ref dataframe.py:1153); predicates AND-ed."""
+        """Expression join (ref dataframe.py:1153); predicates AND-ed.
+        Strings are rejected (the reference requires Expr predicates)."""
         cond = None
         for e in on_exprs:
+            if not isinstance(e, (Expr, Column)):
+                raise TypeError(
+                    "join_on predicates must be expressions. "
+                    "Use col()/column() or lit()/literal() to build them."
+                )
             c = _c(e)
             cond = c if cond is None else (cond & c)
         if cond is None:
@@ -798,8 +906,12 @@ class DataFrame:
         return self._derive(self.df.intersect(other.df) if distinct else self.df.intersectAll(other.df))
 
     def except_all(self, other: "DataFrame", distinct: bool = False) -> "DataFrame":
-        out = self.df.exceptAll(other.df)
-        return self._derive(out.distinct() if distinct else out)
+        # distinct=True is SQL EXCEPT (set difference after dedup) —
+        # Spark's subtract — NOT exceptAll followed by distinct, which
+        # keeps rows whose multiplicity merely exceeds the other side's
+        if distinct:
+            return self._derive(self.df.subtract(other.df))
+        return self._derive(self.df.exceptAll(other.df))
 
     def distinct(self) -> "DataFrame":
         return self._derive(self.df.distinct())
@@ -819,21 +931,35 @@ class DataFrame:
 
     # -- unnest -----------------------------------------------------------------
     def unnest_columns(
-        self, *cols, preserve_nulls: bool = True, recursions: int = 1
+        self, *cols, preserve_nulls: bool = True, recursions=None
     ) -> "DataFrame":
-        """Explode list columns; ``recursions`` unnests nested lists that
-        many levels deep (ref dataframe.py:1741). Accepts names varargs
-        or a single list of names."""
+        """Explode list columns in place (original column order kept);
+        ``recursions`` is the reference's list of ``(input_column,
+        output_column, depth)`` specs — a plain int applies that depth to
+        every column (ref dataframe.py unnest_columns). Accepts names
+        varargs or a single list of names."""
         if len(cols) == 1 and isinstance(cols[0], (list, tuple)):
             cols = tuple(cols[0])
+        specs: dict[str, tuple[str, int]] = {}
+        if isinstance(recursions, int):
+            specs = {c: (c, max(1, recursions)) for c in cols}
+        elif recursions:
+            for spec in recursions:
+                inp, outp, depth = spec
+                specs[inp] = (str(outp), int(depth))
         out = self.df
         explode = F.explode_outer if preserve_nulls else F.explode
-        for _ in range(max(1, recursions)):
-            for c in cols:
-                if not dict(out.dtypes)[c].startswith("array"):
-                    continue  # fully unnested before recursions ran out
-                others = [F.col(x) for x in out.columns if x != c]
-                out = out.select(*others, explode(F.col(c)).alias(c))
+        for c in cols:
+            out_name, depth = specs.get(c, (c, 1))
+            cur = c
+            for _ in range(depth):
+                if not dict(out.dtypes)[cur].startswith("array"):
+                    break  # fully unnested before the depth ran out
+                out = out.select(*[
+                    explode(F.col(x)).alias(out_name) if x == cur else F.col(x)
+                    for x in out.columns
+                ])
+                cur = out_name
         return self._derive(out)
 
     # -- partitioning -------------------------------------------------------------
@@ -854,8 +980,17 @@ class DataFrame:
     def column(self, name: str) -> Expr:
         """Qualified column expression bound to THIS DataFrame (ref
         dataframe.py column) — disambiguates same-named columns after
-        joins: ``a.column("x") == b.column("x")``."""
-        return Expr(self.df[name])
+        joins: ``a.column("x") == b.column("x")``. Unknown or
+        irrecoverably ambiguous names raise "not found" like the
+        reference."""
+        if self.df.columns.count(name) != 1:
+            raise KeyError(f"column '{name}' not found in the DataFrame schema")
+        try:
+            return Expr(self.df[name])
+        except Exception:
+            raise KeyError(
+                f"column '{name}' not found in the DataFrame schema"
+            ) from None
 
     def col(self, name: str) -> Expr:
         """Alias of :meth:`column` (ref dataframe.py col)."""
@@ -1046,7 +1181,7 @@ class DataFrame:
         only the requested column is read."""
         return self._restore_arrow_types(
             self._normalize_arrow(self.df.select(column_name).toArrow())
-        ).column(0)
+        ).column(0).combine_chunks()
 
     def collect_partitioned(self) -> list[list]:
         """list[list[RecordBatch]] preserving input partitioning (ref
@@ -1089,7 +1224,7 @@ class DataFrame:
         tbl = self._restore_arrow_types(
             self._normalize_arrow(self.df.limit(num).toArrow())
         ).combine_chunks()
-        if tbl.num_rows == 0:
+        if tbl.num_rows == 0 and not getattr(self, "_emit_empty_batch", False):
             print("DataFrame has no rows")
             return
         names = tbl.schema.names
@@ -1122,7 +1257,11 @@ class DataFrame:
         far larger than driver RAM."""
         from .record_batch import RecordBatchStream, arrow_batch_iter
 
-        return RecordBatchStream(arrow_batch_iter(self.df, rows_per_batch))
+        return RecordBatchStream(
+            arrow_batch_iter(
+                self.df, rows_per_batch, getattr(self, "_batch_layout", None)
+            )
+        )
 
     def execute_stream_partitioned(self, rows_per_batch: int = 8192):
         """One RecordBatchStream per partition (ref dataframe.py:1689).
@@ -1169,13 +1308,35 @@ class DataFrame:
         from .record_batch import arrow_batch_iter
 
         sdf = self.df
+        want = None
         if requested_schema is not None:
-            want = pa.schema(requested_schema)
-            sdf = sdf.select(*[f.name for f in want])
-        schema = self._restore_arrow_types(
+            if isinstance(requested_schema, pa.Schema):
+                want = requested_schema
+            else:  # C-schema PyCapsule from the consumer
+                want = pa.Schema._import_from_c_capsule(requested_schema)
+        have = self._restore_arrow_types(
             self._normalize_arrow(sdf.limit(0).toArrow())
         ).schema
-        if requested_schema is not None:
+        if want is None:
+            schema = have
+        else:
+            # schema MERGE, not cast: requested fields must match the
+            # produced type exactly; absent fields null-fill (ref
+            # __arrow_c_stream__ projection semantics)
+            for f in want:
+                if f.name in have.names and have.field(f.name).type != f.type:
+                    raise pa.ArrowTypeError(
+                        f"Fail to merge schema: field {f.name!r} has type "
+                        f"{have.field(f.name).type} but {f.type} was requested"
+                    )
+                if f.name not in have.names and not f.nullable:
+                    raise pa.ArrowTypeError(
+                        f"Fail to merge schema: non-nullable field {f.name!r} "
+                        "is absent from the produced schema"
+                    )
+            present = [f.name for f in want if f.name in have.names]
+            if present:
+                sdf = sdf.select(*present)
             schema = want
 
         def gen():
@@ -1183,8 +1344,15 @@ class DataFrame:
                 t = self._restore_arrow_types(
                     self._normalize_arrow(pa.Table.from_batches([b]))
                 )
-                if requested_schema is not None:
-                    t = t.cast(want)
+                if want is not None:
+                    n = t.num_rows
+                    cols = [
+                        t.column(f.name)
+                        if f.name in t.schema.names
+                        else pa.nulls(n, type=f.type)
+                        for f in want
+                    ]
+                    t = pa.Table.from_arrays(cols, schema=want)
                 yield from t.to_batches()
 
         return pa.RecordBatchReader.from_batches(schema, gen()).__arrow_c_stream__()
@@ -1322,17 +1490,36 @@ class DataFrame:
         "0" in strings, False in booleans, a date fills date columns).
         Columns whose type can't hold the value are left unchanged
         (try_cast yields null → coalesce keeps the original)."""
+        import datetime as _dt
+
+        from pyspark.sql import types as T
+
+        def compatible(dtype) -> bool:
+            # Catalyst rejects some cast PAIRS at analysis (int→date), so
+            # try_cast can't be the only guard; mirror the rules we rely on
+            if isinstance(dtype, T.StringType):
+                return True
+            if isinstance(
+                dtype,
+                (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+                 T.FloatType, T.DoubleType, T.DecimalType, T.BooleanType),
+            ):
+                return isinstance(value, (bool, int, float, str))
+            if isinstance(dtype, (T.DateType,)):
+                return isinstance(value, (_dt.date, str))
+            if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
+                return isinstance(value, (_dt.datetime, _dt.date, str))
+            if isinstance(dtype, T.BinaryType):
+                return isinstance(value, (bytes, bytearray, str))
+            return False
+
         targets = set(subset) if subset else {f.name for f in self.df.schema.fields}
         cols = []
         for fld in self.df.schema.fields:
-            if fld.name in targets:
-                try:
-                    filler = F.lit(value).try_cast(fld.dataType)
-                except Exception:
-                    filler = None
-                if filler is not None:
-                    cols.append(F.coalesce(F.col(fld.name), filler).alias(fld.name))
-                    continue
+            if fld.name in targets and compatible(fld.dataType):
+                filler = F.lit(value).try_cast(fld.dataType)
+                cols.append(F.coalesce(F.col(fld.name), filler).alias(fld.name))
+                continue
             cols.append(F.col(fld.name))
         return self._derive(self.df.select(*cols))
 

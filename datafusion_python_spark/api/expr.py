@@ -48,6 +48,7 @@ _TYPE_ALIASES = {
     "uint32": T.LongType(),
     "uint64": T.DecimalType(20, 0),
     "float16": T.FloatType(),
+    "halffloat": T.FloatType(),  # pyarrow's str() name for float16
     "float32": T.FloatType(),
     "float64": T.DoubleType(),
     "utf8": T.StringType(),
@@ -82,12 +83,9 @@ def _spark_type(t: Any):
         if isinstance(t, pa.DataType):
             if str(t) in _TYPE_ALIASES:
                 return _TYPE_ALIASES[str(t)]
-            try:
-                return T.fromArrow(t)  # pyspark >= 4.1
-            except AttributeError:
-                from pyspark.sql.pandas.types import from_arrow_type
+            from pyspark.sql.pandas.types import from_arrow_type
 
-                return from_arrow_type(t)
+            return from_arrow_type(t)
     except ImportError:
         pass
     if isinstance(t, str):
@@ -465,7 +463,14 @@ class Expr:
             n = self._jnode()
             if n.getClass().getSimpleName() == "Alias":
                 return n.sql().rsplit(" AS ", 1)[-1]
-            return n.sql()
+            out = n.sql()
+            import re as _re
+
+            if _re.fullmatch(r"[\w.]+", out) and "." in out:
+                # a qualified attribute path — the reference's
+                # column_name is the unqualified field name
+                return out.rsplit(".", 1)[-1]
+            return out
         except Exception:
             return str(self.expr)
 
@@ -890,6 +895,40 @@ def lit(value: Any) -> Expr:
 # Arrow-literal fidelity helpers ------------------------------------------
 
 ARROW_LIT_META_KEY = "__arrow_lit_type__"
+
+
+def _storage_spark_type(t):
+    """Nearest Spark storage type for an arbitrary Arrow type (used with
+    an ``__arrow_lit_type__`` tag so exports restore the exact type):
+    float16→float, unsigned→wider signed, large/view→base, recursing
+    through lists and structs."""
+    import pyarrow as pa
+
+    if not isinstance(t, pa.DataType):
+        return _spark_type(t)
+    key = str(t)
+    if key in _TYPE_ALIASES:
+        return _TYPE_ALIASES[key]
+    if pa.types.is_list(t) or pa.types.is_large_list(t) or pa.types.is_list_view(t) or pa.types.is_fixed_size_list(t):
+        return T.ArrayType(_storage_spark_type(t.value_type))
+    if pa.types.is_struct(t):
+        return T.StructType([
+            T.StructField(f.name, _storage_spark_type(f.type), f.nullable)
+            for f in t
+        ])
+    if pa.types.is_map(t):
+        return T.MapType(_storage_spark_type(t.key_type), _storage_spark_type(t.item_type))
+    if pa.types.is_fixed_size_binary(t) or pa.types.is_large_binary(t) or pa.types.is_binary_view(t):
+        return T.BinaryType()
+    if pa.types.is_large_string(t) or pa.types.is_string_view(t):
+        return T.StringType()
+    if pa.types.is_timestamp(t):
+        return T.TimestampType() if t.tz else T.TimestampNTZType()
+    if pa.types.is_date(t):
+        return T.DateType()
+    if pa.types.is_duration(t):
+        return T.DayTimeIntervalType()
+    return _spark_type(t)
 
 
 def _arrow_type_faithful(t) -> bool:

@@ -56,11 +56,14 @@ class RecordBatchStream:
             raise StopAsyncIteration from None
 
 
-def arrow_batch_iter(df, rows_per_batch: int = 8192):
+def arrow_batch_iter(df, rows_per_batch: int = 8192, layout=None):
     """Convert a Spark DataFrame into pyarrow batches incrementally.
 
     toLocalIterator pulls one partition at a time to the driver, so peak
     memory is one partition + one batch, independent of result size.
+    ``layout`` (flat list of original batch row counts, from an explicit
+    MemTable registration) reproduces the source's exact batch
+    boundaries; otherwise partition boundaries become batch boundaries.
     """
     import pyarrow as pa
 
@@ -71,11 +74,25 @@ def arrow_batch_iter(df, rows_per_batch: int = 8192):
     except Exception:  # pragma: no cover - fallback on API drift
         schema = None
 
+    # partition boundaries become batch boundaries (the reference's
+    # stream yields one batch per MemTable partition batch); rows are
+    # tagged with their partition id and a batch is cut on change
+    from pyspark.sql import functions as F
+
+    cuts = list(layout) if layout else None
+    tagged = df.withColumn("__pid", F.spark_partition_id())
     buf: list[dict] = []
-    for row in df.toLocalIterator():
-        buf.append(row.asDict(recursive=True))
-        if len(buf) >= rows_per_batch:
+    cur_pid = None
+    for row in tagged.toLocalIterator():
+        d = row.asDict(recursive=True)
+        pid = d.pop("__pid")
+        limit = cuts[0] if cuts else rows_per_batch
+        if buf and (pid != cur_pid or len(buf) >= limit):
             yield pa.RecordBatch.from_pylist(buf, schema=schema)
+            if cuts:
+                cuts.pop(0)
             buf = []
+        cur_pid = pid
+        buf.append(d)
     if buf:
         yield pa.RecordBatch.from_pylist(buf, schema=schema)
