@@ -39,15 +39,242 @@ _JOIN_HOW = {
 }
 
 
+class _ThriftCompact:
+    """Minimal Thrift compact-protocol codec, enough to round-trip a
+    parquet FileMetaData footer for targeted edits (created_by string,
+    version int, encoding-list ordering). Structs decode to
+    ``[(field_id, type_code, value), ...]``; lists to
+    ``(elem_type, [values])``; maps to ``(ktype, vtype, pairs)``."""
+
+    BOOL_T, BOOL_F, BYTE, I16, I32, I64 = 1, 2, 3, 4, 5, 6
+    DOUBLE, BINARY, LIST, SET, MAP, STRUCT = 7, 8, 9, 10, 11, 12
+
+    def __init__(self, buf: bytes) -> None:
+        self.buf = buf
+        self.pos = 0
+
+    def _varint(self) -> int:
+        out = shift = 0
+        while True:
+            b = self.buf[self.pos]
+            self.pos += 1
+            out |= (b & 0x7F) << shift
+            if not b & 0x80:
+                return out
+            shift += 7
+
+    def _zigzag(self) -> int:
+        n = self._varint()
+        return (n >> 1) ^ -(n & 1)
+
+    def read_struct(self):
+        fields = []
+        fid = 0
+        while True:
+            head = self.buf[self.pos]
+            self.pos += 1
+            if head == 0:
+                return fields
+            delta, ftype = head >> 4, head & 0x0F
+            fid = fid + delta if delta else self._zigzag()
+            fields.append((fid, ftype, self.read_value(ftype)))
+
+    def read_value(self, ftype):
+        if ftype in (self.BOOL_T, self.BOOL_F):
+            return ftype == self.BOOL_T
+        if ftype == self.BYTE:
+            v = self.buf[self.pos]
+            self.pos += 1
+            return v
+        if ftype in (self.I16, self.I32, self.I64):
+            return self._zigzag()
+        if ftype == self.DOUBLE:
+            v = self.buf[self.pos: self.pos + 8]
+            self.pos += 8
+            return v
+        if ftype == self.BINARY:
+            n = self._varint()
+            v = self.buf[self.pos: self.pos + n]
+            self.pos += n
+            return v
+        if ftype in (self.LIST, self.SET):
+            head = self.buf[self.pos]
+            self.pos += 1
+            size, etype = head >> 4, head & 0x0F
+            if size == 15:
+                size = self._varint()
+            if etype in (self.BOOL_T, self.BOOL_F):
+                vals = []
+                for _ in range(size):
+                    vals.append(self.buf[self.pos] == self.BOOL_T)
+                    self.pos += 1
+                return (etype, vals)
+            return (etype, [self.read_value(etype) for _ in range(size)])
+        if ftype == self.MAP:
+            if self.buf[self.pos] == 0:
+                self.pos += 1
+                return (0, 0, [])
+            size = self._varint()
+            kv = self.buf[self.pos]
+            self.pos += 1
+            kt, vt = kv >> 4, kv & 0x0F
+            return (kt, vt, [
+                (self.read_value(kt), self.read_value(vt)) for _ in range(size)
+            ])
+        if ftype == self.STRUCT:
+            return self.read_struct()
+        raise ValueError(f"thrift compact: unknown type {ftype}")
+
+    @classmethod
+    def _enc_varint(cls, n: int) -> bytes:
+        out = bytearray()
+        while True:
+            b = n & 0x7F
+            n >>= 7
+            if n:
+                out.append(b | 0x80)
+            else:
+                out.append(b)
+                return bytes(out)
+
+    @classmethod
+    def _enc_zigzag(cls, n: int) -> bytes:
+        return cls._enc_varint((n << 1) ^ (n >> 63) if n >= 0 else ((n << 1) ^ -1))
+
+    @classmethod
+    def write_struct(cls, fields) -> bytes:
+        out = bytearray()
+        prev = 0
+        for fid, ftype, value in fields:
+            if ftype in (cls.BOOL_T, cls.BOOL_F):
+                ftype = cls.BOOL_T if value else cls.BOOL_F
+            delta = fid - prev
+            if 0 < delta <= 15:
+                out.append((delta << 4) | ftype)
+            else:
+                out.append(ftype)
+                out += cls._enc_zigzag(fid)
+            out += cls.write_value(ftype, value)
+            prev = fid
+        out.append(0)
+        return bytes(out)
+
+    @classmethod
+    def write_value(cls, ftype, value) -> bytes:
+        if ftype in (cls.BOOL_T, cls.BOOL_F):
+            return b""  # encoded in the field/elem type itself
+        if ftype == cls.BYTE:
+            return bytes([value])
+        if ftype in (cls.I16, cls.I32, cls.I64):
+            return cls._enc_zigzag(value)
+        if ftype == cls.DOUBLE:
+            return bytes(value)
+        if ftype == cls.BINARY:
+            return cls._enc_varint(len(value)) + bytes(value)
+        if ftype in (cls.LIST, cls.SET):
+            etype, vals = value
+            out = bytearray()
+            if len(vals) < 15:
+                out.append((len(vals) << 4) | etype)
+            else:
+                out.append(0xF0 | etype)
+                out += cls._enc_varint(len(vals))
+            if etype in (cls.BOOL_T, cls.BOOL_F):
+                for v in vals:
+                    out.append(cls.BOOL_T if v else cls.BOOL_F)
+            else:
+                for v in vals:
+                    out += cls.write_value(etype, v)
+            return bytes(out)
+        if ftype == cls.MAP:
+            kt, vt, pairs = value
+            if not pairs:
+                return b"\x00"
+            out = bytearray(cls._enc_varint(len(pairs)))
+            out.append((kt << 4) | vt)
+            for k, v in pairs:
+                out += cls.write_value(kt, k)
+                out += cls.write_value(vt, v)
+            return bytes(out)
+        if ftype == cls.STRUCT:
+            return cls.write_struct(value)
+        raise ValueError(f"thrift compact: unknown type {ftype}")
+
+
+def _patch_parquet_footer(
+    path: str,
+    created_by: str | None = None,
+    force_version: int | None = None,
+) -> None:
+    """Align a pyarrow-written footer with arrow-rs conventions the
+    reference's tests assert on: the configured created_by, the declared
+    format version int, and encoding lists sorted ascending by enum (the
+    arrow-rs emission order)."""
+    with open(path, "rb") as fh:
+        data = fh.read()
+    if data[-4:] != b"PAR1":
+        return
+    flen = int.from_bytes(data[-8:-4], "little")
+    tc = _ThriftCompact(data[-8 - flen:-8])
+    try:
+        meta = tc.read_struct()
+    except Exception:
+        return
+
+    def edit(fields):
+        out = []
+        for fid, ftype, value in fields:
+            if fid == 1 and ftype == _ThriftCompact.I32 and force_version is not None:
+                value = force_version
+            elif fid == 6 and ftype == _ThriftCompact.BINARY and created_by is not None:
+                value = created_by.encode()
+            elif fid == 4 and ftype == _ThriftCompact.LIST:
+                etype, groups = value
+                value = (etype, [edit_row_group(g) for g in groups])
+            out.append((fid, ftype, value))
+        return out
+
+    def edit_row_group(fields):
+        return [
+            (fid, ftype, (value[0], [edit_chunk(c) for c in value[1]]))
+            if fid == 1 and ftype == _ThriftCompact.LIST
+            else (fid, ftype, value)
+            for fid, ftype, value in fields
+        ]
+
+    def edit_chunk(fields):
+        return [
+            (fid, ftype, edit_col_meta(value))
+            if fid == 3 and ftype == _ThriftCompact.STRUCT
+            else (fid, ftype, value)
+            for fid, ftype, value in fields
+        ]
+
+    def edit_col_meta(fields):
+        # ColumnMetaData field 2 = list<Encoding>
+        return [
+            (fid, ftype, (value[0], sorted(value[1])))
+            if fid == 2 and ftype == _ThriftCompact.LIST
+            else (fid, ftype, value)
+            for fid, ftype, value in fields
+        ]
+
+    footer = _ThriftCompact.write_struct(edit(meta))
+    with open(path, "wb") as fh:
+        fh.write(data[: -8 - flen])
+        fh.write(footer)
+        fh.write(len(footer).to_bytes(4, "little"))
+        fh.write(b"PAR1")
+
+
 class ParquetColumnOptions:
     """Per-column parquet writer options (ref dataframe.py:296).
 
-    Maps to parquet-mr's ``<option>#<column>`` config form, which Spark
-    passes through to the writer: bloom filter enable/fpp/ndv and
-    dictionary enable are supported; per-column ``encoding``,
-    ``compression`` and ``statistics_enabled`` have no parquet-mr
-    equivalent and raise if set (silently ignoring them would corrupt
-    user expectations about the written files).
+    Bloom-filter and dictionary settings route through parquet-mr's
+    ``<option>#<column>`` config form (Spark writer); per-column
+    ``encoding`` / ``compression`` / ``statistics_enabled`` route
+    through the distributed pyarrow writer path (see
+    DataFrame._write_parquet_pyarrow).
     """
 
     def __init__(
@@ -60,18 +287,10 @@ class ParquetColumnOptions:
         bloom_filter_fpp: float | None = None,
         bloom_filter_ndv: int | None = None,
     ) -> None:
-        for unsupported, label in (
-            (encoding, "encoding"),
-            (compression, "compression"),
-            (statistics_enabled, "statistics_enabled"),
-        ):
-            if unsupported is not None:
-                raise NotImplementedError(
-                    f"per-column {label} is not configurable through Spark's "
-                    "parquet writer (parquet-mr supports per-column config "
-                    "only for bloom filters and dictionary encoding)"
-                )
+        self.encoding = encoding
         self.dictionary_enabled = dictionary_enabled
+        self.compression = compression
+        self.statistics_enabled = statistics_enabled
         self.bloom_filter_enabled = bloom_filter_enabled
         self.bloom_filter_fpp = bloom_filter_fpp
         self.bloom_filter_ndv = bloom_filter_ndv
@@ -114,11 +333,17 @@ class ParquetWriterOptions:
         self.compression = compression or "uncompressed"
         self.compression_level = compression_level
         self.data_pagesize_limit = data_pagesize_limit
-        self.writer_version = writer_version
+        self.writer_version = str(writer_version)
+        self.skip_arrow_metadata = skip_arrow_metadata
         self.dictionary_enabled = dictionary_enabled
         self.dictionary_page_size_limit = dictionary_page_size_limit
+        self.statistics_enabled = statistics_enabled
         self.max_row_group_size = max_row_group_size
+        self.created_by = created_by
+        self.column_index_truncate_length = column_index_truncate_length
+        self.statistics_truncate_length = statistics_truncate_length
         self.data_page_row_count_limit = data_page_row_count_limit
+        self.encoding = encoding
         self.bloom_filter_on_write = bloom_filter_on_write
         self.bloom_filter_fpp = bloom_filter_fpp
         self.bloom_filter_ndv = bloom_filter_ndv
@@ -144,6 +369,113 @@ class ParquetWriterOptions:
                 f"Invalid parquet writer version {self.writer_version!r}; "
                 "expected '1.0' or '2.0'"
             )
+
+    _PYARROW_ENCODINGS = {
+        "plain": "PLAIN",
+        "rle": "RLE",
+        "delta_binary_packed": "DELTA_BINARY_PACKED",
+        "delta_length_byte_array": "DELTA_LENGTH_BYTE_ARRAY",
+        "delta_byte_array": "DELTA_BYTE_ARRAY",
+        "byte_stream_split": "BYTE_STREAM_SPLIT",
+    }
+
+    @classmethod
+    def _check_encoding(cls, enc: str | None) -> str | None:
+        """Validate a fallback encoding name with the reference's error
+        texts (arrow-rs parquet writer messages)."""
+        if enc is None:
+            return None
+        e = str(enc).lower()
+        if e in ("plain_dictionary", "rle_dictionary"):
+            raise ValueError(
+                "Dictionary encoding can not be used as fallback encoding"
+            )
+        if e in ("bit_packed",):
+            raise ValueError(f"Encoding {e} is not supported")
+        if e not in cls._PYARROW_ENCODINGS:
+            raise ValueError(f"Unknown or unsupported parquet encoding: {enc}")
+        return cls._PYARROW_ENCODINGS[e]
+
+    def _has_bloom(self) -> bool:
+        return self.bloom_filter_on_write or any(
+            c.bloom_filter_enabled for c in self.column_specific_options.values()
+        )
+
+    def _pyarrow_kwargs(self, columns: list[str]) -> dict:
+        """pyarrow.parquet.write_table kwargs realizing these options,
+        merging per-column overrides over the global settings."""
+        codec, level = self._codec()
+        col_opts = {
+            c: o for c, o in self.column_specific_options.items() if c in columns
+        }
+
+        def per_col(get_override, default):
+            vals = {c: default for c in columns}
+            for c, o in col_opts.items():
+                v = get_override(o)
+                if v is not None:
+                    vals[c] = v
+            return vals
+
+        comp = per_col(lambda o: o.compression, self.compression)
+        comp_codec, comp_level = {}, {}
+        for c, spec in comp.items():
+            s = str(spec).lower()
+            if "(" in s and s.endswith(")"):
+                nm, lv = s[:-1].split("(", 1)
+                comp_codec[c], comp_level[c] = nm, int(lv)
+            else:
+                comp_codec[c] = s
+                # the global compression_level applies only to the
+                # global codec — not per-column codec overrides
+                if level is not None and s == codec:
+                    comp_level[c] = level
+        for c, nm in comp_codec.items():
+            if nm in ("uncompressed",):
+                comp_codec[c] = "none"
+        dict_on = per_col(
+            lambda o: o.dictionary_enabled,
+            True if self.dictionary_enabled is None else self.dictionary_enabled,
+        )
+        stats_on = per_col(
+            lambda o: (
+                None if o.statistics_enabled is None
+                else o.statistics_enabled != "none"
+            ),
+            (self.statistics_enabled or "page") != "none",
+        )
+        enc = {}
+        global_enc = self._check_encoding(self.encoding)
+        for c in columns:
+            enc[c] = global_enc
+        for c, o in col_opts.items():
+            if o.encoding is not None:
+                enc[c] = self._check_encoding(o.encoding)
+        kwargs: dict = {
+            # always the v2 writer; the footer's declared version is
+            # patched after the fact for "1.0" (arrow-rs convention)
+            "version": "2.6",
+            "compression": comp_codec,
+            "use_dictionary": [c for c in columns if dict_on[c]],
+            "write_statistics": [c for c in columns if stats_on[c]],
+            "data_page_size": self.data_pagesize_limit,
+            "dictionary_pagesize_limit": self.dictionary_page_size_limit,
+            "store_schema": not self.skip_arrow_metadata,
+        }
+        if comp_level:
+            kwargs["compression_level"] = comp_level
+        col_enc = {c: e for c, e in enc.items() if e is not None}
+        if col_enc:
+            # pyarrow requires dictionary fallback OFF for explicit
+            # encodings; columns without an explicit encoding keep theirs
+            kwargs["column_encoding"] = col_enc
+            kwargs["use_dictionary"] = [
+                c for c in kwargs["use_dictionary"] if c not in col_enc
+            ] or False
+        if self.statistics_truncate_length is not None:
+            # pyarrow >= 17 knob; older versions raise TypeError upstream
+            kwargs["statistics_truncate_length"] = self.statistics_truncate_length
+        return kwargs
 
     def _spark_options(self) -> dict[str, str]:
         codec, level = self._codec()
@@ -1404,8 +1736,24 @@ class DataFrame:
         write_options: DataFrameWriteOptions | None = None,
     ) -> None:
         if isinstance(compression, ParquetWriterOptions):
+            if compression_level is not None:
+                raise ValueError(
+                    "compression_level should not be provided when "
+                    "compression is a ParquetWriterOptions"
+                )
             return self.write_parquet_with_options(path, compression, write_options)
         self._check_parquet_codec(compression, compression_level)
+        if compression == "brotli":
+            # Spark's classpath has no BrotliCodec; route through the
+            # distributed pyarrow writer (arrow-cpp bundles brotli)
+            spec = (
+                f"brotli({compression_level})"
+                if compression_level is not None
+                else "brotli"
+            )
+            return self._write_parquet_pyarrow(
+                path, ParquetWriterOptions(compression=spec), write_options
+            )
         writer = self._write_df(write_options).write.mode("overwrite")
         if write_options and write_options.partition_by:
             writer = writer.partitionBy(*write_options.partition_by)
@@ -1422,15 +1770,97 @@ class DataFrame:
         write_options: DataFrameWriteOptions | None = None,
     ) -> None:
         """Write parquet with full writer options, including per-column
-        bloom-filter/dictionary settings (ref dataframe.py:1583;
-        ParquetColumnOptions ref dataframe.py:296)."""
+        encoding/compression/statistics/dictionary settings (ref
+        dataframe.py:1583; ParquetColumnOptions ref dataframe.py:296).
+
+        Two engines, both distributed:
+        - bloom filters / hive partitioning → Spark's parquet-mr writer
+          (``<option>#<column>`` form);
+        - everything else → a pyarrow writer per Spark partition
+          (mapInArrow), which honors created_by, exact row-group sizes,
+          fallback encodings, and per-column codecs that parquet-mr
+          cannot express.
+        """
         options._validate()
-        writer = self._write_df(write_options).write.mode("overwrite")
-        if write_options and write_options.partition_by:
-            writer = writer.partitionBy(*write_options.partition_by)
-        for k, v in options._spark_options().items():
-            writer = writer.option(k, v)
-        writer.parquet(str(path))
+        options._check_encoding(options.encoding)
+        for copt in options.column_specific_options.values():
+            options._check_encoding(copt.encoding)
+        if options._has_bloom() or (write_options and write_options.partition_by):
+            writer = self._write_df(write_options).write.mode("overwrite")
+            if write_options and write_options.partition_by:
+                writer = writer.partitionBy(*write_options.partition_by)
+            for k, v in options._spark_options().items():
+                writer = writer.option(k, v)
+            writer.parquet(str(path))
+            return
+        self._write_parquet_pyarrow(path, options, write_options)
+
+    def _write_parquet_pyarrow(
+        self,
+        path,
+        options: ParquetWriterOptions,
+        write_options: "DataFrameWriteOptions | None" = None,
+    ) -> None:
+        """Distributed parquet write via one pyarrow ParquetWriter per
+        Spark partition (mapInArrow): executors stream their partition's
+        Arrow batches straight into a part file — no driver collection,
+        scales with the cluster exactly like Spark's own writer."""
+        import os
+        import shutil
+
+        sdf = self._write_df(write_options)
+        path_str = str(path)
+        single_file = path_str.endswith(".parquet")
+        if single_file:
+            sdf = sdf.coalesce(1)
+            os.makedirs(os.path.dirname(path_str) or ".", exist_ok=True)
+            if os.path.isdir(path_str):
+                shutil.rmtree(path_str)
+        else:
+            os.makedirs(path_str, exist_ok=True)
+        kwargs = options._pyarrow_kwargs(sdf.columns)
+        row_group = options.max_row_group_size
+        created_by = options.created_by
+        # arrow-rs writes v2 encodings (RLE_DICTIONARY, DELTA_*) even for
+        # writer_version "1.0", declaring version 1 in the footer; pyarrow
+        # couples them — write as 2.6, then declare the requested version
+        declared_v1 = not str(options.writer_version).startswith("2")
+
+        def write_partition(batch_iter):
+            import os as _os
+            import uuid as _uuid
+
+            import pyarrow as _pa
+            import pyarrow.parquet as _pq
+
+            batches = list(batch_iter)
+            if not batches:
+                return
+            tbl = _pa.Table.from_batches(batches)
+            fname = (
+                path_str
+                if single_file
+                else _os.path.join(path_str, f"part-{_uuid.uuid4().hex}.parquet")
+            )
+            kw = dict(kwargs)
+            try:
+                _pq.write_table(tbl, fname, row_group_size=row_group, **kw)
+            except TypeError:
+                # pyarrow without statistics_truncate_length support
+                kw.pop("statistics_truncate_length", None)
+                _pq.write_table(tbl, fname, row_group_size=row_group, **kw)
+            _patch_parquet_footer(
+                fname,
+                created_by=created_by,
+                force_version=1 if declared_v1 else None,
+            )
+            yield _pa.record_batch(
+                {"path": _pa.array([fname]), "rows": _pa.array([tbl.num_rows])}
+            )
+
+        self._derive(sdf).df.mapInArrow(
+            write_partition, "path string, rows bigint"
+        ).collect()
 
     def write_csv(self, path: str, with_header: bool = False, write_options=None) -> None:
         writer = self._write_df(write_options).write.mode("overwrite")

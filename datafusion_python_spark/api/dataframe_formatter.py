@@ -77,15 +77,23 @@ class DataFrameHtmlFormatter:
             (max_memory_bytes, "max_memory_bytes"),
         ]:
             _require_positive(v, n)
-        if max_rows is not None and repr_rows is not None and max_rows != repr_rows:
-            raise ValueError("pass max_rows or repr_rows, not both")
+        if repr_rows is not None:
+            import warnings
+
+            warnings.warn(
+                "repr_rows parameter is deprecated; use max_rows instead",
+                DeprecationWarning,
+                stacklevel=2,
+            )
+            if max_rows is not None:
+                raise ValueError("Cannot specify both repr_rows and max_rows")
         resolved = max_rows if max_rows is not None else (repr_rows or 20)
         _require_positive(resolved, "max_rows")
         if min_rows is None:
             min_rows = min(10, resolved)  # default floor, never above max
         _require_positive(min_rows, "min_rows")
         if min_rows > resolved:
-            raise ValueError("min_rows must not exceed max_rows")
+            raise ValueError("min_rows must be less than or equal to max_rows")
         for v, n in [
             (enable_cell_expansion, "enable_cell_expansion"),
             (show_truncation_message, "show_truncation_message"),
@@ -131,6 +139,13 @@ class DataFrameHtmlFormatter:
 
     @repr_rows.setter
     def repr_rows(self, value: int) -> None:
+        import warnings
+
+        warnings.warn(
+            "repr_rows is deprecated; use max_rows instead",
+            DeprecationWarning,
+            stacklevel=2,
+        )
         self.max_rows = value
 
     # -- customization hooks ---------------------------------------------------
@@ -147,30 +162,69 @@ class DataFrameHtmlFormatter:
         self._custom_header_builder = builder
 
     # -- value rendering -------------------------------------------------------
-    def _format_value(self, value: Any) -> str:
+    def _format_value(self, value: Any) -> tuple[str, bool]:
+        """(rendered text, is_raw_html) — custom type formatters emit raw
+        HTML (the reference inserts their output unescaped)."""
         for t, fmt in self._type_formatters.items():
             if isinstance(value, t):
-                return fmt(value)
+                return fmt(value), True
         s = "" if value is None else str(value)
         if len(s) > self.max_cell_length:
             s = s[: self.max_cell_length] + "…"
-        return s
+        return s, False
 
     def _rows(self, batches: list) -> tuple[list[list[Any]], bool]:
+        """Collect rows up to max_rows and the rendered-HTML byte budget
+        (estimated per cell incl. markup) — the stream stops early, it
+        does not materialize everything and then truncate."""
         rows: list[list[Any]] = []
         rendered = 0
-        truncated = False
+        overhead = 60 + len(self.style_provider.get_cell_style())
         for batch in batches:
             for row in batch.to_pylist():
                 vals = list(row.values())
-                rendered += sum(len(str(v)) for v in vals)
+                rendered += sum(len(str(v)) + overhead for v in vals)
                 rows.append(vals)
                 if len(rows) >= self._max_rows or (
                     rendered > self.max_memory_bytes and len(rows) >= self.min_rows
                 ):
-                    truncated = True
-                    return rows, truncated
-        return rows, truncated
+                    return rows, True
+        return rows, False
+
+    _BASE_CSS = ".df-table td, .df-table th { font-family: monospace; }"
+    _EXPANSION_CSS = " .expandable .full-text { display: none; }"
+
+    def _style_script(self) -> str:
+        """Stylesheet injection via a ``<script>`` that installs (or, for
+        shared styles, reuses) a ``df-styles`` style element — keeping a
+        literal ``<style>`` tag out of every table's HTML (ref
+        dataframe_formatter.py shared-styles behavior)."""
+        import json as _json
+
+        css = self._BASE_CSS
+        if self.enable_cell_expansion:
+            css += self._EXPANSION_CSS
+        if self.custom_css:
+            css += " " + self.custom_css
+        payload = _json.dumps(css)
+        if self.use_shared_styles:
+            body = (
+                "if (!document.getElementById('df-styles')) {"
+                "var s = document.createElement('style');"
+                "s.id = 'df-styles';"
+                f"s.textContent = {payload};"
+                "document.head.appendChild(s);}"
+            )
+        else:
+            body = (
+                "var e = document.getElementById('df-styles');"
+                "if (e) e.remove();"
+                "var s = document.createElement('style');"
+                "s.id = 'df-styles';"
+                f"s.textContent = {payload};"
+                "document.head.appendChild(s);"
+            )
+        return f"<script>{body}</script>"
 
     # -- output ---------------------------------------------------------------
     def format_html(
@@ -189,8 +243,7 @@ class DataFrameHtmlFormatter:
         rows, truncated = self._rows(batches)
 
         out = []
-        if self.custom_css:
-            out.append(f"<style>{self.custom_css}</style>")
+        out.append(self._style_script())
         out.append(
             f'<div style="max-width: {self.max_width}px; max-height: '
             f'{self.max_height}px; overflow: auto;">'
@@ -212,7 +265,10 @@ class DataFrameHtmlFormatter:
                 if self._custom_cell_builder is not None:
                     out.append(self._custom_cell_builder(v, r, c, table_uuid))
                 else:
-                    out.append(f'<td style="{cs}">{_html.escape(self._format_value(v))}</td>')
+                    text, raw = self._format_value(v)
+                    out.append(
+                        f'<td style="{cs}">{text if raw else _html.escape(text)}</td>'
+                    )
             out.append("</tr>")
         out.append("</tbody></table></div>")
         if (has_more or truncated) and self.show_truncation_message:
@@ -231,7 +287,7 @@ class DataFrameHtmlFormatter:
             return "No data to display"
         rows, truncated = self._rows(batches)
         names = [str(f.name) for f in schema]
-        cells = [[self._format_value(v) for v in vals] for vals in rows]
+        cells = [[self._format_value(v)[0] for v in vals] for vals in rows]
         widths = [
             max(len(names[i]), *(len(r[i]) for r in cells)) if cells else len(names[i])
             for i in range(len(names))
@@ -265,7 +321,18 @@ def set_formatter(formatter: DataFrameHtmlFormatter) -> None:
 
 def configure_formatter(**kwargs: Any) -> None:
     """Replace the active formatter with one built from ``kwargs`` (ref
-    configure_formatter); unknown parameters raise TypeError."""
+    configure_formatter); unknown parameters raise ValueError."""
+    import inspect
+
+    valid = set(inspect.signature(DataFrameHtmlFormatter.__init__).parameters) - {
+        "self"
+    }
+    unknown = sorted(set(kwargs) - valid)
+    if unknown:
+        raise ValueError(
+            f"Invalid formatter parameters: {', '.join(unknown)}. "
+            f"Valid parameters are: {', '.join(sorted(valid))}"
+        )
     set_formatter(DataFrameHtmlFormatter(**kwargs))
 
 

@@ -83,11 +83,42 @@ def test_parquet_column_options_bloom_filter(ctx, spark, tmp_path_factory):
     assert size(out) > size(out2)
 
 
-def test_parquet_column_options_unsupported_raise():
-    with pytest.raises(NotImplementedError):
-        ParquetColumnOptions(encoding="rle")
-    with pytest.raises(NotImplementedError):
-        ParquetColumnOptions(compression="snappy")
+def test_parquet_column_options_full_surface(spark, tmp_path):
+    # per-column encoding/compression/statistics now write through the
+    # distributed pyarrow writer path
+    import pyarrow.parquet as pq
+
+    from datafusion_python_spark.api.dataframe import ParquetWriterOptions
+
+    df = DataFrame(spark.createDataFrame([(1, "x"), (2, "y")], "a bigint, b string"))
+    out = str(tmp_path / "colopts")
+    df.write_parquet_with_options(
+        out,
+        ParquetWriterOptions(
+            compression="zstd(3)",
+            created_by="colopts-test",
+            column_specific_options={
+                "a": ParquetColumnOptions(
+                    encoding="delta_binary_packed",
+                    dictionary_enabled=False,
+                    statistics_enabled="none",
+                ),
+                "b": ParquetColumnOptions(compression="snappy"),
+            },
+        ),
+    )
+    files = list(__import__("pathlib").Path(out).rglob("*.parquet"))
+    assert files
+    md = pq.ParquetFile(files[0]).metadata
+    assert md.created_by == "colopts-test"
+    cols = {
+        md.row_group(0).column(i).path_in_schema: md.row_group(0).column(i)
+        for i in range(md.row_group(0).num_columns)
+    }
+    assert "DELTA_BINARY_PACKED" in cols["a"].encodings
+    assert cols["a"].statistics is None and cols["b"].statistics is not None
+    assert cols["b"].compression.lower() == "snappy"
+    assert cols["a"].compression.lower() == "zstd"
 
 
 def test_execute_stream_and_partitioned(spark):

@@ -39,6 +39,10 @@ ENV_LIMITED_TESTS = {
     "test_read_csv_list": "needs testing/data submodule",
     "test_read_avro": "needs testing/data submodule",
     "test_location_input": "needs testing/data submodule",
+    "test_write_parquet_with_options_statistics_truncate_length": (
+        "pyarrow 16 has no statistics_truncate_length writer knob "
+        "(added in 17); the option is passed through when available"
+    ),
     "test_register_http_csv": (
         "needs outbound network (the container has none); http paths "
         "localize via SessionContext._localize_http when network exists"
