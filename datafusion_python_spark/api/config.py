@@ -262,10 +262,13 @@ class InsertOp:
     REPLACE = "replace"
 
 
-class ExplainFormat:
-    """Explain output formats (ref ExplainFormat) → Spark explain modes."""
+import enum
 
-    INDENT = "simple"
-    TREE = "formatted"
-    PGJSON = "formatted"  # Spark has no pg-json explain; nearest structured form
-    GRAPHVIZ = "formatted"
+
+class ExplainFormat(enum.Enum):
+    """Explain output formats (ref dataframe.py ExplainFormat)."""
+
+    INDENT = "indent"
+    TREE = "tree"
+    PGJSON = "pgjson"
+    GRAPHVIZ = "graphviz"

@@ -478,6 +478,15 @@ class SessionContext:
             df._plan_variant = variant
             return df
 
+        # EXPLAIN [ANALYZE] <query> → DataFusion's (plan_type, plan) rows
+        m = re.match(r"(?is)^EXPLAIN\s+(ANALYZE\s+)?(SELECT|WITH|VALUES|TABLE)\b(.*)$", q)
+        if m:
+            inner = self.sql(m.group(2) + m.group(3))
+            rows = inner.explain_rows(analyze=bool(m.group(1)))
+            out = DataFrame(
+                self.spark.createDataFrame(rows, "plan_type string, plan string")
+            )
+            return _tag(out, _v.Explain())
         # bare statements only — Spark 4's BEGIN ... END compound scripts
         # must still reach the native parser
         if re.match(r"(?is)^CREATE\s+(UNIQUE\s+)?INDEX\s+", q):

@@ -201,6 +201,66 @@ class _ThriftCompact:
         raise ValueError(f"thrift compact: unknown type {ftype}")
 
 
+def _print_plan_table(rows: list[tuple[str, str]]) -> None:
+    """DataFusion's EXPLAIN table: | plan_type | plan | with one text
+    line per table line."""
+    flat: list[tuple[str, str]] = []
+    for ptype, text in rows:
+        lines = text.splitlines() or [""]
+        flat.append((ptype, lines[0]))
+        flat.extend(("", ln) for ln in lines[1:])
+    w1 = max(len("plan_type"), *(len(t) for t, _ in flat)) if flat else 9
+    w2 = max(len("plan"), *(len(p) for _, p in flat)) if flat else 4
+    sep = "+" + "-" * (w1 + 2) + "+" + "-" * (w2 + 2) + "+"
+    print(sep)
+    print(f"| {'plan_type':<{w1}} | {'plan':<{w2}} |")
+    print(sep)
+    for t, p in flat:
+        print(f"| {t:<{w1}} | {p:<{w2}} |")
+    print(sep)
+
+
+def _tree_boxes(indent_text: str) -> str:
+    """Tree-style rendering of an indent plan (ref ExplainFormat.TREE):
+    one ASCII box per operator, parent over child."""
+    lines = [ln for ln in indent_text.splitlines() if ln.strip()]
+    out: list[str] = []
+    width = max((len(ln.strip()) for ln in lines), default=10) + 2
+    for i, ln in enumerate(lines):
+        name = ln.strip()
+        out.append("+" + "-" * width + "+")
+        out.append("| " + name.ljust(width - 2) + " |")
+        out.append("+" + "-" * width + "+")
+        if i < len(lines) - 1:
+            out.append("|".rjust(width // 2))
+    return "\n".join(out)
+
+
+def _plan_pgjson(indent_text: str) -> str:
+    """Postgres-style JSON plan (ref ExplainFormat.PGJSON): nested
+    "Plan"/"Plans" objects derived from the indent tree."""
+    import json
+
+    lines = [ln for ln in indent_text.splitlines() if ln.strip()]
+
+    def depth(ln: str) -> int:
+        return (len(ln) - len(ln.lstrip(" "))) // 2
+
+    root: dict = {}
+    stack: list[tuple[int, dict]] = []
+    for ln in lines:
+        node = {"Node Type": ln.strip().split(":")[0], "Detail": ln.strip()}
+        d = depth(ln)
+        while stack and stack[-1][0] >= d:
+            stack.pop()
+        if not stack:
+            root = node
+        else:
+            stack[-1][1].setdefault("Plans", []).append(node)
+        stack.append((d, node))
+    return json.dumps([{"Plan": root}], indent=2)
+
+
 def _patch_parquet_footer(
     path: str,
     created_by: str | None = None,
@@ -671,19 +731,51 @@ class DataFrame:
         return ExecutionPlan(self)
 
     def explain(self, verbose: bool = False, analyze: bool = False, format: str | None = None) -> None:  # noqa: A002
-        """Print the plan (ref dataframe.py explain). ``format`` accepts
-        the reference's ExplainFormat ("indent"/"tree") and Spark's
-        native modes; "tree" maps to Spark's formatted display."""
-        fmt = getattr(format, "value", format)
-        if fmt is None:
-            self.df.explain(extended=verbose)
-        elif str(fmt).lower() in ("tree", "formatted"):
-            self.df.explain(mode="formatted")
-        elif str(fmt).lower() == "indent":
-            self.df.explain(extended=verbose)
-        else:
+        """Print the plan as DataFusion's plan_type/plan table (ref
+        dataframe.py explain). ``format`` accepts ExplainFormat or its
+        string values; Spark's native modes print the Catalyst text."""
+        fmt = str(getattr(format, "value", format or "indent")).lower()
+        if fmt in ("formatted", "extended", "codegen", "cost", "simple"):
+            # Spark-native escape hatch
+            self.df.explain(mode=fmt)
+            self._explain_dataset_scans()
+            return
+        if fmt not in ("indent", "tree", "pgjson", "graphviz"):
             raise ValueError(f"unknown explain format: {format!r}")
+        rows = self.explain_rows(verbose=verbose, analyze=analyze, format=fmt)
+        _print_plan_table(rows)
         self._explain_dataset_scans()
+
+    def explain_rows(
+        self, verbose: bool = False, analyze: bool = False, format: str = "indent"  # noqa: A002
+    ) -> list[tuple[str, str]]:
+        """(plan_type, plan) rows in the reference's EXPLAIN shape."""
+        from .plan import ExecutionPlan, LogicalPlan, OptimizedLogicalPlan
+
+        logical = LogicalPlan(self)
+        physical = ExecutionPlan(self)
+        if format == "tree":
+            return [("physical_plan", _tree_boxes(physical.display_indent()))]
+        if format == "pgjson":
+            return [("logical_plan", _plan_pgjson(logical.display_indent()))]
+        if format == "graphviz":
+            return [("logical_plan", logical.display_graphviz())]
+        rows: list[tuple[str, str]] = []
+        if verbose:
+            rows.append(("initial_logical_plan", logical.display_indent()))
+            rows.append(
+                ("optimized_logical_plan", OptimizedLogicalPlan(self).display_indent())
+            )
+        rows.append(("logical_plan", logical.display_indent()))
+        rows.append(("physical_plan", physical.display_indent()))
+        if analyze:
+            # run the plan so the metrics-bearing variant reflects an
+            # actual execution (ref EXPLAIN ANALYZE)
+            self.df.count()
+            rows.append(
+                ("Plan with Metrics", physical.display_indent())
+            )
+        return rows
 
     def _explain_dataset_scans(self) -> None:
         """Append pyarrow-dataset scan details (ref DatasetExec display:

@@ -30,14 +30,36 @@ class LogicalPlan:
     def __init__(self, df) -> None:
         self._df = df
 
+    def _df_render(self) -> tuple[str, str]:
+        """(display, display_indent) in DataFusion's plan grammar — see
+        plans/df_display.py."""
+        from ..plans.df_display import render_logical
+        from .expr_nodes import build_plan_env
+
+        sdf = getattr(self._df, "df", self._df)
+        env = build_plan_env(
+            sdf._jdf.queryExecution().analyzed(), spark=sdf.sparkSession
+        )
+        return render_logical(self._variant_jplan(), env)
+
     def display(self) -> str:
-        return logical_plan(getattr(self._df, "df", self._df))
+        try:
+            return self._df_render()[0]
+        except Exception:
+            return logical_plan(getattr(self._df, "df", self._df))
 
     def display_indent(self) -> str:
-        return self.display()
+        try:
+            return self._df_render()[1]
+        except Exception:
+            return self.display()
 
     def display_indent_schema(self) -> str:
-        return self.display()
+        return self.display_indent()
+
+    def spark_plan_text(self) -> str:
+        """Catalyst's own rendering of this plan (engine-native view)."""
+        return logical_plan(getattr(self._df, "df", self._df))
 
     def optimized(self) -> str:
         return optimized_logical_plan(getattr(self._df, "df", self._df))
@@ -214,7 +236,13 @@ class OptimizedLogicalPlan(LogicalPlan):
     DataFrame.optimized_logical_plan returns, ref dataframe.py:1244)."""
 
     def display(self) -> str:
-        return self.optimized()
+        try:
+            return self._df_render()[0]
+        except Exception:
+            return self.optimized()
+
+    def spark_plan_text(self) -> str:
+        return optimized_logical_plan(getattr(self._df, "df", self._df))
 
     def _variant_jplan(self):
         sdf = getattr(self._df, "df", self._df)
@@ -227,14 +255,38 @@ class ExecutionPlan:
     def __init__(self, df) -> None:
         self._df = df
 
+    def _df_render(self) -> tuple[str, str]:
+        from ..plans.df_display import render_logical, render_physical
+        from .expr_nodes import build_plan_env
+
+        sdf = getattr(self._df, "df", self._df)
+        qe = sdf._jdf.queryExecution()
+        env = build_plan_env(qe.analyzed(), spark=sdf.sparkSession)
+        # the analyzed tree carries the scan qualifier the physical
+        # rendering reuses for aggregate/projection argument display
+        from ..plans.df_display import _Renderer
+
+        qual = _Renderer(qe.analyzed(), env).default_qualifier
+        return render_physical(qe.executedPlan(), env, qualifier=qual)
+
     def display(self) -> str:
         ov = getattr(self, "_display_override", None)
         if ov is not None:
             return ov
-        return execution_plan(getattr(self._df, "df", self._df))
+        try:
+            return self._df_render()[0]
+        except Exception:
+            return execution_plan(getattr(self._df, "df", self._df))
 
     def display_indent(self) -> str:
-        return self.display()
+        try:
+            return self._df_render()[1]
+        except Exception:
+            return self.display()
+
+    def spark_plan_text(self) -> str:
+        """Catalyst's own physical plan text (engine-native view)."""
+        return execution_plan(getattr(self._df, "df", self._df))
 
     def __str__(self) -> str:
         return self.display()
@@ -264,11 +316,14 @@ class ExecutionPlan:
         kids = jplan.children()
         return [_JExecView(kids.apply(i)) for i in range(kids.size())]
 
+    @property
     def partition_count(self) -> int:
         """Output partition count of the physical plan (ref
-        partition_count)."""
+        partition_count — a property that is also callable for
+        backward compatibility)."""
         sdf = getattr(self._df, "df", self._df)
-        return sdf.rdd.getNumPartitions()
+        n = sdf.rdd.getNumPartitions()
+        return _CallableInt(n)
 
     def display_graphviz(self) -> str:
         return _tree_to_dot(self.display(), "ExecutionPlan")
@@ -330,6 +385,13 @@ class ExecutionPlan:
         return self.display()
 
 
+class _CallableInt(int):
+    """int that tolerates legacy ``plan.partition_count()`` calls."""
+
+    def __call__(self) -> int:
+        return int(self)
+
+
 class _JExecView(ExecutionPlan):
     """Display-only view over a raw physical plan node."""
 
@@ -344,6 +406,7 @@ class _JExecView(ExecutionPlan):
         kids = self._jplan.children()
         return [_JExecView(kids.apply(i)) for i in range(kids.size())]
 
+    @property
     def partition_count(self) -> int:
         raise NotImplementedError("partition count is defined on the root plan")
 
