@@ -193,6 +193,7 @@ class SessionContext:
         shim = self._statement_shim(query)
         if shim is not None:
             return shim
+        query = self._apply_sql_function_dialect(query)
         query = self._rewrite_datafusion_sql(query)
         bare_values = __import__("re").match(r"(?is)^\s*VALUES\s*\(", query)
         try:
@@ -203,6 +204,7 @@ class SessionContext:
         except Exception as ex:
             raise self._translate_analysis_error(ex) from None
         df = self._qualify_agg_names(df, query)
+        df = self._tag_sql_output_types(df)
         if bare_values:
             import re as _re
 
@@ -233,6 +235,25 @@ class SessionContext:
                 # query's planning (events after the recorded offsets)
                 out._dataset_stats_paths = paths
         return out
+
+    @staticmethod
+    def _tag_sql_output_types(df):
+        """Arrow-export type tags for SQL outputs whose DataFusion type
+        Spark widens (regr_count returns UInt64)."""
+        import base64
+        import re
+
+        import pyarrow as pa
+
+        from .expr import ARROW_LIT_META_KEY
+
+        for c in df.columns:
+            if re.match(r"(?i)^regr_count\(", c):
+                tag = base64.b64encode(
+                    pa.schema([pa.field("t", pa.uint64())]).serialize().to_pybytes()
+                ).decode()
+                df = df.withMetadata(c, {ARROW_LIT_META_KEY: tag})
+        return df
 
     def _qualify_agg_names(self, df, query: str):
         """DataFusion displays unaliased aggregates over a qualified
@@ -662,7 +683,7 @@ class SessionContext:
         import re
 
         if not re.search(
-            r"(?i)\blambda\b|\[|_transform\s*\(|_filter\s*\(|_match\s*\(|generate_series\s*\(|float\s*\(",
+            r"(?i)\blambda\b|\[|_transform\s*\(|_filter\s*\(|_match\s*\(|generate_series\s*\(|float\s*\(|\bcolumn\d+\b",
             query,
         ):
             return query
@@ -672,6 +693,9 @@ class SessionContext:
             lambda m: "float" if int(m.group(1)) <= 32 else "double",
             query,
         )
+        # DataFusion names VALUES columns column1..N (Spark: col1..N)
+        if re.search(r"(?i)\bvalues\s*\(", query) and re.search(r"\bcolumn\d+\b", query):
+            query = re.sub(r"\bcolumn(\d+)\b", r"col\1", query)
 
         out: list[str] = []
         stack: list[bool] = []  # True = literal bracket we opened as array(
@@ -1221,6 +1245,41 @@ class SessionContext:
         # pandas fallback silently turns NaN into null)
         had_view: list = []
         orig_schema = data.schema if isinstance(data, pa.Table) else None
+        if isinstance(data, pa.Table) and any(
+            pa.types.is_union(f.type) for f in data.schema
+        ):
+            # Arrow unions have no Spark type: store as a tagged struct
+            # (__union_tag + one nullable field per variant) — the shape
+            # union_tag()/union_extract() read. Documented divergence:
+            # the raw column exports as that struct.
+            cols = []
+            fields = []
+            for f in data.schema:
+                if not pa.types.is_union(f.type):
+                    cols.append(data.column(f.name))
+                    fields.append(f)
+                    continue
+                variants = [f.type.field(i) for i in range(f.type.num_fields)]
+                rows = []
+                combined = data.column(f.name).combine_chunks()
+                type_codes = combined.type_codes.to_pylist()
+                code_to_name = {
+                    f.type.type_codes[i]: variants[i].name
+                    for i in range(len(variants))
+                }
+                for i in range(len(combined)):
+                    tag = code_to_name[type_codes[i]]
+                    row = {"__union_tag": tag}
+                    row[tag] = combined[i].as_py()
+                    rows.append(row)
+                st = pa.struct(
+                    [pa.field("__union_tag", pa.string())]
+                    + [pa.field(v.name, v.type) for v in variants]
+                )
+                cols.append(pa.array(rows, type=st))
+                fields.append(pa.field(f.name, st, nullable=f.nullable))
+            data = pa.Table.from_arrays(cols, schema=pa.schema(fields))
+            orig_schema = data.schema
         if isinstance(data, pa.Table):
             def _devw(t):
                 if pa.types.is_string_view(t) or pa.types.is_large_string(t):
@@ -1958,10 +2017,49 @@ class SessionContext:
         return True
 
     def enable_spark_functions(self) -> None:
-        """The reference loads a Spark-compat function package into its
-        registry; here the engine IS Spark, so every function is already
-        native. No-op for source compatibility."""
-        return None
+        """Expose the Spark-compat function package to this context's SQL
+        (ref context.py enable_spark_functions). The engine IS Spark, so
+        the functions are native; what changes is the SQL dialect: before
+        enabling, Spark-only names raise like DataFusion's registry would,
+        and ``concat`` keeps DataFusion's NULL-skipping semantics."""
+        self._spark_fns_enabled = True
+
+    _SPARK_ONLY_SQL_FNS = None
+
+    @classmethod
+    def _spark_only_fns(cls) -> set[str]:
+        """Function names the Spark-compat module adds beyond DataFusion's
+        own registry — unavailable in SQL until enable_spark_functions."""
+        if cls._SPARK_ONLY_SQL_FNS is None:
+            from . import functions as _fns
+            from . import spark_functions as _sfns
+
+            spark_names = {
+                n for n in dir(_sfns)
+                if not n.startswith("_") and callable(getattr(_sfns, n))
+            }
+            df_names = {n.lower() for n in dir(_fns) if not n.startswith("_")}
+            cls._SPARK_ONLY_SQL_FNS = {
+                n for n in spark_names if n.lower() not in df_names
+            }
+        return cls._SPARK_ONLY_SQL_FNS
+
+    def _apply_sql_function_dialect(self, query: str) -> str:
+        """Pre-enable SQL dialect: Spark-only function names raise (they
+        are not in DataFusion's registry), and concat takes DataFusion's
+        NULL-skipping semantics (concat_ws('') — same JVM-native path)."""
+        import re
+
+        if getattr(self, "_spark_fns_enabled", False):
+            return query
+        called = {m.group(1) for m in re.finditer(r"\b(\w+)\s*\(", query)}
+        blocked = called & self._spark_only_fns()
+        if blocked:
+            name = sorted(blocked)[0]
+            raise ValueError(
+                f"Error during planning: Invalid function '{name}'"
+            )
+        return re.sub(r"(?i)\bconcat\s*\(", "concat_ws('', ", query)
 
     # -- helpers ------------------------------------------------------------------------
     @staticmethod

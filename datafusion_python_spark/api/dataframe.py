@@ -857,6 +857,14 @@ class DataFrame:
                if not isinstance(e, (str, Column))):
             sdf, cols = _resolve_groups_frames(self.df, exprs)
             return self._derive(sdf.select(*cols))
+        from .expr import DeferredExpr
+
+        if any(isinstance(e, DeferredExpr) for e in exprs):
+            cols = [
+                e._resolve(self.df) if isinstance(e, DeferredExpr) else _c(e)
+                for e in (self._first_match(x) for x in exprs)
+            ]
+            return self._derive(self.df.select(*cols))
         exprs = tuple(self._first_match(e) for e in exprs)
         return self._derive(self.df.select(*_cols(exprs)))
 
@@ -1482,38 +1490,23 @@ class DataFrame:
 
         from .expr import ARROW_LIT_META_KEY
 
-        view_cols = getattr(self, "_arrow_view_hint", None)
-        if view_cols:
-            # frame ingested with Utf8View columns: string outputs DERIVED
-            # from those columns export as string_view (DataFusion kernels
-            # are view-preserving; this pyarrow can't CAST to view — rebuild)
-            import re as _re
-
-            pat = _re.compile(
-                r"\b(" + "|".join(_re.escape(c) for c in view_cols) + r")\b"
-            )
-            for i, f in enumerate(tbl.schema):
-                if pa.types.is_string(f.type) and pat.search(f.name):
-                    col = pa.chunked_array([
-                        pa.array(c.to_pylist(), type=pa.string_view())
-                        for c in tbl.column(i).chunks
-                    ] or [pa.array([], type=pa.string_view())], type=pa.string_view())
-                    tbl = tbl.set_column(
-                        i, pa.field(f.name, pa.string_view(), nullable=True), col
-                    )
         try:
             fields = self.df.schema.fields
         except Exception:
             return tbl
-        for f in fields:
+        for pos, f in enumerate(fields):
             md = f.metadata or {}
+            # positional alignment: duplicate output names (several
+            # unaliased literals) would all name-resolve to the first
+            idx = pos if (
+                pos < tbl.num_columns and tbl.schema.field(pos).name == f.name
+            ) else tbl.schema.get_field_index(f.name)
             user_md = {
                 k: v if isinstance(v, (str, bytes)) else __import__("json").dumps(v)
                 for k, v in md.items()
                 if k != ARROW_LIT_META_KEY
             }
             if user_md:
-                idx = tbl.schema.get_field_index(f.name)
                 if idx >= 0:
                     fld = tbl.schema.field(idx).with_metadata(user_md)
                     tbl = tbl.set_column(idx, fld, tbl.column(idx))
@@ -1525,14 +1518,28 @@ class DataFrame:
                     pa.BufferReader(base64.b64decode(tag))
                 ).field(0)
                 target = tagged_field.type
-                idx = tbl.schema.get_field_index(f.name)
                 if idx < 0:
                     continue
                 col = tbl.column(idx)
                 try:
                     restored = col.cast(target)
                 except Exception:
-                    if pa.types.is_interval(target):
+                    if pa.types.is_time(target):
+                        # TIME rides as an epoch-anchored timestamp
+                        # (SURVEY §1.3) — take the time-of-day
+                        restored = pa.chunked_array([
+                            pa.array(
+                                [
+                                    None
+                                    if v is None
+                                    else (v.time() if hasattr(v, "time") and callable(v.time) else v)
+                                    for v in chunk.to_pylist()
+                                ],
+                                type=target,
+                            )
+                            for chunk in col.chunks
+                        ], type=target)
+                    elif pa.types.is_interval(target):
                         restored = pa.chunked_array([
                             pa.array(
                                 [

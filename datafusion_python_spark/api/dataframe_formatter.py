@@ -39,6 +39,22 @@ class DefaultStyleProvider:
         )
 
 
+def _datafusion_render(value: Any) -> str:
+    """Arrow-style cell text (DataFusion's pretty printer): structs as
+    ``{a: 1, b: x}``, lists as ``[1, 2]``, bare strings unquoted."""
+    if value is None:
+        return ""
+    if isinstance(value, bool):
+        return "true" if value else "false"
+    if isinstance(value, dict):
+        return "{" + ", ".join(
+            f"{k}: {_datafusion_render(v)}" for k, v in value.items()
+        ) + "}"
+    if isinstance(value, (list, tuple)):
+        return "[" + ", ".join(_datafusion_render(v) for v in value) + "]"
+    return str(value)
+
+
 def _require_positive(value: Any, name: str) -> None:
     if not isinstance(value, int) or isinstance(value, bool) or value <= 0:
         raise ValueError(f"{name} must be a positive integer, got {value!r}")
@@ -162,14 +178,15 @@ class DataFrameHtmlFormatter:
         self._custom_header_builder = builder
 
     # -- value rendering -------------------------------------------------------
-    def _format_value(self, value: Any) -> tuple[str, bool]:
+    def _format_value(self, value: Any, truncate: bool = True) -> tuple[str, bool]:
         """(rendered text, is_raw_html) — custom type formatters emit raw
-        HTML (the reference inserts their output unescaped)."""
+        HTML (the reference inserts their output unescaped). Plain-text
+        rendering (format_str) keeps full cell text."""
         for t, fmt in self._type_formatters.items():
             if isinstance(value, t):
                 return fmt(value), True
-        s = "" if value is None else str(value)
-        if len(s) > self.max_cell_length:
+        s = _datafusion_render(value)
+        if truncate and len(s) > self.max_cell_length:
             s = s[: self.max_cell_length] + "…"
         return s, False
 
@@ -287,7 +304,7 @@ class DataFrameHtmlFormatter:
             return "No data to display"
         rows, truncated = self._rows(batches)
         names = [str(f.name) for f in schema]
-        cells = [[self._format_value(v)[0] for v in vals] for vals in rows]
+        cells = [[self._format_value(v, truncate=False)[0] for v in vals] for vals in rows]
         widths = [
             max(len(names[i]), *(len(r[i]) for r in cells)) if cells else len(names[i])
             for i in range(len(names))

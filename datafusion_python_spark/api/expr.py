@@ -274,15 +274,62 @@ class Expr:
             out._groups_window = gw
             out._groups_alias = (name, metadata)
             return out
+        if not metadata:
+            # re-aliasing must not drop the arrow-type export tag the
+            # inner expression carries (lit()/cast() attach one)
+            inherited = self._tag_metadata()
+            if inherited:
+                metadata = inherited
         if metadata:
             return _e(self.expr.alias(name, metadata=metadata))
         return _e(self.expr.alias(name))
 
+    def _tag_metadata(self) -> dict | None:
+        """The ARROW_LIT_META_KEY metadata of this expression's own alias
+        node, if any."""
+        try:
+            n = self._jnode()
+            if n.getClass().getSimpleName() != "Alias":
+                return None
+            import json as _json
+
+            m = n.metadata()
+            if hasattr(m, "isDefined"):  # scala Option[Metadata]
+                if not m.isDefined():
+                    return None
+                m = m.get()
+            md = _json.loads(str(m.json()))
+            if ARROW_LIT_META_KEY in md:
+                return {ARROW_LIT_META_KEY: md[ARROW_LIT_META_KEY]}
+        except Exception:
+            pass
+        return None
+
+    def _cast_impl(self, to: Any, try_: bool) -> "Expr":
+        """Arrow target types Spark widens (s/ms/ns timestamps, float16,
+        unsigned, views) cast to their storage type and carry the export
+        tag so the declared type round-trips."""
+        import pyarrow as pa
+
+        if isinstance(to, pa.DataType) and not _arrow_type_faithful(to):
+            import base64 as _b64
+
+            storage = _storage_spark_type(to)
+            c = self.expr.try_cast(storage) if try_ else self.expr.cast(storage)
+            if pa.types.is_timestamp(to) and to.tz is None:
+                c = c.cast(T.TimestampNTZType())
+            tag = _b64.b64encode(
+                pa.schema([pa.field("t", to)]).serialize().to_pybytes()
+            ).decode()
+            return _e(c.alias("cast", metadata={ARROW_LIT_META_KEY: tag}))
+        target = _spark_type(to)
+        return _e(self.expr.try_cast(target) if try_ else self.expr.cast(target))
+
     def cast(self, to: Any) -> "Expr":
-        return _e(self.expr.cast(_spark_type(to)))
+        return self._cast_impl(to, try_=False)
 
     def try_cast(self, to: Any) -> "Expr":
-        return _e(self.expr.try_cast(_spark_type(to)))
+        return self._cast_impl(to, try_=True)
 
     # -- predicates (ref expr.py:898-972) ---------------------------------
     def is_null(self) -> "Expr":
@@ -544,12 +591,14 @@ class Expr:
         """Extract the Python value of a literal expression (ref
         python_value; raises ValueError for non-literals)."""
         n = self._jnode()
-        # look through the Int64-defaulting lit cast (see lit())
-        if (
-            n.getClass().getSimpleName() == "Cast"
-            and n.child().getClass().getSimpleName() == "Literal"
-        ):
-            n = n.child()
+        # look through type-preserving wrappers lit()/cast() add around
+        # the literal (metadata Alias, Int64-defaulting Cast)
+        for _ in range(4):
+            nm = n.getClass().getSimpleName()
+            if nm in ("Cast", "Alias", "AnsiCast") and hasattr(n, "child"):
+                n = n.child()
+            else:
+                break
         if n.getClass().getSimpleName() != "Literal":
             raise ValueError(f"not a literal expression: {self.expr}")
         return n.value()
@@ -663,6 +712,44 @@ class GroupingSet:
             for lst in expr_lists
         ]
         return GroupingSet._mark("grouping_sets", sets)
+
+
+class DeferredExpr(Expr):
+    """Expression whose Spark Column depends on the enclosing frame's
+    schema — type-directed functions (cast to the type OF another
+    column, arrow_field introspection, unit-preserving temporal
+    outputs). DataFrame.select resolves the builder against the frame;
+    used outside a select, the placeholder column applies (the
+    function's default behavior)."""
+
+    def __init__(self, builder, placeholder: Column | None = None) -> None:
+        super().__init__(placeholder if placeholder is not None else F.lit(None))
+        self._builder = builder
+        self._post: list[tuple] = []
+
+    def _chain(self) -> "DeferredExpr":
+        out = DeferredExpr(self._builder, self.expr)
+        out._post = list(self._post)
+        return out
+
+    def alias(self, name: str, metadata: dict | None = None) -> "DeferredExpr":
+        out = self._chain()
+        out._post.append(("alias", name, metadata))
+        return out
+
+    def cast(self, to) -> "DeferredExpr":
+        out = self._chain()
+        out._post.append(("cast", to))
+        return out
+
+    def _resolve(self, sdf) -> Column:
+        c = self._builder(sdf)
+        for op in self._post:
+            if op[0] == "alias":
+                c = c.alias(op[1], metadata=op[2]) if op[2] else c.alias(op[1])
+            elif op[0] == "cast":
+                c = c.cast(_spark_type(op[1]))
+        return c
 
 
 class SortExpr:
@@ -788,11 +875,11 @@ class CaseBuilder:
         types; Spark would silently coerce to string)."""
         try:
             n = c._jc.node()
-            if (
-                n.getClass().getSimpleName() == "Cast"
-                and n.child().getClass().getSimpleName() == "Literal"
-            ):
-                n = n.child()
+            for _ in range(4):  # unwrap lit()'s Alias/Cast wrappers
+                if n.getClass().getSimpleName() in ("Cast", "Alias", "AnsiCast"):
+                    n = n.child()
+                else:
+                    break
             if n.getClass().getSimpleName() != "Literal":
                 return None
             v = n.value()
@@ -818,20 +905,52 @@ class CaseBuilder:
                 "coerce to a common type"
             )
 
+    def _finish(self, col: Column, extra: Column | None) -> Expr:
+        # DataFusion unifies string CASE branches to Utf8View (string
+        # literals plan as Utf8View) — tag the output so exports match
+        kinds = {k for k in (
+            [self._kind(res) for _, res in self._whens]
+            + ([self._kind(extra)] if extra is not None else [])
+        ) if k is not None}
+        if kinds == {"str"}:
+            return _e(_view_str_tagged(col, "case"))
+        if kinds:
+            return _e(col)
+        # column-typed branches: view-ness resolves against the frame
+        branches = [res for _, res in self._whens] + (
+            [extra] if extra is not None else []
+        )
+
+        def build(sdf):
+            import pyarrow as pa
+
+            from .dataframe import DataFrame as _DF
+
+            for b in branches:
+                try:
+                    t = _DF(sdf.select(b)).schema().field(0).type
+                    if pa.types.is_string_view(t):
+                        return _view_str_tagged(col, "case")
+                except Exception:
+                    continue
+            return col
+
+        return DeferredExpr(build, col)
+
     def otherwise(self, default) -> Expr:
         d = _c(default)
         self._check_types(d)
         col = None
         for cond, res in self._whens:
             col = F.when(cond, res) if col is None else col.when(cond, res)
-        return _e(col.otherwise(d))
+        return self._finish(col.otherwise(d), d)
 
     def end(self) -> Expr:
         self._check_types()
         col = None
         for cond, res in self._whens:
             col = F.when(cond, res) if col is None else col.when(cond, res)
-        return _e(col)
+        return self._finish(col, None)
 
 
 class _Col:
@@ -889,12 +1008,56 @@ def lit(value: Any) -> Expr:
         # the reference Debug-renders array literals as List([...])
         e._repr_override = f"Expr(List({value.to_pylist()}))"
         return e
+    if isinstance(value, str):
+        # DataFusion plans string literals as Utf8View (43+ default)
+        import base64 as _b64
+
+        tag = _b64.b64encode(
+            pa.schema([pa.field("t", pa.string_view())]).serialize().to_pybytes()
+        ).decode()
+        return Expr(
+            F.lit(value).alias("literal", metadata={ARROW_LIT_META_KEY: tag})
+        )
     return Expr(F.lit(value))
 
 
 # Arrow-literal fidelity helpers ------------------------------------------
 
 ARROW_LIT_META_KEY = "__arrow_lit_type__"
+
+
+def _view_str_tagged(col: Column, name: str) -> Column:
+    """Tag a string column as Utf8View for export (DataFusion's string
+    kernels/literals default to Utf8View since 43)."""
+    import base64 as _b64
+
+    import pyarrow as pa
+
+    tag = _b64.b64encode(
+        pa.schema([pa.field("t", pa.string_view())]).serialize().to_pybytes()
+    ).decode()
+    return col.alias(name, metadata={ARROW_LIT_META_KEY: tag})
+
+
+def _expr_tag_type(e):
+    """The declared Arrow type riding an expression's export tag, or
+    None."""
+    import base64 as _b64
+
+    import pyarrow as pa
+
+    if not isinstance(e, Expr):
+        return None
+    md = e._tag_metadata() or {}
+    tag = md.get(ARROW_LIT_META_KEY)
+    if not tag:
+        return None
+    try:
+        return pa.ipc.read_schema(
+            pa.BufferReader(_b64.b64decode(tag))
+        ).field(0).type
+    except Exception:
+        return None
 
 
 def _storage_spark_type(t):
@@ -1016,11 +1179,17 @@ def _lit_scalar(s) -> Expr:
         col = F.lit(v)
     elif pa.types.is_large_binary(t) or pa.types.is_fixed_size_binary(t) or pa.types.is_binary_view(t):
         col = F.lit(bytes(v) if v is not None else None).cast("binary")
+    elif pa.types.is_timestamp(t) and t.tz is None:
+        # naive timestamps live as TIMESTAMP_NTZ — a REAL timestamp to
+        # every Spark datetime function, and a naive-µs Arrow export;
+        # the tag restores sub-µs units
+        col = F.lit(v).cast("timestamp_ntz")
+    elif pa.types.is_timestamp(t):
+        col = F.lit(v).cast("timestamp")
     elif (
         pa.types.is_date64(t)
         or pa.types.is_time32(t)
         or pa.types.is_time64(t)
-        or pa.types.is_timestamp(t)
         or pa.types.is_duration(t)
     ):
         raw = s.value  # epoch / midnight offset in the type's own unit

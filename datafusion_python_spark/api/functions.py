@@ -49,8 +49,9 @@ def lit(v) -> Expr:
 literal = lit
 
 
-def alias(e, name: str) -> Expr:
-    return Expr(_u(e).alias(name))
+def alias(e, name: str, metadata: dict | None = None) -> Expr:
+    src_e = e if isinstance(e, Expr) else Expr(_u(e))
+    return src_e.alias(name, metadata)
 
 
 def in_list(e, values: list, negated: bool = False) -> Expr:
@@ -71,7 +72,17 @@ def order_by(e, ascending: bool = True, nulls_first: bool = True) -> SortExpr:
 
 
 def coalesce(*es) -> Expr:
-    return Expr(F.coalesce(*[_u(e) for e in es]))
+    from .expr import _expr_tag_type, _view_str_tagged
+    import pyarrow as pa
+
+    out = F.coalesce(*[_u(e) for e in es])
+    # DataFusion unifies Utf8View inputs (string literals plan as views)
+    if any(
+        (t := _expr_tag_type(e)) is not None and pa.types.is_string_view(t)
+        for e in es
+    ):
+        return Expr(_view_str_tagged(out, "coalesce"))
+    return Expr(out)
 
 
 def nullif(a, b) -> Expr:
@@ -79,7 +90,16 @@ def nullif(a, b) -> Expr:
 
 
 def ifnull(a, b) -> Expr:
-    return Expr(F.ifnull(_u(a), _u(b)))
+    from .expr import _expr_tag_type, _view_str_tagged
+    import pyarrow as pa
+
+    out = F.ifnull(_u(a), _u(b))
+    if any(
+        (t := _expr_tag_type(e)) is not None and pa.types.is_string_view(t)
+        for e in (a, b)
+    ):
+        return Expr(_view_str_tagged(out, "ifnull"))
+    return Expr(out)
 
 
 def nvl(a, b) -> Expr:
@@ -142,16 +162,46 @@ def _lit_only(value, fname: str, arg: str, default=None):
     return value
 
 
+def _type_ref_cast(e, to, try_: bool):
+    """cast-to-the-TYPE-OF-another-expression form (ref cast_to_type /
+    try_cast_to_type with a type_ref column): schema-dependent, resolved
+    against the enclosing frame."""
+    from .expr import DeferredExpr
+
+    src = e if isinstance(e, Expr) else Expr(_u(e))
+
+    def build(sdf):
+        dt = sdf.select(_u(to)).schema.fields[0].dataType
+        c = _u(src)
+        return c.try_cast(dt) if try_ else c.cast(dt)
+
+    return DeferredExpr(build)
+
+
+def _is_type_ref(to) -> bool:
+    if not isinstance(to, Expr):
+        return False
+    try:
+        to.python_value()
+        return False  # a literal type NAME, not a type reference
+    except Exception:
+        return True
+
+
 def arrow_cast(e, to) -> Expr:
     to = _lit_only(to, "arrow_cast", "data_type", "string") if isinstance(to, Expr) else to
     return (e if isinstance(e, Expr) else Expr(_u(e))).cast(to)
 
 
 def cast_to_type(e, to) -> Expr:
+    if _is_type_ref(to):
+        return _type_ref_cast(e, to, try_=False)
     return arrow_cast(e, to)
 
 
 def try_cast_to_type(e, to, _fname: str = "try_cast_to_type") -> Expr:
+    if _is_type_ref(to):
+        return _type_ref_cast(e, to, try_=True)
     to = _lit_only(to, _fname, "data_type", "string") if isinstance(to, Expr) else to
     return (e if isinstance(e, Expr) else Expr(_u(e))).try_cast(to)
 
@@ -267,8 +317,10 @@ def sqrt(e) -> Expr:
     # returns NaN
     c = _u(e)
     return Expr(
-        F.when(c < 0, F.raise_error(F.lit("sqrt of a negative number")))
-        .otherwise(F.sqrt(c))
+        F.when(
+            c < 0,
+            F.raise_error(F.lit("cannot take square root of a negative number")),
+        ).otherwise(F.sqrt(c))
     )
 tan = _m1(F.tan)
 tanh = _m1(F.tanh)
@@ -358,33 +410,67 @@ def trunc(e, precision=0) -> Expr:
 ascii = _m1(F.ascii)  # noqa: A001
 bit_length = _m1(F.bit_length)
 chr = _m1(F.char)  # noqa: A001
-initcap = _m1(F.initcap)
-lower = _m1(F.lower)
-upper = _m1(F.upper)
-ltrim = _m1(F.ltrim)
-rtrim = _m1(F.rtrim)
-trim = _m1(F.trim)
-btrim = _m1(F.trim)
+
+
+def _m1_view(fn, name):
+    """Unary string kernel that DataFusion emits as Utf8View (43+
+    view-native kernels) — output carries the view export tag."""
+    import pyarrow as pa
+
+    def g(e) -> Expr:
+        return Expr(_arrow_typed(fn(_u(e)), pa.string_view(), name))
+
+    g.__name__ = name
+    return g
+
+
+initcap = _m1_view(F.initcap, "initcap")
+lower = _m1_view(F.lower, "lower")
+upper = _m1_view(F.upper, "upper")
+ltrim = _m1_view(F.ltrim, "ltrim")
+rtrim = _m1_view(F.rtrim, "rtrim")
+trim = _m1_view(F.trim, "trim")
+def btrim(e) -> Expr:
+    import pyarrow as pa
+
+    # DataFusion's trim kernels emit Utf8View
+    return Expr(_arrow_typed(F.trim(_u(e)), pa.string_view(), "btrim"))
 def md5(e) -> Expr:
-    # DataFusion md5 returns a lowercase hex STRING (unlike sha*, which
-    # return binary digests) — same as Spark. Keep the string form.
-    return Expr(F.md5(_u(e)))
+    import pyarrow as pa
+
+    # DataFusion md5 returns a lowercase hex STRING (Utf8View) — unlike
+    # sha*, which return binary digests
+    return Expr(_arrow_typed(F.md5(_u(e)), pa.string_view(), "md5"))
 octet_length = _m1(F.octet_length)
-reverse = _m1(F.reverse)
+
+
+def reverse(e) -> Expr:
+    import pyarrow as pa
+
+    return Expr(_arrow_typed(F.reverse(_u(e)), pa.string_view(), "reverse"))
 char_length = _m1(F.length)
 character_length = _m1(F.length)
 length = _m1(F.length)
 
 
 def concat(*es) -> Expr:
+    import pyarrow as pa
+
     # DataFusion concat SKIPS null arguments (Spark's nulls the result)
-    return Expr(
-        F.concat(*[F.coalesce(_u(e).cast("string"), F.lit("")) for e in es])
-    )
+    return Expr(_arrow_typed(
+        F.concat(*[F.coalesce(_u(e).cast("string"), F.lit("")) for e in es]),
+        pa.string_view(),
+        "concat",
+    ))
 
 
 def concat_ws(sep: str, *es) -> Expr:
-    return Expr(F.concat_ws(sep, *[_u(e) for e in es]))
+    import pyarrow as pa
+
+    sep = _pystr(sep, sep) if isinstance(sep, Expr) else sep
+    return Expr(_arrow_typed(
+        F.concat_ws(sep, *[_u(e) for e in es]), pa.string_view(), "concat_ws"
+    ))
 
 
 def contains(s, sub) -> Expr:
@@ -416,11 +502,15 @@ def strpos(s, sub) -> Expr:
 
 
 def left(s, n) -> Expr:
-    return Expr(F.left(_u(s), _u(n)))
+    import pyarrow as pa
+
+    return Expr(_arrow_typed(F.left(_u(s), _u(n)), pa.string_view(), "left"))
 
 
 def right(s, n) -> Expr:
-    return Expr(F.right(_u(s), _u(n)))
+    import pyarrow as pa
+
+    return Expr(_arrow_typed(F.right(_u(s), _u(n)), pa.string_view(), "right"))
 
 
 def levenshtein(a, b) -> Expr:
@@ -448,37 +538,64 @@ def _pyint(n, default=None):
 
 
 def lpad(s, n, pad=" ") -> Expr:
+    import pyarrow as pa
+
     pad = pad.python_value() if isinstance(pad, Expr) else (pad if pad is not None else " ")
-    return Expr(F.lpad(_u(s), _pyint(n, 0), pad))
+    # pad kernels are Utf8-returning in DataFusion (not yet view-native)
+    return Expr(_arrow_typed(F.lpad(_u(s), _pyint(n, 0), pad), pa.string(), "lpad"))
 
 
 def rpad(s, n, pad=" ") -> Expr:
+    import pyarrow as pa
+
     pad = pad.python_value() if isinstance(pad, Expr) else (pad if pad is not None else " ")
-    return Expr(F.rpad(_u(s), _pyint(n, 0), pad))
+    return Expr(_arrow_typed(F.rpad(_u(s), _pyint(n, 0), pad), pa.string(), "rpad"))
 
 
 def overlay(s, replace_s, pos, length_n=None) -> Expr:
+    import pyarrow as pa
+
     if length_n is None:
-        return Expr(F.overlay(_u(s), _u(replace_s), _u(pos)))
-    return Expr(F.overlay(_u(s), _u(replace_s), _u(pos), _u(length_n)))
+        out = F.overlay(_u(s), _u(replace_s), _u(pos))
+    else:
+        out = F.overlay(_u(s), _u(replace_s), _u(pos), _u(length_n))
+    return Expr(_arrow_typed(out, pa.string(), "overlay"))
 
 
 def repeat(s, n) -> Expr:
-    return Expr(F.repeat(_u(s), n if isinstance(n, int) else _u(n)))
+    import pyarrow as pa
+
+    return Expr(_arrow_typed(
+        F.repeat(_u(s), n if isinstance(n, int) else _u(n)),
+        pa.string_view(),
+        "repeat",
+    ))
 
 
 def replace(s, search, repl) -> Expr:
-    return Expr(F.replace(_u(s), _u(search), _u(repl)))
+    import pyarrow as pa
+
+    return Expr(
+        _arrow_typed(F.replace(_u(s), _u(search), _u(repl)), pa.string(), "replace")
+    )
 
 
 def split_part(s, delim, index) -> Expr:
-    return Expr(F.split_part(_u(s), _u(delim), _u(index)))
+    import pyarrow as pa
+
+    return Expr(_arrow_typed(
+        F.split_part(_u(s), _u(delim), _u(index)), pa.string_view(), "split_part"
+    ))
 
 
 def substr(s, pos, length_n=None) -> Expr:
+    import pyarrow as pa
+
     if length_n is None:
-        return Expr(F.substring(_u(s), pos if isinstance(pos, int) else _u(pos), 2147483647))
-    return Expr(F.substring(_u(s), pos if isinstance(pos, int) else _u(pos), length_n))
+        out = F.substring(_u(s), pos if isinstance(pos, int) else _u(pos), 2147483647)
+    else:
+        out = F.substring(_u(s), pos if isinstance(pos, int) else _u(pos), length_n)
+    return Expr(_arrow_typed(out, pa.string_view(), "substr"))
 
 
 substring = substr
@@ -492,7 +609,13 @@ substring_index = substr_index
 
 
 def translate(s, from_s, to_s) -> Expr:
-    return Expr(F.translate(_u(s), _pystr(from_s, ""), _pystr(to_s, "")))
+    import pyarrow as pa
+
+    return Expr(_arrow_typed(
+        F.translate(_u(s), _pystr(from_s, ""), _pystr(to_s, "")),
+        pa.string_view(),
+        "translate",
+    ))
 
 
 def to_hex(e) -> Expr:
@@ -501,10 +624,14 @@ def to_hex(e) -> Expr:
 
 
 def encode(e, encoding: str) -> Expr:
+    import pyarrow as pa
+
     encoding = _lit_only(encoding, "encode", "encoding", "utf-8")
     if encoding in ("base64",):
-        # DataFusion emits UNPADDED base64 (arrow encode kernel)
-        return Expr(F.regexp_replace(F.base64(_u(e)), "=+$", ""))
+        # DataFusion emits UNPADDED base64 (arrow encode kernel), Utf8
+        return Expr(_arrow_typed(
+            F.regexp_replace(F.base64(_u(e)), "=+$", ""), pa.string(), "encode"
+        ))
     if encoding in ("hex",):
         return Expr(F.hex(_u(e)))
     return Expr(F.encode(_u(e), encoding))
@@ -526,7 +653,15 @@ def regexp_like(s, pattern, flags=None) -> Expr:
 
 
 def regexp_match(s, pattern, flags=None) -> Expr:
-    return Expr(F.regexp_extract_all(_u(s), F.lit(_flagged(pattern, flags)), 0))
+    import pyarrow as pa
+
+    c = _u(s)
+    arr = F.regexp_extract_all(c, F.lit(_flagged(pattern, flags)), 0)
+    # DataFusion yields NULL (not an empty list) when nothing matches
+    out = F.when(F.size(arr) > 0, arr)
+    return Expr(
+        _arrow_typed(out, pa.list_(pa.string_view()), "regexp_match")
+    )
 
 
 def regexp_replace(s, pattern, replacement, flags=None) -> Expr:
@@ -535,7 +670,11 @@ def regexp_replace(s, pattern, replacement, flags=None) -> Expr:
     if not isinstance(pat, str):
         pat = pat if isinstance(pat, Column) else F.lit(pat)
         rep = F.lit(rep) if isinstance(rep, str) else rep
-    return Expr(F.regexp_replace(_u(s), pat, rep))
+    import pyarrow as pa
+
+    return Expr(_arrow_typed(
+        F.regexp_replace(_u(s), pat, rep), pa.string_view(), "regexp_replace"
+    ))
 
 
 def regexp_count(s, pattern, start=None, flags=None) -> Expr:
@@ -597,17 +736,50 @@ def _flagged(pattern, flags):
 
 # crypto / hash
 def digest(e, method) -> Expr:
+    """Binary digest of the input (ref functions/__init__.py digest —
+    DataFusion digests return Binary, not hex strings). blake2s/blake2b
+    run hashlib and blake3 the bundled pure-Python implementation, both
+    through an Arrow-batched pandas UDF (documented slow path: no JVM
+    kernel exists for them)."""
     method = _lit_only(method, "digest", "method", "sha256")
     m = method if isinstance(method, str) else "sha256"
     c = _u(e)
     if m == "md5":
-        return Expr(F.md5(c))
+        return Expr(F.unhex(F.md5(c)))
     if m in ("sha224", "sha256", "sha384", "sha512"):
-        return Expr(F.sha2(c, int(m[3:])))
+        return Expr(F.unhex(F.sha2(c, int(m[3:]))))
     if m == "crc32":
         return Expr(F.crc32(c))
     if m == "sha1":
-        return Expr(F.sha1(c))
+        return Expr(F.unhex(F.sha1(c)))
+    if m in ("blake2s", "blake2b", "blake3"):
+        import pandas as _pd
+        from pyspark.sql.functions import pandas_udf
+
+        def _mk(algo):
+            def _hash(s):
+                import hashlib
+
+                from datafusion_python_spark.api._blake3 import blake3 as _b3
+
+                def one(v):
+                    if v is None:
+                        return None
+                    b = v if isinstance(v, (bytes, bytearray)) else str(v).encode()
+                    if algo == "blake3":
+                        return _b3(bytes(b))
+                    return hashlib.new(algo, bytes(b)).digest()
+
+                return s.map(one)
+
+            # real type objects: `from __future__ import annotations`
+            # would stringify inline hints and break pandas_udf's
+            # signature inspection
+            _hash.__annotations__ = {"s": _pd.Series, "return": _pd.Series}
+            return _hash
+
+        fn = pandas_udf(_mk(m), "binary")
+        return Expr(fn(c))
     raise ValueError(f"unsupported digest method {m}")
 
 
@@ -648,37 +820,108 @@ def today() -> Expr:
 
 
 def to_date(e, *formats) -> Expr:
+    """String/timestamp → Date32; unparseable strings raise DataFusion's
+    cast error (Spark's non-ANSI to_date yields NULL instead)."""
+    c = _u(e)
     if formats:
-        return Expr(F.to_date(_u(e), _chrono_to_java(formats[0])))
-    return Expr(F.to_date(_u(e)))
+        fmt = _pystr(formats[0], formats[0]) if isinstance(formats[0], Expr) else formats[0]
+        parsed = F.try_to_timestamp(
+            c.cast("string"), F.lit(_chrono_to_java(fmt))
+        ).cast("date")
+    else:
+        parsed = F.try_to_timestamp(
+            F.when(
+                c.cast("string").rlike(r"^\s*\d{4}-\d{2}-\d{2}\s*$"),
+                F.concat(c.cast("string"), F.lit(" 00:00:00")),
+            ).otherwise(c.cast("string"))
+        ).cast("date")
+    return Expr(
+        F.when(
+            c.isNotNull() & parsed.isNull(),
+            F.raise_error(
+                F.concat(
+                    F.lit("Cast error: Cannot cast string '"),
+                    c.cast("string"),
+                    F.lit("' to value of Date32 type"),
+                )
+            ).cast("date"),
+        ).otherwise(parsed)
+    )
+
+
+def _chrono_parse_ts(c: Column, fmt) -> Column:
+    """Parse a string with a chrono format into TIMESTAMP_NTZ. chrono's
+    %f accepts ANY fraction width (nanoseconds, left-aligned); Java
+    patterns are fixed-width — the value's fraction is normalized to
+    exactly 6 digits first (sub-µs truncates: Spark timestamps are µs)."""
+    fmt_s = _pystr(fmt, fmt) if isinstance(fmt, Expr) else fmt
+    java = _chrono_to_java(fmt_s)
+    if "%f" in str(fmt_s):
+        frac = F.regexp_extract(c, r"\.(\d+)\s*$", 1)
+        base = F.regexp_replace(c, r"\.\d+\s*$", "")
+        c = F.when(frac == "", c).otherwise(
+            F.concat(base, F.lit("."), F.rpad(F.substring(frac, 1, 6), 6, "0"))
+        )
+    return F.to_timestamp_ntz(c, F.lit(java))
+
+
+def _ts_naive_unit(col: Column, unit: str, name: str) -> Expr:
+    """NTZ storage tagged with the declared naive unit (DataFusion's
+    to_timestamp family returns Timestamp(<unit>, None))."""
+    import pyarrow as pa
+
+    trunc = {
+        "s": F.date_trunc("second", col).cast("timestamp_ntz"),
+        "ms": F.timestamp_micros(
+            (F.floor(F.unix_micros(col.cast("timestamp")) / 1000) * 1000).cast("long")
+        ).cast("timestamp_ntz"),
+        "us": col,
+        "ns": col,
+    }[unit]
+    return Expr(_arrow_typed(trunc, pa.timestamp(unit), name))
+
+
+def _to_ts_family(e, formats, unit: str, name: str) -> Expr:
+    c = _u(e)
+    iv = _pyint(e, None) if isinstance(e, Expr) else (e if isinstance(e, int) else None)
+    if iv is not None and not formats:
+        # integer input: an epoch count in the function's own unit
+        epoch = {
+            "s": F.timestamp_seconds(c.cast("long")),
+            "ms": F.timestamp_millis(c.cast("long")),
+            "us": F.timestamp_micros(c.cast("long")),
+            "ns": F.timestamp_micros(
+                F.floor(c.cast("decimal(30,0)") / 1000).cast("long")
+            ),
+        }[unit]
+        return _ts_naive_unit(epoch.cast("timestamp_ntz"), unit, name)
+    parsed = (
+        _chrono_parse_ts(c, formats[0]) if formats else F.to_timestamp_ntz(c)
+    )
+    return _ts_naive_unit(parsed, unit, name)
 
 
 def to_timestamp(e, *formats) -> Expr:
-    # DataFusion to_timestamp yields a NAIVE timestamp (Timestamp(ns,
-    # None)); Spark's NTZ type is the match (exact under the pinned UTC
-    # session)
-    if formats:
-        return Expr(F.to_timestamp_ntz(_u(e), F.lit(_chrono_to_java(formats[0]))))
-    return Expr(F.to_timestamp_ntz(_u(e)))
+    # DataFusion to_timestamp yields Timestamp(Nanosecond, None); NTZ is
+    # the µs storage (exact under the pinned UTC session), tagged ns
+    return _to_ts_family(e, formats, "ns", "to_timestamp")
 
 
-def to_timestamp_seconds(e) -> Expr:
-    return Expr(F.timestamp_seconds(_u(e).cast("long")))
+def to_timestamp_seconds(e, *formats) -> Expr:
+    return _to_ts_family(e, formats, "s", "to_timestamp_seconds")
 
 
-def to_timestamp_millis(e) -> Expr:
-    return Expr(F.timestamp_millis(_u(e).cast("long")))
+def to_timestamp_millis(e, *formats) -> Expr:
+    return _to_ts_family(e, formats, "ms", "to_timestamp_millis")
 
 
-def to_timestamp_micros(e) -> Expr:
-    return Expr(F.timestamp_micros(_u(e).cast("long")))
+def to_timestamp_micros(e, *formats) -> Expr:
+    return _to_ts_family(e, formats, "us", "to_timestamp_micros")
 
 
-def to_timestamp_nanos(e) -> Expr:
-    # Spark timestamps are µs; ns floor-divides (documented truncation).
-    # decimal division keeps exactness above 2^53 where double would drift
-    ns = _u(e).cast("decimal(30,0)")
-    return Expr(F.timestamp_micros(F.floor(ns / 1000).cast("long")))
+def to_timestamp_nanos(e, *formats) -> Expr:
+    # Spark timestamps are µs; sub-µs input truncates (documented)
+    return _to_ts_family(e, formats, "ns", "to_timestamp_nanos")
 
 
 def to_unixtime(e) -> Expr:
@@ -691,7 +934,7 @@ def from_unixtime(e) -> Expr:
 
     return Expr(
         _arrow_typed(
-            F.timestamp_seconds(_u(e).cast("long")),
+            F.timestamp_seconds(_u(e).cast("long")).cast("timestamp_ntz"),
             pa.timestamp("s"),
             "from_unixtime",
         )
@@ -713,9 +956,29 @@ def extract(part, e) -> Expr:
 
 
 def date_trunc(part, e, _fname: str = "date_trunc") -> Expr:
+    """Truncate to a calendar unit. DataFusion's output naive-ness
+    follows the input (naive in → naive out); Spark's date_trunc always
+    yields an instant TIMESTAMP, so the output type is resolved against
+    the frame's schema when used in a select."""
+    from .expr import DeferredExpr
+
     part = _lit_only(part, _fname, "part", "day")
     p = part if isinstance(part, str) else "day"
-    return Expr(F.date_trunc(p, _u(e)))
+    src = _u(e)
+    default = F.date_trunc(p, src)
+
+    def build(sdf):
+        from pyspark.sql import types as T
+
+        try:
+            dt = sdf.select(src).schema.fields[0].dataType
+        except Exception:
+            return default
+        if isinstance(dt, (T.TimestampNTZType, T.StringType, T.DateType)):
+            return default.cast("timestamp_ntz")
+        return default
+
+    return DeferredExpr(build, default)
 
 
 def datetrunc(part, e) -> Expr:
@@ -731,6 +994,11 @@ def date_bin(stride, source, origin=None) -> Expr:
     """
     import re as _re
 
+    if isinstance(stride, Expr):
+        s = _pystr(stride)
+        if s is None:
+            raise TypeError("date_bin stride must be a string like '15 minutes'")
+        stride = s
     if isinstance(stride, str):
         m = _re.match(r"(\d+)\s*(\w+)", stride)
         qty, unit = int(m.group(1)), m.group(2).rstrip("s")
@@ -747,7 +1015,14 @@ def date_bin(stride, source, origin=None) -> Expr:
     # floor, not truncate-toward-zero: sources before the origin must bin
     # to the stride boundary at-or-below them (DataFusion floor semantics)
     binned = org + F.floor((src - org) / secs).cast("long") * secs
-    return Expr(F.timestamp_seconds(binned))
+    import pyarrow as pa
+
+    # DataFusion date_bin returns Timestamp(Nanosecond, tz-of-input)
+    return Expr(
+        _arrow_typed(
+            F.timestamp_seconds(binned), pa.timestamp("ns", "UTC"), "date_bin"
+        )
+    )
 
 
 def _date_bin_months(qty: int, source, origin) -> Expr:
@@ -782,6 +1057,64 @@ def to_char(e, fmt) -> Expr:
     return Expr(F.date_format(_u(e), _chrono_to_java(fmt)))
 
 
+def arrow_field(e) -> Expr:
+    """Arrow field descriptor of the expression (ref
+    functions/__init__.py:3150): struct of name / data_type (Rust Debug
+    name) / nullable / metadata. Schema-dependent — resolved against the
+    enclosing frame when used in a select."""
+    from .expr import DeferredExpr
+
+    src = e if isinstance(e, Expr) else Expr(_u(e))
+
+    def build(sdf):
+        from .dataframe import DataFrame as _DF
+
+        sel = _DF(sdf.select(_u(src)))
+        fld = sel.schema().field(0)
+        md = {
+            (k.decode() if isinstance(k, bytes) else str(k)):
+            (v.decode() if isinstance(v, bytes) else str(v))
+            for k, v in (fld.metadata or {}).items()
+        }
+        meta_col = (
+            F.create_map(*[x for k, v in md.items() for x in (F.lit(k), F.lit(v))])
+            if md
+            else F.lit(None).cast("map<string,string>")
+        )
+        return F.struct(
+            F.lit(fld.name).alias("name"),
+            F.lit(_rust_type_name(fld.type)).alias("data_type"),
+            F.lit(bool(fld.nullable)).alias("nullable"),
+            meta_col.alias("metadata"),
+        )
+
+    return DeferredExpr(build)
+
+
+def _rust_type_name(t) -> str:
+    """Arrow DataType in Rust Debug form ("Int64", "Utf8", ...)."""
+    import pyarrow as pa
+
+    table = {
+        "int8": "Int8", "int16": "Int16", "int32": "Int32", "int64": "Int64",
+        "uint8": "UInt8", "uint16": "UInt16", "uint32": "UInt32",
+        "uint64": "UInt64", "float": "Float32", "halffloat": "Float16",
+        "double": "Float64", "string": "Utf8", "large_string": "LargeUtf8",
+        "string_view": "Utf8View", "binary": "Binary", "bool": "Boolean",
+        "date32[day]": "Date32", "date64[ms]": "Date64",
+    }
+    key = str(t)
+    if key in table:
+        return table[key]
+    if pa.types.is_list(t):
+        return f"List({_rust_type_name(t.value_type)})"
+    if pa.types.is_timestamp(t):
+        unit = {"s": "Second", "ms": "Millisecond", "us": "Microsecond", "ns": "Nanosecond"}[t.unit]
+        tz = f'Some("{t.tz}")' if t.tz else "None"
+        return f"Timestamp({unit}, {tz})"
+    return key
+
+
 date_format = to_char
 
 
@@ -803,13 +1136,34 @@ _CHRONO_MAP = [
 
 
 def _chrono_to_java(fmt: str) -> str:
-    """Chrono strftime-style → Java SimpleDateFormat (SURVEY §2.8 hazard)."""
+    """Chrono strftime-style → Java DateTimeFormatter (SURVEY §2.8
+    hazard). Literal letters between directives are quoted ('h' etc. are
+    pattern letters to Java but plain text to chrono)."""
     if "%" not in fmt:
         return fmt
-    out = fmt
-    for chrono, java in _CHRONO_MAP:
-        out = out.replace(chrono, java)
-    return out
+    import re as _re
+
+    out: list[str] = []
+    i = 0
+    while i < len(fmt):
+        if fmt[i] == "%" and i + 1 < len(fmt):
+            tok = fmt[i : i + 2]
+            for chrono, java in _CHRONO_MAP:
+                if chrono == tok:
+                    out.append(java)
+                    break
+            else:
+                out.append(tok[1])
+            i += 2
+            continue
+        m = _re.match(r"[A-Za-z]+", fmt[i:])
+        if m:
+            out.append(f"'{m.group(0)}'")
+            i += m.end()
+        else:
+            out.append(fmt[i])
+            i += 1
+    return "".join(out)
 
 
 # ---------------------------------------------------------------------------
@@ -1782,19 +2136,38 @@ def to_local_time(e) -> Expr:
 # TimestampType anchored at 1970-01-01, which preserves comparison,
 # arithmetic, and formatting semantics. Documented deviation.
 def to_time(e, *formatters) -> Expr:
+    """Time-of-day (ref functions/__init__.py:2450; Time64(ns) in the
+    reference). Computed over the anchored-timestamp encoding and tagged
+    Time64 for export; unparseable input raises like DataFusion's cast
+    error instead of yielding NULL."""
+    import pyarrow as pa
+
     s = _u(e)
     anchored = F.concat(F.lit("1970-01-01 "), s)
-    if formatters and isinstance(formatters[0], str):
-        return Expr(F.to_timestamp(anchored, "yyyy-MM-dd " + _chrono_to_java(formatters[0])))
-    return Expr(F.to_timestamp(anchored))
+    if formatters:
+        fmt = _pystr(formatters[0], formatters[0]) if isinstance(formatters[0], Expr) else formatters[0]
+        parsed = F.try_to_timestamp(
+            anchored, F.lit("yyyy-MM-dd " + _chrono_to_java(fmt))
+        )
+    else:
+        parsed = F.try_to_timestamp(anchored)
+    guarded = F.when(
+        s.isNotNull() & parsed.isNull(),
+        F.raise_error(F.concat(F.lit("Error parsing '"), s, F.lit("' as time")))
+        .cast("timestamp"),
+    ).otherwise(parsed)
+    return Expr(_arrow_typed(guarded, pa.time64("ns"), "to_time"))
 
 
 def make_time(hour, minute, second) -> Expr:
-    """ref functions/__init__.py:2851; anchored-timestamp TIME encoding."""
+    """ref functions/__init__.py:2851; anchored-timestamp TIME encoding,
+    tagged Time64(ns) for export."""
+    import pyarrow as pa
+
     total = (
         _u(hour).cast("long") * 3600 + _u(minute).cast("long") * 60 + _u(second).cast("long")
     )
-    return Expr(F.timestamp_seconds(total))
+    return Expr(_arrow_typed(F.timestamp_seconds(total), pa.time64("ns"), "make_time"))
 
 
 def current_time() -> Expr:
@@ -1819,14 +2192,6 @@ def with_metadata(e, metadata: dict) -> Expr:
     return Expr(c.alias(name, metadata=dict(metadata)))
 
 
-def arrow_field(e) -> Expr:
-    """Unsupported: Spark resolves schema at the DataFrame level, not per
-    expression (ref functions/__init__.py:3150). Use
-    ``df.schema[name].metadata`` / ``dataType`` instead."""
-    raise NotImplementedError(
-        "arrow_field: per-expression field introspection is not available in "
-        "Spark; read df.schema[<name>] on the DataFrame instead"
-    )
 
 
 # column-name → Arrow field metadata, recorded at in-memory ingestion
@@ -1838,50 +2203,72 @@ _FIELD_METADATA: dict = {}
 def arrow_metadata(e, key=None) -> Expr:
     """Arrow field metadata of the expression (ref
     functions/__init__.py:3222): a map of all pairs, or the value for
-    ``key``. Sources: alias-attached metadata on the expression itself,
-    else the ingestion-recorded metadata for the referenced column."""
-    key = _lit_only(key, "arrow_metadata", "key") if key is not None else None
-    md = {}
-    try:
-        n = e._jnode() if isinstance(e, Expr) else None
-        if n is not None and n.getClass().getSimpleName() == "Alias":
-            import json as _json
+    ``key``. Schema-dependent — resolved against the enclosing frame in
+    a select; falls back to alias-attached or ingestion-recorded
+    metadata."""
+    from .expr import DeferredExpr
 
-            md = _json.loads(str(n.metadata().json())) if hasattr(n, "metadata") else {}
-    except Exception:
+    key = _lit_only(key, "arrow_metadata", "key") if key is not None else None
+    src_e = e if isinstance(e, Expr) else Expr(_u(e))
+
+    def _static_md() -> dict:
         md = {}
-    if not md:
         try:
-            name = str(e.expr._jc.toString()).split(".")[-1].strip("`")
-            md = _FIELD_METADATA.get(name, {})
+            n = src_e._jnode()
+            if n.getClass().getSimpleName() == "Alias":
+                import json as _json
+
+                md = _json.loads(str(n.metadata().json())) if hasattr(n, "metadata") else {}
         except Exception:
             md = {}
-    if key is not None:
-        return Expr(F.lit(md.get(key)))
-    if not md:
-        return Expr(F.lit(None).cast("map<string,string>"))
-    return Expr(F.create_map(*[
-        x for k, v in md.items() for x in (F.lit(str(k)), F.lit(str(v)))
-    ]))
+        if not md:
+            try:
+                name = str(src_e.expr._jc.toString()).split(".")[-1].strip("`")
+                md = _FIELD_METADATA.get(name, {})
+            except Exception:
+                md = {}
+        return md
+
+    def _col_for(md: dict):
+        if key is not None:
+            return F.lit(md.get(key))
+        if not md:
+            return F.lit(None).cast("map<string,string>")
+        return F.create_map(*[
+            x for k, v in md.items() for x in (F.lit(str(k)), F.lit(str(v)))
+        ])
+
+    def build(sdf):
+        from .dataframe import DataFrame as _DF
+
+        md = {}
+        try:
+            fld = _DF(sdf.select(_u(src_e))).schema().field(0)
+            md = {
+                (k.decode() if isinstance(k, bytes) else str(k)):
+                (v.decode() if isinstance(v, bytes) else str(v))
+                for k, v in (fld.metadata or {}).items()
+            }
+        except Exception:
+            md = {}
+        return _col_for(md or _static_md())
+
+    return DeferredExpr(build, _col_for(_static_md()))
 
 
 def union_extract(union_expr, field_name) -> Expr:
-    """Unsupported: Spark has no Arrow union type (ref
-    functions/__init__.py:3348). Model variants as a struct of nullable
-    fields and use get_field()."""
-    raise NotImplementedError(
-        "union_extract: Spark has no union type; model variants as a struct "
-        "of nullable fields + a tag column"
-    )
+    """Value of one union variant, NULL for rows holding another (ref
+    functions/__init__.py:3348). Arrow unions ingest as a tagged struct
+    (see SessionContext.from_arrow) — extraction is a struct field
+    read."""
+    name = _pystr(field_name, field_name) if isinstance(field_name, Expr) else field_name
+    return Expr(_u(union_expr).getField(str(name)))
 
 
 def union_tag(union_expr) -> Expr:
-    """Unsupported: Spark has no Arrow union type (ref
-    functions/__init__.py:3375)."""
-    raise NotImplementedError(
-        "union_tag: Spark has no union type; model variants as a struct of "
-        "nullable fields + a tag column"
-    )
+    """Name of the active union variant per row (ref
+    functions/__init__.py:3375) — the ingestion-recorded tag field."""
+    return Expr(_u(union_expr).getField("__union_tag"))
 
 
 def approx_percentile_cont_with_weight(

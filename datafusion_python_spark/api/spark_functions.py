@@ -14,6 +14,14 @@ from pyspark.sql import functions as F
 from .expr import Expr, _c
 
 
+def _cn(v):
+    """ColumnOrName: bare strings are column references (pyspark
+    convention), everything else coerces like _c."""
+    if isinstance(v, str):
+        return F.col(v)
+    return _c(v)
+
+
 def _pv(v, default=None):
     """Python value from a native literal or a literal Expr (count/str
     style args that pyspark wants as plain Python values)."""
@@ -54,7 +62,7 @@ def shuffle(e, seed=None):
             "spark.shuffle: the seed parameter is not supported"
         )
     return Expr(F.shuffle(_c(e)))
-def array_repeat(e, n): return Expr(F.array_repeat(_c(e), _c(n)))
+def array_repeat(e, n): return Expr(F.array_repeat(_c(e), _c(n).cast("int")))
 def slice(arr, start, length): return Expr(F.slice(_c(arr), _c(start), _c(length)))  # noqa: A001
 size = _w1(F.size)
 
@@ -66,13 +74,18 @@ bitmap_construct_agg = _w1(F.bitmap_construct_agg)
 def bit_get(e, pos): return Expr(F.getbit(_c(e), _c(pos)))
 bit_count = _w1(F.bit_count)
 bitwise_not = _w1(F.bitwise_not)
-shiftleft = _w2(F.shiftleft)
-shiftright = _w2(F.shiftright)
-shiftrightunsigned = _w2(F.shiftrightunsigned)
+def _nbits(n):
+    # pyspark's shift functions take the bit count as a plain int
+    v = _pv(n, None)
+    return int(v) if v is not None else n
+def shiftleft(e, n): return Expr(F.shiftleft(_c(e), _nbits(n)))
+def shiftright(e, n): return Expr(F.shiftright(_c(e), _nbits(n)))
+def shiftrightunsigned(e, n): return Expr(F.shiftrightunsigned(_c(e), _nbits(n)))
 
 # conditional
 def if_(cond, a, b): return Expr(F.when(_c(cond), _c(a)).otherwise(_c(b)))
-def spark_cast(e, t): return Expr(_c(e).cast(t))
+def spark_cast(e, t):
+    return Expr(_c(e).cast(_pv(t, t) if isinstance(t, Expr) else t))
 
 # datetime — count args must be INT (lit() defaults Python ints to
 # bigint per DataFusion semantics; Spark's date arithmetic wants int)
@@ -85,7 +98,11 @@ second = _w1(F.second)
 last_day = _w1(F.last_day)
 def next_day(e, day): return Expr(F.next_day(_c(e), _pv(day, day) if isinstance(day, Expr) else day))
 date_diff = _w2(F.datediff)
-def date_trunc(fmt, e): return Expr(F.date_trunc(_pv(fmt, fmt) if isinstance(fmt, Expr) else fmt, _c(e)))
+def date_trunc(fmt, e):
+    # Spark's date_trunc always yields an instant TIMESTAMP; the
+    # reference's naive inputs stay naive — NTZ under the UTC session
+    f = _pv(fmt, fmt) if isinstance(fmt, Expr) else fmt
+    return Expr(F.date_trunc(f, _c(e)).cast("timestamp_ntz"))
 def trunc(e, fmt): return Expr(F.trunc(_c(e), _pv(fmt, fmt) if isinstance(fmt, Expr) else fmt))
 def date_part(part, e): return Expr(F.date_part(F.lit(_pv(part, part)) if isinstance(part, Expr) else F.lit(part), _c(e)))
 from_utc_timestamp = _w2(F.from_utc_timestamp)
@@ -95,10 +112,36 @@ unix_micros = _w1(F.unix_micros)
 unix_millis = _w1(F.unix_millis)
 unix_seconds = _w1(F.unix_seconds)
 def make_interval(years=0, months=0, weeks=0, days=0, hours=0, mins=0, secs=0):
-    def iv(v):  # interval parts must be INT columns
+    """Calendar interval → IntervalMonthDayNano (the reference's return
+    type; Spark's CalendarIntervalType has no Arrow export, so the value
+    is stored as its month/day/nanos struct and restored on export)."""
+    import base64 as _b64
+
+    import pyarrow as pa
+
+    from .expr import ARROW_LIT_META_KEY
+
+    def iv(v):
         return _c(v).cast("int")
 
-    return Expr(F.make_interval(iv(years), iv(months), iv(weeks), iv(days), iv(hours), iv(mins), _c(secs).cast("decimal(18,6)")))
+    months_total = (iv(years) * F.lit(12) + iv(months)).cast("int")
+    days_total = (iv(weeks) * F.lit(7) + iv(days)).cast("int")
+    nanos = (
+        (_c(hours).cast("bigint") * F.lit(3600) + _c(mins).cast("bigint") * F.lit(60))
+        * F.lit(1_000_000_000)
+        + (_c(secs).cast("decimal(18,6)") * F.lit(1_000_000_000)).cast("bigint")
+    )
+    col = F.struct(
+        months_total.alias("months"),
+        days_total.alias("days"),
+        nanos.alias("nanoseconds"),
+    )
+    tag = _b64.b64encode(
+        pa.schema([pa.field("t", pa.month_day_nano_interval())])
+        .serialize()
+        .to_pybytes()
+    ).decode()
+    return Expr(col.alias("make_interval", metadata={ARROW_LIT_META_KEY: tag}))
 def make_dt_interval(days=0, hours=0, mins=0, secs=0):
     return Expr(F.make_dt_interval(_c(days).cast("int"), _c(hours).cast("int"), _c(mins).cast("int"), _c(secs).cast("decimal(18,6)")))
 
@@ -115,7 +158,12 @@ def json_tuple(e, *fields):
     ]))
 map_from_arrays = _w2(F.map_from_arrays)
 map_from_entries = _w1(F.map_from_entries)
-def str_to_map(e, pair_delim=",", kv_delim=":"):
+def str_to_map(e, pair_delim=",", kv_delim=":", pairDelim=None, keyValueDelim=None):
+    # both the reference's snake_case and pyspark's camelCase names
+    if pairDelim is not None:
+        pair_delim = pairDelim
+    if keyValueDelim is not None:
+        kv_delim = keyValueDelim
     return Expr(F.str_to_map(_c(e), _c(pair_delim), _c(kv_delim)))
 
 # math
@@ -143,14 +191,16 @@ char = _w1(F.char)
 def concat(*es): return Expr(F.concat(*[_c(e) for e in es]))
 def elt(n, *es): return Expr(F.elt(_c(n), *[_c(e) for e in es]))
 def ilike(s, pat, escapeChar=None):
+    # ColumnOrName semantics: a bare str names a COLUMN (pyspark F.ilike)
     if escapeChar is not None:
         raise NotImplementedError("spark.ilike: escapeChar is not supported")
-    return Expr(_c(s).ilike(_pv(pat, pat) if isinstance(pat, Expr) else pat))
+    return Expr(F.ilike(_cn(s), _cn(pat)))
 length = _w1(F.length)
 def like(s, pat, escapeChar=None):
+    # ColumnOrName semantics: a bare str names a COLUMN (pyspark F.like)
     if escapeChar is not None:
         raise NotImplementedError("spark.like: escapeChar is not supported")
-    return Expr(_c(s).like(_pv(pat, pat) if isinstance(pat, Expr) else pat))
+    return Expr(F.like(_cn(s), _cn(pat)))
 def luhn_check(e): return Expr(F.call_function("luhn_check", _c(e)))
 def format_string(fmt, *es):
     fmt = _pv(fmt, fmt) if isinstance(fmt, Expr) else fmt

@@ -39,6 +39,11 @@ ENV_LIMITED_TESTS = {
     "test_read_csv_list": "needs testing/data submodule",
     "test_read_avro": "needs testing/data submodule",
     "test_location_input": "needs testing/data submodule",
+    "test_slice_spark_array": (
+        "strict xfail pinning an upstream bug (array_slice losing Spark "
+        "array field names) that this engine does not reproduce — the "
+        "operation succeeds here, so the xfail XPASSes"
+    ),
     "test_write_parquet_with_options_statistics_truncate_length": (
         "pyarrow 16 has no statistics_truncate_length writer knob "
         "(added in 17); the option is passed through when available"
