@@ -212,12 +212,23 @@ class SessionContext:
                 _re.sub(r"^col(\d+)$", r"column\1", c) for c in df.columns
             ])
         out = DataFrame(df)
+        if bare_values:
+            from . import expr_nodes as _v
+
+            out._plan_variant = _v.Values()
         empties = getattr(self, "_empty_table_names", None)
         if empties:
             import re as _re
 
             if any(_re.search(rf"\b{_re.escape(n)}\b", query) for n in empties):
                 out._emit_empty_batch = True
+        layouts = getattr(self, "_udtf_layouts", None)
+        if layouts:
+            import re as _re
+
+            m = _re.match(r"(?is)^\s*select\s+\*\s+from\s+(__udtf_\w+)\s*;?\s*$", query)
+            if m and m.group(1) in layouts:
+                out._batch_layout = list(layouts[m.group(1)])
         ds_stats = getattr(self, "_dataset_stats", None)
         if ds_stats:
             import re as _re
@@ -403,6 +414,16 @@ class SessionContext:
                 self._udtf_counter += 1
                 view = f"__udtf_{nm}_{self._udtf_counter}"
                 sdf.createOrReplaceTempView(view)
+                try:
+                    # remember the provider's batch boundaries: a bare
+                    # SELECT * over the function reproduces them
+                    if not hasattr(self, "_udtf_layouts"):
+                        self._udtf_layouts: dict[str, list[int]] = {}
+                    self._udtf_layouts[view] = [
+                        b.num_rows for b in pat_tbl.to_batches()
+                    ]
+                except Exception:
+                    pass
                 return f"{m.group(1)} {view}"
 
             query = pat.sub(repl, query)
@@ -568,6 +589,24 @@ class SessionContext:
                 DataFrame(self.spark.createDataFrame([], "result string")),
                 _v.CreateMemoryTable(name=name),
             )
+        # CREATE EXTERNAL TABLE ... STORED AS <registered factory format>
+        m = re.match(
+            r"(?is)^CREATE\s+EXTERNAL\s+TABLE\s+([\w.]+)\s+"
+            r"STORED\s+AS\s+(\w+)\s+LOCATION\s+'?([^\s;']+)'?\s*;?\s*$",
+            q,
+        )
+        if m and m.group(2) in getattr(self, "_table_factories", {}):
+            from .catalog import _to_spark_df
+
+            name, fmt, loc = m.group(1), m.group(2), m.group(3)
+            cmd = _v.CreateExternalTable(name=name, locations=[loc])
+            provider = self._table_factories[fmt].create(cmd)
+            sdf = _to_spark_df(self.spark, provider, self)
+            sdf.createOrReplaceTempView(name.split(".")[-1])
+            self._note_table(name.split(".")[-1])
+            return _tag(
+                DataFrame(self.spark.createDataFrame([], "result string")), cmd
+            )
         # SET statements Spark's parser rejects (e.g. ``SET time zone = 1``
         # — Spark's SET TIME ZONE wants a string/interval): recorded as a
         # session variable, matching DataFusion's accept-and-store
@@ -683,7 +722,7 @@ class SessionContext:
         import re
 
         if not re.search(
-            r"(?i)\blambda\b|\[|_transform\s*\(|_filter\s*\(|_match\s*\(|generate_series\s*\(|float\s*\(|\bcolumn\d+\b",
+            r"(?i)\blambda\b|\[|_transform\s*\(|_filter\s*\(|_match\s*\(|generate_series\s*\(|float\s*\(|\bcolumn\d+\b|\brange\s*\(",
             query,
         ):
             return query
@@ -696,6 +735,13 @@ class SessionContext:
         # DataFusion names VALUES columns column1..N (Spark: col1..N)
         if re.search(r"(?i)\bvalues\s*\(", query) and re.search(r"\bcolumn\d+\b", query):
             query = re.sub(r"\bcolumn(\d+)\b", r"col\1", query)
+        # DataFusion's range() TVF column is `value` (Spark: `id`); both
+        # use exclusive upper bounds
+        query = re.sub(
+            r"(?i)\b(FROM|JOIN)\s+range\s*\(([^()]*)\)",
+            lambda m: f"{m.group(1)} (SELECT id AS value FROM range({m.group(2)}))",
+            query,
+        )
 
         out: list[str] = []
         stack: list[bool] = []  # True = literal bracket we opened as array(

@@ -201,6 +201,38 @@ class _ThriftCompact:
         raise ValueError(f"thrift compact: unknown type {ftype}")
 
 
+def _translate_runtime_error(ex: Exception) -> Exception:
+    """Map Catalyst runtime errors onto DataFusion's message texts where
+    the reference's tests assert on them (arrow cast kernel errors)."""
+    try:
+        cond = None
+        for probe in ("getCondition", "getErrorClass"):
+            try:
+                cond = getattr(ex, probe)()
+                break
+            except Exception:
+                continue
+        if cond and "USER_RAISED_EXCEPTION" in str(cond):
+            # raise_error()-backed kernel validation (sqrt domain, non-
+            # nullable args): surface as a plain Python error whose repr
+            # carries the message
+            params = ex.getMessageParameters() or {}
+            return ValueError(str(params.get("errorMessage", str(ex))))
+        if cond and "CAST_INVALID_INPUT" in str(cond):
+            params = ex.getMessageParameters() or {}
+            v = str(params.get("expression", "")).strip("'")
+            t = str(params.get("targetType", "")).replace('"', "")
+            arrow = {"BIGINT": "Int64", "INT": "Int32", "DOUBLE": "Float64",
+                     "DATE": "Date32", "TIMESTAMP": "Timestamp"}.get(t, t)
+            return ValueError(
+                f"Arrow error: Cast error: Cannot cast string '{v}' to "
+                f"value of {arrow} type"
+            )
+    except Exception:
+        pass
+    return ex
+
+
 def _print_plan_table(rows: list[tuple[str, str]]) -> None:
     """DataFusion's EXPLAIN table: | plan_type | plan | with one text
     line per table line."""
@@ -1125,6 +1157,21 @@ class DataFrame:
             return pd.DataFrame(out)
 
         result = base.groupBy(*gb_names).applyInPandas(run, schema=schema)
+        # declared Arrow return types Spark widens (ns timestamps inside
+        # lists, unsigned ints ...) ride the export-tag channel
+        import base64 as _b64
+
+        from .expr import ARROW_LIT_META_KEY, _arrow_type_faithful
+
+        for call, (_f, _a, out) in zip(udaf_calls, plan):
+            rt = call.udf.return_type
+            if isinstance(rt, pa.Field):
+                rt = rt.type
+            if isinstance(rt, pa.DataType) and not _arrow_type_faithful(rt):
+                tag = _b64.b64encode(
+                    pa.schema([pa.field("t", rt)]).serialize().to_pybytes()
+                ).decode()
+                result = result.withMetadata(out, {ARROW_LIT_META_KEY: tag})
 
         native = [_c(a) for a in aggs if not isinstance(a, _UdafCall)]
         if native:
@@ -1136,7 +1183,10 @@ class DataFrame:
         return self._derive(result)
 
     def count(self) -> int:
-        return self.df.count()
+        try:
+            return self.df.count()
+        except Exception as ex:
+            raise _translate_runtime_error(ex) from None
 
     def describe(self) -> "DataFrame":
         """Reference-shaped describe (ref dataframe.py:417 / dataframe.rs:554):
@@ -1590,7 +1640,20 @@ class DataFrame:
                     pa.array([{}] * n, type=pa.struct([]))
                 )
             ]
-        tbl = self._restore_arrow_types(self._normalize_arrow(self.df.toArrow()))
+        try:
+            raw = self.df.toArrow()
+        except Exception as ex:
+            raise _translate_runtime_error(ex) from None
+        tbl = self._restore_arrow_types(self._normalize_arrow(raw))
+        layout = getattr(self, "_batch_layout", None)
+        if layout and sum(layout) == tbl.num_rows:
+            # reproduce the source MemTable's batch boundaries
+            merged = tbl.combine_chunks()
+            out, off = [], 0
+            for n in layout:
+                out.extend(merged.slice(off, n).to_batches())
+                off += n
+            return out
         batches = tbl.combine_chunks().to_batches(max_chunksize=8192)
         if not batches and getattr(self, "_emit_empty_batch", False):
             # a MemTable scan of an explicitly-registered empty batch
@@ -1626,6 +1689,10 @@ class DataFrame:
         for pid in sorted(set(pids.to_pylist())):
             part = tagged.filter(pc.equal(pids, pid)).drop_columns(["__pid"])
             out.append(part.to_batches())
+        # observed execution totals for ExecutionPlan.collect_metrics
+        # (this runs a derived plan, so the base plan's SQLMetrics don't
+        # reflect it)
+        self._observed_metrics = {"output_rows": tagged.num_rows}
         return out
 
     @staticmethod
@@ -1688,11 +1755,17 @@ class DataFrame:
         far larger than driver RAM."""
         from .record_batch import RecordBatchStream, arrow_batch_iter
 
-        return RecordBatchStream(
-            arrow_batch_iter(
+        def counted():
+            n = 0
+            for b in arrow_batch_iter(
                 self.df, rows_per_batch, getattr(self, "_batch_layout", None)
-            )
-        )
+            ):
+                n += b.num_rows
+                yield b
+            # stream fully drained: record the observed execution total
+            self._observed_metrics = {"output_rows": n}
+
+        return RecordBatchStream(counted())
 
     def execute_stream_partitioned(self, rows_per_batch: int = 8192):
         """One RecordBatchStream per partition (ref dataframe.py:1689).
@@ -1709,6 +1782,7 @@ class DataFrame:
 
         tagged = self.df.withColumn("__pid", F.spark_partition_id())
         tbl = tagged.toArrow()
+        self._observed_metrics = {"output_rows": tbl.num_rows}
         pids = tbl.column("__pid").to_pylist()
         import pyarrow as pa
 

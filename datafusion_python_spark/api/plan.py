@@ -180,6 +180,20 @@ class LogicalPlan:
     def __repr__(self) -> str:
         return self.display()
 
+    def __eq__(self, other) -> bool:  # ref LogicalPlan PartialEq
+        if not isinstance(other, LogicalPlan):
+            return NotImplemented
+        try:
+            return self.display_indent() == other.display_indent()
+        except Exception:
+            return self is other
+
+    def __hash__(self) -> int:
+        try:
+            return hash(self.display_indent())
+        except Exception:
+            return id(self)
+
 
 class _JPlanView(LogicalPlan):
     """Subtree view over a raw Catalyst plan node (no DataFrame)."""
@@ -291,22 +305,50 @@ class ExecutionPlan:
     def __str__(self) -> str:
         return self.display()
 
+    # Spark SQLMetric name → DataFusion metric name (what the
+    # reference's metric tests look up)
+    _METRIC_NAME_MAP = {
+        "numOutputRows": "output_rows",
+        "pipelineTime": "elapsed_compute",
+        "aggTime": "elapsed_compute",
+        "scanTime": "elapsed_compute",
+        "collectTime": "elapsed_compute",
+        "numSpills": "spill_count",
+        "spillSize": "spilled_bytes",
+        "numSpilledRows": "spilled_rows",
+    }
+
+    @classmethod
+    def _df_metric_names(cls, m: dict) -> dict:
+        out = dict(m)
+        for k, v in m.items():
+            alias = cls._METRIC_NAME_MAP.get(k)
+            if alias and alias not in out:
+                out[alias] = v
+        return out
+
     def metrics(self) -> "MetricsSet | None":
         """MetricsSet for the ROOT operator (ref plan.py:211)."""
         all_ms = sql_metrics(getattr(self._df, "df", self._df))
         for _name, m in all_ms.items():
-            return MetricsSet(m)
+            return MetricsSet(self._df_metric_names(m))
         return None
 
     def collect_metrics(self) -> list:
         """Runtime statistics per operator, outermost first (ref
-        plan.py:224): list of (description, MetricsSet)."""
+        plan.py:224): list of (description, MetricsSet). Streaming /
+        partitioned collectors execute a derived plan; their observed
+        totals surface as a StreamCollect pseudo-operator."""
         all_ms = sql_metrics(getattr(self._df, "df", self._df))
-        return [
-            (name.rsplit("#", 1)[0], MetricsSet(m))
+        out = [
+            (name.rsplit("#", 1)[0], MetricsSet(self._df_metric_names(m)))
             for name, m in all_ms.items()
             if m
         ]
+        observed = getattr(self._df, "_observed_metrics", None)
+        if observed:
+            out.append(("StreamCollect", MetricsSet(dict(observed))))
+        return out
 
     def children(self) -> list["ExecutionPlan"]:
         """Child physical plans (ref ExecutionPlan.children) —
@@ -447,8 +489,12 @@ class MetricsSet:
         return [Metric(k, v) for k, v in self._metrics.items()]
 
     def sum_by_name(self, name: str):
+        if name in self._metrics:
+            # canonical name present (possibly as an alias of a Spark
+            # metric) — it IS the value, don't re-sum its source keys
+            return self._metrics[name]
         keys = _METRIC_ALIASES.get(name, (name,))
-        vals = [v for k, v in self._metrics.items() if k in keys or k == name]
+        vals = [v for k, v in self._metrics.items() if k in keys]
         return sum(vals) if vals else None
 
     @property

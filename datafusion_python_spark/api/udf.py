@@ -20,7 +20,32 @@ import pandas as pd
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .expr import Expr, _c, _spark_type
+from .expr import Expr, _c, _spark_type, _storage_spark_type
+
+
+def _default_name(col) -> str:
+    """The column's own output name (so a metadata-carrying alias does
+    not rename it)."""
+    try:
+        return str(col._jc.toString())
+    except Exception:
+        return "udf"
+
+
+def _resolve_spark_type(t):
+    """Spark type for a UDF return-type spec: pa.Field (the reference
+    accepts fields for nullability), pa.DataType (incl. nested/ns types
+    Spark widens — see _storage_spark_type), or a name string."""
+    try:
+        import pyarrow as pa
+
+        if isinstance(t, pa.Field):
+            t = t.type
+        if isinstance(t, pa.DataType):
+            return _storage_spark_type(t)
+    except ImportError:
+        pass
+    return _spark_type(ScalarUDF._type_name(t))
 
 __all__ = [
     "udf",
@@ -81,7 +106,7 @@ class ScalarUDF:
         )
         _pickle_module_by_value(fn)
 
-        spark_ret = _spark_type(self._type_name(return_type))
+        spark_ret = _resolve_spark_type(return_type)
 
         def pandas_wrapper(*series: pd.Series) -> pd.Series:
             import pyarrow as pa
@@ -104,6 +129,8 @@ class ScalarUDF:
         try:
             import pyarrow as pa
 
+            if isinstance(t, pa.Field):
+                return str(t.type)
             if isinstance(t, pa.DataType):
                 return str(t)
         except ImportError:
@@ -111,7 +138,63 @@ class ScalarUDF:
         return t if isinstance(t, str) else str(t)
 
     def __call__(self, *args) -> Expr:
-        return Expr(self._pudf(*[_c(a) for a in args]))
+        cols = [_c(a) for a in args]
+        try:
+            import pyarrow as pa
+
+            in_types = self.input_types
+            if isinstance(in_types, (pa.Field, pa.DataType)):
+                in_types = [in_types]
+            for i, t in enumerate(list(in_types or [])[: len(cols)]):
+                if isinstance(t, pa.Field) and not t.nullable:
+                    # declared non-nullable input: NULL data is a runtime
+                    # validation error (arrow kernel semantics)
+                    cols[i] = (
+                        F.when(
+                            cols[i].isNull(),
+                            F.raise_error(
+                                F.lit(
+                                    "Invalid argument error: a null value was "
+                                    f"passed to non-nullable argument {t.name!r} "
+                                    f"of {self.name}"
+                                )
+                            ).cast(_resolve_spark_type(t)),
+                        ).otherwise(cols[i])
+                    )
+        except Exception:
+            pass
+        out = self._pudf(*cols)
+        try:
+            import base64
+
+            import pyarrow as pa
+
+            from .expr import ARROW_LIT_META_KEY, _arrow_type_faithful
+
+            rt = self.return_type
+            if isinstance(rt, pa.Field) and (
+                not rt.nullable or not _arrow_type_faithful(rt.type)
+            ):
+                # declared Field nullability/exact type rides the export
+                # tag (Spark UDF results are always nullable)
+                tag = base64.b64encode(
+                    pa.schema([pa.field("t", rt.type, nullable=rt.nullable)])
+                    .serialize()
+                    .to_pybytes()
+                ).decode()
+                out = out.alias(
+                    _default_name(out), metadata={ARROW_LIT_META_KEY: tag}
+                )
+            elif isinstance(rt, pa.DataType) and not _arrow_type_faithful(rt):
+                tag = base64.b64encode(
+                    pa.schema([pa.field("t", rt)]).serialize().to_pybytes()
+                ).decode()
+                out = out.alias(
+                    _default_name(out), metadata={ARROW_LIT_META_KEY: tag}
+                )
+        except Exception:
+            pass
+        return Expr(out)
 
     def _register(self, spark) -> None:
         spark.udf.register(self.name, self._pudf)
@@ -163,7 +246,7 @@ class AggregateUDF:
         self.return_type = return_type
         self.name = _CallableName(name or getattr(accum, "__name__", "udaf"))
         _pickle_module_by_value(accum)
-        self._spark_ret = _spark_type(ScalarUDF._type_name(return_type))
+        self._spark_ret = _resolve_spark_type(return_type)
         self._grouped_agg_udf = None
 
     def apply_grouped(self, df, group_cols: list[str], value_cols: list[str], out_col: str):
@@ -346,7 +429,7 @@ class WindowUDF:
         self.input_types = input_types
         self.return_type = return_type
         self.name = _CallableName(name or getattr(evaluator, "__name__", "udwf"))
-        self._spark_ret = _spark_type(ScalarUDF._type_name(return_type))
+        self._spark_ret = _resolve_spark_type(return_type)
         _pickle_module_by_value(evaluator)
 
     def __call__(self, *args) -> "_UdwfCall":

@@ -275,18 +275,25 @@ class _Renderer:
         except Exception:
             return []
 
-    def lines(self, p, depth: int = 0) -> list[str]:
+    def lines(self, p, depth: int = 0, parent_line: str | None = None) -> list[str]:
         collapsed = self._collapse_scan(p)
         if collapsed is not None:
             return [_INDENT * depth + collapsed]
         line, kids = self.node_line(p)
         out = []
         next_depth = depth
+        next_parent = parent_line
         if line is not None:
-            out.append(_INDENT * depth + line)
-            next_depth = depth + 1
+            if line == parent_line and line.startswith("Projection:"):
+                # wrapper-inserted identity projections (view/round-trip
+                # shells) — same output, no semantic node
+                line = None
+            else:
+                out.append(_INDENT * depth + line)
+                next_depth = depth + 1
+                next_parent = line
         for k in kids:
-            out.extend(self.lines(k, next_depth))
+            out.extend(self.lines(k, next_depth, next_parent))
         return out
 
 

@@ -73,7 +73,13 @@ _MESSAGES: dict[str, dict[str, tuple]] = {
     "NamedTable": {"names": (1, "rep_str")},
     "FilterRel": {"input": (2, "msg", "Rel"), "condition": (3, "msg", "Expression")},
     "FetchRel": {"input": (2, "msg", "Rel"), "offset": (3, "i64"), "count": (4, "i64")},
-    "ProjectRel": {"input": (2, "msg", "Rel"), "expressions": (3, "rep", "Expression")},
+    "ProjectRel": {
+        "common": (1, "msg", "RelCommon"),
+        "input": (2, "msg", "Rel"),
+        "expressions": (3, "rep", "Expression"),
+    },
+    "RelCommon": {"emit": (2, "msg", "RelCommonEmit")},
+    "RelCommonEmit": {"outputMapping": (1, "rep_i32")},
     "SortRel": {"input": (2, "msg", "Rel"), "sorts": (3, "rep", "SortField")},
     "SortField": {"expr": (1, "msg", "Expression"), "direction": (2, "enum")},
     "AggregateRel": {
@@ -451,12 +457,23 @@ class _Producer:
         for a in _seq(p.output()):
             names.append(a.name())
             types.append(_sub_type(a.dataType().typeName(), a.nullable()))
-        return {"names": names, "struct": {"types": types, "nullability": 1}}
+        return {"names": names, "struct": {"types": types, "nullability": 2}}
 
     def _project(self, p) -> dict:
         idx = self._attr_index(p)
         exprs = [self.expr(e, idx) for e in _seq(p.projectList())]
-        return {"project": {"input": self.rel(p.child()), "expressions": exprs}}
+        # substrait ProjectRel output space = input fields ++ expressions;
+        # the emit mapping selects only the expressions (what DataFusion's
+        # producer writes)
+        n_in = sum(len(_seq(c.output())) for c in _seq(p.children()))
+        emit = {"emit": {"outputMapping": [n_in + i for i in range(len(exprs))]}}
+        return {
+            "project": {
+                "common": emit,
+                "input": self.rel(p.child()),
+                "expressions": exprs,
+            }
+        }
 
     def _filter(self, p) -> dict:
         idx = self._attr_index(p)
@@ -577,7 +594,7 @@ class _Producer:
         groups = [
             {
                 "selection": {
-                    "directReference": {"structField": {"field": i}},
+                    "directReference": {"structField": ({"field": i} if i else {})},
                     "rootReference": {},
                 }
             }
@@ -610,7 +627,7 @@ class _Producer:
                 )
             return {
                 "selection": {
-                    "directReference": {"structField": {"field": field}},
+                    "directReference": {"structField": ({"field": field} if field else {})},
                     "rootReference": {},
                 }
             }
@@ -703,6 +720,13 @@ class _Consumer:
             p = rel["project"]
             df = self.rel(p["input"])
             cols = [self.expr(e, df) for e in p.get("expressions", [])]
+            mapping = (
+                p.get("common", {}).get("emit", {}).get("outputMapping")
+            )
+            if mapping:
+                # output space = input fields ++ expressions; emit picks
+                space = [df[c] for c in df.columns] + cols
+                return df.select(*[space[i] for i in mapping])
             return df.select(*cols)
         if "fetch" in rel:
             f = rel["fetch"]
@@ -899,9 +923,49 @@ def decode_plan(data: bytes) -> dict:
     return decode_message("Plan", data)
 
 
+_NULLABILITY_NAMES = {
+    0: "NULLABILITY_UNSPECIFIED",
+    1: "NULLABILITY_NULLABLE",
+    2: "NULLABILITY_REQUIRED",
+}
+_NULLABILITY_VALUES = {v: k for k, v in _NULLABILITY_NAMES.items()}
+
+
+def _jsonify(node):
+    """protobuf-JSON conventions over the IR: enums by name, zero-valued
+    scalar fields dropped (proto3 default omission)."""
+    if isinstance(node, dict):
+        out = {}
+        for k, v in node.items():
+            if k == "nullability" and isinstance(v, int):
+                out[k] = _NULLABILITY_NAMES.get(v, v)
+                continue
+            if k == "field" and v == 0:
+                continue  # proto3 drops default-0 scalars
+            out[k] = _jsonify(v)
+        return out
+    if isinstance(node, list):
+        return [_jsonify(v) for v in node]
+    return node
+
+
+def _dejsonify(node):
+    if isinstance(node, dict):
+        out = {}
+        for k, v in node.items():
+            if k == "nullability" and isinstance(v, str):
+                out[k] = _NULLABILITY_VALUES.get(v, 0)
+                continue
+            out[k] = _dejsonify(v)
+        return out
+    if isinstance(node, list):
+        return [_dejsonify(v) for v in node]
+    return node
+
+
 def plan_to_json(plan_ir: dict) -> str:
-    return json.dumps(plan_ir, sort_keys=True)
+    return json.dumps(_jsonify(plan_ir), indent=2)
 
 
 def plan_from_json(text: str) -> dict:
-    return json.loads(text)
+    return _dejsonify(json.loads(text))

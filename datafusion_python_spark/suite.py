@@ -60,6 +60,7 @@ _PRIORITY = [
     "fn_strings",
     "fn_datetime",
     "fn_math_case",
+    "pipe_semantic_dedup",
     # gates added or semantically changed this round
     "win_groups_frame",
     "evt_pagerank",
