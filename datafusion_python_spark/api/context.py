@@ -2022,10 +2022,17 @@ class SessionContext:
         return self
 
     def with_python_udf_inlining(self, *, enabled: bool = True) -> "SessionContext":
-        """Spark always ships Python UDFs by value (cloudpickle) to
-        executors — the reference's inlining toggle is therefore always-on;
-        kept for source compatibility."""
-        return self
+        """Codec selection for Expr.to_bytes/pickle (ref codec.rs): with
+        inlining on (default) Python UDF expressions serialize as
+        self-contained DFPYUDF-family frames (cloudpickled callable);
+        disabled, they travel BY NAME and the receiver resolves them
+        from its registry. Clone semantics — the receiver's setting also
+        gates decode."""
+        import copy
+
+        clone = copy.copy(self)
+        clone._udf_inlining = enabled
+        return clone
 
     def add_physical_optimizer_rule(self, rule) -> None:
         raise NotImplementedError(

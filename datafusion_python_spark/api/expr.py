@@ -540,9 +540,16 @@ class Expr:
 
     def canonical_name(self) -> str:
         """Canonical form of the expression (ref canonical_name — the
-        node's normalized display)."""
+        node's normalized display). Result ids (``#N``) are stripped so
+        a serialization round trip compares equal."""
         try:
-            return self._jnode().normalized().toString()
+            import re as _re
+
+            # strip result ids (#N) and JVM identity hashes (@hex) —
+            # neither is part of the expression's canonical form
+            return _re.sub(
+                r"#\d+|@[0-9a-f]+", "", self._jnode().normalized().toString()
+            )
         except Exception:
             try:
                 return self._jnode().sql()
@@ -648,11 +655,18 @@ class Expr:
 
     # -- serialization (ref Expr.to_bytes/from_bytes, ipc shipping) -----------
     def to_bytes(self, ctx=None) -> bytes:
-        """Serialize for shipping to another process: JVM-serialized
-        ColumnNode, version- and Python-version-stamped (full fidelity —
-        operators, functions, literals; UDF references must be
-        resolvable on the receiving session, see :mod:`.ipc`).
-        Round-trip via :meth:`from_bytes` / pickle."""
+        """Serialize for shipping to another process (round-trip via
+        :meth:`from_bytes` / pickle). Expressions embedding a Python UDF
+        use the reference's self-contained wire form — a raw
+        ``DFPYUDF``-family frame (magic, frame version, python
+        major/minor, cloudpickle payload) inside the container — unless
+        the sender context disables inlining
+        (``with_python_udf_inlining(enabled=False)``), in which case the
+        UDF travels by NAME and the receiver resolves it from its
+        registry. Plain expressions JVM-serialize their ColumnNode."""
+        call = getattr(self, "_udf_call", None)
+        if call is not None:
+            return _encode_udf_call(call, ctx)
         import base64
         import json
         import sys as _sys
@@ -667,11 +681,11 @@ class Expr:
         return json.dumps(payload).encode()
 
     @staticmethod
-    def from_bytes(data: bytes, ctx=None) -> "Expr":
+    def from_bytes(data: bytes, ctx=None):
         """Reconstruct an expression serialized by :meth:`to_bytes` on
-        the receiving session (see :func:`..api.ipc.set_worker_ctx`).
-        ``ctx`` matches the reference signature — the decode uses the
-        session's JVM, which is process-shared here."""
+        the receiving session (see :func:`..api.ipc.set_worker_ctx`)."""
+        if data[:5] == _UDF_CONTAINER_MAGIC:
+            return _decode_udf_call(data, ctx)
         import base64
         import json
 
@@ -687,7 +701,9 @@ class Expr:
         return Expr(_SparkColumn(jvm.org.apache.spark.sql.Column(node)))
 
     def __reduce__(self):
-        return (Expr.from_bytes, (self.to_bytes(),))
+        from .ipc import get_sender_ctx
+
+        return (_unpickle_expr, (self.to_bytes(get_sender_ctx()),))
 
 
 class GroupingSet:
@@ -1314,3 +1330,121 @@ from .expr_nodes import __all__ as _variant_all  # noqa: E402
 SortKey = Expr | SortExpr | str
 
 __all__ = list(dict.fromkeys(__all__ + _variant_all + ["SortKey"]))
+
+
+def _unpickle_expr(data: bytes):
+    """Pickle entry point: decode with the receiving thread's worker
+    context (ref ipc worker resolution)."""
+    from .ipc import get_worker_ctx
+
+    return Expr.from_bytes(data, ctx=get_worker_ctx())
+
+
+# UDF wire codec (ref crates/core/src/codec.rs PY_*_UDF_FAMILY) ------------
+
+_UDF_CONTAINER_MAGIC = b"DFXB2"
+_UDF_FAMILY_MAGIC = {
+    "udf": b"DFPYUDF",
+    "udaf": b"DFPYUDAF",
+    "udwf": b"DFPYUDWF",
+}
+
+
+def _inlining_enabled(ctx) -> bool:
+    return getattr(ctx, "_udf_inlining", True) is not False
+
+
+def _encode_udf_call(call, ctx) -> bytes:
+    """Container layout: magic | u32 meta_len | json meta | raw frame.
+    The frame (inline mode only) is ``<family magic> | version(1) |
+    py_major(1) | py_minor(1) | cloudpickle(ctor args)`` — raw bytes, so
+    the family magic is discoverable in the blob exactly like the
+    reference's protobuf-embedded frames."""
+    import base64
+    import json
+    import struct
+    import sys as _sys
+
+    kind, ctor, name, args = call
+    meta: dict = {
+        "kind": kind,
+        "name": str(name),
+        "args": [
+            base64.b64encode(
+                (a if isinstance(a, Expr) else Expr(_c(a))).to_bytes(ctx)
+            ).decode()
+            for a in args
+        ],
+    }
+    frame = b""
+    if _inlining_enabled(ctx):
+        from pyspark import cloudpickle
+
+        meta["inline"] = True
+        frame = (
+            _UDF_FAMILY_MAGIC[kind]
+            + bytes([1, _sys.version_info[0], _sys.version_info[1]])
+            + cloudpickle.dumps(ctor)
+        )
+    body = json.dumps(meta).encode()
+    return _UDF_CONTAINER_MAGIC + struct.pack("<I", len(body)) + body + frame
+
+
+def _decode_udf_call(data: bytes, ctx=None):
+    import base64
+    import json
+    import struct
+    import sys as _sys
+
+    meta_len = struct.unpack("<I", data[5:9])[0]
+    meta = json.loads(data[9 : 9 + meta_len].decode())
+    frame = data[9 + meta_len :]
+    kind, name = meta["kind"], meta["name"]
+    args = [Expr.from_bytes(base64.b64decode(a), ctx) for a in meta["args"]]
+    if meta.get("inline"):
+        if ctx is not None and not _inlining_enabled(ctx):
+            raise RuntimeError(
+                "refusing inline Python UDF payload: inlining is disabled "
+                "on the receiving context (register the UDF and use the "
+                "by-name wire form)"
+            )
+        magic = _UDF_FAMILY_MAGIC[kind]
+        off = len(magic)
+        major, minor = frame[off + 1], frame[off + 2]
+        if (major, minor) != tuple(_sys.version_info[:2]):
+            raise RuntimeError(
+                "Python UDF payload is not portable across Python minor "
+                f"versions (encoded on {major}.{minor}, decoding on "
+                f"{_sys.version_info[0]}.{_sys.version_info[1]})"
+            )
+        from pyspark import cloudpickle
+
+        ctor = cloudpickle.loads(frame[off + 3 :])
+        fn = _rebuild_udf(kind, ctor)
+    else:
+        resolver = ctx
+        if resolver is None:
+            from .ipc import get_worker_ctx
+
+            resolver = get_worker_ctx()
+        if resolver is None:
+            raise RuntimeError(
+                f"by-name Python UDF payload for {name!r} needs a "
+                "receiving context with the UDF registered"
+            )
+        fn = getattr(resolver, kind)(name)
+    return fn(*args)
+
+
+def _rebuild_udf(kind: str, ctor):
+    import importlib
+
+    # `from . import udf` would resolve to the udf() FUNCTION re-exported
+    # by the package namespace — load the module explicitly
+    _udf_mod = importlib.import_module(__package__ + ".udf")
+
+    if kind == "udf":
+        return _udf_mod.ScalarUDF(*ctor)
+    if kind == "udaf":
+        return _udf_mod.AggregateUDF(*ctor)
+    return _udf_mod.WindowUDF(*ctor)

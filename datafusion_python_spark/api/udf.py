@@ -194,7 +194,16 @@ class ScalarUDF:
                 )
         except Exception:
             pass
-        return Expr(out)
+        res = Expr(out)
+        # wire-codec descriptor (see expr._encode_udf_call): ctor args +
+        # the original argument expressions travel with the Expr
+        res._udf_call = (
+            "udf",
+            (self.fn, self.input_types, self.return_type, self.volatility, str(self.name)),
+            str(self.name),
+            list(args),
+        )
+        return res
 
     def _register(self, spark) -> None:
         spark.udf.register(self.name, self._pudf)
@@ -335,6 +344,35 @@ class _UdafCall:
 
     def alias(self, name: str) -> "_UdafCall":
         return _UdafCall(self.udf, self.args, name)
+
+    def canonical_name(self) -> str:
+        parts = []
+        for a in self.args:
+            try:
+                parts.append((a if isinstance(a, Expr) else Expr(_c(a))).canonical_name())
+            except Exception:
+                parts.append(str(a))
+        return f"{self.udf.name}({', '.join(parts)})"
+
+    def to_bytes(self, ctx=None) -> bytes:
+        from .expr import _encode_udf_call
+
+        u = self.udf
+        return _encode_udf_call(
+            (
+                "udaf",
+                (u.accum, u.input_types, u.return_type, None, "immutable", str(u.name)),
+                str(u.name),
+                list(self.args),
+            ),
+            ctx,
+        )
+
+    def __reduce__(self):
+        from .expr import _unpickle_expr
+        from .ipc import get_sender_ctx
+
+        return (_unpickle_expr, (self.to_bytes(get_sender_ctx()),))
 
 
 def udaf(accum=None, input_types=None, return_type=None, state_type=None, volatility: str = "immutable", name: str | None = None):
@@ -546,6 +584,35 @@ class _UdwfCall:
         self.order = list(order or [])
         self.alias_name = alias
         self.post: list = []  # Column→Column transforms applied after eval
+
+    def canonical_name(self) -> str:
+        parts = []
+        for a in self.args:
+            try:
+                parts.append((a if isinstance(a, Expr) else Expr(_c(a))).canonical_name())
+            except Exception:
+                parts.append(str(a))
+        return f"{self.udf.name}({', '.join(parts)})"
+
+    def to_bytes(self, ctx=None) -> bytes:
+        from .expr import _encode_udf_call
+
+        u = self.udf
+        return _encode_udf_call(
+            (
+                "udwf",
+                (u.evaluator, u.input_types, u.return_type, "immutable", str(u.name)),
+                str(u.name),
+                list(self.args),
+            ),
+            ctx,
+        )
+
+    def __reduce__(self):
+        from .expr import _unpickle_expr
+        from .ipc import get_sender_ctx
+
+        return (_unpickle_expr, (self.to_bytes(get_sender_ctx()),))
 
     def _copy(self, **kw):
         out = _UdwfCall(self.udf, self.args, self.frame, self.partition,

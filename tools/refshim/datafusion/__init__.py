@@ -66,6 +66,11 @@ for _name, _target in _SUBMODULES.items():
             except (AttributeError, TypeError):
                 pass
 
+# the "internal layer" alias: here the wrapper surface IS the internal
+# surface (Catalyst is the engine), see datafusion_python_spark._internal
+sys.modules["datafusion._internal"] = _this
+setattr(_this, "_internal", _this)
+
 # `from datafusion.functions import spark`
 sys.modules["datafusion.functions.spark"] = importlib.import_module(
     "datafusion_python_spark.api.spark_functions"
