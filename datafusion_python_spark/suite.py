@@ -54,64 +54,16 @@ except ImportError:
 # window; `tools/staleness.py` recomputes this ordering from the
 # CORRECTNESS_r*.json history.
 _PRIORITY = [
-    # never recorded by the driver (rounds 1-2)
-    "setop_intersect",
-    "setop_except",
-    "fn_strings",
-    "fn_datetime",
-    "fn_math_case",
-    "pipe_semantic_dedup",
-    # gates added or semantically changed this round
+    # Round-4 rotation (VERDICT r3 "Next round" #1-2), ordering from
+    # tools/staleness.py: win_groups_frame's only row is the red r3 one
+    # (oracle HUGEINT typing, fixed this round); agg_distinct_filter /
+    # agg_percentiles have round-1-only rows predating the NTZ testdata
+    # regen; the rest of the window refreshes round-2 rows, oldest class
+    # first. All r3-green rows sit after the window (still selfchecked).
     "win_groups_frame",
-    "evt_pagerank",
-    "sql_unparse_roundtrip",
-    "substrait_consume",
-    "pipe_pii_redact",
-    # merged gates (new names — no prior driver rows)
-    "agg_grouping_multi",
-    "setop_union_multi",
-    "fn_bits_epoch",
-    "win_rank_value",
-    "join_outer_cross",
-    "evt_running_gaps",
-    # round-1-only rows (pre-NTZ testdata) — TPC-H parity suite
-    "tpch_q1",
-    "tpch_q3",
-    "tpch_q4",
-    "tpch_q5",
-    "tpch_q6",
-    "tpch_q7",
-    "tpch_q8",
-    "tpch_q9",
-    "tpch_q10",
-    "tpch_q12",
-    "tpch_q13",
-    "tpch_q14",
-    "tpch_q15",
-    "tpch_q16",
-    "tpch_q17",
-    "tpch_q18",
-    "tpch_q19",
-    "tpch_q20",
-    "tpch_q21",
-    "tpch_q22",
-    # round-1-only rows — analytics
-    "evt_sessionize",
-    "evt_topk_per_user",
-    "win_frames",
-    "agg_string_agg",
-    "evt_date_bin",
-    "evt_json",
-    "agg_regr",
-    "fn_conditional",
-    "fn_array_ops",
-    "evt_distinct_on",
-    "evt_pivot",
-    "evt_hourly",
-    "agg_stats",
     "agg_distinct_filter",
     "agg_percentiles",
-    # recorded green in round 2 on current testdata (outside window OK)
+    # round-2-recorded rows, per staleness ranking
     "pipe_dedup_exact",
     "pipe_jaccard_pairs",
     "pipe_minhash_lsh",

@@ -728,8 +728,8 @@ WITH d AS (
 ), dd AS (
   SELECT user_id, day,
          day_sum + coalesce(lag(day_sum) OVER (PARTITION BY user_id ORDER BY day), 0) AS gsum,
-         sum(day_cnt) OVER (PARTITION BY user_id ORDER BY day
-                            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS gcnt
+         CAST(sum(day_cnt) OVER (PARTITION BY user_id ORDER BY day
+                            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS gcnt
   FROM d
 )
 SELECT e.user_id, e.event_id, round(dd.gsum, 2) AS g_sum, dd.gcnt AS g_cnt

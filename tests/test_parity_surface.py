@@ -164,7 +164,10 @@ def test_ctx_session_metadata(ctx):
     with pytest.raises(NotImplementedError):
         ctx.add_physical_optimizer_rule(object())
     assert ctx.enable_spark_functions() is None
-    assert ctx.with_python_udf_inlining(enabled=False) is ctx
+    clone = ctx.with_python_udf_inlining(enabled=False)
+    assert clone is not ctx  # builder clone semantics (ref codec.rs)
+    assert clone._udf_inlining is False
+    assert getattr(ctx, "_udf_inlining", True) is not False
 
 
 def test_ctx_execute_logical_plan(ctx):
