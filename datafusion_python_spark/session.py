@@ -44,8 +44,50 @@ _DEFAULTS = {
 }
 
 
+# PID that created the current JVM gateway. A multiprocessing fork child
+# inherits PySpark's module-level singletons (py4j gateway, SparkContext,
+# SparkSession) whose sockets belong to the PARENT; any call through them
+# deadlocks or corrupts the parent's connection. Exercised by the
+# reference's test_pickle_multiprocessing.py: pool workers unpickle an
+# expression and evaluate it, which needs a context in the child.
+_CREATOR_PID: int | None = None
+
+
+def _reset_inherited_jvm_state() -> None:
+    """Drop PySpark globals inherited across fork so this process launches
+    its own JVM. References only — the parent's JVM is not touched."""
+    try:
+        from pyspark import SparkContext
+
+        SparkContext._gateway = None
+        SparkContext._jvm = None
+        try:
+            with SparkContext._lock:
+                SparkContext._active_spark_context = None
+        except Exception:
+            SparkContext._active_spark_context = None
+    except Exception:
+        pass
+    for attr in ("_instantiatedSession", "_activeSession"):
+        try:
+            setattr(SparkSession, attr, None)
+        except Exception:
+            pass
+    # stale worker-env leftovers would point the new gateway at the parent
+    os.environ.pop("PYSPARK_GATEWAY_PORT", None)
+    os.environ.pop("PYSPARK_GATEWAY_SECRET", None)
+
+
 def get_spark(app_name: str = "datafusion_python_spark", **overrides: str) -> SparkSession:
-    """Return the shared SparkSession (creates it on first call)."""
+    """Return the shared SparkSession (creates it on first call).
+
+    Fork-safe: a process whose session globals were inherited from a
+    parent (multiprocessing fork start method) gets a fresh JVM instead
+    of the parent's dead sockets."""
+    global _CREATOR_PID
+    if _CREATOR_PID is not None and _CREATOR_PID != os.getpid():
+        _reset_inherited_jvm_state()
+        _CREATOR_PID = None
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     builder = SparkSession.builder.master(f"local[{cpus}]").appName(app_name)
     conf = dict(_DEFAULTS)
@@ -53,5 +95,7 @@ def get_spark(app_name: str = "datafusion_python_spark", **overrides: str) -> Sp
     for k, v in conf.items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
+    if _CREATOR_PID is None:
+        _CREATOR_PID = os.getpid()
     spark.sparkContext.setLogLevel("WARN")
     return spark

@@ -190,28 +190,40 @@ def main() -> int:
     files = sorted(REF_TESTS.glob("test_*.py"))
     if picks:
         files = [f for f in files if any(p in f.name for p in picks)]
-    results = []
-    tot_pass = tot_fail = 0
+    out_path = REPO / "REFCONFORM.json"
+    # partial runs MERGE into the existing summary (replace just the
+    # files re-run) so a targeted re-check never clobbers the full record
+    prior: dict[str, dict] = {}
+    if picks and out_path.exists():
+        try:
+            for entry in json.loads(out_path.read_text()).get("files", []):
+                prior[entry["file"]] = entry
+        except Exception:
+            prior = {}
     for f in files:
         r = run_file(f)
-        results.append(r)
+        prior[f.name] = r
         if r.get("timeout"):
             print(f"TIMEOUT {f.name}")
+            continue
+        tag = " [env-limited]" if r["env_limited"] and r["failed"] else ""
+        print(f"{f.name}: {r['passed']} passed, {r['failed']} failed{tag}")
+        for name in r["failed_tests"][:10]:
+            print(f"    FAIL {name}")
+    results = [prior[k] for k in sorted(prior)]
+    tot_pass = tot_fail = 0
+    for r in results:
+        if r.get("timeout"):
             continue
         tot_pass += r["passed"]
         tot_fail += 0 if r["env_limited"] else max(
             0, r["failed"] - r.get("env_limited_failures", 0)
         )
-        tag = " [env-limited]" if r["env_limited"] and r["failed"] else ""
-        print(f"{f.name}: {r['passed']} passed, {r['failed']} failed{tag}")
-        for name in r["failed_tests"][:10]:
-            print(f"    FAIL {name}")
     summary = {
         "total_passed": tot_pass,
         "total_failed_non_env": tot_fail,
         "files": results,
     }
-    out_path = REPO / "REFCONFORM.json"
     out_path.write_text(json.dumps(summary, indent=1))
     print(f"\nTOTAL: {tot_pass} passed, {tot_fail} failed (non-env) -> {out_path}")
     return 0
