@@ -44,6 +44,36 @@ def _norm_rows(cols, rows):
     return [c for c in sorted(cols)], out
 
 
+def _type_cat(t) -> str:
+    """Coarse Arrow type family. The driver's value hash is TYPED: equal
+    values in different families (DuckDB HUGEINT/decimal vs Spark int64 —
+    the round-3 win_groups_frame red row) hash differently even though
+    the stringified compare here would pass. Width differences within a
+    family are tolerated; family mismatches are flagged."""
+    import pyarrow.types as pt
+
+    for name, pred in (
+        ("int", pt.is_integer),
+        ("float", pt.is_floating),
+        ("decimal", pt.is_decimal),
+        ("bool", pt.is_boolean),
+        ("timestamp", pt.is_timestamp),
+        ("date", pt.is_date),
+        ("time", pt.is_time),
+        ("string", lambda x: pt.is_string(x) or pt.is_large_string(x)),
+        ("binary", lambda x: pt.is_binary(x) or pt.is_large_binary(x)),
+        ("list", lambda x: pt.is_list(x) or pt.is_large_list(x)),
+        ("struct", pt.is_struct),
+    ):
+        if pred(t):
+            return name
+    return str(t)
+
+
+def _schema_cats(schema) -> dict:
+    return {f.name: _type_cat(f.type) for f in schema}
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -85,8 +115,22 @@ def main():
                     print(f"   duck ={dr[i]}")
                 n_fail += 1
             else:
-                print(f"PASS {name}: {len(sr)} rows")
-                n_pass += 1
+                # typed check: the driver hashes typed values, so a
+                # family mismatch (int vs decimal) fails there even
+                # when the stringified values above are identical
+                s_cats = _schema_cats(sdf.limit(0).toArrow().schema)
+                d_cats = _schema_cats(con.execute(sql).arrow().schema)
+                bad = {
+                    c: (s_cats[c], d_cats[c])
+                    for c in s_cats
+                    if c in d_cats and s_cats[c] != d_cats[c]
+                }
+                if bad:
+                    print(f"FAIL {name}: typed-family mismatch {bad}")
+                    n_fail += 1
+                else:
+                    print(f"PASS {name}: {len(sr)} rows")
+                    n_pass += 1
         except Exception:
             print(f"ERROR {name}:")
             traceback.print_exc(limit=4)
