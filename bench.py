@@ -67,19 +67,23 @@ def main() -> None:
     extra = [n for n in os.environ.get("SPARK_GRAFT_BENCH_EXTRA", "").split(",") if n]
     names += [n for n in extra if n in ALL_QUERIES and n not in names]
 
-    # Untimed warm pass: run each measured query once at the bench SF so
-    # timed runs measure steady-state query cost, not first-touch effects
-    # (JIT/class loading, whole-stage-codegen compilation, parquet footer
-    # reads, OS page-cache population). Analogous to the reference's
-    # excluded table-registration setup phase; the timed runs still
-    # include full planning + execution.
-    for wq in names:
-        try:
-            ALL_QUERIES[wq][0](spark, sf_dir).write.format("noop").mode(
-                "overwrite"
-            ).save()
-        except Exception:
-            pass
+    # Untimed warm passes: run each measured query twice at the bench SF
+    # so timed runs measure steady-state query cost, not first-touch
+    # effects (JIT/class loading, whole-stage-codegen compilation,
+    # parquet footer reads, OS page-cache population). An A/B/A sweep
+    # showed suite time still dropping ~20% between the 4th and 8th
+    # execution per query — C2 compilation of shared Spark internals
+    # accumulates across queries. Analogous to the reference's excluded
+    # table-registration setup phase; timed runs still include full
+    # planning + execution.
+    for _ in range(2):
+        for wq in names:
+            try:
+                ALL_QUERIES[wq][0](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+            except Exception:
+                pass
 
     # best-of-5 per query: one-shot local-mode timings carry ±0.3s
     # scheduler noise (and occasional multi-second stalls from host
