@@ -66,10 +66,20 @@ for _name, _target in _SUBMODULES.items():
             except (AttributeError, TypeError):
                 pass
 
-# the "internal layer" alias: here the wrapper surface IS the internal
-# surface (Catalyst is the engine), see datafusion_python_spark._internal
-sys.modules["datafusion._internal"] = _this
-setattr(_this, "_internal", _this)
+# the "internal layer": a synthesized module exposing the same objects
+# the wrappers wrap (Catalyst is the real engine), see
+# datafusion_python_spark._internal for the rationale
+_internal_mod = importlib.import_module("datafusion_python_spark._internal")
+sys.modules["datafusion._internal"] = _internal_mod
+setattr(_this, "_internal", _internal_mod)
+for _k in dir(_internal_mod):
+    _obj = getattr(_internal_mod, _k)
+    if isinstance(_obj, type(sys)) and _obj.__name__.startswith(
+        "datafusion_python_spark._internal."
+    ):
+        sys.modules[
+            "datafusion._internal." + _obj.__name__.rsplit(".", 1)[-1]
+        ] = _obj
 
 # `from datafusion.functions import spark`
 sys.modules["datafusion.functions.spark"] = importlib.import_module(
