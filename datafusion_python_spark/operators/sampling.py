@@ -96,6 +96,61 @@ def deterministic_shuffle(
     return out if keep_key else out.drop(key_col)
 
 
+def mixture_sample(
+    df: DataFrame,
+    domain_col: str,
+    id_col: str,
+    total: int,
+    alpha: float = 0.5,
+    salt: str = "",
+) -> DataFrame:
+    """Temperature-weighted corpus mixing: draw ~``total`` rows with
+    per-domain quotas proportional to ``count(domain) ** alpha``.
+
+    ``alpha`` < 1 up-weights small domains relative to their raw share
+    (``alpha=0`` → uniform across domains, ``alpha=1`` → proportional),
+    the standard smoothing for multi-source training corpora. Selection
+    within a domain is the ``total * weight`` smallest ``md5(salt||id)``
+    values, so the kept set is deterministic across runs, engines, and
+    partition layouts, and nested in ``total`` (a 1M-row draw contains
+    the 500k-row draw).
+
+    Scale: the per-domain count table is tiny (one agg) and is
+    broadcast back; the only full-data shuffle is the per-domain
+    ranking window. No driver-side collection — the normalization
+    constant is a 1-row aggregate crossJoined in. ``alpha=0.5`` uses
+    ``sqrt`` (correctly rounded per IEEE 754, unlike ``pow``) so quota
+    boundaries are reproducible bit-for-bit across engines.
+    """
+    if total <= 0:
+        raise ValueError("total must be positive")
+
+    def weight(col):
+        return F.sqrt(col) if alpha == 0.5 else F.pow(col, F.lit(alpha))
+
+    counts = df.groupBy(domain_col).agg(F.count("*").alias("_dom_cnt"))
+    norm = counts.agg(F.sum(weight(F.col("_dom_cnt"))).alias("_norm"))
+    quotas = (
+        counts.crossJoin(F.broadcast(norm))
+        .withColumn(
+            "_quota",
+            F.floor(
+                F.lit(float(total)) * weight(F.col("_dom_cnt")) / F.col("_norm")
+                + F.lit(1e-6)
+            ).cast("long"),
+        )
+        .select(domain_col, "_quota")
+    )
+    h = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    w = Window.partitionBy(domain_col).orderBy(h.asc(), F.col(id_col))
+    ranked = df.withColumn("_mix_rank", F.row_number().over(w))
+    return (
+        ranked.join(F.broadcast(quotas), on=domain_col)
+        .filter(F.col("_mix_rank") <= F.col("_quota"))
+        .drop("_quota")
+    )
+
+
 def domain_cap(
     df: DataFrame,
     domain_col: str,

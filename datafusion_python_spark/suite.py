@@ -63,6 +63,8 @@ _PRIORITY = [
     "win_groups_frame",
     "agg_distinct_filter",
     "agg_percentiles",
+    # new gate this round (mixture sampling) — needs its first driver row
+    "pipe_mixture_sample",
     # round-2-recorded rows, per staleness ranking
     "pipe_dedup_exact",
     "pipe_jaccard_pairs",

@@ -819,6 +819,46 @@ GROUP BY source ORDER BY source
 """
 
 
+def pipe_mixture_sample(spark, sf_dir):
+    """Temperature-weighted corpus mixing (quota ∝ count^0.5 per source).
+
+    The multi-source smoothing step of a training-data pipeline:
+    small sources are up-weighted relative to raw share. Selection is
+    hash-ranked (md5) so the draw is deterministic across engines —
+    the oracle re-derives the same quotas and kept set in SQL.
+    """
+    from .operators.sampling import mixture_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        mixture_sample(docs, "source", "doc_id", total=1000, alpha=0.5)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.min("doc_id").alias("min_id"),
+        )
+        .orderBy("source")
+    )
+
+
+PIPE_MIXTURE_SAMPLE_SQL = """
+WITH c AS (SELECT source, count(*) AS cnt FROM documents GROUP BY source),
+n AS (SELECT sum(sqrt(cnt)) AS norm FROM c),
+q AS (SELECT source, CAST(floor(1000.0 * sqrt(cnt) / norm + 1e-6) AS BIGINT) AS quota
+      FROM c, n),
+r AS (SELECT source, doc_id, n_chars,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      FROM documents)
+SELECT r.source, count(*) AS n_kept,
+       CAST(sum(r.n_chars) AS BIGINT) AS sum_chars, min(r.doc_id) AS min_id
+FROM r JOIN q USING (source)
+WHERE r.rk <= q.quota
+GROUP BY r.source ORDER BY r.source
+"""
+
+
 # --------------------------------------------------------------------------
 # Hashed-bag-of-words linear quality scoring (fastText/CCNet filter
 # shape): md5-bucketed features, weights as a literal array, sigmoid
@@ -1400,6 +1440,7 @@ PIPELINE_QUERIES: dict[str, tuple] = {
     "pipe_emb_quant": (pipe_emb_quant, PIPE_EMB_QUANT_SQL),
     "pipe_decontaminate": (pipe_decontaminate, PIPE_DECONTAMINATE_SQL),
     "pipe_sample_stratified": (pipe_sample_stratified, PIPE_SAMPLE_STRATIFIED_SQL),
+    "pipe_mixture_sample": (pipe_mixture_sample, PIPE_MIXTURE_SAMPLE_SQL),
     "pipe_dedup_exact": (pipe_dedup_exact, PIPE_DEDUP_EXACT_SQL),
     "pipe_jaccard_pairs": (pipe_jaccard_pairs, PIPE_JACCARD_SQL),
     "pipe_minhash_lsh": (pipe_minhash_lsh, PIPE_MINHASH_LSH_SQL),

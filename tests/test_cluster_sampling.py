@@ -12,7 +12,12 @@ from datafusion_python_spark.operators.cluster import (
     connected_components,
     dedup_clusters,
 )
-from datafusion_python_spark.operators.sampling import domain_cap, hash_sample, token_pack
+from datafusion_python_spark.operators.sampling import (
+    domain_cap,
+    hash_sample,
+    mixture_sample,
+    token_pack,
+)
 from datafusion_python_spark.operators.text import repetition_features
 
 
@@ -58,6 +63,47 @@ def test_hash_sample_deterministic_and_partition_invariant(spark):
     assert hash_sample(df, "k", 1.0).count() == 2000
     with pytest.raises(ValueError):
         hash_sample(df, "k", 1.5)
+
+
+def test_mixture_sample_quotas_and_determinism(spark):
+    import math
+
+    # 3 domains with counts 900 / 90 / 10: alpha=0.5 up-weights the tail
+    rows = (
+        [(i, "big") for i in range(900)]
+        + [(1000 + i, "mid") for i in range(90)]
+        + [(2000 + i, "small") for i in range(10)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = mixture_sample(df, "source", "doc_id", total=100, alpha=0.5)
+    kept = {
+        r["source"]: r["n"]
+        for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    norm = math.sqrt(900) + math.sqrt(90) + math.sqrt(10)
+    expect = {
+        d: min(c, math.floor(100 * math.sqrt(c) / norm + 1e-6))
+        for d, c in (("big", 900), ("mid", 90), ("small", 10))
+    }
+    assert kept == expect
+    # alpha=0.5 gives the 1%-share domain ~7% of the draw (vs 1 doc at alpha=1)
+    assert kept["small"] >= 5
+    # deterministic across partition layouts, and nested in `total`
+    ids = sorted(r["doc_id"] for r in out.collect())
+    ids_repart = sorted(
+        r["doc_id"]
+        for r in mixture_sample(
+            df.repartition(13), "source", "doc_id", total=100, alpha=0.5
+        ).collect()
+    )
+    assert ids == ids_repart
+    ids_half = sorted(
+        r["doc_id"]
+        for r in mixture_sample(df, "source", "doc_id", total=50, alpha=0.5).collect()
+    )
+    assert set(ids_half) <= set(ids)
+    with pytest.raises(ValueError):
+        mixture_sample(df, "source", "doc_id", total=0)
 
 
 def test_domain_cap(spark):
