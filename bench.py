@@ -115,11 +115,11 @@ def main() -> None:
     }
     if abs(sf_num - 0.1) < 1e-9 and "tpch_q13" in timings:
         # sf0.1 disposition (VERDICT r3 #9): q13 is scheduling-floor-bound
-        # at this SF (4 stages x ~70ms local-mode floor); at sf≈1, where
-        # work dominates scheduling, it measures 0.67x of the reference
+        # at this SF (4 stages x ~60ms local-mode floor); at sf≈1, where
+        # work dominates scheduling, it measures 0.58x of the reference
         # (SCALEBENCH.md) with the identical plan.
         out["notes"] = {
-            "tpch_q13": "floor-bound at sf0.1; 0.67x baseline at sf1 (SCALEBENCH.md)"
+            "tpch_q13": "floor-bound at sf0.1; 0.58x baseline at sf1 (SCALEBENCH.md)"
         }
     print(json.dumps(out))
 
