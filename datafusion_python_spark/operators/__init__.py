@@ -15,7 +15,13 @@ from .dedup import (
     simhash,
     simhash_near_dups,
 )
-from .similarity import cosine_similarity_col, cosine_topk, lsh_bucket_ann
+from .similarity import (
+    cosine_similarity_col,
+    cosine_topk,
+    cosine_topk_arrow,
+    ivf_assign_arrow,
+    lsh_bucket_ann,
+)
 from .text import (
     doc_fingerprint,
     language_id,
@@ -107,6 +113,8 @@ __all__ = [
     "simhash_near_dups",
     "cosine_similarity_col",
     "cosine_topk",
+    "cosine_topk_arrow",
+    "ivf_assign_arrow",
     "lsh_bucket_ann",
     "doc_fingerprint",
     "language_id",
