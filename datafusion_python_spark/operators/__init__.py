@@ -16,6 +16,7 @@ from .dedup import (
     simhash_near_dups,
 )
 from .similarity import (
+    cosine_near_dup_pairs_arrow,
     cosine_similarity_col,
     cosine_topk,
     cosine_topk_arrow,
@@ -111,6 +112,7 @@ __all__ = [
     "ngram_jaccard_pairs",
     "simhash",
     "simhash_near_dups",
+    "cosine_near_dup_pairs_arrow",
     "cosine_similarity_col",
     "cosine_topk",
     "cosine_topk_arrow",

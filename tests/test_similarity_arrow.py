@@ -8,6 +8,8 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from datafusion_python_spark.operators.similarity import (
+    cosine_near_dup_pairs,
+    cosine_near_dup_pairs_arrow,
     cosine_topk,
     cosine_topk_arrow,
     ivf_assign,
@@ -46,6 +48,23 @@ def test_ivf_assign_arrow_matches_jvm(spark, sf_dir):
     jvm = {r.vec_id: r.ivf_cell for r in ivf_assign(emb, cents).collect()}
     arrow = {r.vec_id: r.ivf_cell for r in ivf_assign_arrow(emb, cents).collect()}
     assert arrow == jvm
+
+
+def test_near_dup_pairs_arrow_matches_jvm(spark, sf_dir):
+    base = _emb(spark, sf_dir)
+    # plant exact duplicates so both paths must emit cosine-1.0 pairs
+    dupes = base.limit(5).withColumn("vec_id", F.col("vec_id") + F.lit(1_000_000))
+    emb = base.union(dupes)
+    jvm = sorted(
+        (r.id_a, r.id_b, r.cosine)
+        for r in cosine_near_dup_pairs(emb, dim=64, threshold=0.5).collect()
+    )
+    arrow = sorted(
+        (r.id_a, r.id_b, r.cosine)
+        for r in cosine_near_dup_pairs_arrow(emb, dim=64, threshold=0.5).collect()
+    )
+    assert arrow == jvm
+    assert len(arrow) >= 5
 
 
 def test_ivf_assign_arrow_keeps_columns(spark, sf_dir):
