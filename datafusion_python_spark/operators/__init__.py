@@ -36,7 +36,7 @@ from .fuzzy import fuzzy_join, fuzzy_self_pairs, qgrams
 from .skew import salted_agg, salted_join
 from .layout import bucketize, zorder_layout, zvalue
 from .lm import perplexity, train_bigram_counts
-from .projection import projection_signs, random_projection
+from .projection import projection_signs, random_projection, random_projection_arrow
 from .quantize import dequantize, quantize_embeddings, reconstruction_rmse
 from .ranking import bm25, doc_frequencies, doc_terms, tf_idf
 from .sampling import (
@@ -91,6 +91,7 @@ __all__ = [
     "hll_partial",
     "projection_signs",
     "random_projection",
+    "random_projection_arrow",
     "tf_idf",
     "contamination_report",
     "decontaminate",

@@ -67,6 +67,19 @@ def test_near_dup_pairs_arrow_matches_jvm(spark, sf_dir):
     assert len(arrow) >= 5
 
 
+def test_random_projection_arrow_matches_jvm(spark, sf_dir):
+    from datafusion_python_spark.operators.projection import (
+        random_projection,
+        random_projection_arrow,
+    )
+
+    emb = _emb(spark, sf_dir)
+    jvm = {r.vec_id: r.proj for r in random_projection(emb, out_dim=8).collect()}
+    arrow = {r.vec_id: r.proj for r in random_projection_arrow(emb, out_dim=8).collect()}
+    assert arrow == jvm
+    assert all(len(v) == 8 for v in arrow.values())
+
+
 def test_ivf_assign_arrow_keeps_columns(spark, sf_dir):
     emb = _emb(spark, sf_dir).withColumn("tag", F.lit("x"))
     out = ivf_assign_arrow(emb, [[1.0] * 64, [-1.0] * 64])
