@@ -98,14 +98,20 @@ def random_projection_arrow(
     (in_dim × out_dim) matmul per Arrow batch replaces all of it:
     measured 13.5× at 100 k × 64-dim → 16 (8.13 s → 0.60 s), widening
     with both dimensions. Still map-only (no shuffle, all columns
-    carried through) and bit-identical output (same sign matrix, scale,
-    6-dp rounding), so either kernel feeds the same downstream ANN /
-    near-dup / quantize stages.
+    carried through) and bit-identical output: same sign matrix and
+    scale, and components rounded with ``_spark_round`` — Spark's
+    HALF_UP-on-shortest-repr semantics, not np.round's half-even — so
+    either kernel feeds the same downstream ANN / near-dup / quantize
+    stages. Null embeddings raise (``_batch_matrix``): the JVM twin
+    returns null components for a null row, but the flatten-reshape
+    here would silently misalign every later row instead.
     """
     import numpy as np
     import pyarrow as pa
 
     from pyspark.sql.types import ArrayType, DoubleType, StructField, StructType
+
+    from .similarity import _batch_matrix, _spark_round
 
     probe = df.select(F.size(F.col(emb_col)).alias("n")).first()
     if probe is None or probe["n"] is None:
@@ -123,10 +129,7 @@ def random_projection_arrow(
             n = len(b)
             if n == 0:
                 continue
-            flat_in = (
-                b.column(emb_col).flatten().to_numpy(zero_copy_only=False)
-            ).astype(np.float64)
-            p = np.round(flat_in.reshape(n, in_dim) @ w, 6)
+            p = _spark_round(_batch_matrix(b, emb_col) @ w, 6)
             offsets = pa.array(
                 np.arange(0, (n + 1) * out_dim, out_dim, dtype=np.int32)
             )

@@ -18,6 +18,24 @@ margin — measured on this container at 64 dims, brute-force top-k over
 Arrow path already ties. The reduce shape is identical in both: each
 batch emits only bounded rows (top-k / a cell id), so shuffle volume —
 the thing that matters at 100 TB — does not change with the kernel.
+
+Kernel/JVM parity contract (each clause is tested):
+- Rounding uses ``_spark_round`` — HALF_UP on the shortest decimal
+  repr, exactly Spark's ``F.round`` (java BigDecimal.valueOf) — NOT
+  ``np.round``, whose half-even ties on the binary double diverge.
+- Degenerate vectors fail loudly in both paths: the JVM cosine is a
+  ``Divide`` whose zero divisor raises DIVIDE_BY_ZERO under Spark 4's
+  default ANSI mode, so the kernels raise ``ValueError`` on zero-norm
+  embeddings (and on null embeddings/ids, which the flatten-reshape
+  could otherwise silently misalign) instead of inventing a value.
+- NaN follows Spark's total order (NaN above every double): NaN
+  cosines survive ``>= threshold`` filters and win top-k selection.
+  One documented edge: local selection keys NaN as +inf, so a genuine
+  +inf cosine (embedding containing inf) ties with NaN instead of
+  sorting strictly below it.
+- Top-k tie-breaks sort (score desc, id asc) via pyarrow
+  ``sort_indices`` on the original id column — string and any other
+  orderable id types work; ``np.lexsort`` would object-promote them.
 """
 
 from __future__ import annotations
@@ -90,14 +108,62 @@ def cosine_topk(
     )
 
 
+def _spark_round(a, decimals: int = 6):
+    """Vectorized round matching Spark's ``F.round`` on doubles bit-for-bit.
+
+    Spark rounds HALF_UP on the shortest decimal repr of the double
+    (java BigDecimal.valueOf → setScale), while ``np.round`` rounds
+    half-even on the binary value — they disagree exactly when the
+    scaled value sits on (or within float error of) a ``.5`` tie. The
+    fast path is np.round; elements within 1e-6 of a tie (float error
+    at these magnitudes is ≤1e-8, so the net can't miss) are recomputed
+    exactly through decimal. NaN/inf pass through untouched.
+    """
+    import numpy as np
+    from decimal import ROUND_HALF_UP, Decimal
+
+    a = np.asarray(a, dtype=np.float64)
+    r = np.round(a, decimals)
+    scaled = a * (10.0 ** decimals)
+    with np.errstate(invalid="ignore"):
+        near = np.abs(scaled - np.floor(scaled) - 0.5) < 1e-6
+    near &= np.isfinite(a)
+    if near.any():
+        q = Decimal(1).scaleb(-decimals)
+        flat_a, flat_r = a.ravel(), r.ravel()
+        for i in np.nonzero(near.ravel())[0]:
+            flat_r[i] = float(
+                Decimal(repr(float(flat_a[i]))).quantize(q, rounding=ROUND_HALF_UP)
+            )
+    return r
+
+
 def _batch_matrix(batch, vec_col: str):
-    """(n, dim) float64 matrix from an Arrow list column, offset-safe."""
+    """(n, dim) float64 matrix from an Arrow list column, offset-safe.
+
+    Nulls are rejected up front: ``flatten()`` silently drops a null
+    row's slots, so a null embedding would either break the reshape or
+    misalign every subsequent row's vector — and the JVM twin raises on
+    the resulting divide anyway (ANSI). Ragged rows get the same loud
+    treatment via the length check.
+    """
     import numpy as np
 
     col = batch.column(vec_col)
+    if col.null_count:
+        raise ValueError(
+            f"null values in embedding column {vec_col!r}: the Arrow kernels "
+            "require non-null, fixed-dimension embeddings"
+        )
     flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
     n = len(batch)
-    return flat.reshape(n, -1) if n else flat.reshape(0, 0)
+    if n == 0:
+        return flat.reshape(0, 0)
+    if len(flat) % n:
+        raise ValueError(
+            f"ragged embedding column {vec_col!r}: {len(flat)} values over {n} rows"
+        )
+    return flat.reshape(n, -1)
 
 
 def cosine_topk_arrow(
@@ -110,34 +176,56 @@ def cosine_topk_arrow(
     """``cosine_topk`` with the numpy/Arrow kernel (see module docstring).
 
     Each Arrow batch computes all its cosines in one matmul and emits
-    only its local top-k (selected on the ROUNDED score with the same
-    id tie-break as the JVM path, so results are bit-identical); the
-    global TakeOrdered merge therefore sees #batches × k rows no matter
-    how large the corpus is — the same scale shape as ``cosine_topk``,
-    ~4× the per-partition throughput at 64 dims and widening with
-    dimensionality.
+    only its local top-k (selected on the ROUNDED score — Spark's
+    HALF_UP rounding via ``_spark_round`` — with the same id tie-break
+    as the JVM path through pyarrow ``sort_indices``, so results are
+    bit-identical for any orderable id type); the global TakeOrdered
+    merge therefore sees #batches × k rows no matter how large the
+    corpus is — the same scale shape as ``cosine_topk``, ~4× the
+    per-partition throughput at 64 dims and widening with
+    dimensionality. Zero-norm embeddings (or query) and null ids raise,
+    mirroring the JVM path's ANSI DIVIDE_BY_ZERO.
     """
     import numpy as np
     import pyarrow as pa
 
     qv = [float(v) for v in query_vec]
+    if sum(v * v for v in qv) == 0.0:
+        raise ValueError("cosine_topk_arrow: query vector has zero norm")
     id_field = df.schema[id_col]
     out_schema = f"{id_col} {id_field.dataType.simpleString()}, cosine double"
 
     def kernel(batches):
+        import pyarrow.compute as pc
+
         q = np.asarray(qv, dtype=np.float64)
         qn = np.sqrt(q @ q)
         for b in batches:
             if len(b) == 0:
                 continue
+            ids = b.column(id_col)
+            if ids.null_count:
+                raise ValueError(
+                    f"cosine_topk_arrow: null values in id column {id_col!r}"
+                )
             m = _batch_matrix(b, vec_col)
             norms = np.sqrt((m * m).sum(axis=1)) * qn
-            with np.errstate(divide="ignore", invalid="ignore"):
-                cos = np.round(np.where(norms > 0, (m @ q) / norms, 0.0), 6)
-            ids = b.column(id_col).to_numpy(zero_copy_only=False)
-            order = np.lexsort((ids, -cos))[:k]
+            if (norms == 0).any():
+                raise ValueError(
+                    "cosine_topk_arrow: zero-norm embedding (the JVM path "
+                    "raises DIVIDE_BY_ZERO here under ANSI mode)"
+                )
+            cos = _spark_round((m @ q) / norms, 6)
+            # Spark's total order puts NaN above every double: key it as
+            # +inf so NaN rows win local selection like they win the
+            # global desc sort.
+            key = np.where(np.isnan(cos), np.inf, cos)
+            order = pc.sort_indices(
+                pa.table({"k": pa.array(key), "i": ids}),
+                sort_keys=[("k", "descending"), ("i", "ascending")],
+            )[:k]
             yield pa.RecordBatch.from_arrays(
-                [b.column(id_col).take(pa.array(order)), pa.array(cos[order])],
+                [ids.take(order), pa.array(cos).take(order)],
                 names=[id_col, "cosine"],
             )
 
@@ -254,8 +342,16 @@ def ivf_assign_arrow(
     """``ivf_assign`` with the numpy/Arrow kernel (see module docstring).
 
     One (n × dim) @ (dim × n_list) matmul per Arrow batch instead of
-    n_list interpreted expression trees per row; argmax ties resolve to
-    the lowest cell id exactly like the JVM ``array_sort`` tie-break.
+    n_list interpreted expression trees per row. Exact-tie argmax
+    resolves to the lowest cell id like the JVM ``array_sort``
+    tie-break, and a centroid whose cosine is NaN sorts last in both
+    paths (Spark orders NaN above every double, so its negated ``d``
+    is the worst key). Zero-norm members or centroids raise, mirroring
+    the JVM path's ANSI DIVIDE_BY_ZERO. NOT a contract: bit-equal
+    cosines between the two paths — the JVM folds the dot product
+    sequentially while the kernel uses a pairwise/SIMD matmul, so a
+    near-tie inside ~1 ulp can assign to a different (equally near)
+    cell. IVF is a coarse quantizer; probe sets absorb that.
     Still map-only — no shuffle, no state, all input columns carried
     through — so it composes with bucketed ingest layouts unchanged.
     """
@@ -265,6 +361,11 @@ def ivf_assign_arrow(
     from pyspark.sql.types import IntegerType, StructField, StructType
 
     cents = [[float(v) for v in c] for c in centroids]
+    if any(sum(v * v for v in c) == 0.0 for c in cents):
+        raise ValueError(
+            "ivf_assign_arrow: zero-norm centroid (the JVM path raises "
+            "DIVIDE_BY_ZERO here under ANSI mode)"
+        )
     # fresh StructType: StructType.add mutates (and df.schema is cached)
     out_schema = StructType(
         list(df.schema.fields) + [StructField(cell_col, IntegerType())]
@@ -273,15 +374,22 @@ def ivf_assign_arrow(
     def kernel(batches):
         c = np.asarray(cents, dtype=np.float64)
         cn = np.sqrt((c * c).sum(axis=1))
-        cn[cn == 0] = 1.0
         cu = c / cn[:, None]
         for b in batches:
             if len(b) == 0:
                 continue
             m = _batch_matrix(b, vec_col)
             norms = np.sqrt((m * m).sum(axis=1))
-            norms[norms == 0] = 1.0
+            if (norms == 0).any():
+                raise ValueError(
+                    "ivf_assign_arrow: zero-norm embedding (the JVM path "
+                    "raises DIVIDE_BY_ZERO here under ANSI mode)"
+                )
             cos = (m / norms[:, None]) @ cu.T
+            # NaN cosine → that centroid sorts last (JVM: d=NaN is the
+            # largest sort key); an all-NaN row ties → lowest cell id,
+            # which argmax over all -inf also yields.
+            cos[np.isnan(cos)] = -np.inf
             best = pa.array(np.argmax(cos, axis=1).astype(np.int32))
             yield pa.RecordBatch.from_arrays(
                 [b.column(i) for i in range(b.num_columns)] + [best],
@@ -390,8 +498,11 @@ def cosine_near_dup_pairs_arrow(
     materializes one bucket per task (bucket_size × dim × 8 bytes plus
     the n² score tile), so at 100 TB pair it with enough hyperplanes to
     bound bucket sizes — or keep the JVM join path, which streams
-    pairs, for skew-prone signatures. Pair output (id_a < id_b, 6-dp
-    rounding, ≥ threshold) is bit-identical to the JVM path.
+    pairs, for skew-prone signatures. Pair output (id_a < id_b, Spark
+    HALF_UP 6-dp rounding, ≥ threshold) is bit-identical to the JVM
+    path: NaN cosines are KEPT (Spark orders NaN above every double,
+    so ``NaN >= threshold`` holds there too), zero-norm embeddings and
+    null ids/embeddings raise (the JVM divide raises under ANSI).
     """
     import numpy as np
     import pandas as pd
@@ -404,17 +515,28 @@ def cosine_near_dup_pairs_arrow(
         n = len(pdf)
         if n < 2:
             return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        if pdf[id_col].isna().any() or pdf[vec_col].isna().any():
+            raise ValueError(
+                "cosine_near_dup_pairs_arrow: null id or embedding values "
+                "are not supported"
+            )
         ids = pdf[id_col].to_numpy()
         m = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
         norms = np.linalg.norm(m, axis=1)
-        norms[norms == 0] = 1.0
+        if (norms == 0).any():
+            raise ValueError(
+                "cosine_near_dup_pairs_arrow: zero-norm embedding (the JVM "
+                "path raises DIVIDE_BY_ZERO here under ANSI mode)"
+            )
         u = m / norms[:, None]
-        s = np.round(u @ u.T, 6)
+        s = _spark_round(u @ u.T, 6)
         ia, ib = np.triu_indices(n, k=1)
-        keep = s[ia, ib] >= threshold
+        sv = s[ia, ib]
+        # Spark: NaN >= threshold is TRUE (NaN above every double)
+        keep = (sv >= threshold) | np.isnan(sv)
         lo = np.minimum(ids[ia][keep], ids[ib][keep])
         hi = np.maximum(ids[ia][keep], ids[ib][keep])
-        return pd.DataFrame({"id_a": lo, "id_b": hi, "cosine": s[ia, ib][keep]})
+        return pd.DataFrame({"id_a": lo, "id_b": hi, "cosine": sv[keep]})
 
     return (
         sig.select(id_col, vec_col, "bucket")

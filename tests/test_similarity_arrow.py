@@ -86,3 +86,104 @@ def test_ivf_assign_arrow_keeps_columns(spark, sf_dir):
     assert out.columns == ["vec_id", "embedding", "tag", "ivf_cell"]
     n_cells = out.select("ivf_cell").distinct().count()
     assert 1 <= n_cells <= 2
+
+
+# ---- parity contract: rounding, degenerate vectors, id typing ----
+
+
+def test_spark_round_matches_f_round_on_ties(spark):
+    # np.round (half-even on the binary double) disagrees with Spark's
+    # HALF_UP-on-shortest-repr on these; _spark_round must not.
+    from datafusion_python_spark.operators.similarity import _spark_round
+
+    vals = [
+        0.1234565, 0.1234575, -0.1234565, -0.1234575, 2.5e-07,
+        1.0000005, -1.0000005, 0.9999995, 0.5, -0.5, 0.0, 1.0,
+        0.123456499999, 0.123456500001, 7.0000015, -3.0000025,
+    ]
+    expected = [
+        r.r
+        for r in spark.createDataFrame([(v,) for v in vals], "x double")
+        .select(F.round("x", 6).alias("r"))
+        .collect()
+    ]
+    got = list(_spark_round(vals, 6))
+    assert got == expected
+
+
+def test_spark_round_passes_nan_inf():
+    import math
+
+    from datafusion_python_spark.operators.similarity import _spark_round
+
+    out = _spark_round([float("nan"), float("inf"), float("-inf"), 0.1234565], 6)
+    assert math.isnan(out[0]) and out[1] == float("inf") and out[2] == float("-inf")
+    assert out[3] == 0.123457
+
+
+def test_topk_arrow_string_ids(spark):
+    # np.lexsort chokes on object arrays; the pyarrow tie-break must not.
+    rows = [(f"doc{i:02d}", [1.0, float(i % 3)]) for i in range(9)]
+    df = spark.createDataFrame(rows, "vec_id string, embedding array<double>")
+    jvm = [(r.vec_id, r.cosine) for r in cosine_topk(df, [1.0, 1.0], k=4).collect()]
+    arrow = [(r.vec_id, r.cosine) for r in cosine_topk_arrow(df, [1.0, 1.0], k=4).collect()]
+    assert arrow == jvm and len(arrow) == 4
+
+
+def test_degenerate_vectors_raise_in_both_paths(spark):
+    # ANSI Spark raises DIVIDE_BY_ZERO on the JVM cosine's zero divisor;
+    # the Arrow kernels raise ValueError instead of inventing a value.
+    import pytest
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [1.0, 0.0])], "vec_id int, embedding array<double>"
+    )
+    with pytest.raises(Exception, match="DIVIDE_BY_ZERO"):
+        cosine_topk(df, [1.0, 0.0], k=2).collect()
+    with pytest.raises(Exception, match="zero-norm"):
+        cosine_topk_arrow(df, [1.0, 0.0], k=2).collect()
+    with pytest.raises(ValueError, match="zero norm"):
+        cosine_topk_arrow(df, [0.0, 0.0], k=2)
+    with pytest.raises(ValueError, match="zero-norm centroid"):
+        ivf_assign_arrow(df, [[0.0, 0.0]])
+    with pytest.raises(Exception, match="zero-norm"):
+        ivf_assign_arrow(df.filter("vec_id = 1"), [[1.0, 0.0]]).collect()
+    with pytest.raises(Exception, match="DIVIDE_BY_ZERO"):
+        ivf_assign(df.filter("vec_id = 1"), [[1.0, 0.0]]).collect()
+
+
+def test_null_embedding_raises_not_misaligns(spark):
+    import pytest
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, None), (3, [0.5, 0.5])],
+        "vec_id int, embedding array<double>",
+    )
+    with pytest.raises(Exception, match="null values in embedding"):
+        cosine_topk_arrow(df, [1.0, 0.0], k=3).collect()
+
+
+def test_nan_vector_parity_topk_and_pairs(spark):
+    # Spark's total order puts NaN above every double: NaN >= threshold
+    # holds and NaN wins desc sorts — both kernels must agree.
+    import math
+
+    nan = float("nan")
+    rows = [(1, [1.0, 0.0]), (2, [nan, 1.0]), (3, [0.6, 0.8]), (4, [0.0, 1.0])]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+
+    jvm = [(r.vec_id, r.cosine) for r in cosine_topk(df, [1.0, 0.0], k=3).collect()]
+    arrow = [(r.vec_id, r.cosine) for r in cosine_topk_arrow(df, [1.0, 0.0], k=3).collect()]
+    assert [i for i, _ in arrow] == [i for i, _ in jvm] == [2, 1, 3]
+    assert math.isnan(arrow[0][1]) and math.isnan(jvm[0][1])
+
+    jvm_p = sorted(
+        (r.id_a, r.id_b) for r in cosine_near_dup_pairs(df, dim=2, threshold=0.9).collect()
+    )
+    arrow_p = sorted(
+        (r.id_a, r.id_b)
+        for r in cosine_near_dup_pairs_arrow(df, dim=2, threshold=0.9).collect()
+    )
+    assert arrow_p == jvm_p
+    # every pair involving the NaN vector that shares its bucket is kept
+    assert all((2 in p) or p == (1, 3) for p in arrow_p)
