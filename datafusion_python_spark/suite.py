@@ -54,67 +54,66 @@ except ImportError:
 # window; `tools/staleness.py` recomputes this ordering from the
 # CORRECTNESS_r*.json history.
 _PRIORITY = [
-    # Round-4 rotation (VERDICT r3 "Next round" #1-2), ordering from
-    # tools/staleness.py: win_groups_frame's only row is the red r3 one
-    # (oracle HUGEINT typing, fixed this round); agg_distinct_filter /
-    # agg_percentiles have round-1-only rows predating the NTZ testdata
-    # regen; the rest of the window refreshes round-2 rows, oldest class
-    # first. All r3-green rows sit after the window (still selfchecked).
-    "win_groups_frame",
-    "agg_distinct_filter",
-    "agg_percentiles",
-    # new gate this round (mixture sampling) — needs its first driver row
-    "pipe_mixture_sample",
-    # round-2-recorded rows, per staleness ranking
-    "pipe_dedup_exact",
-    "pipe_jaccard_pairs",
-    "pipe_minhash_lsh",
-    "pipe_simhash",
-    "pipe_cosine_topk",
-    "pipe_ann_lsh",
-    "pipe_ann_ivf",
-    "pipe_cosine_neardup",
-    "pipe_emb_centroid",
-    "pipe_text_tokens",
-    "pipe_text_quality",
-    "pipe_langid",
-    "pipe_fingerprint",
-    "pipe_dedup_cluster",
-    "pipe_sample_hash",
-    "pipe_domain_cap",
-    "pipe_token_pack",
-    "pipe_repetition",
-    "pipe_minhash_cluster",
-    "pipe_decontaminate",
-    "pipe_sample_stratified",
-    "evt_asof_attribution",
-    "evt_range_join",
-    "pipe_quality_score",
-    "pipe_emb_quant",
-    "tpch_q2",
-    "tpch_q11",
-    "agg_approx",
-    "agg_string_agg_desc",
-    "fn_like_escape",
-    "sql_recursive_cte",
-    "agg_weighted_pct",
-    "fn_time",
-    "udaf_geomean",
-    "pipe_hll_rollup",
-    "pipe_tfidf",
-    "pipe_bm25",
-    "pipe_chunk",
-    "pipe_shuffle_order",
-    "pipe_rand_proj",
-    "pipe_zorder_layout",
-    "pipe_dedup_incremental",
-    "pipe_perplexity",
-    "evt_funnel",
-    "evt_retention",
-    "pipe_fuzzy_match",
+    # Round-5 rotation, ordering from tools/staleness.py: the three
+    # remaining round-2-recorded rows (substring dedup, gap fill,
+    # session window) lead, then every round-3-recorded row — TPC-H,
+    # unparse/substrait, window/agg/setop/fn gates — so all of them get
+    # current-generation driver rows; after this window every registered
+    # query will have an r4-or-r5 row. pipe_pii_redact /
+    # pipe_semantic_dedup (r3 rows, ranks 51-52) head the round-6
+    # window. All r4-green rows sit after (still selfchecked).
     "pipe_substring_dup",
     "evt_gapfill",
     "evt_session_window",
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q4",
+    "tpch_q5",
+    "tpch_q6",
+    "tpch_q7",
+    "tpch_q8",
+    "tpch_q9",
+    "tpch_q10",
+    "tpch_q12",
+    "tpch_q13",
+    "tpch_q14",
+    "tpch_q15",
+    "tpch_q16",
+    "tpch_q17",
+    "tpch_q18",
+    "tpch_q19",
+    "tpch_q20",
+    "tpch_q21",
+    "tpch_q22",
+    "sql_unparse_roundtrip",
+    "substrait_consume",
+    "evt_pagerank",
+    "evt_date_bin",
+    "fn_bits_epoch",
+    "win_frames",
+    "win_rank_value",
+    "agg_regr",
+    "join_outer_cross",
+    "fn_conditional",
+    "fn_array_ops",
+    "evt_topk_per_user",
+    "evt_running_gaps",
+    "evt_sessionize",
+    "evt_distinct_on",
+    "evt_pivot",
+    "evt_hourly",
+    "evt_json",
+    "agg_grouping_multi",
+    "agg_stats",
+    "agg_string_agg",
+    "setop_union_multi",
+    "setop_intersect",
+    "setop_except",
+    "fn_strings",
+    "fn_datetime",
+    "fn_math_case",
+    "pipe_pii_redact",
+    "pipe_semantic_dedup",
 ]
 
 ALL_QUERIES: dict[str, tuple] = {}
