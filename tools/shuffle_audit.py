@@ -1,0 +1,225 @@
+"""Runtime shuffle/spill audit across every gate query: measured scale
+evidence, complementing tools/plan_audit.py (which inspects plan SHAPE
+before execution — pushdown, broadcasts, no Python UDFs).
+
+This tool RUNS each query and reads the executed plan's SQLMetric
+accumulators — the same numbers the Spark UI shows — so the scale
+claims are measured, not inferred:
+
+- scan bytes / rows (FileSourceScanExec filesSize / numOutputRows);
+- shuffle bytes / records written, shuffle count (ShuffleExchangeExec);
+- broadcast bytes (BroadcastExchangeExec dataSize) — the map-side-join
+  traffic that replaces a shuffle of the big side;
+- spill bytes (spillSize on aggregates / sorts / joins) — MUST be 0 at
+  test scale; any spill here means the operator's working set scales
+  with data, not with keys, and would thrash at 100 TB;
+- shuffle amplification = shuffle bytes / scan bytes. Aggregations and
+  selective joins should land well under 1; pair-generating operators
+  (near-dup joins) legitimately exceed it and are listed for review.
+
+AQE query stages, reused exchanges, and whole-stage-codegen wrappers
+are handled (each exchange counted once).
+
+Usage: python tools/shuffle_audit.py [sf_dir] [--md SHUFFLEAUDIT.md]
+Exits nonzero on any spill or on a build/run failure.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from datafusion_python_spark.session import get_spark
+from datafusion_python_spark.suite import ALL_QUERIES
+
+# Queries whose shuffle traffic legitimately exceeds their (parquet-
+# compressed) scan bytes, with the reason — anything NOT listed that
+# amplifies is a defect to investigate. Note the units asymmetry: scan
+# bytes are columnar-compressed parquet, shuffle bytes are lz4 row data,
+# so amplification ~1 already means "roughly the input, re-encoded".
+AMPLIFIERS_OK = {
+    "pipe_minhash_lsh": "banded signature explosion is the LSH cost model",
+    "pipe_jaccard_pairs": "pair generator: bucket self-join emits pairs",
+    "pipe_cosine_neardup": "pair generator: bucket self-join emits pairs",
+    "pipe_fuzzy_match": "pair generator: blocked candidate pairs",
+    "pipe_substring_dup": "inverted index explodes doc into shingles",
+    "pipe_tfidf": "(doc, term) explosion IS the working set (one shuffle)",
+    "evt_sessionize": "one full-row shuffle on user — minimal for sessions",
+    "evt_session_window": "one full-row shuffle on user — minimal",
+    "evt_running_gaps": "one full-row shuffle on user for ordered windows",
+    "agg_approx": "exact-percentile comparison column shuffles raw values",
+    "agg_percentiles": "exact percentiles shuffle raw values by design; "
+    "the approx_* family is the 100 TB alternative",
+    "udaf_geomean": "Python UDAF: Arrow exchange to the worker is counted",
+    "win_groups_frame": "one full-row shuffle for the partitioned window "
+    "frames — minimal for windowed analytics",
+}
+
+
+def _metrics(node) -> dict:
+    out, it = {}, node.metrics().iterator()
+    while it.hasNext():
+        kv = it.next()
+        out[kv._1()] = kv._2().value()
+    return out
+
+
+def _walk(node, seen: set, acc: dict) -> None:
+    if node.id() in seen:
+        return
+    seen.add(node.id())
+    cls = node.getClass().getSimpleName()
+    m = _metrics(node)
+    if cls == "ShuffleExchangeExec":
+        acc["shuffles"] += 1
+        acc["shuffle_bytes"] += m.get("shuffleBytesWritten", 0)
+        acc["shuffle_records"] += m.get("shuffleRecordsWritten", 0)
+    elif cls == "BroadcastExchangeExec":
+        acc["broadcasts"] += 1
+        acc["broadcast_bytes"] += m.get("dataSize", 0)
+    elif cls == "FileSourceScanExec":
+        acc["scan_bytes"] += m.get("filesSize", 0)
+        acc["scan_rows"] += m.get("numOutputRows", 0)
+    acc["spill_bytes"] += m.get("spillSize", 0)
+    # indirection nodes: AQE's final plan and materialized stages
+    if cls == "AdaptiveSparkPlanExec":
+        _walk(node.executedPlan(), seen, acc)
+        return
+    if cls.endswith("QueryStageExec"):
+        _walk(node.plan(), seen, acc)
+        return
+    if cls == "ReusedExchangeExec":
+        return  # metrics live on (and are counted at) the original
+    it = node.children().iterator()
+    while it.hasNext():
+        _walk(it.next(), seen, acc)
+
+
+def audit_one(df) -> dict:
+    t0 = time.perf_counter()
+    n_out = len(df.collect())
+    elapsed = time.perf_counter() - t0
+    acc = {
+        "shuffles": 0,
+        "shuffle_bytes": 0,
+        "shuffle_records": 0,
+        "broadcasts": 0,
+        "broadcast_bytes": 0,
+        "scan_bytes": 0,
+        "scan_rows": 0,
+        "spill_bytes": 0,
+    }
+    _walk(df._jdf.queryExecution().executedPlan(), set(), acc)
+    acc["rows_out"] = n_out
+    acc["sec"] = elapsed
+    acc["amplification"] = (
+        acc["shuffle_bytes"] / acc["scan_bytes"] if acc["scan_bytes"] else 0.0
+    )
+    return acc
+
+
+def _fmt_bytes(n: int) -> str:
+    for unit in ("B", "KiB", "MiB", "GiB"):
+        if abs(n) < 1024 or unit == "GiB":
+            return f"{n:.1f}{unit}" if unit != "B" else f"{n}B"
+        n /= 1024
+    return f"{n:.1f}GiB"
+
+
+def main() -> None:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    md_out = None
+    if "--md" in sys.argv:
+        md_out = sys.argv[sys.argv.index("--md") + 1]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    spark = get_spark("shuffle-audit")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    rows, failures = [], []
+    for name, (fn, _sql) in ALL_QUERIES.items():
+        try:
+            r = audit_one(fn(spark, sf_dir))
+        except Exception as ex:  # noqa: BLE001
+            failures.append((name, str(ex).split("\n")[0][:100]))
+            continue
+        r["query"] = name
+        rows.append(r)
+        if r["spill_bytes"]:
+            failures.append((name, f"SPILLED {_fmt_bytes(r['spill_bytes'])}"))
+
+    hdr = (
+        f"{'query':<26} {'scan':>9} {'shufN':>5} {'shuffle':>9} "
+        f"{'bcast':>9} {'amp':>6} {'spill':>6} {'rows':>8} {'sec':>6}"
+    )
+    lines = [hdr]
+    for r in sorted(rows, key=lambda x: -x["shuffle_bytes"]):
+        lines.append(
+            f"{r['query']:<26} {_fmt_bytes(r['scan_bytes']):>9} {r['shuffles']:>5} "
+            f"{_fmt_bytes(r['shuffle_bytes']):>9} {_fmt_bytes(r['broadcast_bytes']):>9} "
+            f"{r['amplification']:>6.2f} {_fmt_bytes(r['spill_bytes']):>6} "
+            f"{r['rows_out']:>8} {r['sec']:>6.2f}"
+        )
+    print("\n".join(lines))
+
+    tot_scan = sum(r["scan_bytes"] for r in rows)
+    tot_shuf = sum(r["shuffle_bytes"] for r in rows)
+    tot_bcast = sum(r["broadcast_bytes"] for r in rows)
+    amplified = [
+        r["query"]
+        for r in rows
+        if r["amplification"] > 1.0 and r["query"] not in AMPLIFIERS_OK
+    ]
+    summary = (
+        f"\n{len(rows)} queries: scan {_fmt_bytes(tot_scan)}, shuffle "
+        f"{_fmt_bytes(tot_shuf)} ({tot_shuf / max(tot_scan, 1):.2f}x of scan), "
+        f"broadcast {_fmt_bytes(tot_bcast)}, spill 0"
+        if not any(r["spill_bytes"] for r in rows)
+        else "\nSPILLS PRESENT"
+    )
+    summary += (
+        f"\nshuffle amplification > 1 outside the documented cases: "
+        f"{amplified or 'none'}"
+    )
+    documented = sorted(
+        (r["query"], r["amplification"])
+        for r in rows
+        if r["amplification"] > 1.0 and r["query"] in AMPLIFIERS_OK
+    )
+    if documented:
+        summary += "\ndocumented amplifiers (see AMPLIFIERS_OK for reasons):"
+        for q, amp in documented:
+            summary += f"\n  {q:<24} {amp:>6.2f}x  {AMPLIFIERS_OK[q]}"
+    print(summary)
+
+    if md_out:
+        with open(md_out, "w") as f:
+            f.write(
+                "# SHUFFLEAUDIT — measured shuffle/spill per gate query\n\n"
+                f"`python tools/shuffle_audit.py {sf_dir} --md` — runtime "
+                "SQLMetrics from the AQE-final executed plan (the Spark-UI "
+                "numbers), not plan-shape inference. Columns: parquet bytes "
+                "scanned, shuffle-exchange count, shuffle bytes written, "
+                "broadcast-exchange bytes, amplification = shuffle/scan, "
+                "spill bytes (must be 0), result rows, wall seconds.\n\n"
+                "Reading it at 100 TB: shuffle bytes scale ~linearly with "
+                "input for every non-pair-generating query here, so a query "
+                "whose amplification is 0.1 at this sf shuffles ~10 TB per "
+                "100 TB scanned — the table flags anything whose traffic "
+                "would outgrow its scan. Spill=0 means no operator's "
+                "working set grows with data volume at this partitioning.\n\n"
+                "```\n" + "\n".join(lines) + "\n" + summary + "\n```\n"
+            )
+        print(f"\nwrote {md_out}")
+
+    if failures:
+        print("\nFAILURES:")
+        for name, why in failures:
+            print(f"  {name}: {why}")
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()
