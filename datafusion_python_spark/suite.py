@@ -62,6 +62,9 @@ _PRIORITY = [
     # query will have an r4-or-r5 row. pipe_pii_redact /
     # pipe_semantic_dedup (r3 rows, ranks 51-52) head the round-6
     # window. All r4-green rows sit after (still selfchecked).
+    # brand-new gates this round (salted agg/join) — first driver rows
+    "evt_salted_agg",
+    "evt_salted_join",
     "pipe_substring_dup",
     "evt_gapfill",
     "evt_session_window",

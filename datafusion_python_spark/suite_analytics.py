@@ -1499,7 +1499,92 @@ FROM events WHERE event_id > 100 GROUP BY user_id
 """
 
 
+# --------------------------------------------------------------------------
+# Skew mitigation gates (operators/skew.py). AQE's skew handling splits
+# oversized partitions, but one hot KEY still serializes a reducer at
+# 100 TB; salting is the fix and must be RESULT-INVARIANT — the oracles
+# are the plain unsalted GROUP BY / JOIN, so any row the salt rewrite
+# duplicates, drops, or mis-combines is a red driver row. Doubles are
+# made order-independent by exact integer cents (values are 2-decimal).
+def evt_salted_agg(spark, sf_dir):
+    """Two-phase (salted) aggregation over events: phase 1 groups on
+    (event_type, salt-of-row) across 8 reducer slots, phase 2 combines
+    partials — same result as the single-phase GROUP BY, but a hot key's
+    reduce work fans out 8-way."""
+    from .operators.skew import salted_agg
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "cents", F.round(F.col("value") * 100).cast("bigint")
+    )
+    out = salted_agg(
+        ev,
+        ["event_type"],
+        {
+            "n_events": ("count", "event_id"),
+            "sum_cents": ("sum", "cents"),
+            "max_cents": ("max", "cents"),
+            "min_event": ("min", "event_id"),
+        },
+        salt_buckets=8,
+    )
+    return out.select(
+        "event_type", "n_events", "sum_cents", "max_cents", "min_event"
+    ).orderBy("event_type")
+
+
+EVT_SALTED_AGG_SQL = """
+SELECT event_type,
+       count(event_id) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+       max(CAST(round(value * 100) AS BIGINT)) AS max_cents,
+       min(event_id) AS min_event
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def evt_salted_join(spark, sf_dir):
+    """Hybrid salted join: the hottest event_type joins on
+    (key, salt) with the dim side exploded 8-way, the cold keys join
+    normally, and the union must equal the plain join — counts per type
+    prove no row was duplicated or lost by the hot/cold split."""
+    from .operators.skew import salted_join
+
+    ev = _t(spark, sf_dir, "events")
+    dim = ev.groupBy("event_type").agg(
+        F.count("*").alias("type_n"), F.min("event_id").alias("type_min_id")
+    )
+    hot = dim.orderBy(F.desc("type_n"), "event_type").limit(1)
+    joined = salted_join(ev, dim, ["event_type"], salt_buckets=8, only_keys=hot)
+    return (
+        joined.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_joined"),
+            F.max("type_n").alias("type_n"),
+            F.min("type_min_id").alias("type_min_id"),
+            F.min("event_id").alias("min_event"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EVT_SALTED_JOIN_SQL = """
+WITH dim AS (
+  SELECT event_type, count(*) AS type_n, min(event_id) AS type_min_id
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type,
+       count(*) AS n_joined,
+       CAST(max(d.type_n) AS BIGINT) AS type_n,
+       min(d.type_min_id) AS type_min_id,
+       min(e.event_id) AS min_event
+FROM events e JOIN dim d USING (event_type)
+GROUP BY e.event_type ORDER BY e.event_type
+"""
+
+
 ANALYTICS_QUERIES: dict[str, tuple] = {
+    "evt_salted_agg": (evt_salted_agg, EVT_SALTED_AGG_SQL),
+    "evt_salted_join": (evt_salted_join, EVT_SALTED_JOIN_SQL),
     "sql_unparse_roundtrip": (sql_unparse_roundtrip, _tpch_q3_oracle()),
     "substrait_consume": (substrait_consume, SUBSTRAIT_CONSUME_SQL),
     "evt_funnel": (evt_funnel, EVT_FUNNEL_SQL),

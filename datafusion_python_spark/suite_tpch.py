@@ -865,8 +865,11 @@ LIMIT 100
 # ref: examples/tpch/q11_important_stock_identification.py. No partsupp in
 # the testdata, so per-part "stock value" is synthesized from lineitem:
 # value(part) = sum(l_extendedprice * l_quantity) over lines supplied by
-# suppliers of one nation; parts whose value exceeds fraction * total are
-# reported. Keeps q11's shape (group-agg + scalar subquery threshold).
+# suppliers of one nation; parts whose value exceeds 2x the mean part
+# value are reported. Keeps q11's shape (group-agg + scalar subquery
+# threshold); the mean-relative cutoff is SF-invariant where the spec's
+# fixed fraction (0.0001/SF in TPC-H itself) degenerates to zero rows
+# as the part count grows.
 # Scale: one shuffle on l_partkey; the nation-filtered supplier dim
 # broadcasts; the grand total is a 1-row DF broadcast-cross-joined (no
 # driver collect).
@@ -883,7 +886,7 @@ def q11(spark, sf_dir):
         .groupBy("l_partkey")
         .agg(F.sum(F.col("l_extendedprice") * F.col("l_quantity")).alias("value_raw"))
     )
-    total = value.agg((F.sum("value_raw") * F.lit(0.001)).alias("threshold"))
+    total = value.agg((F.avg("value_raw") * F.lit(2.0)).alias("threshold"))
     return (
         value.join(F.broadcast(total))
         .filter(F.col("value_raw") > F.col("threshold"))
@@ -903,7 +906,7 @@ WITH v AS (
 )
 SELECT l_partkey, round(value_raw, 2) AS value
 FROM v
-WHERE value_raw > (SELECT sum(value_raw) * 0.001 FROM v)
+WHERE value_raw > (SELECT 2 * avg(value_raw) FROM v)
 ORDER BY value DESC, l_partkey
 """
 
