@@ -321,16 +321,29 @@ def ivf_assign(
     of (−cos, cell) structs — pure codegen, no UDF, no broadcast state),
     so assignment is a map-only pass: at ingest scale the cell id becomes
     the partition/bucket key exactly like the LSH signature.
+
+    The row norm is staged as its own column (referenced n_list times,
+    so CollapseProject keeps it a separate, once-per-row projection) and
+    centroid norms fold in Python with the same left-to-right order as
+    ``F.aggregate`` — bit-identical to the previous per-entry
+    ``dot/(norm_e*norm_c)`` expression at 1 fold per centroid instead
+    of 2.
     """
     emb = F.col(vec_col).cast("array<double>")
+    staged = df.withColumn("__ivf_norm", _norm(emb))
+    n = F.col("__ivf_norm")
     entries = []
     for ci, c in enumerate(centroids):
+        acc = 0.0
+        for v in c:
+            acc += float(v) * float(v)
+        cn = acc ** 0.5
         arr = F.array(*[F.lit(float(v)) for v in c])
         entries.append(
-            F.struct((-cosine_similarity_col(emb, arr)).alias("d"), F.lit(ci).alias("c"))
+            F.struct((-(_dot(emb, arr) / (n * F.lit(cn)))).alias("d"), F.lit(ci).alias("c"))
         )
     best = F.array_sort(F.array(*entries))[0]["c"]
-    return df.withColumn(cell_col, best)
+    return staged.withColumn(cell_col, best).drop("__ivf_norm")
 
 
 def ivf_assign_arrow(
@@ -561,18 +574,29 @@ def cosine_near_dup_pairs(
     pairs land in the same bucket with probability (1−θ/π)^n_planes.
     ``exact=True`` runs the full O(n²) self-join — for oracle validation
     at test scale, never at 100 TB.
+
+    Norms are computed per ROW on each side of the join (a scalar
+    column the exchange materializes), so the per-PAIR work is a single
+    dot fold plus scalar arithmetic instead of dot + two norm folds —
+    higher-order lambdas are interpreted per element and the pair count
+    is what explodes, so this cuts the dominant term ~3× while keeping
+    the cosine expression ``dot/(na*nb)`` bit-identical to before.
     """
     emb = F.col(vec_col).cast("array<double>")
     if exact:
-        a = df.select(F.col(id_col).alias("id_a"), emb.alias("va"))
-        b = df.select(F.col(id_col).alias("id_b"), emb.alias("vb"))
+        a = df.select(F.col(id_col).alias("id_a"), emb.alias("va"), _norm(emb).alias("na"))
+        b = df.select(F.col(id_col).alias("id_b"), emb.alias("vb"), _norm(emb).alias("nb"))
         pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
     else:
         sig = lsh_signature(df, dim=dim, vec_col=vec_col, n_planes=n_planes)
-        a = sig.select(F.col(id_col).alias("id_a"), "bucket", emb.alias("va"))
-        b = sig.select(F.col(id_col).alias("id_b"), "bucket", emb.alias("vb"))
+        a = sig.select(
+            F.col(id_col).alias("id_a"), "bucket", emb.alias("va"), _norm(emb).alias("na")
+        )
+        b = sig.select(
+            F.col(id_col).alias("id_b"), "bucket", emb.alias("vb"), _norm(emb).alias("nb")
+        )
         pairs = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
-    cos = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
+    cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return pairs.select("id_a", "id_b", F.round(cos, 6).alias("cosine")).filter(
         F.col("cosine") >= threshold
     )

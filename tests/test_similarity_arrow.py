@@ -111,6 +111,32 @@ def test_spark_round_matches_f_round_on_ties(spark):
     assert got == expected
 
 
+def test_spark_round_property_random(spark):
+    # 5k-value stress: uniform doubles plus two adversarial families —
+    # values whose shortest repr terminates at the 7th decimal (the
+    # HALF_UP-sensitive class) and values perturbed to sit within float
+    # error of a .5 tie. Every element must equal Spark's F.round.
+    import numpy as np
+
+    from datafusion_python_spark.operators.similarity import _spark_round
+
+    rng = np.random.default_rng(7)
+    vals = [float(x) for x in rng.uniform(-2.0, 2.0, 2000)]
+    vals += [round(float(x), 7) for x in rng.uniform(-1.0, 1.0, 2000)]
+    vals += [float(x) + 5e-7 for x in np.round(rng.uniform(-1.0, 1.0, 1000), 6)]
+    expected = [
+        r.r
+        for r in spark.createDataFrame([(v,) for v in vals], "x double")
+        .select(F.round("x", 6).alias("r"))
+        .collect()
+    ]
+    got = _spark_round(vals, 6)
+    mismatches = [
+        (v, g, e) for v, g, e in zip(vals, got, expected) if float(g) != e
+    ]
+    assert not mismatches, mismatches[:5]
+
+
 def test_spark_round_passes_nan_inf():
     import math
 
