@@ -37,6 +37,13 @@ try:  # UDF/UDAF gate queries
 except ImportError:
     pass
 
+try:  # Structured Streaming gates (memory-sink bounded replay)
+    from .suite_streaming import STREAMING_QUERIES
+
+    _MERGED.update(STREAMING_QUERIES)
+except ImportError:
+    pass
+
 # Names to place at the front of the registry (driver windows the first
 # 50). Unlisted names follow in their module order.
 #
@@ -62,9 +69,13 @@ _PRIORITY = [
     # query will have an r4-or-r5 row. pipe_pii_redact /
     # pipe_semantic_dedup (r3 rows, ranks 51-52) head the round-6
     # window. All r4-green rows sit after (still selfchecked).
-    # brand-new gates this round (salted agg/join) — first driver rows
+    # brand-new gates this round (salted agg/join, streaming) — first
+    # driver rows
     "evt_salted_agg",
     "evt_salted_join",
+    "stream_hourly_counts",
+    "stream_dedup_distinct",
+    "stream_session_stats",
     "pipe_substring_dup",
     "evt_gapfill",
     "evt_session_window",

@@ -1,0 +1,160 @@
+"""Structured Streaming gate queries: the streaming module on the
+DRIVER's correctness record, not just under pytest.
+
+Each gate replays the bounded events table as a file stream (one
+parquet directory, one micro-batch), drives a streaming/*.py helper —
+watermarked tumbling windows, bounded-state dedup, session windows —
+through a memory sink to completion, and returns the drained table.
+Over a single replayed batch the streaming semantics coincide with the
+batch semantics (no row is ever later than the watermark), so each
+query has an ordinary SQL oracle: the gate certifies that the
+STREAMING implementation (state store, watermark plumbing, event-time
+windows) produces exactly the batch answer on in-order data — the
+invariant that makes the lambda-free "one pipeline for backfill and
+live" design sound. Late-data DROP behavior is exercised separately in
+tests/test_streaming_multimodal.py, where arrival order is controlled;
+it cannot be oracle-checked here because a SQL oracle has no arrival
+order.
+
+Scale notes: the file source shards by file at 100 TB; windowed/dedup
+state is partitioned by (key, window) across executors and evicted by
+the watermark, so state is bounded by live windows / in-flight keys,
+never by history.
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .tables import load_table
+
+_SEQ = itertools.count()
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def _replay_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events table as a bounded file stream (deterministic replay)."""
+    # The NTZ→TIMESTAMP→NTZ round-trip these gates do is exact only in a
+    # fixed-offset zone; pin UTC at runtime like the loaders pin their
+    # parquet confs, so a vanilla (driver) session behaves identically.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = _t(spark, sf_dir, "events")
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    path = os.path.join(tempfile.gettempdir(), f"_suite_stream_events_{tag}")
+    ev.write.mode("overwrite").parquet(path)
+    return spark.readStream.schema(ev.schema).parquet(path)
+
+
+def _drain(spark: SparkSession, sdf: DataFrame, mode: str) -> DataFrame:
+    """Run the streaming query to completion into a memory sink and
+    return the drained table (unique name per call, bounded replay)."""
+    name = f"suite_stream_{os.getpid()}_{next(_SEQ)}"
+    q = sdf.writeStream.format("memory").queryName(name).outputMode(mode).start()
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(name)
+
+
+def stream_hourly_counts(spark, sf_dir):
+    """Watermarked tumbling 1-hour windows per event_type over the
+    replayed stream (streaming/windows.py tumbling_counts). Window
+    starts align to epoch hours = date_trunc('hour'), so the oracle is
+    the plain batch rollup; the instant-typed window start casts back
+    to TIMESTAMP_NTZ exactly under the pinned UTC session."""
+    from .streaming import tumbling_counts
+
+    src = _replay_events(spark, sf_dir)
+    out = tumbling_counts(src, window="1 hour", watermark="30 minutes")
+    res = _drain(spark, out, "complete")
+    return res.select(
+        F.col("window_start").cast("timestamp_ntz").alias("hour_bucket"),
+        "event_type",
+        F.col("n").alias("n_events"),
+        F.round("total_value", 2).alias("sum_value"),
+    ).orderBy("hour_bucket", "event_type")
+
+
+STREAM_HOURLY_COUNTS_SQL = """
+SELECT date_trunc('hour', ts) AS hour_bucket, event_type,
+       count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def stream_dedup_distinct(spark, sf_dir):
+    """Bounded-state streaming dedup (dropDuplicatesWithinWatermark on
+    (user_id, event_type)) chained into a streaming aggregation — the
+    standard composition that replaces the unsupported streaming
+    count(DISTINCT). The count per type is order-independent, so the
+    oracle is exactly count(DISTINCT user_id)."""
+    from .streaming import dedup_stream
+
+    src = _replay_events(spark, sf_dir)
+    dd = dedup_stream(src, ["user_id", "event_type"], watermark="1 hour")
+    out = dd.groupBy("event_type").agg(F.count("*").alias("n_distinct_users"))
+    res = _drain(spark, out, "complete")
+    return res.orderBy("event_type")
+
+
+STREAM_DEDUP_DISTINCT_SQL = """
+SELECT event_type, count(DISTINCT user_id) AS n_distinct_users
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def stream_session_stats(spark, sf_dir):
+    """Streaming session windows (20-minute gap) per user
+    (streaming/windows.py sessionized_counts). The oracle re-derives
+    gap-based sessions with the gaps-and-islands idiom; session_end is
+    last event + gap, per Spark's session_window contract."""
+    from .streaming import sessionized_counts
+
+    src = _replay_events(spark, sf_dir)
+    out = sessionized_counts(src, gap="20 minutes", watermark="1 hour")
+    res = _drain(spark, out, "complete")
+    return res.select(
+        "user_id",
+        F.col("session_start").cast("timestamp_ntz").alias("session_start"),
+        F.col("session_end").cast("timestamp_ntz").alias("session_end"),
+        "n_events",
+        F.round("total_value", 2).alias("total_value"),
+    ).orderBy("user_id", "session_start")
+
+
+STREAM_SESSION_STATS_SQL = """
+WITH g AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1200000000
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), s AS (
+  SELECT user_id, ts, value,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM g
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL 20 MINUTE AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM s GROUP BY user_id, sid
+ORDER BY user_id, session_start
+"""
+
+
+STREAMING_QUERIES: dict[str, tuple] = {
+    "stream_hourly_counts": (stream_hourly_counts, STREAM_HOURLY_COUNTS_SQL),
+    "stream_dedup_distinct": (stream_dedup_distinct, STREAM_DEDUP_DISTINCT_SQL),
+    "stream_session_stats": (stream_session_stats, STREAM_SESSION_STATS_SQL),
+}
