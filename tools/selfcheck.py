@@ -75,9 +75,20 @@ def _schema_cats(schema) -> dict:
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
-    spark = get_spark("selfcheck")
+    args = [a for a in sys.argv[1:] if a != "--vanilla"]
+    vanilla = "--vanilla" in sys.argv
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
+    if vanilla:
+        # Replicate the DRIVER's session exactly: a bare SparkSession with
+        # none of session.py's tuning, so any query that silently depends
+        # on a tuned conf (timezone, nanosAsLong at build time, shuffle
+        # sizing) fails HERE instead of in the round's driver run.
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.builder.master("local[8]").getOrCreate()
+    else:
+        spark = get_spark("selfcheck")
     con = duckdb.connect()
     for t in TABLE_NAMES:
         p = f"{sf_dir}/{t}.parquet"
