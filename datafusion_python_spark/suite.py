@@ -76,6 +76,8 @@ _PRIORITY = [
     "stream_hourly_counts",
     "stream_dedup_distinct",
     "stream_session_stats",
+    "stream_stateful_totals",
+    "stream_interval_join",
     # changed this round (SF-invariant threshold) — r4 row is stale
     "tpch_q11",
     "pipe_substring_dup",

@@ -153,8 +153,78 @@ ORDER BY user_id, session_start
 """
 
 
+def stream_stateful_totals(spark, sf_dir):
+    """Custom stateful operator (applyInPandasWithState): per-user
+    running totals with explicit state. One replayed batch leaves each
+    user's final state = the batch aggregate, so the oracle is the
+    plain GROUP BY; values are 2-decimal so round(total, 2) is exact
+    regardless of pandas' pairwise summation order."""
+    from .streaming import running_total_per_key
+
+    src = _replay_events(spark, sf_dir)
+    out = running_total_per_key(src, key_col="user_id")
+    res = _drain(spark, out, "update")
+    return res.select(
+        "user_id",
+        F.round("total_value", 2).alias("total_value"),
+        "n_events",
+    ).orderBy("user_id")
+
+
+STREAM_STATEFUL_TOTALS_SQL = """
+SELECT user_id, round(sum(value), 2) AS total_value,
+       count(*) AS n_events
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+
+def stream_interval_join(spark, sf_dir):
+    """Watermarked stream-stream interval join: purchases within 5
+    minutes after a click by the same user, both sides replayed from
+    the same bounded stream. Join state purges past watermark + range
+    in live operation; over one in-order batch the result equals the
+    batch interval join, which is the oracle. The joined rows drain to
+    the sink (append mode) and are aggregated per user as a batch."""
+    from .streaming import interval_join_streams
+
+    src = _replay_events(spark, sf_dir)
+    clicks = src.filter(F.col("event_type") == "click")
+    # the helper renames+drops the right event-time col; carry the
+    # purchase time as a plain NTZ payload copy (made BEFORE the helper
+    # casts/watermarks, so there's no second event-time column)
+    purchases = src.filter(F.col("event_type") == "purchase").withColumn(
+        "purchase_ts", F.col("ts")
+    )
+    joined = interval_join_streams(
+        clicks, purchases, key="user_id", watermark="1 hour", max_delay="5 minutes"
+    )
+    res = _drain(spark, joined, "append")
+    return (
+        res.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.min(F.col("ts").cast("timestamp_ntz")).alias("first_click"),
+            F.max("r_purchase_ts").alias("last_purchase"),
+        )
+        .orderBy("user_id")
+    )
+
+
+STREAM_INTERVAL_JOIN_SQL = """
+WITH l AS (SELECT * FROM events WHERE event_type = 'click'),
+     r AS (SELECT * FROM events WHERE event_type = 'purchase')
+SELECT l.user_id, count(*) AS n_pairs,
+       min(l.ts) AS first_click, max(r.ts) AS last_purchase
+FROM l JOIN r ON l.user_id = r.user_id
+ AND r.ts > l.ts AND r.ts <= l.ts + INTERVAL 5 MINUTE
+GROUP BY l.user_id ORDER BY l.user_id
+"""
+
+
 STREAMING_QUERIES: dict[str, tuple] = {
     "stream_hourly_counts": (stream_hourly_counts, STREAM_HOURLY_COUNTS_SQL),
     "stream_dedup_distinct": (stream_dedup_distinct, STREAM_DEDUP_DISTINCT_SQL),
     "stream_session_stats": (stream_session_stats, STREAM_SESSION_STATS_SQL),
+    "stream_stateful_totals": (stream_stateful_totals, STREAM_STATEFUL_TOTALS_SQL),
+    "stream_interval_join": (stream_interval_join, STREAM_INTERVAL_JOIN_SQL),
 }
