@@ -139,7 +139,15 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     rows, failures = [], []
+    skipped = []
     for name, (fn, _sql) in ALL_QUERIES.items():
+        if name.startswith("stream_"):
+            # streaming gates run their work inside a streaming query
+            # drained to a memory sink during build; the returned
+            # DataFrame's executed plan is just the memory-table scan,
+            # so walking it would record noise, not the stream's work.
+            skipped.append(name)
+            continue
         try:
             r = audit_one(fn(spark, sf_dir))
         except Exception as ex:  # noqa: BLE001
@@ -173,7 +181,14 @@ def main() -> None:
         if r["amplification"] > 1.0 and r["query"] not in AMPLIFIERS_OK
     ]
     summary = (
-        f"\n{len(rows)} queries: scan {_fmt_bytes(tot_scan)}, shuffle "
+        f"\n{len(rows)} batch queries audited"
+        + (
+            f" ({len(skipped)} stream_* gates skipped: their plans run "
+            "inside streaming queries, not the returned DataFrame)"
+            if skipped
+            else ""
+        )
+        + f": scan {_fmt_bytes(tot_scan)}, shuffle "
         f"{_fmt_bytes(tot_shuf)} ({tot_shuf / max(tot_scan, 1):.2f}x of scan), "
         f"broadcast {_fmt_bytes(tot_bcast)}, spill 0"
         if not any(r["spill_bytes"] for r in rows)
