@@ -78,6 +78,7 @@ _PRIORITY = [
     "stream_session_stats",
     "stream_stateful_totals",
     "stream_interval_join",
+    "pipe_image_roundtrip",
     # changed this round (SF-invariant threshold) — r4 row is stale
     "tpch_q11",
     "pipe_substring_dup",

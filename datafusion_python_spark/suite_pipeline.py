@@ -1423,7 +1423,83 @@ FROM inj ORDER BY doc_id
 PIPE_PII_REDACT_SQL = _pii_redact_sql()
 
 
+# --------------------------------------------------------------------------
+# Multimodal binary columns on the driver record. A deterministic
+# grayscale image per document (w=8+doc_id%9, h=8+doc_id%7,
+# pixel[y,x]=(doc_id+31y+7x)%256) is encoded by the pure-numpy PNG
+# writer into a BINARY column, shuffled so the payload really crosses
+# an exchange, then decoded back by the full PNG reader
+# (operators/codecs.py) — per-image width/height/pixel-checksum must
+# equal the oracle's closed-form arithmetic, so any bit the encoder,
+# decoder, or binary transport drops is a red row. Arrow-batched
+# mapInPandas at the declared slow-path boundary (no JVM PNG codec);
+# both stages stream batches, nothing collects.
+def pipe_image_roundtrip(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def enc(batches):
+        import numpy as np
+        import pandas as pd
+
+        from datafusion_python_spark.operators.codecs import encode_png
+
+        for pdf in batches:
+            ids = pdf["doc_id"].to_numpy()
+            pngs = []
+            for i in ids:
+                w = 8 + int(i) % 9
+                h = 8 + int(i) % 7
+                y, x = np.mgrid[0:h, 0:w]
+                img = ((int(i) + 31 * y + 7 * x) % 256).astype(np.uint8)
+                pngs.append(encode_png(img))
+            yield pd.DataFrame({"doc_id": ids, "png": pngs})
+
+    staged = docs.mapInPandas(enc, "doc_id bigint, png binary").repartition(8, "doc_id")
+
+    def dec(batches):
+        import numpy as np
+        import pandas as pd
+
+        from datafusion_python_spark.operators.codecs import decode_png
+
+        for pdf in batches:
+            out = {"doc_id": [], "width": [], "height": [], "pix_sum": []}
+            for i, b in zip(pdf["doc_id"], pdf["png"]):
+                img = decode_png(bytes(b))
+                out["doc_id"].append(int(i))
+                out["width"].append(int(img.shape[1]))
+                out["height"].append(int(img.shape[0]))
+                out["pix_sum"].append(int(img.astype(np.int64).sum()))
+            yield pd.DataFrame(out)
+
+    return (
+        staged.mapInPandas(
+            dec, "doc_id bigint, width bigint, height bigint, pix_sum bigint"
+        )
+        .orderBy("doc_id")
+    )
+
+
+PIPE_IMAGE_ROUNDTRIP_SQL = """
+WITH dims AS (
+  SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h FROM documents
+), ys AS (
+  SELECT doc_id, w, h, unnest(range(0, h)) AS gy FROM dims
+), px AS (
+  SELECT doc_id, w, h, gy, unnest(range(0, w)) AS gx FROM ys
+)
+SELECT doc_id,
+       CAST(w AS BIGINT) AS width,
+       CAST(h AS BIGINT) AS height,
+       CAST(sum((doc_id + 31 * gy + 7 * gx) % 256) AS BIGINT) AS pix_sum
+FROM px
+GROUP BY doc_id, w, h
+ORDER BY doc_id
+"""
+
+
 PIPELINE_QUERIES: dict[str, tuple] = {
+    "pipe_image_roundtrip": (pipe_image_roundtrip, PIPE_IMAGE_ROUNDTRIP_SQL),
     "pipe_pii_redact": (pipe_pii_redact, PIPE_PII_REDACT_SQL),
     "pipe_substring_dup": (pipe_substring_dup, PIPE_SUBSTRING_DUP_SQL),
     "pipe_hll_rollup": (pipe_hll_rollup, PIPE_HLL_ROLLUP_SQL),
