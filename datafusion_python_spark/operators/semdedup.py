@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .similarity import cosine_similarity_col, ivf_assign, ivf_centroids
+from .similarity import ivf_assign, ivf_centroids
 
 
 def semantic_dup_ids(
@@ -38,21 +38,33 @@ def semantic_dup_ids(
     vec_col: str = "embedding",
     cell_col: str = "ivf_cell",
 ) -> DataFrame:
-    """Ids that have a lower-id near-duplicate in the same cluster."""
+    """Ids that have a lower-id near-duplicate in the same cluster.
+
+    Norms are computed per ROW on each join side (materialized at the
+    exchange), so a candidate pair costs one dot fold plus scalar
+    arithmetic instead of three interpreted folds — the same ~3× cut
+    of the dominant pairwise term as cosine_near_dup_pairs, with the
+    cosine expression ``dot/(na*nb)`` unchanged bit-for-bit."""
+    from .similarity import _dot, _norm
+
+    emb = F.col(vec_col).cast("array<double>")
     a = assigned.select(
         F.col(cell_col).alias("cell"),
         F.col(id_col).alias("id_a"),
-        F.col(vec_col).cast("array<double>").alias("va"),
+        emb.alias("va"),
+        _norm(emb).alias("na"),
     )
     b = assigned.select(
         F.col(cell_col).alias("cell"),
         F.col(id_col).alias("id_b"),
-        F.col(vec_col).cast("array<double>").alias("vb"),
+        emb.alias("vb"),
+        _norm(emb).alias("nb"),
     )
+    cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return (
         a.join(b, "cell")
         .filter(F.col("id_a") < F.col("id_b"))
-        .filter(cosine_similarity_col(F.col("va"), F.col("vb")) >= threshold)
+        .filter(cos >= threshold)
         .select(F.col("id_b").alias(id_col))
         .distinct()
     )
