@@ -26,8 +26,12 @@ Kernel/JVM parity contract (each clause is tested):
 - Degenerate vectors fail loudly in both paths: the JVM cosine is a
   ``Divide`` whose zero divisor raises DIVIDE_BY_ZERO under Spark 4's
   default ANSI mode, so the kernels raise ``ValueError`` on zero-norm
-  embeddings (and on null embeddings/ids, which the flatten-reshape
-  could otherwise silently misalign) instead of inventing a value.
+  embeddings (and on null embeddings, which the flatten-reshape could
+  otherwise silently misalign) instead of inventing a value. Null IDS
+  are tolerated wherever the JVM path tolerates them (``cosine_topk``:
+  the id only joins the tie-break, NULLS FIRST asc) and raise only
+  where the JVM path would also fail (pair min/max in the near-dup
+  kernels).
 - NaN follows Spark's total order (NaN above every double): NaN
   cosines survive ``>= threshold`` filters and win top-k selection.
   One documented edge: local selection keys NaN as +inf, so a genuine
@@ -115,9 +119,13 @@ def _spark_round(a, decimals: int = 6):
     (java BigDecimal.valueOf → setScale), while ``np.round`` rounds
     half-even on the binary value — they disagree exactly when the
     scaled value sits on (or within float error of) a ``.5`` tie. The
-    fast path is np.round; elements within 1e-6 of a tie (float error
-    at these magnitudes is ≤1e-8, so the net can't miss) are recomputed
-    exactly through decimal. NaN/inf pass through untouched.
+    fast path is np.round; elements near a tie are recomputed exactly
+    through decimal. The near-tie band is max(1e-6, 4 ulp of the
+    scaled value): the fixed floor covers cosine-range magnitudes, the
+    ulp term keeps the net wide enough for unbounded inputs (e.g.
+    ``random_projection_arrow`` components), where ``a * 1e6`` alone
+    can carry more than 1e-6 of float error. Widening only routes more
+    elements through the exact path. NaN/inf pass through untouched.
     """
     import numpy as np
     from decimal import ROUND_HALF_UP, Decimal
@@ -126,7 +134,11 @@ def _spark_round(a, decimals: int = 6):
     r = np.round(a, decimals)
     scaled = a * (10.0 ** decimals)
     with np.errstate(invalid="ignore"):
-        near = np.abs(scaled - np.floor(scaled) - 0.5) < 1e-6
+        tol = np.maximum(1e-6, 4.0 * np.spacing(np.abs(scaled)))
+        near = np.abs(scaled - np.floor(scaled) - 0.5) < tol
+        # Beyond 2^53 the scaled double has no fractional part: np.round
+        # is exact and the ulp-widened band would flag every element.
+        near &= np.abs(scaled) < 2.0 ** 53
     near &= np.isfinite(a)
     if near.any():
         q = Decimal(1).scaleb(-decimals)
@@ -145,9 +157,12 @@ def _batch_matrix(batch, vec_col: str):
     row's slots, so a null embedding would either break the reshape or
     misalign every subsequent row's vector — and the JVM twin raises on
     the resulting divide anyway (ANSI). Ragged rows get the same loud
-    treatment via the length check.
+    treatment: per-row lengths are validated from the ListArray offsets
+    (an aggregate ``len % n`` check would let rows of e.g. 3 and 5
+    slots at dim 4 reshape silently and misalign every vector).
     """
     import numpy as np
+    import pyarrow.compute as pc
 
     col = batch.column(vec_col)
     if col.null_count:
@@ -155,14 +170,17 @@ def _batch_matrix(batch, vec_col: str):
             f"null values in embedding column {vec_col!r}: the Arrow kernels "
             "require non-null, fixed-dimension embeddings"
         )
-    flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
     n = len(batch)
     if n == 0:
-        return flat.reshape(0, 0)
-    if len(flat) % n:
+        return np.empty((0, 0), dtype=np.float64)
+    mm = pc.min_max(pc.list_value_length(col))
+    lo, hi = mm["min"].as_py(), mm["max"].as_py()
+    if lo != hi:
         raise ValueError(
-            f"ragged embedding column {vec_col!r}: {len(flat)} values over {n} rows"
+            f"ragged embedding column {vec_col!r}: row lengths vary "
+            f"between {lo} and {hi}"
         )
+    flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
     return flat.reshape(n, -1)
 
 
@@ -183,8 +201,11 @@ def cosine_topk_arrow(
     merge therefore sees #batches × k rows no matter how large the
     corpus is — the same scale shape as ``cosine_topk``, ~4× the
     per-partition throughput at 64 dims and widening with
-    dimensionality. Zero-norm embeddings (or query) and null ids raise,
-    mirroring the JVM path's ANSI DIVIDE_BY_ZERO.
+    dimensionality. Zero-norm embeddings (or query) raise, mirroring
+    the JVM path's ANSI DIVIDE_BY_ZERO; null ids are tolerated exactly
+    like the JVM path (no divide involves the id — it only joins the
+    tie-break, where Spark's ascending order puts NULL first, matched
+    here via ``null_placement="at_start"``).
     """
     import numpy as np
     import pyarrow as pa
@@ -204,10 +225,6 @@ def cosine_topk_arrow(
             if len(b) == 0:
                 continue
             ids = b.column(id_col)
-            if ids.null_count:
-                raise ValueError(
-                    f"cosine_topk_arrow: null values in id column {id_col!r}"
-                )
             m = _batch_matrix(b, vec_col)
             norms = np.sqrt((m * m).sum(axis=1)) * qn
             if (norms == 0).any():
@@ -223,6 +240,7 @@ def cosine_topk_arrow(
             order = pc.sort_indices(
                 pa.table({"k": pa.array(key), "i": ids}),
                 sort_keys=[("k", "descending"), ("i", "ascending")],
+                null_placement="at_start",
             )[:k]
             yield pa.RecordBatch.from_arrays(
                 [ids.take(order), pa.array(cos).take(order)],

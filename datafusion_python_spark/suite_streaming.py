@@ -24,6 +24,7 @@ never by history.
 
 from __future__ import annotations
 
+import functools
 import itertools
 import os
 import tempfile
@@ -40,15 +41,49 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+def _with_utc(fn):
+    """Run a gate with the session timeZone pinned to UTC, then restore.
+
+    The NTZ→TIMESTAMP→NTZ round-trips these gates do are exact only in
+    a fixed-offset zone, but a gate must not leak the pinned conf into
+    whatever the (shared) session runs next. Casts capture their zone
+    at ANALYSIS time (ResolveTimeZone stamps timeZoneId into the
+    expression), so forcing ``out.schema`` inside the UTC scope makes
+    the returned lazy DataFrame — and anything later built on top of
+    its analyzed plan — execute under UTC even after the conf is
+    restored (verified empirically: a post-restore collect matches the
+    UTC value while a freshly analyzed plan does not).
+    """
+
+    @functools.wraps(fn)
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        prev = spark.conf.get("spark.sql.session.timeZone", None)
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        try:
+            out = fn(spark, sf_dir)
+            out.schema  # stamp UTC into the plan's casts now
+            return out
+        finally:
+            if prev is None:
+                spark.conf.unset("spark.sql.session.timeZone")
+            else:
+                spark.conf.set("spark.sql.session.timeZone", prev)
+
+    return wrapped
+
+
 def _replay_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The events table as a bounded file stream (deterministic replay)."""
-    # The NTZ→TIMESTAMP→NTZ round-trip these gates do is exact only in a
-    # fixed-offset zone; pin UTC at runtime like the loaders pin their
-    # parquet confs, so a vanilla (driver) session behaves identically.
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    """The events table as a bounded file stream (deterministic replay).
+
+    Callers hold the UTC pin via ``_with_utc``. The replay path carries
+    the pid so concurrent runs over the same sf_dir don't overwrite
+    each other mid-read (same token scheme as ``_drain``'s sink name).
+    """
     ev = _t(spark, sf_dir, "events")
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    path = os.path.join(tempfile.gettempdir(), f"_suite_stream_events_{tag}")
+    path = os.path.join(
+        tempfile.gettempdir(), f"_suite_stream_events_{tag}_{os.getpid()}"
+    )
     ev.write.mode("overwrite").parquet(path)
     return spark.readStream.schema(ev.schema).parquet(path)
 
@@ -63,6 +98,7 @@ def _drain(spark: SparkSession, sdf: DataFrame, mode: str) -> DataFrame:
     return spark.table(name)
 
 
+@_with_utc
 def stream_hourly_counts(spark, sf_dir):
     """Watermarked tumbling 1-hour windows per event_type over the
     replayed stream (streaming/windows.py tumbling_counts). Window
@@ -89,6 +125,7 @@ FROM events GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+@_with_utc
 def stream_dedup_distinct(spark, sf_dir):
     """Bounded-state streaming dedup (dropDuplicatesWithinWatermark on
     (user_id, event_type)) chained into a streaming aggregation — the
@@ -110,6 +147,7 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+@_with_utc
 def stream_session_stats(spark, sf_dir):
     """Streaming session windows (20-minute gap) per user
     (streaming/windows.py sessionized_counts). The oracle re-derives
@@ -153,6 +191,7 @@ ORDER BY user_id, session_start
 """
 
 
+@_with_utc
 def stream_stateful_totals(spark, sf_dir):
     """Custom stateful operator (applyInPandasWithState): per-user
     running totals with explicit state. One replayed batch leaves each
@@ -178,6 +217,7 @@ FROM events GROUP BY user_id ORDER BY user_id
 """
 
 
+@_with_utc
 def stream_interval_join(spark, sf_dir):
     """Watermarked stream-stream interval join: purchases within 5
     minutes after a click by the same user, both sides replayed from

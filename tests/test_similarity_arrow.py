@@ -213,3 +213,57 @@ def test_nan_vector_parity_topk_and_pairs(spark):
     assert arrow_p == jvm_p
     # every pair involving the NaN vector that shares its bucket is kept
     assert all((2 in p) or p == (1, 3) for p in arrow_p)
+
+
+def test_topk_arrow_null_ids_match_jvm(spark):
+    # Null ids don't feed any divide — the JVM path lets them ride the
+    # tie-break (asc = NULLS FIRST); the kernel must select identically.
+    rows = [(None, [1.0, 0.0]), (2, [1.0, 0.0]), (3, [0.6, 0.8]), (4, [0.0, 1.0])]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    jvm = [(r.vec_id, r.cosine) for r in cosine_topk(df, [1.0, 0.0], k=3).collect()]
+    arrow = [(r.vec_id, r.cosine) for r in cosine_topk_arrow(df, [1.0, 0.0], k=3).collect()]
+    assert arrow == jvm
+    assert jvm[0][0] is None  # ties at cosine 1.0 → null id first
+
+
+def test_batch_matrix_rejects_compensating_ragged_rows():
+    # rows of 3 and 5 slots sum to 8 = 2 rows × dim 4: the old aggregate
+    # modulo check reshaped this silently; per-row lengths must not.
+    import pyarrow as pa
+    import pytest
+
+    from datafusion_python_spark.operators.similarity import _batch_matrix
+
+    rb = pa.record_batch(
+        {"id": pa.array([1, 2]), "e": pa.array([[1.0, 2.0, 3.0], [1.0, 2.0, 3.0, 4.0, 5.0]])}
+    )
+    with pytest.raises(ValueError, match="ragged"):
+        _batch_matrix(rb, "e")
+
+
+def test_spark_round_large_magnitudes(spark):
+    # the near-tie band scales with ulp(scaled): magnitudes where
+    # |a * 1e6| carries > 1e-6 of float error must still match F.round.
+    import numpy as np
+
+    from datafusion_python_spark.operators.similarity import _spark_round
+
+    vals = [12345.6789995, 98765.4321235, 5.0e8 + 0.1234565, 1.0e12 + 0.5, 4.503599627370497e15]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    jvm = [r.r for r in df.select(F.round("x", 6).alias("r")).collect()]
+    ours = list(_spark_round(np.array(vals), 6))
+    assert ours == jvm
+
+
+def test_streaming_gate_restores_session_timezone(spark):
+    # _with_utc must not leak the UTC pin into the shared session.
+    from datafusion_python_spark.suite_streaming import stream_dedup_distinct
+
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        out = stream_dedup_distinct(spark, "/root/testdata/sf0.001")
+        assert spark.conf.get("spark.sql.session.timeZone") == "America/New_York"
+        assert out.count() > 0  # post-restore execution still correct
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
