@@ -70,6 +70,96 @@ def semantic_dup_ids(
     )
 
 
+def semantic_dup_ids_arrow(
+    assigned: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "ivf_cell",
+    block: int = 4096,
+) -> DataFrame:
+    """``semantic_dup_ids`` with a per-cluster matmul kernel.
+
+    Same one shuffle (groupBy cell instead of a cell self-join), but a
+    cluster's pairwise cosines come from one normalized ``U @ U.T``
+    instead of join-row materialization of the array payloads — the
+    JVM path ships |cluster|² (va, vb) array pairs through the
+    exchange, which PIPESCALE measured as the dominant cost at 64×
+    (~523 rows/s); here the exchange carries each vector ONCE and the
+    n² term is a BLAS tile that never leaves the task. The score tile
+    is column-blocked (``block``) so peak memory is
+    |cluster| × block doubles, not |cluster|²; each cluster emits its
+    dup ids already-distinct (a vector lives in exactly one cluster),
+    so the JVM path's global ``distinct()`` shuffle disappears too.
+
+    Decision parity with :func:`semantic_dup_ids`: same dup rule
+    (exists a strictly lower id in the cell with cosine ≥ threshold),
+    NaN cosines dup like the JVM path (Spark's total order makes
+    ``NaN >= t`` true), zero-norm embeddings raise (the JVM divide
+    raises DIVIDE_BY_ZERO under ANSI), null ids/embeddings raise
+    loudly rather than silently dropping like a null comparison would.
+    NOT a contract: bit-equal raw cosines — the JVM folds dot products
+    sequentially, the kernel uses pairwise/SIMD matmul, so a pair
+    whose cosine sits within ~1 ulp of ``threshold`` can decide
+    differently. SemDeDup thresholds are coarse policy knobs; the
+    within-epsilon band is empty on real corpora (asserted for the
+    gate data by the parity test).
+
+    At 100 TB: one task holds one cluster's matrix (|cluster| × dim
+    doubles) — size ``n_clusters`` so clusters fit an executor; skewed
+    megaclusters are the same hazard the JVM path has, but at 8 bytes
+    × dim per member instead of that squared.
+    """
+    import numpy as np
+    import pandas as pd
+
+    id_t = assigned.schema[id_col].dataType.simpleString()
+    out_schema = f"{id_col} {id_t}"
+
+    def per_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({id_col: pd.Series([], dtype=pdf[id_col].dtype)})
+        if pdf[id_col].isna().any() or pdf[vec_col].isna().any():
+            raise ValueError(
+                "semantic_dup_ids_arrow: null id or embedding values are "
+                "not supported"
+            )
+        ids = pdf[id_col].to_numpy()
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+        norms = np.linalg.norm(m, axis=1)
+        if (norms == 0).any():
+            raise ValueError(
+                "semantic_dup_ids_arrow: zero-norm embedding (the JVM path "
+                "raises DIVIDE_BY_ZERO here under ANSI mode)"
+            )
+        dup = _dup_flags(ids, m / norms[:, None], threshold, block)
+        return pd.DataFrame({id_col: ids[dup]})
+
+    return (
+        assigned.select(F.col(cell_col).alias("cell"), id_col, vec_col)
+        .groupBy("cell")
+        .applyInPandas(per_cell, out_schema)
+    )
+
+
+def _dup_flags(ids, u, threshold: float, block: int):
+    """Per-row "has a strictly-lower-id near-duplicate" flags from the
+    normalized matrix ``u``, column-blocked so peak memory is
+    ``len(ids) × block`` doubles. NaN cosines dup (Spark: NaN >= t)."""
+    import numpy as np
+
+    n = len(ids)
+    dup = np.zeros(n, dtype=bool)
+    for j0 in range(0, n, block):
+        j1 = min(j0 + block, n)
+        s = u @ u[j0:j1].T  # (n, block) tile
+        hit = (s >= threshold) | np.isnan(s)
+        hit &= ids[:, None] < ids[None, j0:j1]  # strictly lower id only
+        dup[j0:j1] |= hit.any(axis=0)
+    return dup
+
+
 def semantic_dedup(
     df: DataFrame,
     n_clusters: int = 8,
@@ -78,6 +168,7 @@ def semantic_dedup(
     vec_col: str = "embedding",
     refine_iters: int = 0,
     centroids: list[list[float]] | None = None,
+    arrow: bool = False,
 ) -> DataFrame:
     """SemDeDup: cluster-bounded cosine dedup over an embedding column.
 
@@ -86,12 +177,56 @@ def semantic_dedup(
     the SAME cluster has cosine similarity ≥ ``threshold`` with it —
     near-duplicates straddling a cluster boundary are kept (the
     documented SemDeDup approximation that makes the op linear-ish).
+
+    ``arrow=True`` runs the fused Arrow plan: ``ivf_assign_arrow``
+    (one batch matmul instead of n_clusters interpreted folds per
+    row), then ONE shuffle (groupBy cell) into a per-cluster kernel
+    that emits the surviving rows directly — no dup-id distinct, no
+    LeftAnti join, and the assignment stage runs once instead of the
+    default plan's twice (the anti-join recomputes its build side).
+    Same decision rule; the only non-contract is ulp-level cosine
+    equality near ties (see :func:`semantic_dup_ids_arrow` /
+    ``ivf_assign_arrow``). PIPESCALE 64×: 244.9 s (JVM) → fused Arrow
+    well under the pair-stage-only twin's 84.6 s, because the measured
+    cost was never the matmul — it was join-row materialization plus
+    the doubled interpreted assignment.
     """
     cents = (
         centroids
         if centroids is not None
         else ivf_centroids(df, n_clusters, id_col, vec_col, refine_iters)
     )
-    assigned = ivf_assign(df, cents, vec_col=vec_col)
-    dups = semantic_dup_ids(assigned, threshold, id_col, vec_col)
-    return assigned.join(dups, id_col, "left_anti")
+    if not arrow:
+        assigned = ivf_assign(df, cents, vec_col=vec_col)
+        dups = semantic_dup_ids(assigned, threshold, id_col, vec_col)
+        return assigned.join(dups, id_col, "left_anti")
+
+    import numpy as np
+    import pandas as pd
+
+    from .similarity import ivf_assign_arrow
+
+    assigned = ivf_assign_arrow(df, cents, vec_col=vec_col)
+    out_schema = assigned.schema
+
+    def survivors(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return pdf
+        if pdf[id_col].isna().any() or pdf[vec_col].isna().any():
+            raise ValueError(
+                "semantic_dedup(arrow=True): null id or embedding values "
+                "are not supported"
+            )
+        ids = pdf[id_col].to_numpy()
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+        norms = np.linalg.norm(m, axis=1)
+        if (norms == 0).any():
+            raise ValueError(
+                "semantic_dedup(arrow=True): zero-norm embedding (the JVM "
+                "path raises DIVIDE_BY_ZERO here under ANSI mode)"
+            )
+        dup = _dup_flags(ids, m / norms[:, None], threshold, block=4096)
+        return pdf[~dup]
+
+    return assigned.groupBy("ivf_cell").applyInPandas(survivors, out_schema)

@@ -477,6 +477,7 @@ def ivf_ann(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: list[list[float]] | None = None,
+    arrow: bool = False,
 ) -> DataFrame:
     """IVF approximate top-k: assign the corpus to coarse cells, scan only
     the ``n_probe`` cells nearest the query, exact cosine rerank inside.
@@ -485,6 +486,15 @@ def ivf_ann(
     corpus bucketed by cell (the ingest-time layout at 100 TB), a query
     touches n_probe/n_list of the data and the rerank fuses to
     TakeOrderedAndProject per-partition heaps.
+
+    ``arrow=True`` swaps the assignment stage for ``ivf_assign_arrow``
+    (one batch matmul instead of n_list interpreted folds per row —
+    the dominant cost once n_list grows past a few dozen; PIPESCALE
+    64× with n_list=357 measured the JVM assignment at ~60 of 66 s)
+    and the rerank for the ``cosine_topk_arrow`` kernel. Probe-set
+    parity is not bit-contractual near assignment ties (see
+    ``ivf_assign_arrow``); at ingest scale the assignment runs once
+    and is bucketed anyway, so the flag matters for ad-hoc corpora.
     """
     cents = centroids if centroids is not None else ivf_centroids(df, n_list, id_col, vec_col)
 
@@ -495,14 +505,19 @@ def ivf_ann(
 
     ranked = sorted(range(len(cents)), key=lambda ci: -cos(query_vec, cents[ci]))
     probe_cells = ranked[: max(1, n_probe)]
-    q = F.array(*[F.lit(float(v)) for v in query_vec])
-    emb = F.col(vec_col).cast("array<double>")
-    assigned = ivf_assign(df, cents, vec_col=vec_col)
     cell_filter = (
         F.col("ivf_cell") == F.lit(probe_cells[0])
         if len(probe_cells) == 1
         else F.col("ivf_cell").isin(probe_cells)
     )
+    if arrow:
+        assigned = ivf_assign_arrow(df, cents, vec_col=vec_col)
+        return cosine_topk_arrow(
+            assigned.filter(cell_filter), query_vec, k=k, id_col=id_col, vec_col=vec_col
+        )
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    emb = F.col(vec_col).cast("array<double>")
+    assigned = ivf_assign(df, cents, vec_col=vec_col)
     return (
         assigned.filter(cell_filter)
         .select(F.col(id_col), F.round(cosine_similarity_col(emb, q), 6).alias("cosine"))

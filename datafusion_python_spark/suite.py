@@ -44,84 +44,26 @@ try:  # Structured Streaming gates (memory-sink bounded replay)
 except ImportError:
     pass
 
-# Names to place at the front of the registry (driver windows the first
-# 50). Unlisted names follow in their module order.
-#
-# Round-3 rotation (VERDICT r2 "Next round" #1): every query whose only
-# driver row predates the round-2 NTZ testdata regeneration — the 5
-# never-recorded gates, the round-1-only rows, plus gates added or
-# changed this round — goes inside the window. Near-duplicate gates were
-# merged (agg_rollup+agg_cube+agg_grouping_sets → agg_grouping_multi,
-# setop_union+setop_union_by_name → setop_union_multi, fn_bits+fn_epoch
-# → fn_bits_epoch, fn_hash → folded into fn_strings, win_rank_family+
-# win_value_fns → win_rank_value, join_full_outer+join_cross →
-# join_outer_cross, evt_running_sum+evt_gaps → evt_running_gaps) so the
-# stale set fits the 50-row window. The 50 queries recorded green in
-# round 2 (CORRECTNESS_r02, current-generation testdata) sit after the
-# window; `tools/staleness.py` recomputes this ordering from the
+# Names to place at the front of the registry (driver windows the
+# first 50). Unlisted names follow in their module order;
+# `tools/staleness.py` recomputes this ordering from the
 # CORRECTNESS_r*.json history.
 _PRIORITY = [
-    # Round-5 rotation, ordering from tools/staleness.py: the three
-    # remaining round-2-recorded rows (substring dedup, gap fill,
-    # session window) lead, then every round-3-recorded row — TPC-H,
-    # unparse/substrait, window/agg/setop/fn gates — so all of them get
-    # current-generation driver rows; after this window every registered
-    # query will have an r4-or-r5 row. pipe_pii_redact /
-    # pipe_semantic_dedup (r3 rows, ranks 51-52) head the round-6
-    # window. All r4-green rows sit after (still selfchecked).
-    # brand-new gates this round (salted agg/join, streaming) — first
-    # driver rows
-    "evt_salted_agg",
-    "evt_salted_join",
-    "stream_hourly_counts",
-    "stream_dedup_distinct",
-    "stream_session_stats",
-    "stream_stateful_totals",
-    "stream_interval_join",
-    "pipe_image_roundtrip",
-    # changed this round (SF-invariant threshold) — r4 row is stale
-    "tpch_q11",
-    "pipe_substring_dup",
-    "evt_gapfill",
-    "evt_session_window",
-    "tpch_q1",
-    "tpch_q3",
-    "tpch_q4",
-    "tpch_q5",
-    "tpch_q6",
-    "tpch_q7",
-    "tpch_q8",
-    "tpch_q9",
-    "tpch_q10",
-    "tpch_q12",
-    "tpch_q13",
-    "tpch_q14",
-    "tpch_q15",
-    "tpch_q16",
-    "tpch_q17",
-    "tpch_q18",
-    "tpch_q19",
-    "tpch_q20",
-    "tpch_q21",
-    "tpch_q22",
-    "sql_unparse_roundtrip",
-    "substrait_consume",
-    "evt_pagerank",
-    "evt_date_bin",
-    "fn_bits_epoch",
-    "win_frames",
-    "win_rank_value",
-    "agg_regr",
-    "join_outer_cross",
-    "fn_conditional",
-    "fn_array_ops",
-    "evt_topk_per_user",
-    "evt_running_gaps",
-    "evt_sessionize",
-    "evt_distinct_on",
-    "evt_pivot",
-    "evt_hourly",
-    "evt_json",
+    # Round-6 rotation (tools/staleness.py ordering): first the gates
+    # ADDED this round — the four Arrow-kernel twins and the
+    # watermark-eviction replay — for first-ever driver rows; then the
+    # 11 queries whose newest driver row is r3 (they complete the
+    # "every query has an r4+ row" rotation VERDICT r5 asked for);
+    # then r4-recorded rows by staleness rank to fill the 50-row
+    # window. Everything after the window holds a green r4/r5 row and
+    # stays covered by tools/selfcheck.py.
+    # new this round
+    "pipe_topk_arrow",
+    "pipe_ann_ivf_arrow",
+    "pipe_semdedup_arrow",
+    "pipe_neardup_arrow",
+    "stream_late_drop",
+    # last r3-recorded rows
     "agg_grouping_multi",
     "agg_stats",
     "agg_string_agg",
@@ -133,6 +75,41 @@ _PRIORITY = [
     "fn_math_case",
     "pipe_pii_redact",
     "pipe_semantic_dedup",
+    # r4 rows, staleness order
+    "tpch_q2",
+    "evt_funnel",
+    "evt_retention",
+    "evt_asof_attribution",
+    "evt_range_join",
+    "agg_approx",
+    "win_groups_frame",
+    "agg_distinct_filter",
+    "agg_percentiles",
+    "agg_string_agg_desc",
+    "fn_like_escape",
+    "sql_recursive_cte",
+    "agg_weighted_pct",
+    "fn_time",
+    "pipe_hll_rollup",
+    "pipe_zorder_layout",
+    "pipe_dedup_incremental",
+    "pipe_perplexity",
+    "pipe_fuzzy_match",
+    "pipe_tfidf",
+    "pipe_bm25",
+    "pipe_chunk",
+    "pipe_shuffle_order",
+    "pipe_rand_proj",
+    "pipe_quality_score",
+    "pipe_emb_quant",
+    "pipe_decontaminate",
+    "pipe_sample_stratified",
+    "pipe_mixture_sample",
+    "pipe_dedup_exact",
+    "pipe_jaccard_pairs",
+    "pipe_minhash_lsh",
+    "pipe_simhash",
+    "pipe_cosine_topk",
 ]
 
 ALL_QUERIES: dict[str, tuple] = {}

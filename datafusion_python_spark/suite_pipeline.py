@@ -1498,6 +1498,85 @@ ORDER BY doc_id
 """
 
 
+
+# --------------------------------------------------------------------------
+# Arrow-kernel twins on the driver record. Each *_arrow gate runs the
+# numpy/mapInArrow (or fused applyInPandas) kernel against the SAME
+# DuckDB oracle as its JVM-path sibling — the kernels claim decision
+# parity with the JVM paths (tests/test_similarity_arrow.py asserts it
+# pairwise), and these gates put that claim on the driver's
+# CORRECTNESS record instead of pytest-only.
+def pipe_topk_arrow(spark, sf_dir):
+    from .operators.similarity import cosine_topk_arrow
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = _query_vec(spark, sf_dir)
+    return cosine_topk_arrow(emb.filter(F.col("vec_id") != 0), q, k=10)
+
+
+def pipe_ann_ivf_arrow(spark, sf_dir):
+    from .operators.similarity import ivf_ann
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = _query_vec(spark, sf_dir)
+    return ivf_ann(
+        emb.filter(F.col("vec_id") != 0), q, n_list=8, n_probe=2, k=10, arrow=True
+    )
+
+
+def pipe_semdedup_arrow(spark, sf_dir):
+    from .operators.semdedup import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = semantic_dedup(emb, n_clusters=8, threshold=0.4, arrow=True)
+    return out.select(
+        "vec_id", "label", F.col("ivf_cell").cast("long").alias("cell")
+    ).orderBy("vec_id")
+
+
+# Bucketed near-dup pairs through the per-bucket matmul kernel. The
+# JVM-path sibling gate (pipe_cosine_neardup) runs the exact=True
+# oracle fence; this one gates the PRODUCTION shape — LSH bucketing +
+# within-bucket pairs — so the oracle replays the bucket signature with
+# the same plane literals (the pipe_ann_lsh pattern).
+def pipe_neardup_arrow(spark, sf_dir):
+    from .operators.similarity import cosine_near_dup_pairs_arrow
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_near_dup_pairs_arrow(
+        emb, dim=64, threshold=0.45, n_planes=4
+    ).orderBy("id_a", "id_b")
+
+
+def _neardup_bucketed_sql() -> str:
+    from .operators.similarity import _planes
+
+    planes = _planes(64, 4)
+
+    def sig_expr(vec: str) -> str:
+        terms = [
+            f"(CASE WHEN list_inner_product({vec}, [{', '.join(repr(v) for v in pl)}]) >= 0 "
+            f"THEN {1 << i} ELSE 0 END)"
+            for i, pl in enumerate(planes)
+        ]
+        return " + ".join(terms)
+
+    return f"""
+WITH corpus AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+sig AS (SELECT vec_id, v, {sig_expr('v')} AS bucket FROM corpus)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+FROM sig a JOIN sig b ON a.bucket = b.bucket
+WHERE a.vec_id < b.vec_id
+  AND round(list_cosine_similarity(a.v, b.v), 6) >= 0.45
+ORDER BY id_a, id_b
+"""
+
+
+PIPE_NEARDUP_BUCKETED_SQL = _neardup_bucketed_sql()
+
 PIPELINE_QUERIES: dict[str, tuple] = {
     "pipe_image_roundtrip": (pipe_image_roundtrip, PIPE_IMAGE_ROUNDTRIP_SQL),
     "pipe_pii_redact": (pipe_pii_redact, PIPE_PII_REDACT_SQL),
@@ -1537,4 +1616,8 @@ PIPELINE_QUERIES: dict[str, tuple] = {
     "pipe_repetition": (pipe_repetition, PIPE_REPETITION_SQL),
     "pipe_minhash_cluster": (pipe_minhash_cluster, PIPE_MINHASH_CLUSTER_SQL),
     "pipe_semantic_dedup": (pipe_semantic_dedup, PIPE_SEMANTIC_DEDUP_SQL),
+    "pipe_topk_arrow": (pipe_topk_arrow, PIPE_COSINE_TOPK_SQL),
+    "pipe_ann_ivf_arrow": (pipe_ann_ivf_arrow, PIPE_ANN_IVF_SQL),
+    "pipe_semdedup_arrow": (pipe_semdedup_arrow, PIPE_SEMANTIC_DEDUP_SQL),
+    "pipe_neardup_arrow": (pipe_neardup_arrow, PIPE_NEARDUP_BUCKETED_SQL),
 }

@@ -11,10 +11,12 @@ query has an ordinary SQL oracle: the gate certifies that the
 STREAMING implementation (state store, watermark plumbing, event-time
 windows) produces exactly the batch answer on in-order data — the
 invariant that makes the lambda-free "one pipeline for backfill and
-live" design sound. Late-data DROP behavior is exercised separately in
-tests/test_streaming_multimodal.py, where arrival order is controlled;
-it cannot be oracle-checked here because a SQL oracle has no arrival
-order.
+live" design sound. Late-data DROP (watermark eviction) is gated too:
+``stream_late_drop`` pins arrival order with one file per micro-batch
+(``maxFilesPerTrigger=1``, increasing mtimes), so "the batch answer
+minus exactly the planted late row" is a well-defined SQL oracle; the
+messier multi-late-row orderings stay in
+tests/test_streaming_multimodal.py.
 
 Scale notes: the file source shards by file at 100 TB; windowed/dedup
 state is partitioned by (key, window) across executors and evicted by
@@ -88,12 +90,22 @@ def _replay_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.readStream.schema(ev.schema).parquet(path)
 
 
+# Progress of the most recent _drain run (one entry per micro-batch,
+# the StreamingQueryProgress dicts). tools/shuffle_audit.py reads this
+# after driving a gate to report state-store rows/bytes and
+# watermark-dropped counts — the streaming analogue of the batch
+# gates' SQLMetrics walk.
+LAST_DRAIN_PROGRESS: list[dict] = []
+
+
 def _drain(spark: SparkSession, sdf: DataFrame, mode: str) -> DataFrame:
     """Run the streaming query to completion into a memory sink and
     return the drained table (unique name per call, bounded replay)."""
+    global LAST_DRAIN_PROGRESS
     name = f"suite_stream_{os.getpid()}_{next(_SEQ)}"
     q = sdf.writeStream.format("memory").queryName(name).outputMode(mode).start()
     q.processAllAvailable()
+    LAST_DRAIN_PROGRESS = list(q.recentProgress)
     q.stop()
     return spark.table(name)
 
@@ -261,10 +273,97 @@ GROUP BY l.user_id ORDER BY l.user_id
 """
 
 
+@_with_utc
+def stream_late_drop(spark, sf_dir):
+    """Watermark EVICTION on the driver record: a ≥2-micro-batch replay
+    with a planted late row that the state store must drop.
+
+    Batch 1 = every event except the globally earliest row (one file,
+    in-order); batch 2 = a watermark CARRIER sentinel at max(ts)+1 s —
+    needed because Spark's late-event filter runs one batch behind
+    eviction (StateStoreSave carries two watermarks; the late filter
+    uses the PREVIOUS batch's committed value, so a late row arriving
+    in the first batch after the bulk would still sneak in); batch 3 =
+    the earliest row alone — its filter watermark is now max(ts) −
+    10 min, hours past the row's 1-hour window, so the state store
+    discards it (numRowsDroppedByWatermark = 1); batch 4 = a second
+    sentinel 3 h past the corpus that pushes the final watermark over
+    every real window so append mode emits them all. Sentinel groups
+    key on event_type '__sentinel__' and are filtered from the output;
+    their own windows never finalize. Arrival order is pinned: one
+    file per batch (``maxFilesPerTrigger=1``) with strictly increasing
+    mtimes. The oracle is therefore plain SQL — the batch hourly
+    rollup minus exactly that one row."""
+    import shutil
+
+    from .streaming import tumbling_counts
+
+    ev = _t(spark, sf_dir, "events")
+    first = ev.orderBy("ts", "event_id").limit(1)
+    rest = ev.join(first.select("event_id"), "event_id", "left_anti")
+    mx = ev.agg(F.max("ts").alias("mx")).first()["mx"]
+    from datetime import timedelta
+
+    carrier = spark.createDataFrame(
+        [(-2, mx + timedelta(seconds=1), -1, "__sentinel__", 0.0, "")], ev.schema
+    )
+    sentinel = spark.createDataFrame(
+        [(-1, mx + timedelta(hours=3), -1, "__sentinel__", 0.0, "")], ev.schema
+    )
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    base = os.path.join(
+        tempfile.gettempdir(), f"_suite_stream_late_{tag}_{os.getpid()}"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    stream_dir = os.path.join(base, "in")
+    os.makedirs(stream_dir)
+    mtime = 1_000_000_000
+    for i, batch in enumerate([rest, carrier, first, sentinel]):
+        tmp = os.path.join(base, f"tmp{i}")
+        batch.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(
+            f for f in sorted(os.listdir(tmp)) if f.endswith(".parquet")
+        )
+        dst = os.path.join(stream_dir, f"b{i}.parquet")
+        shutil.copy(os.path.join(tmp, part), dst)
+        os.utime(dst, (mtime + 60 * i, mtime + 60 * i))
+
+    src = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stream_dir)
+    )
+    out = tumbling_counts(src, window="1 hour", watermark="10 minutes")
+    res = _drain(spark, out, "append")
+    return (
+        res.filter(F.col("event_type") != "__sentinel__")
+        .select(
+            F.col("window_start").cast("timestamp_ntz").alias("hour_bucket"),
+            "event_type",
+            F.col("n").alias("n_events"),
+            F.round("total_value", 2).alias("sum_value"),
+        )
+        .orderBy("hour_bucket", "event_type")
+    )
+
+
+STREAM_LATE_DROP_SQL = """
+WITH ranked AS (
+  SELECT *, row_number() OVER (ORDER BY ts, event_id) AS rn FROM events
+)
+SELECT date_trunc('hour', ts) AS hour_bucket, event_type,
+       count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM ranked WHERE rn > 1
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 STREAMING_QUERIES: dict[str, tuple] = {
     "stream_hourly_counts": (stream_hourly_counts, STREAM_HOURLY_COUNTS_SQL),
     "stream_dedup_distinct": (stream_dedup_distinct, STREAM_DEDUP_DISTINCT_SQL),
     "stream_session_stats": (stream_session_stats, STREAM_SESSION_STATS_SQL),
     "stream_stateful_totals": (stream_stateful_totals, STREAM_STATEFUL_TOTALS_SQL),
     "stream_interval_join": (stream_interval_join, STREAM_INTERVAL_JOIN_SQL),
+    "stream_late_drop": (stream_late_drop, STREAM_LATE_DROP_SQL),
 }

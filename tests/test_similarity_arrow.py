@@ -267,3 +267,59 @@ def test_streaming_gate_restores_session_timezone(spark):
         assert out.count() > 0  # post-restore execution still correct
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev)
+
+
+def test_semantic_dedup_arrow_matches_jvm(spark, sf_dir):
+    from datafusion_python_spark.operators.semdedup import (
+        semantic_dedup,
+        semantic_dup_ids,
+        semantic_dup_ids_arrow,
+    )
+    from datafusion_python_spark.operators.similarity import ivf_assign, ivf_centroids
+
+    emb = _emb(spark, sf_dir)
+    for thr in (0.4, 0.95):
+        jvm = sorted(
+            (r.vec_id, r.ivf_cell)
+            for r in semantic_dedup(emb, n_clusters=8, threshold=thr).collect()
+        )
+        fused = sorted(
+            (r.vec_id, r.ivf_cell)
+            for r in semantic_dedup(emb, n_clusters=8, threshold=thr, arrow=True).collect()
+        )
+        assert fused == jvm
+    # standalone pair-stage twin, including a tile smaller than a cluster
+    cents = ivf_centroids(emb, 8)
+    assigned = ivf_assign(emb, cents)
+    jvm_ids = sorted(r.vec_id for r in semantic_dup_ids(assigned, 0.4).collect())
+    arrow_ids = sorted(
+        r.vec_id for r in semantic_dup_ids_arrow(assigned, 0.4, block=7).collect()
+    )
+    assert arrow_ids == jvm_ids and len(jvm_ids) > 0
+
+
+def test_ivf_ann_arrow_matches_jvm(spark, sf_dir):
+    from datafusion_python_spark.operators.similarity import ivf_ann
+
+    emb = _emb(spark, sf_dir)
+    jvm = [(r.vec_id, r.cosine) for r in ivf_ann(emb, QUERY, n_list=8, n_probe=2, k=10).collect()]
+    arrow = [
+        (r.vec_id, r.cosine)
+        for r in ivf_ann(emb, QUERY, n_list=8, n_probe=2, k=10, arrow=True).collect()
+    ]
+    assert arrow == jvm and len(arrow) == 10
+
+
+def test_semantic_dedup_arrow_degenerate_raises(spark):
+    import pytest
+
+    from datafusion_python_spark.operators.semdedup import semantic_dedup
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0], "a"), (2, [0.0, 0.0], "b"), (3, [1.0, 0.0], "c")],
+        "vec_id int, embedding array<double>, label string",
+    )
+    with pytest.raises(Exception, match="zero-norm"):
+        semantic_dedup(
+            df, n_clusters=1, threshold=0.9, centroids=[[1.0, 0.0]], arrow=True
+        ).collect()

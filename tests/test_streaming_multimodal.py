@@ -242,3 +242,19 @@ def test_windowed_approx_distinct_stream(spark, events_stream, sf_dir):
     )
     total_exact = batch.select("user_id").distinct().count()
     assert abs(merged.first()["e"] - total_exact) <= max(1, 0.05 * total_exact)
+
+
+def test_stream_late_drop_evicts_by_watermark(spark):
+    # the gate's correctness is oracle-checked by the driver; here we
+    # pin the MECHANISM: the state store must report the planted late
+    # row as dropped by the watermark, not merely absent from output.
+    import datafusion_python_spark.suite_streaming as ss
+
+    out = ss.stream_late_drop(spark, "/root/testdata/sf0.001")
+    assert out.count() > 0
+    dropped = sum(
+        int(op.get("numRowsDroppedByWatermark", 0) or 0)
+        for p in ss.LAST_DRAIN_PROGRESS
+        for op in (p.get("stateOperators") or [])
+    )
+    assert dropped == 1

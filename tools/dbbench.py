@@ -1,0 +1,267 @@
+"""h2oai db-benchmark (groupby q1-q10, join q1-q5) on Spark.
+
+Secondary perf artifact mirroring the reference's
+benchmarks/db-benchmark/groupby-datafusion.py:114-374 and
+join-datafusion.py:107-257 — the same questions re-expressed as Spark
+DataFrame plans, at G1_1e7_1e2-equivalent scale (1e7 rows, 100 groups,
+the benchmark's smallest published size). The reference repo carries no
+committed numbers for this suite, so the artifact is evidence breadth
+for the aggregation/join paths at a second data shape (wide flat table,
+low-cardinality string keys), not a parity target.
+
+Data is generated IN SPARK (spark.range + splitmix-style hash mixing —
+distributed, deterministic, no driver materialization, same shape as
+the h2o generator: uniform group draws with replacement) and written to
+parquet once; every query result is checksum-validated against DuckDB
+running the same aggregate over the same parquet, so the timings are of
+verified-correct plans.
+
+Usage: python tools/dbbench.py [--n 10000000] [--fresh]
+Writes DBBENCH.md and prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from datafusion_python_spark.session import get_spark
+
+WORK = "/tmp/dbbench"
+
+
+def _mix(col, salt: int):
+    """splitmix64-ish uniform hash of (id, salt) onto [0, 2^63)."""
+    x = (col + F.lit(salt)) * F.lit(-7046029254386353131)  # 0x9E3779B97F4A7C15
+    x = x.bitwiseXOR(F.shiftrightunsigned(x, 31)) * F.lit(-4658895280553007687)
+    return F.shiftrightunsigned(x.bitwiseXOR(F.shiftrightunsigned(x, 29)), 1)
+
+
+def _u(col, salt: int, n: int):
+    """Uniform int in [1, n] from the row id — the h2o sample-with-
+    replacement column shape."""
+    return (_mix(col, salt) % F.lit(n) + 1).cast("int")
+
+
+def build(spark, n: int, k: int) -> str:
+    out = f"{WORK}/n{n}_k{k}"
+    if os.path.exists(f"{out}/_DONE"):
+        return out
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    nk = max(1, n // k)
+    r = spark.range(n).withColumnRenamed("id", "i")
+    x = r.select(
+        F.concat(F.lit("id"), F.lpad(_u(F.col("i"), 1, k).cast("string"), 3, "0")).alias("id1"),
+        F.concat(F.lit("id"), F.lpad(_u(F.col("i"), 2, k).cast("string"), 3, "0")).alias("id2"),
+        F.concat(F.lit("id"), _u(F.col("i"), 3, nk).cast("string")).alias("id3"),
+        _u(F.col("i"), 4, k).alias("id4"),
+        _u(F.col("i"), 5, k).alias("id5"),
+        _u(F.col("i"), 6, nk).alias("id6"),
+        _u(F.col("i"), 7, 5).alias("v1"),
+        _u(F.col("i"), 8, 15).alias("v2"),
+        F.round((_mix(F.col("i"), 9) % F.lit(10_000_000)) / 1e5, 6).alias("v3"),
+    )
+    x.write.mode("overwrite").parquet(f"{out}/x.parquet")
+    # join-task right tables (h2o spec: |small| = n/1e6, |medium| =
+    # n/1e3, |big| = n), keyed so most probes hit
+    def rhs(m: int, cols):
+        rr = spark.range(m).withColumnRenamed("id", "i")
+        exprs = {
+            "id1": F.concat(F.lit("id"), F.lpad(_u(F.col("i"), 21, k).cast("string"), 3, "0")),
+            "id2": F.concat(F.lit("id"), F.lpad(_u(F.col("i"), 22, k).cast("string"), 3, "0")),
+            "id3": F.concat(F.lit("id"), _u(F.col("i"), 23, nk).cast("string")),
+            "id4": _u(F.col("i"), 24, k),
+            "id5": _u(F.col("i"), 25, k),
+            "id6": _u(F.col("i"), 26, nk),
+        }
+        return rr.select(
+            *[exprs[c].alias(c) for c in cols],
+            F.round((_mix(F.col("i"), 27) % F.lit(10_000_000)) / 1e5, 6).alias("v2j"),
+        ).dropDuplicates(cols[:1])
+    rhs(max(10, n // 1_000_000), ["id1", "id4"]).write.mode("overwrite").parquet(f"{out}/small.parquet")
+    rhs(max(100, n // 1_000), ["id2", "id1", "id4", "id5"]).write.mode("overwrite").parquet(f"{out}/medium.parquet")
+    rhs(n, ["id3", "id1", "id2", "id4", "id5", "id6"]).write.mode("overwrite").parquet(f"{out}/big.parquet")
+    open(f"{out}/_DONE", "w").close()
+    return out
+
+
+# ---- groupby questions (ref groupby-datafusion.py:114-374) ----------------
+def gq(spark, d):
+    x = spark.read.parquet(f"{d}/x.parquet")
+    two = F.col("rn") <= 2
+    return {
+        "gq1_sum_v1_by_id1": x.groupBy("id1").agg(F.sum("v1").alias("v1")),
+        "gq2_sum_v1_by_id1_id2": x.groupBy("id1", "id2").agg(F.sum("v1").alias("v1")),
+        "gq3_sum_v1_mean_v3_by_id3": x.groupBy("id3").agg(
+            F.sum("v1").alias("v1"), F.avg("v3").alias("v3")
+        ),
+        "gq4_mean_v1_v3_by_id4": x.groupBy("id4").agg(
+            F.avg("v1").alias("v1"), F.avg("v2").alias("v2"), F.avg("v3").alias("v3")
+        ),
+        "gq5_sum_v1_v3_by_id6": x.groupBy("id6").agg(
+            F.sum("v1").alias("v1"), F.sum("v2").alias("v2"), F.sum("v3").alias("v3")
+        ),
+        "gq6_median_sd_v3_by_id4_id5": x.groupBy("id4", "id5").agg(
+            F.expr("percentile(v3, 0.5D)").alias("median_v3"),
+            F.stddev("v3").alias("sd_v3"),
+        ),
+        "gq7_range_v1_v2_by_id3": x.groupBy("id3").agg(
+            (F.max("v1") - F.min("v2")).alias("range_v1_v2")
+        ),
+        "gq8_largest2_v3_by_id6": (
+            x.select(
+                "id6",
+                "v3",
+                F.row_number()
+                .over(Window.partitionBy("id6").orderBy(F.desc("v3")))
+                .alias("rn"),
+            )
+            .filter(two)
+            .select("id6", F.col("v3").alias("largest2_v3"))
+        ),
+        "gq9_r2_v1_v2_by_id2_id4": x.groupBy("id2", "id4").agg(
+            F.pow(F.corr("v1", "v2"), 2).alias("r2")
+        ),
+        "gq10_sum_v3_count_by_id1_id6": x.groupBy(
+            "id1", "id2", "id3", "id4", "id5", "id6"
+        ).agg(F.sum("v3").alias("v3"), F.count("*").alias("cnt")),
+    }
+
+
+# per-question checksum aggregate (the h2o `chk` column) + DuckDB
+# verification SQL over the parquet (same question end-to-end)
+G_CHK = {
+    "gq1_sum_v1_by_id1": ("SELECT CAST(sum(v1) AS BIGINT) FROM (SELECT id1, sum(v1) v1 FROM x GROUP BY id1)", [F.sum("v1")]),
+    "gq2_sum_v1_by_id1_id2": ("SELECT CAST(sum(v1) AS BIGINT) FROM (SELECT id1, id2, sum(v1) v1 FROM x GROUP BY id1, id2)", [F.sum("v1")]),
+    "gq3_sum_v1_mean_v3_by_id3": ("SELECT CAST(sum(v1) AS BIGINT) + round(sum(v3), 3) FROM (SELECT id3, sum(v1) v1, avg(v3) v3 FROM x GROUP BY id3)", [F.sum("v1"), F.sum("v3")]),
+    "gq4_mean_v1_v3_by_id4": ("SELECT round(sum(v1) + sum(v2) + sum(v3), 3) FROM (SELECT id4, avg(v1) v1, avg(v2) v2, avg(v3) v3 FROM x GROUP BY id4)", [F.sum("v1"), F.sum("v2"), F.sum("v3")]),
+    "gq5_sum_v1_v3_by_id6": ("SELECT CAST(sum(v1) + sum(v2) AS BIGINT) + round(sum(v3), 3) FROM (SELECT id6, sum(v1) v1, sum(v2) v2, sum(v3) v3 FROM x GROUP BY id6)", [F.sum("v1"), F.sum("v2"), F.sum("v3")]),
+    "gq6_median_sd_v3_by_id4_id5": ("SELECT round(sum(median_v3) + sum(sd_v3), 3) FROM (SELECT id4, id5, median(v3) median_v3, stddev(v3) sd_v3 FROM x GROUP BY id4, id5)", [F.sum("median_v3"), F.sum("sd_v3")]),
+    "gq7_range_v1_v2_by_id3": ("SELECT CAST(sum(range_v1_v2) AS BIGINT) FROM (SELECT id3, max(v1) - min(v2) range_v1_v2 FROM x GROUP BY id3)", [F.sum("range_v1_v2")]),
+    "gq8_largest2_v3_by_id6": ("SELECT round(sum(largest2_v3), 3) FROM (SELECT id6, v3 AS largest2_v3 FROM (SELECT id6, v3, row_number() OVER (PARTITION BY id6 ORDER BY v3 DESC) rn FROM x) WHERE rn <= 2)", [F.sum("largest2_v3")]),
+    "gq9_r2_v1_v2_by_id2_id4": ("SELECT round(sum(r2), 3) FROM (SELECT id2, id4, pow(corr(v1, v2), 2) r2 FROM x GROUP BY id2, id4)", [F.sum("r2")]),
+    "gq10_sum_v3_count_by_id1_id6": ("SELECT round(sum(v3), 3) + CAST(sum(cnt) AS BIGINT) FROM (SELECT id1, id2, id3, id4, id5, id6, sum(v3) v3, count(*) cnt FROM x GROUP BY id1, id2, id3, id4, id5, id6)", [F.sum("v3"), F.sum("cnt")]),
+}
+
+
+# ---- join questions (ref join-datafusion.py:107-257) ----------------------
+def jq(spark, d):
+    x = spark.read.parquet(f"{d}/x.parquet")
+    small = spark.read.parquet(f"{d}/small.parquet")
+    medium = spark.read.parquet(f"{d}/medium.parquet")
+    big = spark.read.parquet(f"{d}/big.parquet")
+    return {
+        "jq1_small_inner_on_int": x.join(small.select("id1", F.col("v2j").alias("v2s")), "id1"),
+        "jq2_medium_inner_on_int": x.join(medium.select("id2", F.col("v2j").alias("v2m")), "id2"),
+        "jq3_medium_outer_on_int": x.join(medium.select("id2", F.col("v2j").alias("v2m")), "id2", "left"),
+        "jq4_medium_inner_on_factor": x.join(medium.select("id5", F.col("v2j").alias("v2m")).dropDuplicates(["id5"]), "id5"),
+        "jq5_big_inner_on_int": x.join(big.select("id3", F.col("v2j").alias("v2b")), "id3"),
+    }
+
+
+J_CHK = {
+    "jq1_small_inner_on_int": ("SELECT round(sum(x.v3) + sum(s.v2j), 3) FROM x JOIN small s USING (id1)", [F.sum("v3"), F.sum("v2s")]),
+    "jq2_medium_inner_on_int": ("SELECT round(sum(x.v3) + sum(m.v2j), 3) FROM x JOIN medium m USING (id2)", [F.sum("v3"), F.sum("v2m")]),
+    "jq3_medium_outer_on_int": ("SELECT round(sum(x.v3) + coalesce(sum(m.v2j), 0), 3) FROM x LEFT JOIN medium m USING (id2)", [F.sum("v3"), F.sum("v2m")]),
+    "jq4_medium_inner_on_factor": ("SELECT round(sum(x.v3) + sum(m.v2j), 3) FROM x JOIN (SELECT DISTINCT ON (id5) id5, v2j FROM medium ORDER BY id5) m USING (id5)", [F.sum("v3"), F.sum("v2m")]),
+    "jq5_big_inner_on_int": ("SELECT round(sum(x.v3) + sum(b.v2j), 3) FROM x JOIN big b USING (id3)", [F.sum("v3"), F.sum("v2b")]),
+}
+
+
+def _spark_chk(df, aggs) -> float:
+    row = df.agg(*[a.alias(f"c{i}") for i, a in enumerate(aggs)]).first()
+    return round(sum(float(v or 0.0) for v in row), 3)
+
+
+def _duck_chk(d: str, sql: str) -> float:
+    import duckdb
+
+    con = duckdb.connect()
+    for t in ("x", "small", "medium", "big"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{d}/{t}.parquet/*.parquet')"
+        )
+    return round(float(con.execute(sql).fetchone()[0]), 3)
+
+
+def main() -> None:
+    n = 10_000_000
+    fresh = False
+    for a in sys.argv[1:]:
+        if a.startswith("--n"):
+            n = int(a.split("=", 1)[1])
+        elif a == "--fresh":
+            fresh = True
+    if fresh:
+        shutil.rmtree(WORK, ignore_errors=True)
+    k = 100
+    spark = get_spark("dbbench")
+    spark.sparkContext.setLogLevel("ERROR")
+    d = build(spark, n, k)
+
+    results = {}
+    for task, queries, chks in (("groupby", gq(spark, d), G_CHK), ("join", jq(spark, d), J_CHK)):
+        for name, df in queries.items():
+            duck_sql, aggs = chks[name]
+            df.write.format("noop").mode("overwrite").save()  # warm
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                df.write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - t0)
+            s_chk = _spark_chk(df, aggs)
+            d_chk = _duck_chk(d, duck_sql)
+            # gq6: Spark exact percentile vs DuckDB median interpolate
+            # identically on odd counts; allow 1e-6 relative for float
+            # sum ordering everywhere
+            ok = math.isclose(s_chk, d_chk, rel_tol=1e-6, abs_tol=1e-3)
+            results[name] = {
+                "sec": round(best, 3),
+                "chk": s_chk,
+                "chk_ok": bool(ok),
+            }
+            print(name, results[name], flush=True)
+
+    total = round(sum(r["sec"] for r in results.values()), 3)
+    all_ok = all(r["chk_ok"] for r in results.values())
+    print(json.dumps({"metric": "dbbench_total", "value": total, "unit": "sec", "n_rows": n, "all_chk_ok": all_ok, "queries": {q: r["sec"] for q, r in results.items()}}))
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, "DBBENCH.md"), "w") as f:
+        f.write(
+            "# DBBENCH — h2oai db-benchmark questions on Spark\n\n"
+            f"Mirrors the reference's benchmarks/db-benchmark "
+            f"(groupby-datafusion.py:114-374, join-datafusion.py:107-257) "
+            f"at G1_1e7_1e2-equivalent scale: x = {n:,} rows, 100 string/"
+            "int groups, v3 uniform[0,100); join sides small/medium/big "
+            "per the h2o spec. Spark-generated data (hash-mixed "
+            "spark.range — distributed, deterministic), best-of-2 after "
+            "warm, noop sink, local[32]. Every row's checksum (the h2o "
+            "`chk` sum over the result) is verified against DuckDB "
+            "computing the same question over the same parquet — timings "
+            "are of verified-correct plans. The reference repo has no "
+            "committed numbers for this suite; this is breadth evidence "
+            "for the aggregation/join paths at a second data shape.\n\n"
+            "| query | sec | chk | chk==duckdb |\n|---|---|---|---|\n"
+            + "\n".join(
+                f"| {q} | {r['sec']} | {r['chk']} | {'✓' if r['chk_ok'] else 'MISMATCH'} |"
+                for q, r in results.items()
+            )
+            + f"\n\nTotal: **{total} s** over {len(results)} queries; all checksums "
+            + ("verified.\n" if all_ok else "**NOT** verified — investigate.\n")
+        )
+    print("wrote DBBENCH.md")
+
+
+if __name__ == "__main__":
+    main()

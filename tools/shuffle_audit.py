@@ -121,6 +121,41 @@ def audit_one(df) -> dict:
     return acc
 
 
+def audit_stream(name: str, fn, spark, sf_dir: str) -> dict:
+    """Drive a stream_* gate and read its StreamingQueryProgress: per-
+    batch input rows, final state-store rows/bytes, and rows dropped by
+    the watermark — the measured form of the "state is bounded by live
+    windows/keys and evicted by the watermark" claim the batch audit
+    can't see."""
+    import datafusion_python_spark.suite_streaming as ss
+
+    t0 = time.perf_counter()
+    out = fn(spark, sf_dir)
+    n_out = out.count()
+    elapsed = time.perf_counter() - t0
+    progs = list(getattr(ss, "LAST_DRAIN_PROGRESS", []))
+    state_rows = state_bytes = dropped = 0
+    input_rows = 0
+    for p in progs:
+        input_rows += int(p.get("numInputRows", 0) or 0)
+        for op in p.get("stateOperators", []) or []:
+            dropped += int(op.get("numRowsDroppedByWatermark", 0) or 0)
+    if progs:
+        for op in progs[-1].get("stateOperators", []) or []:
+            state_rows += int(op.get("numRowsTotal", 0) or 0)
+            state_bytes += int(op.get("memoryUsedBytes", 0) or 0)
+    return {
+        "query": name,
+        "batches": len(progs),
+        "input_rows": input_rows,
+        "state_rows": state_rows,
+        "state_bytes": state_bytes,
+        "dropped_by_watermark": dropped,
+        "rows_out": n_out,
+        "sec": elapsed,
+    }
+
+
 def _fmt_bytes(n: int) -> str:
     for unit in ("B", "KiB", "MiB", "GiB"):
         if abs(n) < 1024 or unit == "GiB":
@@ -139,14 +174,16 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     rows, failures = [], []
-    skipped = []
+    stream_rows = []
     for name, (fn, _sql) in ALL_QUERIES.items():
         if name.startswith("stream_"):
-            # streaming gates run their work inside a streaming query
-            # drained to a memory sink during build; the returned
-            # DataFrame's executed plan is just the memory-table scan,
-            # so walking it would record noise, not the stream's work.
-            skipped.append(name)
+            # streaming gates drain inside the gate; their work lives
+            # in StreamingQueryProgress, not the returned DataFrame's
+            # plan — audit the state-store metrics instead.
+            try:
+                stream_rows.append(audit_stream(name, fn, spark, sf_dir))
+            except Exception as ex:  # noqa: BLE001
+                failures.append((name, str(ex).split("\n")[0][:100]))
             continue
         try:
             r = audit_one(fn(spark, sf_dir))
@@ -172,6 +209,22 @@ def main() -> None:
         )
     print("\n".join(lines))
 
+    stream_lines = []
+    if stream_rows:
+        stream_lines.append(
+            f"{'stream gate':<26} {'batches':>7} {'inRows':>8} "
+            f"{'stateRows':>9} {'stateMem':>9} {'wmDropped':>9} "
+            f"{'rows':>8} {'sec':>6}"
+        )
+        for r in stream_rows:
+            stream_lines.append(
+                f"{r['query']:<26} {r['batches']:>7} {r['input_rows']:>8} "
+                f"{r['state_rows']:>9} {_fmt_bytes(r['state_bytes']):>9} "
+                f"{r['dropped_by_watermark']:>9} {r['rows_out']:>8} "
+                f"{r['sec']:>6.2f}"
+            )
+        print("\n" + "\n".join(stream_lines))
+
     tot_scan = sum(r["scan_bytes"] for r in rows)
     tot_shuf = sum(r["shuffle_bytes"] for r in rows)
     tot_bcast = sum(r["broadcast_bytes"] for r in rows)
@@ -183,9 +236,9 @@ def main() -> None:
     summary = (
         f"\n{len(rows)} batch queries audited"
         + (
-            f" ({len(skipped)} stream_* gates skipped: their plans run "
-            "inside streaming queries, not the returned DataFrame)"
-            if skipped
+            f" (+{len(stream_rows)} stream_* gates via "
+            "StreamingQueryProgress state metrics above)"
+            if stream_rows
             else ""
         )
         + f": scan {_fmt_bytes(tot_scan)}, shuffle "
@@ -226,6 +279,16 @@ def main() -> None:
                 "would outgrow its scan. Spill=0 means no operator's "
                 "working set grows with data volume at this partitioning.\n\n"
                 "```\n" + "\n".join(lines) + "\n" + summary + "\n```\n"
+                + (
+                    "\nStreaming gates (StreamingQueryProgress: state-store "
+                    "rows/bytes after the final micro-batch, rows dropped by "
+                    "the watermark across batches — stateMem is the bounded-"
+                    "state claim, wmDropped > 0 on stream_late_drop is the "
+                    "eviction claim, measured):\n\n"
+                    "```\n" + "\n".join(stream_lines) + "\n```\n"
+                    if stream_rows
+                    else ""
+                )
             )
         print(f"\nwrote {md_out}")
 
