@@ -1138,21 +1138,32 @@ ORDER BY n_nationkey
 # every tolerance flag true. (ref functions/__init__.py:4926 approx_distinct,
 # 4958 approx_median, 4982 approx_percentile_cont)
 def agg_approx(spark, sf_dir):
+    # The distinct and percentile families aggregate SEPARATELY and
+    # join on the 3-row group key: countDistinct's planner rewrite
+    # Expands the input (x2 rows), and pushing every percentile /
+    # QuantileSummaries buffer through that expanded SortAggregate
+    # measured 90.7 s at sf0.1 vs 6.0 s for this split+broadcast-join
+    # form — same results, and a real plan lesson for 100 TB (keep
+    # heavy typed-imperative buffers out of distinct-rewritten aggs).
+    # Both percentiles share one buffer via the array form.
     li = _t(spark, sf_dir, "lineitem")
-    a = li.groupBy("l_returnflag").agg(
+    d = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey", rsd=0.01).alias("apx_parts"),
         F.countDistinct("l_partkey").alias("exact_parts"),
-        F.percentile_approx("l_extendedprice", 0.5).alias("apx_p50"),
-        F.expr("percentile(l_extendedprice, 0.5)").alias("x_p50"),
-        F.percentile_approx("l_extendedprice", 0.99).alias("apx_p99"),
-        F.expr("percentile(l_extendedprice, 0.99)").alias("x_p99"),
     )
+    p = li.groupBy("l_returnflag").agg(
+        F.percentile_approx(
+            "l_extendedprice", F.array(F.lit(0.5), F.lit(0.99))
+        ).alias("apx_p"),
+        F.expr("percentile(l_extendedprice, array(0.5D, 0.99D))").alias("x_p"),
+    )
+    a = d.join(p, "l_returnflag")
     return a.select(
         "l_returnflag",
         "exact_parts",
         (F.abs(F.col("apx_parts") - F.col("exact_parts")) / F.col("exact_parts") < 0.05).alias("parts_ok"),
-        (F.abs(F.col("apx_p50") - F.col("x_p50")) / F.col("x_p50") < 0.01).alias("p50_ok"),
-        (F.abs(F.col("apx_p99") - F.col("x_p99")) / F.col("x_p99") < 0.01).alias("p99_ok"),
+        (F.abs(F.col("apx_p")[0] - F.col("x_p")[0]) / F.col("x_p")[0] < 0.01).alias("p50_ok"),
+        (F.abs(F.col("apx_p")[1] - F.col("x_p")[1]) / F.col("x_p")[1] < 0.01).alias("p99_ok"),
     ).orderBy("l_returnflag")
 
 

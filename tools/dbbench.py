@@ -40,16 +40,16 @@ WORK = "/tmp/dbbench"
 
 
 def _mix(col, salt: int):
-    """splitmix64-ish uniform hash of (id, salt) onto [0, 2^63)."""
-    x = (col + F.lit(salt)) * F.lit(-7046029254386353131)  # 0x9E3779B97F4A7C15
-    x = x.bitwiseXOR(F.shiftrightunsigned(x, 31)) * F.lit(-4658895280553007687)
-    return F.shiftrightunsigned(x.bitwiseXOR(F.shiftrightunsigned(x, 29)), 1)
+    """Deterministic uniform long from (id, salt) — the built-in
+    xxhash64 (wrapping arithmetic stays JVM-side; a hand-rolled
+    splitmix would trip ANSI overflow checks)."""
+    return F.xxhash64(col, F.lit(salt))
 
 
 def _u(col, salt: int, n: int):
     """Uniform int in [1, n] from the row id — the h2o sample-with-
     replacement column shape."""
-    return (_mix(col, salt) % F.lit(n) + 1).cast("int")
+    return (F.pmod(_mix(col, salt), F.lit(n)) + 1).cast("int")
 
 
 def build(spark, n: int, k: int) -> str:
@@ -69,7 +69,7 @@ def build(spark, n: int, k: int) -> str:
         _u(F.col("i"), 6, nk).alias("id6"),
         _u(F.col("i"), 7, 5).alias("v1"),
         _u(F.col("i"), 8, 15).alias("v2"),
-        F.round((_mix(F.col("i"), 9) % F.lit(10_000_000)) / 1e5, 6).alias("v3"),
+        F.round(F.pmod(_mix(F.col("i"), 9), F.lit(10_000_000)) / 1e5, 6).alias("v3"),
     )
     x.write.mode("overwrite").parquet(f"{out}/x.parquet")
     # join-task right tables (h2o spec: |small| = n/1e6, |medium| =
@@ -86,7 +86,7 @@ def build(spark, n: int, k: int) -> str:
         }
         return rr.select(
             *[exprs[c].alias(c) for c in cols],
-            F.round((_mix(F.col("i"), 27) % F.lit(10_000_000)) / 1e5, 6).alias("v2j"),
+            F.round(F.pmod(_mix(F.col("i"), 27), F.lit(10_000_000)) / 1e5, 6).alias("v2j"),
         ).dropDuplicates(cols[:1])
     rhs(max(10, n // 1_000_000), ["id1", "id4"]).write.mode("overwrite").parquet(f"{out}/small.parquet")
     rhs(max(100, n // 1_000), ["id2", "id1", "id4", "id5"]).write.mode("overwrite").parquet(f"{out}/medium.parquet")
@@ -141,16 +141,16 @@ def gq(spark, d):
 # per-question checksum aggregate (the h2o `chk` column) + DuckDB
 # verification SQL over the parquet (same question end-to-end)
 G_CHK = {
-    "gq1_sum_v1_by_id1": ("SELECT CAST(sum(v1) AS BIGINT) FROM (SELECT id1, sum(v1) v1 FROM x GROUP BY id1)", [F.sum("v1")]),
-    "gq2_sum_v1_by_id1_id2": ("SELECT CAST(sum(v1) AS BIGINT) FROM (SELECT id1, id2, sum(v1) v1 FROM x GROUP BY id1, id2)", [F.sum("v1")]),
-    "gq3_sum_v1_mean_v3_by_id3": ("SELECT CAST(sum(v1) AS BIGINT) + round(sum(v3), 3) FROM (SELECT id3, sum(v1) v1, avg(v3) v3 FROM x GROUP BY id3)", [F.sum("v1"), F.sum("v3")]),
-    "gq4_mean_v1_v3_by_id4": ("SELECT round(sum(v1) + sum(v2) + sum(v3), 3) FROM (SELECT id4, avg(v1) v1, avg(v2) v2, avg(v3) v3 FROM x GROUP BY id4)", [F.sum("v1"), F.sum("v2"), F.sum("v3")]),
-    "gq5_sum_v1_v3_by_id6": ("SELECT CAST(sum(v1) + sum(v2) AS BIGINT) + round(sum(v3), 3) FROM (SELECT id6, sum(v1) v1, sum(v2) v2, sum(v3) v3 FROM x GROUP BY id6)", [F.sum("v1"), F.sum("v2"), F.sum("v3")]),
-    "gq6_median_sd_v3_by_id4_id5": ("SELECT round(sum(median_v3) + sum(sd_v3), 3) FROM (SELECT id4, id5, median(v3) median_v3, stddev(v3) sd_v3 FROM x GROUP BY id4, id5)", [F.sum("median_v3"), F.sum("sd_v3")]),
-    "gq7_range_v1_v2_by_id3": ("SELECT CAST(sum(range_v1_v2) AS BIGINT) FROM (SELECT id3, max(v1) - min(v2) range_v1_v2 FROM x GROUP BY id3)", [F.sum("range_v1_v2")]),
-    "gq8_largest2_v3_by_id6": ("SELECT round(sum(largest2_v3), 3) FROM (SELECT id6, v3 AS largest2_v3 FROM (SELECT id6, v3, row_number() OVER (PARTITION BY id6 ORDER BY v3 DESC) rn FROM x) WHERE rn <= 2)", [F.sum("largest2_v3")]),
-    "gq9_r2_v1_v2_by_id2_id4": ("SELECT round(sum(r2), 3) FROM (SELECT id2, id4, pow(corr(v1, v2), 2) r2 FROM x GROUP BY id2, id4)", [F.sum("r2")]),
-    "gq10_sum_v3_count_by_id1_id6": ("SELECT round(sum(v3), 3) + CAST(sum(cnt) AS BIGINT) FROM (SELECT id1, id2, id3, id4, id5, id6, sum(v3) v3, count(*) cnt FROM x GROUP BY id1, id2, id3, id4, id5, id6)", [F.sum("v3"), F.sum("cnt")]),
+    "gq1_sum_v1_by_id1": ("SELECT CAST(sum(v1) AS BIGINT) FROM (SELECT id1, sum(v1) v1 FROM x GROUP BY id1)", ["v1"]),
+    "gq2_sum_v1_by_id1_id2": ("SELECT CAST(sum(v1) AS BIGINT) FROM (SELECT id1, id2, sum(v1) v1 FROM x GROUP BY id1, id2)", ["v1"]),
+    "gq3_sum_v1_mean_v3_by_id3": ("SELECT CAST(sum(v1) AS BIGINT) + round(sum(v3), 3) FROM (SELECT id3, sum(v1) v1, avg(v3) v3 FROM x GROUP BY id3)", ["v1", "v3"]),
+    "gq4_mean_v1_v3_by_id4": ("SELECT round(sum(v1) + sum(v2) + sum(v3), 3) FROM (SELECT id4, avg(v1) v1, avg(v2) v2, avg(v3) v3 FROM x GROUP BY id4)", ["v1", "v2", "v3"]),
+    "gq5_sum_v1_v3_by_id6": ("SELECT CAST(sum(v1) + sum(v2) AS BIGINT) + round(sum(v3), 3) FROM (SELECT id6, sum(v1) v1, sum(v2) v2, sum(v3) v3 FROM x GROUP BY id6)", ["v1", "v2", "v3"]),
+    "gq6_median_sd_v3_by_id4_id5": ("SELECT round(sum(median_v3) + sum(sd_v3), 3) FROM (SELECT id4, id5, median(v3) median_v3, stddev(v3) sd_v3 FROM x GROUP BY id4, id5)", ["median_v3", "sd_v3"]),
+    "gq7_range_v1_v2_by_id3": ("SELECT CAST(sum(range_v1_v2) AS BIGINT) FROM (SELECT id3, max(v1) - min(v2) range_v1_v2 FROM x GROUP BY id3)", ["range_v1_v2"]),
+    "gq8_largest2_v3_by_id6": ("SELECT round(sum(largest2_v3), 3) FROM (SELECT id6, v3 AS largest2_v3 FROM (SELECT id6, v3, row_number() OVER (PARTITION BY id6 ORDER BY v3 DESC) rn FROM x) WHERE rn <= 2)", ["largest2_v3"]),
+    "gq9_r2_v1_v2_by_id2_id4": ("SELECT round(sum(r2), 3) FROM (SELECT id2, id4, pow(corr(v1, v2), 2) r2 FROM x GROUP BY id2, id4)", ["r2"]),
+    "gq10_sum_v3_count_by_id1_id6": ("SELECT round(sum(v3), 3) + CAST(sum(cnt) AS BIGINT) FROM (SELECT id1, id2, id3, id4, id5, id6, sum(v3) v3, count(*) cnt FROM x GROUP BY id1, id2, id3, id4, id5, id6)", ["v3", "cnt"]),
 }
 
 
@@ -164,22 +164,24 @@ def jq(spark, d):
         "jq1_small_inner_on_int": x.join(small.select("id1", F.col("v2j").alias("v2s")), "id1"),
         "jq2_medium_inner_on_int": x.join(medium.select("id2", F.col("v2j").alias("v2m")), "id2"),
         "jq3_medium_outer_on_int": x.join(medium.select("id2", F.col("v2j").alias("v2m")), "id2", "left"),
-        "jq4_medium_inner_on_factor": x.join(medium.select("id5", F.col("v2j").alias("v2m")).dropDuplicates(["id5"]), "id5"),
+        "jq4_medium_inner_on_factor": x.join(
+            medium.groupBy("id5").agg(F.min("v2j").alias("v2m")), "id5"
+        ),
         "jq5_big_inner_on_int": x.join(big.select("id3", F.col("v2j").alias("v2b")), "id3"),
     }
 
 
 J_CHK = {
-    "jq1_small_inner_on_int": ("SELECT round(sum(x.v3) + sum(s.v2j), 3) FROM x JOIN small s USING (id1)", [F.sum("v3"), F.sum("v2s")]),
-    "jq2_medium_inner_on_int": ("SELECT round(sum(x.v3) + sum(m.v2j), 3) FROM x JOIN medium m USING (id2)", [F.sum("v3"), F.sum("v2m")]),
-    "jq3_medium_outer_on_int": ("SELECT round(sum(x.v3) + coalesce(sum(m.v2j), 0), 3) FROM x LEFT JOIN medium m USING (id2)", [F.sum("v3"), F.sum("v2m")]),
-    "jq4_medium_inner_on_factor": ("SELECT round(sum(x.v3) + sum(m.v2j), 3) FROM x JOIN (SELECT DISTINCT ON (id5) id5, v2j FROM medium ORDER BY id5) m USING (id5)", [F.sum("v3"), F.sum("v2m")]),
-    "jq5_big_inner_on_int": ("SELECT round(sum(x.v3) + sum(b.v2j), 3) FROM x JOIN big b USING (id3)", [F.sum("v3"), F.sum("v2b")]),
+    "jq1_small_inner_on_int": ("SELECT round(sum(x.v3) + sum(s.v2j), 3) FROM x JOIN small s USING (id1)", ["v3", "v2s"]),
+    "jq2_medium_inner_on_int": ("SELECT round(sum(x.v3) + sum(m.v2j), 3) FROM x JOIN medium m USING (id2)", ["v3", "v2m"]),
+    "jq3_medium_outer_on_int": ("SELECT round(sum(x.v3) + coalesce(sum(m.v2j), 0), 3) FROM x LEFT JOIN medium m USING (id2)", ["v3", "v2m"]),
+    "jq4_medium_inner_on_factor": ("SELECT round(sum(x.v3) + sum(m.v2j), 3) FROM x JOIN (SELECT id5, min(v2j) v2j FROM medium GROUP BY id5) m USING (id5)", ["v3", "v2m"]),
+    "jq5_big_inner_on_int": ("SELECT round(sum(x.v3) + sum(b.v2j), 3) FROM x JOIN big b USING (id3)", ["v3", "v2b"]),
 }
 
 
-def _spark_chk(df, aggs) -> float:
-    row = df.agg(*[a.alias(f"c{i}") for i, a in enumerate(aggs)]).first()
+def _spark_chk(df, cols) -> float:
+    row = df.agg(*[F.sum(c).alias(f"c{i}") for i, c in enumerate(cols)]).first()
     return round(sum(float(v or 0.0) for v in row), 3)
 
 
@@ -212,14 +214,14 @@ def main() -> None:
     results = {}
     for task, queries, chks in (("groupby", gq(spark, d), G_CHK), ("join", jq(spark, d), J_CHK)):
         for name, df in queries.items():
-            duck_sql, aggs = chks[name]
+            duck_sql, chk_cols = chks[name]
             df.write.format("noop").mode("overwrite").save()  # warm
             best = float("inf")
             for _ in range(2):
                 t0 = time.perf_counter()
                 df.write.format("noop").mode("overwrite").save()
                 best = min(best, time.perf_counter() - t0)
-            s_chk = _spark_chk(df, aggs)
+            s_chk = _spark_chk(df, chk_cols)
             d_chk = _duck_chk(d, duck_sql)
             # gq6: Spark exact percentile vs DuckDB median interpolate
             # identically on odd counts; allow 1e-6 relative for float
