@@ -13,6 +13,7 @@ from .dedup import (
     lsh_candidate_pairs,
     ngram_jaccard_pairs,
     simhash,
+    simhash_arrow,
     simhash_near_dups,
 )
 from .similarity import (
@@ -112,6 +113,7 @@ __all__ = [
     "lsh_candidate_pairs",
     "ngram_jaccard_pairs",
     "simhash",
+    "simhash_arrow",
     "simhash_near_dups",
     "cosine_near_dup_pairs_arrow",
     "cosine_similarity_col",

@@ -189,6 +189,23 @@ def lsh_candidate_pairs(
     )
 
 
+def _simhash_word_hashes(df: DataFrame, text_col: str, hasher: str) -> DataFrame:
+    """Stage the per-word hash array once (own projection — inlining it
+    into the bit-lambdas would re-split and re-hash the text bits×
+    per row). Shared verbatim by the JVM and Arrow vote stages, which
+    is what makes their signatures identical by construction."""
+    words = F.filter(F.split(_norm_text(F.col(text_col)), " "), lambda w: w != "")
+    if hasher == "xxhash64":
+        word_hash = lambda w: F.xxhash64(w)  # noqa: E731
+    elif hasher == "md5":
+        word_hash = lambda w: F.conv(  # noqa: E731
+            F.substring(F.md5(w), 1, 15), 16, 10
+        ).cast("bigint")
+    else:
+        raise ValueError("hasher must be 'xxhash64' or 'md5'")
+    return df.withColumn("_sh_hashes", F.transform(words, word_hash))
+
+
 def simhash(
     df: DataFrame, text_col: str, out_col: str = "simhash", hasher: str = "xxhash64"
 ) -> DataFrame:
@@ -204,18 +221,7 @@ def simhash(
     oracle-checkable cross-engine.
     """
     bits = 64 if hasher == "xxhash64" else 60
-    # materialize word hashes once (own projection) — inlining them into
-    # the 64 bit-lambdas would re-split and re-hash the text 64× per row
-    words = F.filter(F.split(_norm_text(F.col(text_col)), " "), lambda w: w != "")
-    if hasher == "xxhash64":
-        word_hash = lambda w: F.xxhash64(w)  # noqa: E731
-    elif hasher == "md5":
-        word_hash = lambda w: F.conv(  # noqa: E731
-            F.substring(F.md5(w), 1, 15), 16, 10
-        ).cast("bigint")
-    else:
-        raise ValueError("hasher must be 'xxhash64' or 'md5'")
-    staged = df.withColumn("_sh_hashes", F.transform(words, word_hash))
+    staged = _simhash_word_hashes(df, text_col, hasher)
     sums = F.transform(
         F.sequence(F.lit(0), F.lit(bits - 1)),
         lambda b: F.aggregate(
@@ -235,6 +241,59 @@ def simhash(
             )
         )
     return out.withColumn(out_col, sig).drop("_sh_sums")
+
+
+def simhash_arrow(
+    df: DataFrame, text_col: str, out_col: str = "simhash", hasher: str = "xxhash64"
+) -> DataFrame:
+    """``simhash`` with the bit-voting stage in a numpy/Arrow kernel.
+
+    The word HASHES still compute JVM-side with the exact expressions
+    of :func:`simhash` (xxhash64 / md5-conv — engine hashes a Python
+    kernel can't reproduce bit-for-bit), so signatures are identical
+    by construction; what moves to the kernel is the 64 interpreted
+    ``aggregate`` folds per row — the dominant cost of the JVM path
+    (Catalyst evaluates higher-order lambdas per element, so the vote
+    stage costs words × bits interpreted steps). The kernel does one
+    ``bincount`` per bit over the flattened hash buffer: vectorized,
+    allocation-bounded (one word-length temp per bit), empty word
+    lists yield signature 0 exactly like ``aggregate``'s init value.
+    Same map-only shape — no shuffle, all input columns carried.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    bits = 64 if hasher == "xxhash64" else 60
+    staged = _simhash_word_hashes(df, text_col, hasher)
+    out_schema = StructType(
+        list(df.schema.fields) + [StructField(out_col, LongType(), False)]
+    )
+    carry = [f.name for f in df.schema.fields]
+
+    def kernel(batches):
+        for b in batches:
+            n = len(b)
+            if n == 0:
+                continue
+            col = b.column("_sh_hashes")
+            lens = np.asarray(
+                pa.compute.list_value_length(col).fill_null(0), dtype=np.int64
+            )
+            flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.uint64)
+            row_ids = np.repeat(np.arange(n), lens)
+            sig = np.zeros(n, dtype=np.uint64)
+            for i in range(bits):
+                votes = (((flat >> np.uint64(i)) & np.uint64(1)).astype(np.int64) * 2) - 1
+                sums = np.bincount(row_ids, weights=votes, minlength=n)
+                sig |= (sums > 0).astype(np.uint64) << np.uint64(i)
+            arrs = [b.column(name) for name in carry]
+            yield pa.RecordBatch.from_arrays(
+                arrs + [pa.array(sig.view(np.int64))], names=carry + [out_col]
+            )
+
+    return staged.mapInArrow(kernel, out_schema)
 
 
 def simhash_near_dups(

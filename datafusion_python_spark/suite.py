@@ -63,6 +63,8 @@ _PRIORITY = [
     "pipe_semdedup_arrow",
     "pipe_neardup_arrow",
     "stream_late_drop",
+    "stream_windowed_hll",
+    "pipe_simhash_arrow",
     # last r3-recorded rows
     "agg_grouping_multi",
     "agg_stats",
@@ -108,8 +110,6 @@ _PRIORITY = [
     "pipe_dedup_exact",
     "pipe_jaccard_pairs",
     "pipe_minhash_lsh",
-    "pipe_simhash",
-    "pipe_cosine_topk",
 ]
 
 ALL_QUERIES: dict[str, tuple] = {}

@@ -1506,6 +1506,16 @@ ORDER BY doc_id
 # parity with the JVM paths (tests/test_similarity_arrow.py asserts it
 # pairwise), and these gates put that claim on the driver's
 # CORRECTNESS record instead of pytest-only.
+def pipe_simhash_arrow(spark, sf_dir):
+    from .operators.dedup import simhash_arrow
+
+    docs = _t(spark, sf_dir, "documents")
+    sig = simhash_arrow(docs, "text", hasher="md5")
+    return simhash_near_dups(sig, "doc_id", max_hamming=8, bits=60).orderBy(
+        "id_a", "id_b"
+    )
+
+
 def pipe_topk_arrow(spark, sf_dir):
     from .operators.similarity import cosine_topk_arrow
 
@@ -1616,6 +1626,7 @@ PIPELINE_QUERIES: dict[str, tuple] = {
     "pipe_repetition": (pipe_repetition, PIPE_REPETITION_SQL),
     "pipe_minhash_cluster": (pipe_minhash_cluster, PIPE_MINHASH_CLUSTER_SQL),
     "pipe_semantic_dedup": (pipe_semantic_dedup, PIPE_SEMANTIC_DEDUP_SQL),
+    "pipe_simhash_arrow": (pipe_simhash_arrow, PIPE_SIMHASH_SQL),
     "pipe_topk_arrow": (pipe_topk_arrow, PIPE_COSINE_TOPK_SQL),
     "pipe_ann_ivf_arrow": (pipe_ann_ivf_arrow, PIPE_ANN_IVF_SQL),
     "pipe_semdedup_arrow": (pipe_semdedup_arrow, PIPE_SEMANTIC_DEDUP_SQL),

@@ -348,6 +348,56 @@ def stream_late_drop(spark, sf_dir):
     )
 
 
+@_with_utc
+def stream_windowed_hll(spark, sf_dir):
+    """Streaming windowed approx-distinct (HLL sketch state): the
+    standard replacement for the unsupported streaming
+    count(DISTINCT) — per-(key, window) state is a fixed register
+    array, so the watermark bounds state by live windows, not users.
+    The sketch estimate is engine-specific, so the gate follows the
+    ``agg_approx`` pattern: emit the EXACT batch count per group
+    alongside a tolerance boolean (estimate within 5%, generous for
+    lg_k=12's ~1.6% rsd); the oracle recomputes the exact counts and
+    expects every flag true."""
+    from .streaming import windowed_approx_distinct
+
+    src = _replay_events(spark, sf_dir)
+    out = windowed_approx_distinct(src, window="1 hour", watermark="30 minutes")
+    res = _drain(spark, out, "complete")
+    ev = _t(spark, sf_dir, "events")
+    exact = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hour_bucket"),
+        "event_type",
+    ).agg(F.countDistinct("user_id").alias("n_exact"))
+    est = res.select(
+        F.col("window_start").cast("timestamp_ntz").alias("hour_bucket"),
+        "event_type",
+        "approx_distinct",
+    )
+    return (
+        est.join(exact, ["hour_bucket", "event_type"])
+        .select(
+            "hour_bucket",
+            "event_type",
+            "n_exact",
+            (
+                F.abs(F.col("approx_distinct") - F.col("n_exact"))
+                / F.col("n_exact")
+                < 0.05
+            ).alias("hll_ok"),
+        )
+        .orderBy("hour_bucket", "event_type")
+    )
+
+
+STREAM_WINDOWED_HLL_SQL = """
+SELECT date_trunc('hour', ts) AS hour_bucket, event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+       TRUE AS hll_ok
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 STREAM_LATE_DROP_SQL = """
 WITH ranked AS (
   SELECT *, row_number() OVER (ORDER BY ts, event_id) AS rn FROM events
@@ -366,4 +416,5 @@ STREAMING_QUERIES: dict[str, tuple] = {
     "stream_stateful_totals": (stream_stateful_totals, STREAM_STATEFUL_TOTALS_SQL),
     "stream_interval_join": (stream_interval_join, STREAM_INTERVAL_JOIN_SQL),
     "stream_late_drop": (stream_late_drop, STREAM_LATE_DROP_SQL),
+    "stream_windowed_hll": (stream_windowed_hll, STREAM_WINDOWED_HLL_SQL),
 }

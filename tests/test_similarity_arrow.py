@@ -323,3 +323,23 @@ def test_semantic_dedup_arrow_degenerate_raises(spark):
         semantic_dedup(
             df, n_clusters=1, threshold=0.9, centroids=[[1.0, 0.0]], arrow=True
         ).collect()
+
+
+def test_simhash_arrow_matches_jvm(spark, sf_dir):
+    # signatures must be identical by construction: the word hashes are
+    # the same JVM expressions; only the bit-vote fold moves to numpy.
+    from datafusion_python_spark.operators.dedup import simhash, simhash_arrow
+    from datafusion_python_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    for hasher in ("xxhash64", "md5"):
+        jvm = {r.doc_id: r.simhash for r in simhash(docs, "text", hasher=hasher).select("doc_id", "simhash").collect()}
+        arrow = {r.doc_id: r.simhash for r in simhash_arrow(docs, "text", hasher=hasher).select("doc_id", "simhash").collect()}
+        assert arrow == jvm and len(jvm) > 0
+    # empty and null text produce signature 0 in both paths
+    edf = spark.createDataFrame(
+        [(1, "hello world"), (2, ""), (3, None)], "doc_id int, text string"
+    )
+    jvm = {r.doc_id: r.simhash for r in simhash(edf, "text").collect()}
+    arrow = {r.doc_id: r.simhash for r in simhash_arrow(edf, "text").collect()}
+    assert arrow == jvm and jvm[2] == 0 and jvm[3] == 0

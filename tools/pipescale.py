@@ -128,10 +128,16 @@ def op_minhash_lsh(spark, d, n):
     return lsh_candidate_pairs(sig, "doc_id", num_bands=8)
 
 
+# simhash measures the Arrow scale path for the SIGNATURE stage
+# (JVM-staged word hashes + numpy bit voting — the 64 interpreted
+# aggregate folds were 17.5 s of the 48.5 s at 64x; the kernel does
+# the same votes in 1.75 s, signatures identical by construction).
+# The quarter-block pair join stays JVM — it is the documented pair
+# generator, not a fold cost.
 def op_simhash(spark, d, n):
-    from datafusion_python_spark.operators.dedup import simhash, simhash_near_dups
+    from datafusion_python_spark.operators.dedup import simhash_arrow, simhash_near_dups
 
-    return simhash_near_dups(simhash(_docs(spark, d), "text"), "doc_id", max_hamming=3)
+    return simhash_near_dups(simhash_arrow(_docs(spark, d), "text"), "doc_id", max_hamming=3)
 
 
 def op_quality(spark, d, n):

@@ -51,6 +51,9 @@ AMPLIFIERS_OK = {
     "evt_session_window": "one full-row shuffle on user — minimal",
     "evt_running_gaps": "one full-row shuffle on user for ordered windows",
     "agg_approx": "exact-percentile comparison column shuffles raw values",
+    "pipe_image_roundtrip": "the shuffled payload is GENERATED PNG blobs "
+    "(the gate certifies binary-column transport across an exchange); the "
+    "scan is only the small docs parquet the pixels derive from",
     "agg_percentiles": "exact percentiles shuffle raw values by design; "
     "the approx_* family is the 100 TB alternative",
     "udaf_geomean": "Python UDAF: Arrow exchange to the worker is counted",
