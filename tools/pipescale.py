@@ -276,17 +276,21 @@ def main() -> None:
         cells = " | ".join(str(times.get(f, "—")) for f in factors)
         lines.append(f"| {name} | {cells} | {alpha} | {rps:,} |")
     lines.append("")
-    if {"ivf_ann", "semantic_dedup"} & set(results):
+    if {"ivf_ann", "semantic_dedup", "simhash"} & set(results):
         lines += [
-            "ivf_ann / semantic_dedup rows are the Arrow scale path "
-            "(`arrow=True`: batch-matmul assignment; semantic_dedup "
-            "additionally fuses assignment → one groupBy(cell) → "
-            "per-cluster survivor kernel, eliminating the LeftAnti "
-            "join and the doubled assignment). The r5 JVM-path "
+            "ivf_ann / semantic_dedup / simhash rows are the Arrow "
+            "scale paths: batch-matmul assignment for ivf_ann; "
+            "semantic_dedup additionally fuses assignment → one "
+            "groupBy(cell) → per-cluster survivor kernel (no LeftAnti "
+            "join, no doubled assignment); simhash keeps the word "
+            "hashes JVM-side and moves only the 64 interpreted "
+            "bit-vote folds into a numpy kernel. The r5 JVM-path "
             "measurements on identical data were ivf_ann 66.46 s "
-            "(1,926 rows/s) and semantic_dedup 244.89 s (523 rows/s) "
-            "at 64x — the kernels are 92x / 102x on the same decision "
-            "rule (JVM==arrow parity pytest-asserted at sf0.01).",
+            "(1,926 rows/s), semantic_dedup 244.89 s (523 rows/s), "
+            "and simhash 48.55 s (6,591 rows/s) at 64x — "
+            "92x / 102x / 3.6x on the same decision rules (JVM==arrow "
+            "parity pytest-asserted at sf0.01; simhash signatures "
+            "identical by construction).",
             "",
         ]
     with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PIPESCALE.md"), "w") as fh:
