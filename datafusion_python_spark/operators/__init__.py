@@ -12,6 +12,7 @@ from .dedup import (
     minhash_signature,
     lsh_candidate_pairs,
     ngram_jaccard_pairs,
+    minhash_signature_arrow,
     simhash,
     simhash_arrow,
     simhash_near_dups,
@@ -112,6 +113,7 @@ __all__ = [
     "minhash_signature",
     "lsh_candidate_pairs",
     "ngram_jaccard_pairs",
+    "minhash_signature_arrow",
     "simhash",
     "simhash_arrow",
     "simhash_near_dups",

@@ -160,6 +160,128 @@ def minhash_signature(
     return staged.withColumn("minhash", sig).drop(tmp)
 
 
+def _xxh64_avalanche(h):
+    import numpy as np
+
+    h ^= h >> np.uint64(33)
+    h *= np.uint64(0xC2B2AE3D27D4EB4F)
+    h ^= h >> np.uint64(29)
+    h *= np.uint64(0x165667B19E3779F9)
+    h ^= h >> np.uint64(32)
+    return h
+
+
+def _xxh64_long(value_u64, seed_u64):
+    """Vectorized XXH64.hashLong — bit-identical to Spark's
+    ``xxhash64`` over a single LongType column (parity pinned in
+    tests/test_similarity_arrow.py against F.xxhash64)."""
+    import numpy as np
+
+    def rotl(x, r):
+        return (x << np.uint64(r)) | (x >> np.uint64(64 - r))
+
+    h = seed_u64 + np.uint64(0x27D4EB2F165667C5) + np.uint64(8)
+    k1 = rotl(value_u64 * np.uint64(0xC2B2AE3D27D4EB4F), 31) * np.uint64(
+        0x9E3779B185EBCA87
+    )
+    h ^= k1
+    h = rotl(h, 27) * np.uint64(0x9E3779B185EBCA87) + np.uint64(0x85EBCA77C2B2AE63)
+    return _xxh64_avalanche(h)
+
+
+def _xxh64_int(value_u32, seed_u64):
+    """Vectorized XXH64.hashInt — Spark hashes IntegerType through the
+    4-byte path, so ``xxhash64(h, i)`` chains hashLong then hashInt."""
+    import numpy as np
+
+    def rotl(x, r):
+        return (x << np.uint64(r)) | (x >> np.uint64(64 - r))
+
+    h = seed_u64 + np.uint64(0x27D4EB2F165667C5) + np.uint64(4)
+    k1 = (value_u32.astype(np.uint64) & np.uint64(0xFFFFFFFF)) * np.uint64(
+        0x9E3779B185EBCA87
+    )
+    h ^= k1
+    h = rotl(h, 23) * np.uint64(0xC2B2AE3D27D4EB4F) + np.uint64(0x165667B19E3779F9)
+    return _xxh64_avalanche(h)
+
+
+def minhash_signature_arrow(
+    df: DataFrame,
+    text_col: str,
+    num_hashes: int = 32,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """``minhash_signature`` (xxhash64 mode) with the family-min stage
+    in a numpy/Arrow kernel.
+
+    The shingle HASHES still stage JVM-side with the exact expressions
+    of :func:`minhash_signature` (identical values, including the
+    null/short-text degenerate single-hash rows), so signatures are
+    identical by construction given the numpy xxh64 twins above are
+    bit-exact — what moves to the kernel is the num_hashes × shingles
+    interpreted ``transform``/``array_min`` folds: per batch, ONE
+    vectorized ``hashLong`` over the flattened shingle buffer, then
+    one ``hashInt`` + segmented signed-min per family. Same map-only
+    shape. The md5 mode (used by the DuckDB-oracle gates) keeps the
+    JVM path — its per-family string-concat md5 has no vectorized
+    twin, and the production mode is xxhash64 anyway.
+
+    Measured (64× pipescale corpus): signature stage 10.4 s → 4.9 s.
+    The LSH pipeline END-TO-END is unchanged (~7 s either way): the
+    banded self-join + distinct dominates and ``lsh_candidate_pairs``
+    already localCheckpoints the signature work once — so reach for
+    this twin when the SIGNATURE itself is the product (persisted
+    minhash columns at ingest), not to speed up candidate generation.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+
+    w, tmp = "__mh_words", "__mh_shh"
+    staged = (
+        df.withColumn(
+            w, F.filter(F.split(_norm_text(F.col(text_col)), " "), lambda x: x != "")
+        )
+        .withColumn(tmp, _shingle_hashes_from_words(F.col(w), shingle_k))
+        .drop(w)
+    )
+    out_schema = StructType(
+        list(df.schema.fields)
+        + [StructField("minhash", ArrayType(LongType(), False), False)]
+    )
+    carry = [f.name for f in df.schema.fields]
+
+    def kernel(batches):
+        for b in batches:
+            n = len(b)
+            if n == 0:
+                continue
+            col = b.column(tmp)
+            if col.null_count:
+                # the staging expression yields a 1-hash array even for
+                # null/empty text; a null here means the caller staged
+                # something else — fail loudly rather than misalign
+                raise ValueError("minhash_signature_arrow: null shingle-hash row")
+            lens = np.asarray(pa.compute.list_value_length(col), dtype=np.int64)
+            flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+            inner = _xxh64_long(flat.view(np.uint64), np.uint64(42))
+            starts = np.zeros(n, dtype=np.int64)
+            np.cumsum(lens[:-1], out=starts[1:])
+            sig = np.empty((n, num_hashes), dtype=np.int64)
+            for i in range(num_hashes):
+                fam = _xxh64_int(np.uint32(i), inner).view(np.int64)
+                # JVM array_min compares SIGNED longs
+                sig[:, i] = np.minimum.reduceat(fam, starts)
+            offsets = pa.array(np.arange(n + 1, dtype=np.int32) * num_hashes)
+            mh = pa.ListArray.from_arrays(offsets, pa.array(sig.reshape(-1)))
+            arrs = [b.column(name) for name in carry]
+            yield pa.RecordBatch.from_arrays(arrs + [mh], names=carry + ["minhash"])
+
+    return staged.mapInArrow(kernel, out_schema)
+
+
 def lsh_candidate_pairs(
     sig_df: DataFrame,
     id_col: str,

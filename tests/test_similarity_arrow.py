@@ -343,3 +343,40 @@ def test_simhash_arrow_matches_jvm(spark, sf_dir):
     jvm = {r.doc_id: r.simhash for r in simhash(edf, "text").collect()}
     arrow = {r.doc_id: r.simhash for r in simhash_arrow(edf, "text").collect()}
     assert arrow == jvm and jvm[2] == 0 and jvm[3] == 0
+
+
+def test_minhash_arrow_matches_jvm(spark, sf_dir):
+    # numpy xxh64 twins must be bit-exact vs Spark, including the
+    # IntegerType (4-byte) path that xxhash64(h, i) chains through.
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from datafusion_python_spark.operators.dedup import (
+        _xxh64_int,
+        _xxh64_long,
+        minhash_signature,
+        minhash_signature_arrow,
+    )
+    from datafusion_python_spark.tables import load_table
+
+    vals = [0, 1, -1, 42, 2**63 - 1, -(2**63), 123456789123456789]
+    df = spark.createDataFrame([(v, i) for v in vals for i in range(3)], "h long, i int")
+    jvm = [r[0] for r in df.select(F.xxhash64("h", "i")).collect()]
+    hh = np.array([v for v in vals for _ in range(3)], dtype=np.int64).view(np.uint64)
+    ii = np.array([i for _ in vals for i in range(3)], dtype=np.uint32)
+    ours = _xxh64_int(ii, _xxh64_long(hh, np.uint64(42))).view(np.int64)
+    assert list(ours) == jvm
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = {r.doc_id: list(r.minhash) for r in minhash_signature(docs, "text").select("doc_id", "minhash").collect()}
+    b = {r.doc_id: list(r.minhash) for r in minhash_signature_arrow(docs, "text").select("doc_id", "minhash").collect()}
+    assert a == b and len(a) > 0
+    # degenerate texts: short, empty, null — all stage a 1-hash array
+    edf = spark.createDataFrame(
+        [(1, "hello world foo bar"), (2, "x"), (3, ""), (4, None)],
+        "doc_id int, text string",
+    )
+    a = {r.doc_id: list(r.minhash) for r in minhash_signature(edf, "text").collect()}
+    b = {r.doc_id: list(r.minhash) for r in minhash_signature_arrow(edf, "text").collect()}
+    assert a == b
