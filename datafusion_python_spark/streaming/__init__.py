@@ -9,6 +9,7 @@ DataFrame/query so callers choose sink + trigger.
 
 from .dedup_join import dedup_stream, dedup_stream_by_fingerprint, interval_join_streams
 from .enrich import enrich_stream, scd2_enrich_stream
+from .sinks import start_resumable_parquet_sink
 from .stateful import running_total_per_key
 from .windows import (
     sessionized_counts,
@@ -23,6 +24,7 @@ __all__ = [
     "sliding_counts",
     "sessionized_counts",
     "running_total_per_key",
+    "start_resumable_parquet_sink",
     "dedup_stream",
     "dedup_stream_by_fingerprint",
     "interval_join_streams",

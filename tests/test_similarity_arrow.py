@@ -380,3 +380,27 @@ def test_minhash_arrow_matches_jvm(spark, sf_dir):
     a = {r.doc_id: list(r.minhash) for r in minhash_signature(edf, "text").collect()}
     b = {r.doc_id: list(r.minhash) for r in minhash_signature_arrow(edf, "text").collect()}
     assert a == b
+
+
+def test_xxh64_twins_random_sweep(spark):
+    # 20k seeded-random (long, int) pairs through both engines in one
+    # shot — hardens the bit-parity claim beyond hand-picked edges.
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from datafusion_python_spark.operators.dedup import _xxh64_int, _xxh64_long
+
+    rng = np.random.default_rng(0xD5)
+    hs = rng.integers(-(2**63), 2**63 - 1, size=20_000, dtype=np.int64)
+    iis = rng.integers(-(2**31), 2**31 - 1, size=20_000, dtype=np.int32)
+    import pandas as pd
+
+    df = spark.createDataFrame(pd.DataFrame({"h": hs, "i": iis}))
+    jvm = np.array(
+        [r[0] for r in df.select(F.xxhash64("h", "i")).collect()], dtype=np.int64
+    )
+    ours = _xxh64_int(
+        iis.view(np.uint32), _xxh64_long(hs.view(np.uint64), np.uint64(42))
+    ).view(np.int64)
+    assert (ours == jvm).all()

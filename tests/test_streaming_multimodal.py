@@ -258,3 +258,96 @@ def test_stream_late_drop_evicts_by_watermark(spark):
         for op in (p.get("stateOperators") or [])
     )
     assert dropped == 1
+
+
+def test_streaming_checkpoint_restart_exactly_once(spark, sf_dir, tmp_path):
+    # Kill a watermarked windowed aggregation mid-replay, restart it
+    # from the same checkpoint, and require the resumed run to land on
+    # EXACTLY the batch answer — no lost windows, no duplicates. This
+    # is the operational contract (preempt/upgrade/resume) that makes
+    # the streaming ingest safe at scale.
+    import os
+    import shutil
+    import time
+    from datetime import timedelta
+
+    from datafusion_python_spark.streaming import (
+        start_resumable_parquet_sink,
+        tumbling_counts,
+    )
+
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        ev = load_table(spark, sf_dir, "events")
+        mx = ev.agg(F.max("ts").alias("m")).first()["m"]
+        sentinel = spark.createDataFrame(
+            [(-1, mx + timedelta(hours=3), -1, "__sentinel__", 0.0, "")], ev.schema
+        )
+        src_dir = str(tmp_path / "in")
+        os.makedirs(src_dir)
+        half = ev.count() // 2
+        parts = [
+            ev.orderBy("event_id").limit(half),
+            ev.orderBy("event_id").offset(half),
+            sentinel,
+        ]
+        for i, part in enumerate(parts):
+            tmp = str(tmp_path / f"t{i}")
+            part.coalesce(1).write.mode("overwrite").parquet(tmp)
+            f = next(x for x in sorted(os.listdir(tmp)) if x.endswith(".parquet"))
+            dst = os.path.join(src_dir, f"b{i}.parquet")
+            shutil.copy(os.path.join(tmp, f), dst)
+            os.utime(dst, (1_000_000_000 + 60 * i,) * 2)
+
+        out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+        def q_from(src):
+            agg = tumbling_counts(src, window="1 hour", watermark="10 minutes")
+            return agg.select(
+                F.col("window_start").cast("timestamp_ntz").alias("hb"),
+                "event_type",
+                "n",
+            )
+
+        src = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src_dir)
+        )
+        q = start_resumable_parquet_sink(q_from(src), out_dir, ckpt)
+        # kill after at least one committed micro-batch
+        deadline = time.time() + 60
+        while not q.recentProgress and time.time() < deadline:
+            time.sleep(0.2)
+        assert q.recentProgress, "no batch committed before deadline"
+        q.stop()
+
+        # resume from the same checkpoint; drain the rest
+        src2 = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src_dir)
+        )
+        q2 = start_resumable_parquet_sink(q_from(src2), out_dir, ckpt)
+        q2.processAllAvailable()
+        q2.stop()
+
+        got = (
+            spark.read.parquet(out_dir)
+            .filter(F.col("event_type") != "__sentinel__")
+            .groupBy("hb", "event_type")
+            .agg(F.sum("n").alias("n"))  # duplicates would inflate n
+            .collect()
+        )
+        want = {
+            (r.hb, r.event_type): r.n
+            for r in ev.groupBy(
+                F.date_trunc("hour", "ts").alias("hb"), "event_type"
+            )
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        assert {(r.hb, r.event_type): r.n for r in got} == want
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
