@@ -12,6 +12,7 @@ from .dedup import (
     minhash_signature,
     lsh_candidate_pairs,
     ngram_jaccard_pairs,
+    ngram_jaccard_pairs_prefix,
     minhash_signature_arrow,
     simhash,
     simhash_arrow,
@@ -113,6 +114,7 @@ __all__ = [
     "minhash_signature",
     "lsh_candidate_pairs",
     "ngram_jaccard_pairs",
+    "ngram_jaccard_pairs_prefix",
     "minhash_signature_arrow",
     "simhash",
     "simhash_arrow",

@@ -514,6 +514,83 @@ def _banded(sig_df: DataFrame, id_col: str, num_bands: int, sig_col: str) -> Dat
     )
 
 
+def ngram_jaccard_pairs_prefix(
+    df: DataFrame, id_col: str, text_col: str, threshold: float = 0.5
+) -> DataFrame:
+    """``ngram_jaccard_pairs`` with AllPairs/PPJoin-style prefix
+    filtering — identical output, far fewer candidate pairs.
+
+    Exactness argument (standard AllPairs result): order every doc's
+    token set by one global total order (document frequency asc, then
+    token — rarity order is a perf choice, ANY total order is correct)
+    and keep only the first ``p = |d| − ⌈t·|d|⌉ + 1`` tokens as its
+    *prefix*. Two sets with Jaccard ≥ t overlap in ≥ ⌈t·|A∪B|⌉ tokens,
+    so by pigeonhole they must share at least one PREFIX token — the
+    token self-join therefore only indexes prefixes, and the classic
+    stop-token blowup (every doc pair sharing "the") disappears unless
+    "the" lands in someone's prefix. A length filter (t·|A| ≤ |B|)
+    prunes candidates further; both filters only ever WIDEN the
+    candidate set relative to the true pair set (the ceil is nudged
+    down by 1e-9 before flooring so float error can only widen), and
+    the final exact-Jaccard verify + round + threshold is expression-
+    identical to :func:`ngram_jaccard_pairs`, so the emitted pairs are
+    bit-equal.
+
+    Scale shape: +2 small shuffles (token frequencies; per-doc rank
+    window) buys a candidate join keyed only on prefix tokens —
+    at high thresholds the index shrinks ~(1−t)× and candidate pairs
+    shrink superlinearly. Verification joins tokens of candidate pairs
+    only, not all co-occurring pairs.
+    """
+    words = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(
+            F.array_distinct(
+                F.filter(F.split(_norm_text(F.col(text_col)), " "), lambda w: w != "")
+            )
+        ).alias("w"),
+    )
+    from pyspark.sql.window import Window
+
+    freq = words.groupBy("w").agg(F.count("*").alias("dfw"))
+    ranked = (
+        words.join(freq, "w")
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("doc").orderBy(F.asc("dfw"), F.asc("w"))
+            ),
+        )
+        .withColumn("sz", F.count("*").over(Window.partitionBy("doc")))
+    )
+    # p = sz - ceil(t*sz) + 1, ceil nudged down so float error only widens
+    p = F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz") - F.lit(1e-9)) + 1
+    prefix = ranked.filter(F.col("rk") <= p).select("doc", "w", "sz")
+    a = prefix.select(F.col("doc").alias("id_a"), "w", F.col("sz").alias("sz_a"))
+    b = prefix.select(F.col("doc").alias("id_b"), "w", F.col("sz").alias("sz_b"))
+    cands = (
+        a.join(b, "w")
+        .filter(F.col("id_a") < F.col("id_b"))
+        # length filter: J >= t forces t*|A| <= |B| and t*|B| <= |A|
+        .filter(F.lit(threshold) * F.col("sz_a") <= F.col("sz_b"))
+        .filter(F.lit(threshold) * F.col("sz_b") <= F.col("sz_a"))
+        .select("id_a", "id_b", "sz_a", "sz_b")
+        .distinct()
+    )
+    wa = words.select(F.col("doc").alias("id_a"), "w")
+    wb = words.select(F.col("doc").alias("id_b"), "w")
+    overlap = (
+        cands.join(wa, "id_a")
+        .join(wb, ["id_b", "w"])
+        .groupBy("id_a", "id_b", "sz_a", "sz_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    jac = F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+    return overlap.select("id_a", "id_b", F.round(jac, 4).alias("jaccard")).filter(
+        F.col("jaccard") >= threshold
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame, id_col: str, text_col: str, threshold: float = 0.5
 ) -> DataFrame:

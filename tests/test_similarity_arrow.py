@@ -404,3 +404,26 @@ def test_xxh64_twins_random_sweep(spark):
         iis.view(np.uint32), _xxh64_long(hs.view(np.uint64), np.uint64(42))
     ).view(np.int64)
     assert (ours == jvm).all()
+
+
+def test_jaccard_prefix_filter_matches_plain(spark, sf_dir):
+    # AllPairs prefix filtering must be output-identical to the naive
+    # inverted-index join — the filters may only widen candidates, and
+    # the verify stage reuses the exact formula and rounding.
+    from datafusion_python_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_prefix,
+    )
+    from datafusion_python_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    for t in (0.3, 0.6, 0.95):
+        plain = sorted(
+            (r.id_a, r.id_b, r.jaccard)
+            for r in ngram_jaccard_pairs(docs, "doc_id", "text", t).collect()
+        )
+        pref = sorted(
+            (r.id_a, r.id_b, r.jaccard)
+            for r in ngram_jaccard_pairs_prefix(docs, "doc_id", "text", t).collect()
+        )
+        assert pref == plain
