@@ -265,6 +265,12 @@ def minhash_signature_arrow(
                 # something else — fail loudly rather than misalign
                 raise ValueError("minhash_signature_arrow: null shingle-hash row")
             lens = np.asarray(pa.compute.list_value_length(col), dtype=np.int64)
+            if (lens == 0).any():
+                # reduceat on a zero-length segment silently returns the
+                # NEXT segment's first element — the staging expression
+                # guarantees >=1 hash per row (null/empty text hashes to
+                # a 1-element array); make that invariant loud
+                raise ValueError("minhash_signature_arrow: empty shingle-hash row")
             flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
             inner = _xxh64_long(flat.view(np.uint64), np.uint64(42))
             starts = np.zeros(n, dtype=np.int64)
@@ -530,11 +536,20 @@ def ngram_jaccard_pairs_prefix(
     stop-token blowup (every doc pair sharing "the") disappears unless
     "the" lands in someone's prefix. A length filter (t·|A| ≤ |B|)
     prunes candidates further; both filters only ever WIDEN the
-    candidate set relative to the true pair set (the ceil is nudged
-    down by 1e-9 before flooring so float error can only widen), and
-    the final exact-Jaccard verify + round + threshold is expression-
-    identical to :func:`ngram_jaccard_pairs`, so the emitted pairs are
-    bit-equal.
+    candidate set relative to the true pair set, and the final
+    exact-Jaccard verify + round + threshold is expression-identical
+    to :func:`ngram_jaccard_pairs`, so the emitted pairs are bit-equal.
+
+    The pruning filters run at a RELAXED effective threshold
+    ``t_eff = t − 5e-5 − 1e-9``, not ``t`` itself: the emit filter
+    compares ``round(jac, 4) >= t`` (kept identical to the plain
+    variant), and HALF_UP rounding admits pairs whose true Jaccard
+    lies in ``[t − 5e-5, t)`` — e.g. inter/union = 1899/1999 =
+    0.949975 rounds to 0.95 at t = 0.95. Pruning at exact ``t`` would
+    silently drop such pairs that the plain variant emits; pruning at
+    ``t_eff`` (the extra 1e-9 absorbs one multiply's float error in
+    the length filters, matching the nudge inside the prefix ceil)
+    guarantees candidate recall over the whole rounding band.
 
     Scale shape: +2 small shuffles (token frequencies; per-doc rank
     window) buys a candidate join keyed only on prefix tokens —
@@ -570,17 +585,19 @@ def ngram_jaccard_pairs_prefix(
         )
         .withColumn("sz", F.count("*").over(Window.partitionBy("doc")))
     )
-    # p = sz - ceil(t*sz) + 1, ceil nudged down so float error only widens
-    p = F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz") - F.lit(1e-9)) + 1
+    # Prune at t_eff (rounding band + float slack), emit at round(.,4) >= t
+    t_eff = max(threshold - 0.00005 - 1e-9, 0.0)
+    # p = sz - ceil(t_eff*sz) + 1, ceil nudged down so float error only widens
+    p = F.col("sz") - F.ceil(F.lit(t_eff) * F.col("sz") - F.lit(1e-9)) + 1
     prefix = ranked.filter(F.col("rk") <= p).select("doc", "w", "sz")
     a = prefix.select(F.col("doc").alias("id_a"), "w", F.col("sz").alias("sz_a"))
     b = prefix.select(F.col("doc").alias("id_b"), "w", F.col("sz").alias("sz_b"))
     cands = (
         a.join(b, "w")
         .filter(F.col("id_a") < F.col("id_b"))
-        # length filter: J >= t forces t*|A| <= |B| and t*|B| <= |A|
-        .filter(F.lit(threshold) * F.col("sz_a") <= F.col("sz_b"))
-        .filter(F.lit(threshold) * F.col("sz_b") <= F.col("sz_a"))
+        # length filter: J >= t_eff forces t_eff*|A| <= |B| and t_eff*|B| <= |A|
+        .filter(F.lit(t_eff) * F.col("sz_a") <= F.col("sz_b"))
+        .filter(F.lit(t_eff) * F.col("sz_b") <= F.col("sz_a"))
         .select("id_a", "id_b", "sz_a", "sz_b")
         .distinct()
     )
@@ -591,7 +608,12 @@ def ngram_jaccard_pairs_prefix(
     # 20-min single-task straggler at the 64× near-duplicate point). An
     # explicit partition count is exempt from AQE coalescing and keys
     # the join's build side at the same time.
-    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    try:
+        n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        # e.g. "auto" under Databricks AQE — any fixed fan-out works,
+        # the point is only to defeat size-based coalescing here
+        n_part = 200
     cands = cands.repartition(n_part, "id_a")
     wa = words.select(F.col("doc").alias("id_a"), "w")
     wb = words.select(F.col("doc").alias("id_b"), "w")

@@ -26,9 +26,11 @@ never by history.
 
 from __future__ import annotations
 
+import atexit
 import functools
 import itertools
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -37,6 +39,25 @@ from pyspark.sql import functions as F
 from .tables import load_table
 
 _SEQ = itertools.count()
+
+# Per-pid /tmp replay dirs this process created; removed at interpreter
+# exit (every gate drains its stream synchronously, so nothing reads
+# them after the gate returns — without this each driver run leaked a
+# full events-table copy per pid under tempfile.gettempdir()).
+_TMP_DIRS: set[str] = set()
+
+
+def _track_tmp(path: str) -> str:
+    if not _TMP_DIRS:
+        atexit.register(_cleanup_tmp)
+    _TMP_DIRS.add(path)
+    return path
+
+
+def _cleanup_tmp() -> None:
+    for p in list(_TMP_DIRS):
+        shutil.rmtree(p, ignore_errors=True)
+        _TMP_DIRS.discard(p)
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -83,8 +104,10 @@ def _replay_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = _t(spark, sf_dir, "events")
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    path = os.path.join(
-        tempfile.gettempdir(), f"_suite_stream_events_{tag}_{os.getpid()}"
+    path = _track_tmp(
+        os.path.join(
+            tempfile.gettempdir(), f"_suite_stream_events_{tag}_{os.getpid()}"
+        )
     )
     ev.write.mode("overwrite").parquet(path)
     return spark.readStream.schema(ev.schema).parquet(path)
@@ -294,8 +317,6 @@ def stream_late_drop(spark, sf_dir):
     file per batch (``maxFilesPerTrigger=1``) with strictly increasing
     mtimes. The oracle is therefore plain SQL — the batch hourly
     rollup minus exactly that one row."""
-    import shutil
-
     from .streaming import tumbling_counts
 
     ev = _t(spark, sf_dir, "events")
@@ -312,8 +333,10 @@ def stream_late_drop(spark, sf_dir):
     )
 
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    base = os.path.join(
-        tempfile.gettempdir(), f"_suite_stream_late_{tag}_{os.getpid()}"
+    base = _track_tmp(
+        os.path.join(
+            tempfile.gettempdir(), f"_suite_stream_late_{tag}_{os.getpid()}"
+        )
     )
     shutil.rmtree(base, ignore_errors=True)
     stream_dir = os.path.join(base, "in")

@@ -427,3 +427,23 @@ def test_jaccard_prefix_filter_matches_plain(spark, sf_dir):
             for r in ngram_jaccard_pairs_prefix(docs, "doc_id", "text", t).collect()
         )
         assert pref == plain
+
+
+def test_jaccard_prefix_rounding_band_pair_kept(spark):
+    # A pair whose TRUE Jaccard sits just under t but ROUNDS to t
+    # (inter/union = 1899/1999 = 0.949975 -> round4 = 0.95 at t=0.95)
+    # is emitted by the plain variant; the prefix/length filters must
+    # prune at the relaxed t_eff so they don't drop it.
+    from datafusion_python_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_prefix,
+    )
+
+    shared = [f"s{i:05d}" for i in range(1899)]
+    a = " ".join(shared + [f"a{i:04d}" for i in range(50)])
+    b = " ".join([f"b{i:04d}" for i in range(50)] + shared)
+    docs = spark.createDataFrame([(1, a), (2, b)], ["doc_id", "text"])
+    plain = ngram_jaccard_pairs(docs, "doc_id", "text", 0.95).collect()
+    pref = ngram_jaccard_pairs_prefix(docs, "doc_id", "text", 0.95).collect()
+    assert len(plain) == 1 and plain[0].jaccard == 0.95
+    assert [tuple(r) for r in pref] == [tuple(r) for r in plain]
