@@ -520,6 +520,92 @@ def _banded(sig_df: DataFrame, id_col: str, num_bands: int, sig_col: str) -> Dat
     )
 
 
+def _shingle_set(text_col, k: int):
+    """Distinct k-shingle STRINGS of the normalized word stream — the set
+    the minhash signature sketches, as engine-portable strings (so an
+    exact verify over it is oracle-checkable in any SQL engine)."""
+    words = F.filter(F.split(_norm_text(text_col), " "), lambda w: w != "")
+    if k == 1:
+        return F.array_distinct(words)
+    n = F.size(words)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    shingles = F.when(
+        n >= k,
+        F.transform(idx, lambda i: F.array_join(F.slice(words, i, k), " ")),
+    ).otherwise(F.array(F.array_join(words, " ")))
+    return F.array_distinct(shingles)
+
+
+def near_dup_pairs_lsh(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    num_hashes: int = 32,
+    num_bands: int = 8,
+    shingle_k: int = 1,
+    hasher: str = "xxhash64",
+) -> DataFrame:
+    """Production near-duplicate pairs: MinHash-LSH candidate generation
+    composed with per-candidate EXACT Jaccard verification — one
+    operator, end to end.
+
+    This is the declared 100 TB path for the regime where exact
+    all-pairs Jaccard is honestly quadratic (replica-saturated /
+    small-vocabulary corpora — see the honest-limit note on
+    :func:`ngram_jaccard_pairs_prefix`): candidates come only from LSH
+    bucket collisions (shuffle keyed on (band, band_hash) — pair work
+    scales with the corpus's true duplicate structure, never with
+    corpus²), and each candidate is then verified by exact Jaccard over
+    the SAME k-shingle set the signature sketches, so every emitted
+    pair is exact. Output precision is exact; recall is the banding
+    s-curve (a true pair at J ≥ t is missed only if it collides in no
+    band: (1 − t^r)^b with r = num_hashes/num_bands) — fix the
+    (num_hashes, num_bands, hasher) triple and the candidate set is
+    DETERMINISTIC, which is what lets the driver gate replay it in a
+    SQL oracle.
+
+    Verify shape: candidates join the per-doc sorted distinct shingle
+    array twice (shuffle keyed on id — arrays travel once per
+    candidate), then ``size(array_intersect(...))`` evaluates JVM-side
+    per pair — no token-exploded join, no per-pair Python. Emission is
+    expression-identical to :func:`ngram_jaccard_pairs`
+    (``round(jac, 4) >= threshold``), so for any candidate pair the
+    verdict is bit-equal to the exact operator's.
+    """
+    sig = minhash_signature(
+        df, text_col, num_hashes=num_hashes, shingle_k=shingle_k, hasher=hasher
+    )
+    cands = lsh_candidate_pairs(sig, id_col, num_bands=num_bands)
+    # Re-spread candidates before attaching the shingle arrays: candidate
+    # rows are tiny and AQE's size-based coalescing would funnel the
+    # array-attach joins into a couple of tasks (same trap documented in
+    # ngram_jaccard_pairs_prefix).
+    try:
+        n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        n_part = 200
+    cands = cands.repartition(n_part, "id_a")
+    sets = df.select(
+        F.col(id_col).alias("doc"), _shingle_set(F.col(text_col), shingle_k).alias("ws")
+    )
+    sa = sets.select(F.col("doc").alias("id_a"), F.col("ws").alias("ws_a"))
+    sb = sets.select(F.col("doc").alias("id_b"), F.col("ws").alias("ws_b"))
+    inter = F.size(F.array_intersect(F.col("ws_a"), F.col("ws_b")))
+    union = F.size("ws_a") + F.size("ws_b") - inter
+    # empty-vs-empty candidates (degenerate signatures collide in every
+    # band) have union 0 — Jaccard undefined, and ANSI raises on the
+    # double division; null them out, the >= filter then drops them,
+    # matching ngram_jaccard_pairs (empty docs never index a token there)
+    jac = F.when(union > 0, inter / union)
+    return (
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def ngram_jaccard_pairs_prefix(
     df: DataFrame, id_col: str, text_col: str, threshold: float = 0.5
 ) -> DataFrame:

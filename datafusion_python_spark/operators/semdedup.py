@@ -169,6 +169,7 @@ def semantic_dedup(
     refine_iters: int = 0,
     centroids: list[list[float]] | None = None,
     arrow: bool = False,
+    max_cell: int | None = 65536,
 ) -> DataFrame:
     """SemDeDup: cluster-bounded cosine dedup over an embedding column.
 
@@ -190,6 +191,26 @@ def semantic_dedup(
     well under the pair-stage-only twin's 84.6 s, because the measured
     cost was never the matmul — it was join-row materialization plus
     the doubled interpreted assignment.
+
+    ``max_cell`` (arrow path) bounds MEGACLUSTER skew: the fused kernel
+    holds one cluster's matrix per task, so a cluster holding half the
+    corpus would put n/2 × dim doubles in one task while every other
+    core idles. Cells larger than ``max_cell`` are split into
+    ``ceil(|cell|/max_cell)`` deterministic hash chunks and scheduled
+    as chunk PAIRS: every same-cell row pair still co-occurs in exactly
+    the (chunk_i, chunk_j) task, so the dup rule is IDENTICAL (a row
+    drops iff some strictly-lower-id row in the same CELL clears the
+    threshold — not per-chunk), while per-task peak memory is bounded
+    by ~2·max_cell × dim doubles (hash chunks are balanced in
+    expectation; the spread is O(√max_cell), negligible at real cap
+    sizes — exact balancing would need a per-cell row_number window,
+    which re-creates the single-task megacluster sort the cap exists
+    to avoid). The oversized cells pay the
+    unavoidable |cell|²/max_cell work as |cell|/max_cell row
+    replication across tasks (that IS the n² being spread out), plus a
+    distinct + left-anti join that only those cells' rows enter; cells
+    within the cap keep the fused single-pass plan. ``None`` disables
+    the split (pre-cap behavior).
     """
     cents = (
         centroids
@@ -208,11 +229,9 @@ def semantic_dedup(
 
     assigned = ivf_assign_arrow(df, cents, vec_col=vec_col)
     out_schema = assigned.schema
+    out_cols = [f.name for f in out_schema.fields]
 
-    def survivors(pdf: pd.DataFrame) -> pd.DataFrame:
-        n = len(pdf)
-        if n < 2:
-            return pdf
+    def _validated(pdf: pd.DataFrame):
         if pdf[id_col].isna().any() or pdf[vec_col].isna().any():
             raise ValueError(
                 "semantic_dedup(arrow=True): null id or embedding values "
@@ -226,7 +245,60 @@ def semantic_dedup(
                 "semantic_dedup(arrow=True): zero-norm embedding (the JVM "
                 "path raises DIVIDE_BY_ZERO here under ANSI mode)"
             )
-        dup = _dup_flags(ids, m / norms[:, None], threshold, block=4096)
+        return ids, m / norms[:, None]
+
+    def survivors(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pdf
+        ids, u = _validated(pdf)
+        dup = _dup_flags(ids, u, threshold, block=4096)
         return pdf[~dup]
 
-    return assigned.groupBy("ivf_cell").applyInPandas(survivors, out_schema)
+    if max_cell is None:
+        return assigned.groupBy("ivf_cell").applyInPandas(survivors, out_schema)
+
+    # Megacluster cap: materialize the assignment once (every branch
+    # below reads it — without the checkpoint the size aggregate, both
+    # filter branches, and the anti-join probe would each recompute the
+    # assignment matmul, the exact doubled-work trap the fused path
+    # removed), split oversized cells into hash chunks, and schedule
+    # chunk PAIRS so the dup rule stays cell-global.
+    sizes = assigned.groupBy("ivf_cell").agg(F.count("*").alias("_cell_n"))
+    tagged = assigned.join(F.broadcast(sizes), "ivf_cell").localCheckpoint(
+        eager=False
+    )
+    small = tagged.filter(F.col("_cell_n") <= max_cell)
+    big = tagged.filter(F.col("_cell_n") > max_cell)
+
+    small_out = (
+        small.drop("_cell_n").groupBy("ivf_cell").applyInPandas(survivors, out_schema)
+    )
+
+    n_chunks = F.ceil(F.col("_cell_n") / F.lit(max_cell)).cast("int")
+    chunk = F.pmod(F.xxhash64(F.col(id_col)), n_chunks).cast("int")
+    paired = (
+        big.withColumn("_chunk", chunk)
+        .withColumn("_other", F.explode(F.sequence(F.lit(0), n_chunks - 1)))
+        .withColumn("_lo", F.least("_chunk", "_other"))
+        .withColumn("_hi", F.greatest("_chunk", "_other"))
+        # (a,b) and (b,a) collapse onto one group key; a chunk-a row
+        # reaches group (a,b) exactly once (via _other = b), so the
+        # group holds chunk a ∪ chunk b with no duplicates — every
+        # same-cell row pair co-occurs in exactly one task
+    )
+    id_t = out_schema[id_col].dataType.simpleString()
+
+    def dup_ids(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame({id_col: pd.Series([], dtype=pdf[id_col].dtype)})
+        ids, u = _validated(pdf)
+        dup = _dup_flags(ids, u, threshold, block=4096)
+        return pd.DataFrame({id_col: ids[dup]})
+
+    dups = (
+        paired.groupBy("ivf_cell", "_lo", "_hi")
+        .applyInPandas(dup_ids, f"{id_col} {id_t}")
+        .distinct()
+    )
+    big_out = big.join(dups, id_col, "left_anti").select(*out_cols)
+    return small_out.select(*out_cols).unionByName(big_out)

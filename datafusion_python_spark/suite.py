@@ -49,67 +49,68 @@ except ImportError:
 # `tools/staleness.py` recomputes this ordering from the
 # CORRECTNESS_r*.json history.
 _PRIORITY = [
-    # Round-6 rotation (tools/staleness.py ordering): first the gates
-    # ADDED this round — the four Arrow-kernel twins and the
-    # watermark-eviction replay — for first-ever driver rows; then the
-    # 11 queries whose newest driver row is r3 (they complete the
-    # "every query has an r4+ row" rotation VERDICT r5 asked for);
-    # then r4-recorded rows by staleness rank to fill the 50-row
-    # window. Everything after the window holds a green r4/r5 row and
-    # stays covered by tools/selfcheck.py.
+    # Round-7 rotation (tools/staleness.py ordering): first the gates
+    # ADDED this round — the end-to-end LSH→verify near-dup path and
+    # the checkpoint-restart exactly-once sink — for first-ever driver
+    # rows; then the 17 queries whose newest driver row is r4 (VERDICT
+    # r6 ask #5: after this window nothing anywhere is older than r5);
+    # then the oldest r5 rows (TPC-H ran r5; the r6 window was all
+    # pipeline/stream gates) to fill the 50-row window. Everything
+    # after the window holds a green r5/r6 row and stays covered by
+    # tools/selfcheck.py.
     # new this round
-    "pipe_topk_arrow",
-    "pipe_ann_ivf_arrow",
-    "pipe_semdedup_arrow",
-    "pipe_neardup_arrow",
-    "stream_late_drop",
-    "stream_windowed_hll",
-    "pipe_simhash_arrow",
-    # last r3-recorded rows
-    "agg_grouping_multi",
-    "agg_stats",
-    "agg_string_agg",
-    "setop_union_multi",
-    "setop_intersect",
-    "setop_except",
-    "fn_strings",
-    "fn_datetime",
-    "fn_math_case",
-    "pipe_pii_redact",
-    "pipe_semantic_dedup",
+    "pipe_neardup_lsh_verify",
+    "stream_restart_resume",
     # r4 rows, staleness order
-    "tpch_q2",
-    "evt_funnel",
-    "evt_retention",
-    "evt_asof_attribution",
-    "evt_range_join",
-    "agg_approx",
-    "win_groups_frame",
-    "agg_distinct_filter",
-    "agg_percentiles",
-    "agg_string_agg_desc",
-    "fn_like_escape",
-    "sql_recursive_cte",
-    "agg_weighted_pct",
-    "fn_time",
-    "pipe_hll_rollup",
-    "pipe_zorder_layout",
-    "pipe_dedup_incremental",
-    "pipe_perplexity",
-    "pipe_fuzzy_match",
-    "pipe_tfidf",
-    "pipe_bm25",
-    "pipe_chunk",
-    "pipe_shuffle_order",
-    "pipe_rand_proj",
-    "pipe_quality_score",
-    "pipe_emb_quant",
-    "pipe_decontaminate",
-    "pipe_sample_stratified",
-    "pipe_mixture_sample",
-    "pipe_dedup_exact",
-    "pipe_jaccard_pairs",
-    "pipe_minhash_lsh",
+    "pipe_simhash",
+    "pipe_cosine_topk",
+    "pipe_ann_lsh",
+    "pipe_ann_ivf",
+    "pipe_cosine_neardup",
+    "pipe_emb_centroid",
+    "pipe_text_tokens",
+    "pipe_text_quality",
+    "pipe_langid",
+    "pipe_fingerprint",
+    "pipe_dedup_cluster",
+    "pipe_sample_hash",
+    "pipe_domain_cap",
+    "pipe_token_pack",
+    "pipe_repetition",
+    "pipe_minhash_cluster",
+    "udaf_geomean",
+    # oldest r5 rows, staleness order
+    "tpch_q1",
+    "tpch_q11",
+    "tpch_q3",
+    "tpch_q4",
+    "tpch_q5",
+    "tpch_q6",
+    "tpch_q7",
+    "tpch_q8",
+    "tpch_q9",
+    "tpch_q10",
+    "tpch_q12",
+    "tpch_q13",
+    "tpch_q14",
+    "tpch_q15",
+    "tpch_q16",
+    "tpch_q17",
+    "tpch_q18",
+    "tpch_q19",
+    "tpch_q20",
+    "tpch_q21",
+    "tpch_q22",
+    "evt_salted_agg",
+    "evt_salted_join",
+    "sql_unparse_roundtrip",
+    "substrait_consume",
+    "evt_gapfill",
+    "evt_pagerank",
+    "evt_session_window",
+    "evt_date_bin",
+    "fn_bits_epoch",
+    "win_frames",
 ]
 
 ALL_QUERIES: dict[str, tuple] = {}

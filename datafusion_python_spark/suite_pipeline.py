@@ -137,6 +137,62 @@ ORDER BY id_a, id_b
 
 
 # --------------------------------------------------------------------------
+# Production near-dup path END TO END: MinHash-LSH candidates → exact
+# Jaccard verify as ONE operator (the declared 100 TB answer for the
+# regime where exact all-pairs Jaccard is quadratic). md5 hasher + fixed
+# (32 hashes, 8 bands) make the candidate set deterministic, so the
+# oracle replays the full composition: signature → banding → bucket
+# self-join → exact word-set Jaccard over the candidates.
+def pipe_neardup_lsh_verify(spark, sf_dir):
+    from .operators.dedup import near_dup_pairs_lsh
+
+    docs = _t(spark, sf_dir, "documents")
+    return near_dup_pairs_lsh(
+        docs,
+        "doc_id",
+        "text",
+        threshold=0.8,
+        num_hashes=32,
+        num_bands=8,
+        shingle_k=1,
+        hasher="md5",
+    ).orderBy("id_a", "id_b")
+
+
+PIPE_NEARDUP_LSH_VERIFY_SQL = r"""
+WITH norm AS (
+  SELECT doc_id,
+         list_filter(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+                     x -> x != '') AS ws
+  FROM documents
+), sig AS (
+  SELECT doc_id,
+         list_transform(range(0, 32), i ->
+           list_min(list_transform(ws,
+             s -> ('0x' || substr(md5(s || '#' || i::VARCHAR), 1, 8))::BIGINT))) AS mh
+  FROM norm
+), banded AS (
+  SELECT doc_id, b.band,
+         array_to_string(mh[b.band * 4 + 1 : b.band * 4 + 4], ',') AS key
+  FROM sig, (SELECT unnest(range(0, 8)) AS band) b
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+  FROM banded a JOIN banded c
+    ON a.band = c.band AND a.key = c.key AND a.doc_id < c.doc_id
+), sets AS (
+  SELECT doc_id, list_distinct(ws) AS s FROM norm
+)
+SELECT id_a, id_b,
+       round(len(list_intersect(sa.s, sb.s)) * 1.0
+             / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))), 4) AS jaccard
+FROM cand JOIN sets sa ON sa.doc_id = id_a JOIN sets sb ON sb.doc_id = id_b
+WHERE len(list_intersect(sa.s, sb.s)) * 1.0
+      / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) >= 0.8
+ORDER BY id_a, id_b
+"""
+
+
+# --------------------------------------------------------------------------
 # SimHash near-dup pairs. md5 hasher mode → 60-bit signature that fits a
 # signed BIGINT in both engines; the oracle recomputes word hashes, bit
 # votes, 15-bit block candidates, and exact Hamming verify in DuckDB.
@@ -1616,6 +1672,7 @@ PIPELINE_QUERIES: dict[str, tuple] = {
     "pipe_dedup_exact": (pipe_dedup_exact, PIPE_DEDUP_EXACT_SQL),
     "pipe_jaccard_pairs": (pipe_jaccard_pairs, PIPE_JACCARD_SQL),
     "pipe_minhash_lsh": (pipe_minhash_lsh, PIPE_MINHASH_LSH_SQL),
+    "pipe_neardup_lsh_verify": (pipe_neardup_lsh_verify, PIPE_NEARDUP_LSH_VERIFY_SQL),
     "pipe_simhash": (pipe_simhash, PIPE_SIMHASH_SQL),
     "pipe_cosine_topk": (pipe_cosine_topk, PIPE_COSINE_TOPK_SQL),
     "pipe_ann_lsh": (pipe_ann_lsh, PIPE_ANN_LSH_SQL),

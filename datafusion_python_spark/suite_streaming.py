@@ -421,6 +421,110 @@ FROM events GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+@_with_utc
+def stream_restart_resume(spark, sf_dir):
+    """Checkpoint-restart exactly-once, ON the driver's record: run the
+    watermarked hourly rollup over HALF the event files through the
+    resumable parquet sink (``availableNow`` — drains what exists, then
+    stops), then start a SECOND query from the same checkpoint over the
+    full directory. The restarted query resumes from the committed
+    offsets and state (the first run's open windows finalize only after
+    the second run's files push the watermark past them), so the sink's
+    parquet output equals the batch rollup over ALL events exactly —
+    a duplicated micro-batch would inflate counts, a lost one would
+    drop windows, and either breaks the oracle match. The eviction
+    sentinel at max(ts)+3 h forces every real window past the final
+    watermark so append mode emits them all (same technique as
+    ``stream_late_drop``); sentinel groups are filtered from the
+    output. ``availableNow`` makes the stop point DETERMINISTIC (after
+    exactly the files present at start), unlike the timing-based kill
+    in tests/test_streaming_multimodal.py, which stays the messier
+    mid-batch variant."""
+    import shutil as _sh
+
+    from .streaming import start_resumable_parquet_sink, tumbling_counts
+
+    ev = _t(spark, sf_dir, "events")
+    mx = ev.agg(F.max("ts").alias("mx")).first()["mx"]
+    from datetime import timedelta
+
+    sentinel = spark.createDataFrame(
+        [(-1, mx + timedelta(hours=3), -1, "__sentinel__", 0.0, "")], ev.schema
+    )
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    base = _track_tmp(
+        os.path.join(
+            tempfile.gettempdir(), f"_suite_stream_restart_{tag}_{os.getpid()}"
+        )
+    )
+    _sh.rmtree(base, ignore_errors=True)
+    stream_dir = os.path.join(base, "in")
+    out_dir = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+    os.makedirs(stream_dir)
+    half = ev.count() // 2
+    parts = [
+        ev.orderBy("event_id").limit(half),
+        ev.orderBy("event_id").offset(half),
+        sentinel,
+    ]
+    staged = []
+    for i, part in enumerate(parts):
+        tmp = os.path.join(base, f"tmp{i}")
+        part.coalesce(1).write.mode("overwrite").parquet(tmp)
+        f = next(x for x in sorted(os.listdir(tmp)) if x.endswith(".parquet"))
+        staged.append((os.path.join(tmp, f), os.path.join(stream_dir, f"b{i}.parquet"), i))
+
+    def place(upto: int) -> None:
+        for src_f, dst, i in staged:
+            if i <= upto and not os.path.exists(dst):
+                _sh.copy(src_f, dst)
+                os.utime(dst, (1_000_000_000 + 60 * i,) * 2)
+
+    def q_start():
+        src = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(stream_dir)
+        )
+        agg = tumbling_counts(src, window="1 hour", watermark="10 minutes")
+        out = agg.select(
+            F.col("window_start").cast("timestamp_ntz").alias("hour_bucket"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+        return start_resumable_parquet_sink(out, out_dir, ckpt, available_now=True)
+
+    global LAST_DRAIN_PROGRESS
+    place(0)  # first half only
+    q1 = q_start()
+    q1.awaitTermination()
+    progress = list(q1.recentProgress)
+    place(2)  # second half + eviction sentinel appear "after the crash"
+    q2 = q_start()
+    q2.awaitTermination()
+    LAST_DRAIN_PROGRESS = progress + list(q2.recentProgress)
+    return (
+        spark.read.parquet(out_dir)
+        .filter(F.col("event_type") != "__sentinel__")
+        .select(
+            "hour_bucket",
+            "event_type",
+            F.col("n").alias("n_events"),
+            F.round("total_value", 2).alias("sum_value"),
+        )
+        .orderBy("hour_bucket", "event_type")
+    )
+
+
+STREAM_RESTART_RESUME_SQL = """
+SELECT date_trunc('hour', ts) AS hour_bucket, event_type,
+       count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 STREAM_LATE_DROP_SQL = """
 WITH ranked AS (
   SELECT *, row_number() OVER (ORDER BY ts, event_id) AS rn FROM events
@@ -440,4 +544,5 @@ STREAMING_QUERIES: dict[str, tuple] = {
     "stream_interval_join": (stream_interval_join, STREAM_INTERVAL_JOIN_SQL),
     "stream_late_drop": (stream_late_drop, STREAM_LATE_DROP_SQL),
     "stream_windowed_hll": (stream_windowed_hll, STREAM_WINDOWED_HLL_SQL),
+    "stream_restart_resume": (stream_restart_resume, STREAM_RESTART_RESUME_SQL),
 }

@@ -298,6 +298,69 @@ def test_semantic_dedup_arrow_matches_jvm(spark, sf_dir):
     assert arrow_ids == jvm_ids and len(jvm_ids) > 0
 
 
+def test_semantic_dedup_megacluster_cap(spark):
+    # One cell deliberately holds ~50% of the corpus. The max_cell
+    # block-pair scheduler must (a) keep the output IDENTICAL to the
+    # uncapped kernel and the JVM path, and (b) bound every task's
+    # group to <= 2*max_cell rows (instead of one task holding the
+    # whole megacluster's matrix).
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from datafusion_python_spark.operators.semdedup import semantic_dedup
+
+    rng = np.random.default_rng(7)
+    rows = []
+    # megacluster around +x: 400 vectors, many near-dups
+    for i in range(400):
+        v = np.array([10.0, 0.0, 0.0]) + rng.normal(0, 0.3, 3)
+        rows.append((i, [float(x) for x in v], "mega"))
+    # the rest spread over two other cells
+    for i in range(400, 600):
+        v = np.array([0.0, 10.0, 0.0]) + rng.normal(0, 0.5, 3)
+        rows.append((i, [float(x) for x in v], "b"))
+    for i in range(600, 800):
+        v = np.array([0.0, 0.0, 10.0]) + rng.normal(0, 0.5, 3)
+        rows.append((i, [float(x) for x in v], "c"))
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>, label string")
+    cents = [[10.0, 0.0, 0.0], [0.0, 10.0, 0.0], [0.0, 0.0, 10.0]]
+    kw = dict(n_clusters=3, threshold=0.999, centroids=cents, arrow=True)
+    uncapped = sorted(
+        (r.vec_id, r.ivf_cell) for r in semantic_dedup(df, max_cell=None, **kw).collect()
+    )
+    capped = sorted(
+        (r.vec_id, r.ivf_cell)
+        for r in semantic_dedup(df, max_cell=100, **kw).collect()
+    )
+    jvm = sorted(
+        (r.vec_id, r.ivf_cell)
+        for r in semantic_dedup(
+            df, n_clusters=3, threshold=0.999, centroids=cents, arrow=False
+        ).collect()
+    )
+    assert capped == uncapped == jvm
+    assert 0 < len(capped) < 800  # some dups dropped, some survivors
+    # bounded per-task groups: replay the chunk-pair construction and
+    # check no (cell, lo, hi) group exceeds 2*max_cell rows
+    from datafusion_python_spark.operators.similarity import ivf_assign_arrow
+
+    assigned = ivf_assign_arrow(df, cents)
+    sizes = assigned.groupBy("ivf_cell").agg(F.count("*").alias("_cell_n"))
+    tagged = assigned.join(F.broadcast(sizes), "ivf_cell").filter("_cell_n > 100")
+    n_chunks = F.ceil(F.col("_cell_n") / F.lit(100)).cast("int")
+    grp = (
+        tagged.withColumn("_chunk", F.pmod(F.xxhash64("vec_id"), n_chunks).cast("int"))
+        .withColumn("_other", F.explode(F.sequence(F.lit(0), n_chunks - 1)))
+        .groupBy("ivf_cell", F.least("_chunk", "_other"), F.greatest("_chunk", "_other"))
+        .count()
+    )
+    # hash chunks are balanced in expectation (binomial spread
+    # O(sqrt(max_cell)) around max_cell), so allow modest slack over
+    # the nominal 2*max_cell
+    assert grp.agg(F.max("count")).first()[0] <= 270
+
+
 def test_ivf_ann_arrow_matches_jvm(spark, sf_dir):
     from datafusion_python_spark.operators.similarity import ivf_ann
 
@@ -447,3 +510,67 @@ def test_jaccard_prefix_rounding_band_pair_kept(spark):
     pref = ngram_jaccard_pairs_prefix(docs, "doc_id", "text", 0.95).collect()
     assert len(plain) == 1 and plain[0].jaccard == 0.95
     assert [tuple(r) for r in pref] == [tuple(r) for r in plain]
+
+
+def test_near_dup_pairs_lsh_exact_on_candidates(spark, sf_dir):
+    # The end-to-end LSH→verify operator: precision must be EXACT —
+    # output == { LSH candidate pairs } ∩ { exact Jaccard pairs }, with
+    # bit-equal jaccard values (the verify reuses the exact formula).
+    from datafusion_python_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signature,
+        near_dup_pairs_lsh,
+        ngram_jaccard_pairs,
+    )
+    from datafusion_python_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = 0.8
+    got = sorted(
+        tuple(r)
+        for r in near_dup_pairs_lsh(
+            docs, "doc_id", "text", threshold=t, shingle_k=1, hasher="md5"
+        ).collect()
+    )
+    sig = minhash_signature(docs, "text", num_hashes=32, shingle_k=1, hasher="md5")
+    cands = {
+        (r.id_a, r.id_b)
+        for r in lsh_candidate_pairs(sig, "doc_id", num_bands=8).collect()
+    }
+    exact = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, "doc_id", "text", t).collect()
+    }
+    want = sorted((a, b, j) for (a, b), j in exact.items() if (a, b) in cands)
+    assert got == want
+    assert len(got) > 0  # the corpus has near-dups; the gate isn't vacuous
+
+
+def test_near_dup_pairs_lsh_replica_recall(spark):
+    # Replica-saturated corpus (the regime where exact all-pairs Jaccard
+    # is quadratic): every replica pair has J = m/(m+4) ≈ 0.96 and must
+    # be found via bucket collisions — full recall here since replica
+    # signatures collide with probability ≈ 1 at 8 bands × 4 rows.
+    from datafusion_python_spark.operators.dedup import near_dup_pairs_lsh
+
+    base = [
+        (d, " ".join(f"w{d}_{i}" for i in range(100)))
+        for d in range(20)
+    ]
+    rows = [
+        (d * 100 + r, f"{text} rep{r} t{r * 7 + 1}")
+        for d, text in base
+        for r in range(8)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = near_dup_pairs_lsh(docs, "doc_id", "text", threshold=0.9).collect()
+    got = {(r.id_a, r.id_b) for r in pairs}
+    want = {
+        (d * 100 + i, d * 100 + j)
+        for d in range(20)
+        for i in range(8)
+        for j in range(i + 1, 8)
+    }
+    assert got == want  # all true replica pairs, nothing across docs
+    # |A|=|B|=102, inter=100 (base words), union=104
+    assert all(abs(r.jaccard - 100 / 104) < 1e-3 for r in pairs)

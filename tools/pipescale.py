@@ -99,6 +99,57 @@ def build(spark, factor: int) -> str:
     return out
 
 
+def build_fresh(spark, factor: int) -> str:
+    """Vocabulary-RICH replica corpus: replica r of a document rewrites
+    every word with an ``x{r}`` suffix, so replicas share NO vocabulary
+    — each replica slice reproduces the base corpus's duplicate
+    structure with fresh words (true pair set grows LINEARLY with the
+    factor, the regime prefix filtering / LSH candidate generation
+    target), in contrast to ``build``'s near-duplicate replicas where
+    every replica group is mutually similar. Base = deterministic 1/4
+    hash-sample of sf0.1 documents (the base corpus's 37-word
+    vocabulary makes ~2% of ALL its doc pairs true near-dups at
+    J >= 0.95 — quadratic within a slice — so the slice is kept small
+    enough that the 64x point stays minutes, without changing alpha:
+    per-slice work is constant across factors either way)."""
+    out = f"{WORK}/fresh{factor}"
+    done = f"{out}/_DONE"
+    if os.path.exists(done):
+        return out
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    docs = spark.read.parquet(f"{BASE}/documents.parquet").filter(
+        F.pmod(F.xxhash64("doc_id"), F.lit(4)) == 0
+    )
+    n_docs = docs.count()
+    reps = spark.range(factor).withColumnRenamed("id", "rep")
+    big = (
+        docs.crossJoin(F.broadcast(reps))
+        .select(
+            (F.col("doc_id") + F.col("rep") * F.lit(n_docs)).alias("doc_id"),
+            F.when(F.col("rep") == 0, F.col("text"))
+            .otherwise(
+                F.array_join(
+                    F.transform(
+                        F.split(F.col("text"), " "),
+                        lambda w: F.concat(w, F.lit("x"), F.col("rep").cast("string")),
+                    ),
+                    " ",
+                )
+            )
+            .alias("text"),
+            "lang",
+            "source",
+            "n_chars",
+        )
+    )
+    big.repartition(max(4, factor)).write.mode("overwrite").parquet(
+        f"{out}/documents.parquet"
+    )
+    open(done, "w").close()
+    return out
+
+
 def _docs(spark, d):
     return spark.read.parquet(f"{d}/documents.parquet")
 
@@ -187,9 +238,49 @@ def op_semantic_dedup(spark, d, n):
     return semantic_dedup(corpus, n_clusters=n_clusters, threshold=0.95, arrow=True)
 
 
+# neardup_cluster: the production near-dup DEDUP path on the
+# replica-SATURATED corpus, where the true PAIR set is quadratic (the
+# base corpus's 37-word vocabulary puts median random-pair Jaccard at
+# 0.62 and ~2% of ALL pairs at J >= 0.95, so at 64x there are ~1e9 true
+# pairs — no pair-emitting operator has a sub-quadratic form there by
+# counting alone). Dedup doesn't need the pairs: LSH star edges (linear
+# per bucket) + min-label components give one keeper per duplicate
+# cluster with edge count O(bands x n).
+def op_neardup_cluster(spark, d, n):
+    from datafusion_python_spark.operators.cluster import dedup_clusters
+    from datafusion_python_spark.operators.dedup import (
+        lsh_star_edges,
+        minhash_signature,
+    )
+
+    docs = _docs(spark, d)
+    sig = minhash_signature(docs, "text", num_hashes=32, shingle_k=1)
+    return dedup_clusters(docs, lsh_star_edges(sig, "doc_id", num_bands=8))
+
+
+# neardup_lsh: the end-to-end LSH -> exact-Jaccard-verify PAIR operator,
+# on the fresh-vocabulary corpus where the true pair set is linear in
+# the factor. num_bands=4 (r=8, s-curve ~0.84) keeps candidate precision
+# on a corpus whose in-slice median pair similarity is 0.62; recall at
+# J >= 0.95 is 1-(1-0.95^8)^4 ~ 98.7% (the documented banding tradeoff).
+def op_neardup_lsh(spark, d, n):
+    from datafusion_python_spark.operators.dedup import near_dup_pairs_lsh
+
+    return near_dup_pairs_lsh(
+        _docs(spark, d), "doc_id", "text", threshold=0.95, num_bands=4, shingle_k=1
+    )
+
+
+def op_jaccard_prefix(spark, d, n):
+    from datafusion_python_spark.operators.dedup import ngram_jaccard_pairs_prefix
+
+    return ngram_jaccard_pairs_prefix(_docs(spark, d), "doc_id", "text", 0.95)
+
+
 OPS = {
     "dedup_exact": op_dedup_exact,
     "minhash_lsh": op_minhash_lsh,
+    "neardup_cluster": op_neardup_cluster,
     "simhash": op_simhash,
     "quality": op_quality,
     "langid": op_langid,
@@ -197,10 +288,15 @@ OPS = {
     "cosine_topk": op_cosine_topk,
     "ivf_ann": op_ivf_ann,
     "semantic_dedup": op_semantic_dedup,
+    "neardup_lsh": op_neardup_lsh,
+    "jaccard_prefix": op_jaccard_prefix,
 }
 
 # documents-based vs embeddings-based (for rows/sec denominators)
 EMB_OPS = {"cosine_topk", "ivf_ann", "semantic_dedup"}
+# ops measured on the fresh-vocabulary corpus (linear true-pair regime)
+FRESH_OPS = {"neardup_lsh", "jaccard_prefix"}
+FRESH_BASE_DOCS = 1280  # 1/4 hash-sample of the 5,000 sf0.1 documents
 
 
 def main() -> None:
@@ -222,16 +318,21 @@ def main() -> None:
 
     results: dict[str, dict[int, float]] = {}
     for factor in factors:
-        d = build(spark, factor)
-        for name, fn in OPS.items():
-            if only and name not in only:
-                continue
+        run = [(n, f) for n, f in OPS.items() if not only or n in only]
+        d = build(spark, factor) if any(n not in FRESH_OPS for n, _ in run) else None
+        fd = (
+            build_fresh(spark, factor)
+            if any(n in FRESH_OPS for n, _ in run)
+            else None
+        )
+        for name, fn in run:
+            corpus = fd if name in FRESH_OPS else d
             # warm once (scan caches, codegen), then best-of-3
-            fn(spark, d, factor).write.format("noop").mode("overwrite").save()
+            fn(spark, corpus, factor).write.format("noop").mode("overwrite").save()
             best = float("inf")
             for _ in range(3):
                 t0 = time.perf_counter()
-                fn(spark, d, factor).write.format("noop").mode("overwrite").save()
+                fn(spark, corpus, factor).write.format("noop").mode("overwrite").save()
                 best = min(best, time.perf_counter() - t0)
             results.setdefault(name, {})[factor] = round(best, 4)
         print(
@@ -271,11 +372,31 @@ def main() -> None:
             if t_lo and t_hi
             else None
         )
-        base = base_rows["emb" if name in EMB_OPS else "docs"]
+        base = (
+            FRESH_BASE_DOCS
+            if name in FRESH_OPS
+            else base_rows["emb" if name in EMB_OPS else "docs"]
+        )
         rps = round(base * hi / t_hi) if t_hi else None
+        tag = "†" if name in FRESH_OPS else ""
         cells = " | ".join(str(times.get(f, "—")) for f in factors)
-        lines.append(f"| {name} | {cells} | {alpha} | {rps:,} |")
+        lines.append(f"| {name}{tag} | {cells} | {alpha} | {rps:,} |")
     lines.append("")
+    if FRESH_OPS & set(results):
+        lines += [
+            "† fresh-vocabulary corpus: base = deterministic 1/4 "
+            f"hash-sample of the sf0.1 documents ({FRESH_BASE_DOCS:,} rows); "
+            "replica r rewrites every word with an `x{r}` suffix, so "
+            "replica slices share no vocabulary and the TRUE near-dup "
+            "pair set grows linearly with the factor — the regime prefix "
+            "filtering and LSH candidate generation target. (On the "
+            "near-duplicate replica corpus above, the true J>=0.95 pair "
+            "set is itself ~2% of ALL doc pairs — ~1e9 pairs at 64x — so "
+            "pair ENUMERATION is output-bound quadratic there for any "
+            "algorithm; the production dedup path for that regime is "
+            "`neardup_cluster`, measured above on exactly that corpus.)",
+            "",
+        ]
     if {"ivf_ann", "semantic_dedup", "simhash"} & set(results):
         lines += [
             "ivf_ann / semantic_dedup / simhash rows are the Arrow "
