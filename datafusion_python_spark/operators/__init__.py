@@ -11,6 +11,7 @@ from .dedup import (
     incremental_dedup,
     minhash_signature,
     lsh_candidate_pairs,
+    near_dup_pairs_lsh,
     ngram_jaccard_pairs,
     ngram_jaccard_pairs_prefix,
     minhash_signature_arrow,
@@ -115,6 +116,7 @@ __all__ = [
     "lsh_candidate_pairs",
     "ngram_jaccard_pairs",
     "ngram_jaccard_pairs_prefix",
+    "near_dup_pairs_lsh",
     "minhash_signature_arrow",
     "simhash",
     "simhash_arrow",

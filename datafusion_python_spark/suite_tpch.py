@@ -552,12 +552,52 @@ ORDER BY s_suppkey
 # partsupp absent — derive the relationship from lineitem).
 # ref: examples/tpch/q16_part_supplier_relationship.py
 def q16(spark, sf_dir):
+    # High-cardinality exact distinct, shaped for scale: countDistinct's
+    # internal first phase groups by (brand, type, size, suppkey) —
+    # nearly one group per input row here, so Spark's pre-shuffle
+    # partial aggregate combines nothing and just burns a full
+    # hash-map build over all rows before the exchange (measured 3-4x
+    # the query at sf1). Instead: dictionary-encode the wide string
+    # group key to one int via the broadcast part dim (the dim is
+    # small; the 7.5k-combo dict costs one tiny window), repartition
+    # the skinny (combo, suppkey) pairs on the distinct keys so the
+    # partial agg runs AFTER the exchange (nothing wasted, one fused
+    # stage), then count per combo and decode labels from the dict.
+    from pyspark.sql.window import Window
+
     part = _t(spark, sf_dir, "part").filter(F.col("p_brand") != "Brand#1")
     li = _t(spark, sf_dir, "lineitem")
+    combos = (
+        part.select("p_brand", "p_type", "p_size")
+        .distinct()
+        .withColumn(
+            "cid",
+            F.row_number().over(Window.orderBy("p_brand", "p_type", "p_size")),
+        )
+    )
+    pdim = part.join(F.broadcast(combos), ["p_brand", "p_type", "p_size"]).select(
+        "p_partkey", "cid"
+    )
+    # explicit partition COUNT: a bare repartition(cols) is
+    # AQE-coalescible, and the skinny (int, long) pair bytes sit under
+    # the 64 MB advisory size — AQE folds the exchange to 1-2 tasks and
+    # the whole distinct runs single-threaded (measured: all of the
+    # query's 8 s at sf1)
+    try:
+        n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        n_part = 200
+    pairs = (
+        li.join(F.broadcast(pdim), li.l_partkey == pdim.p_partkey)
+        .select("cid", "l_suppkey")
+        .repartition(n_part, "cid", "l_suppkey")
+        .distinct()
+    )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .groupBy("p_brand", "p_type", "p_size")
-        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        pairs.groupBy("cid")
+        .agg(F.count("*").alias("supplier_cnt"))
+        .join(F.broadcast(combos), "cid")
+        .select("p_brand", "p_type", "p_size", "supplier_cnt")
         .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
         .limit(20)
     )
@@ -808,21 +848,38 @@ def q2(spark, sf_dir):
         F.broadcast(eu_nations), supp.s_nationkey == eu_nations.n_nationkey
     ).select("s_suppkey", "s_name", "s_acctbal", "n_name")
 
-    cost = li.groupBy("l_partkey", "l_suppkey").agg(
+    # Push both dimension filters BELOW the (l_partkey, l_suppkey)
+    # aggregate via broadcast semi-joins: grouping is per (part, supp)
+    # key pair, so restricting to surviving keys first cannot change a
+    # surviving group's min — and it shrinks the agg input ~100x (the
+    # part predicate keeps ~5%, the EU suppliers ~20%). The unfiltered
+    # form shuffles ~n nearly-unique (partkey, suppkey) groups —
+    # Spark's pre-shuffle partial agg combines nothing there (measured
+    # 3-4x this whole query at sf1). min_cost per part comes from a
+    # window over the small filtered set instead of a re-aggregating
+    # self-join (which recomputed the whole pipeline as its build side).
+    from pyspark.sql.window import Window
+
+    li_f = li.join(
+        F.broadcast(part.select("p_partkey")),
+        li.l_partkey == F.col("p_partkey"),
+        "left_semi",
+    ).join(
+        F.broadcast(eu_supp.select("s_suppkey")),
+        li.l_suppkey == F.col("s_suppkey"),
+        "left_semi",
+    )
+    cost = li_f.groupBy("l_partkey", "l_suppkey").agg(
         F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("supplycost")
     )
     eu_cost = cost.join(eu_supp, cost.l_suppkey == eu_supp.s_suppkey).join(
         F.broadcast(part), cost.l_partkey == part.p_partkey
     )
-    min_cost = eu_cost.groupBy(F.col("l_partkey").alias("mc_partkey")).agg(
-        F.min("supplycost").alias("min_cost")
-    )
     return (
-        eu_cost.join(
-            min_cost,
-            (eu_cost.l_partkey == min_cost.mc_partkey)
-            & (eu_cost.supplycost == min_cost.min_cost),
+        eu_cost.withColumn(
+            "min_cost", F.min("supplycost").over(Window.partitionBy("l_partkey"))
         )
+        .filter(F.col("supplycost") == F.col("min_cost"))
         .select(
             F.round("s_acctbal", 2).alias("s_acctbal"),
             "s_name",
