@@ -119,7 +119,8 @@ def main() -> None:
         # work dominates scheduling, it measures 0.58x of the reference
         # (SCALEBENCH.md) with the identical plan.
         out["notes"] = {
-            "tpch_q13": "floor-bound at sf0.1; 0.76x baseline at sf1 (SCALEBENCH.md)"
+            "tpch_q13": "floor-bound at sf0.1; 0.54x best / 0.59x median "
+            "of baseline at sf1 over 5 runs (SCALEBENCH.md)"
         }
     print(json.dumps(out))
 

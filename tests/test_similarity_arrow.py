@@ -546,6 +546,32 @@ def test_near_dup_pairs_lsh_exact_on_candidates(spark, sf_dir):
     assert len(got) > 0  # the corpus has near-dups; the gate isn't vacuous
 
 
+def test_near_dup_pairs_lsh_shingle_k3(spark):
+    # k>1 verify path: Jaccard is over distinct word 3-shingles (the set
+    # the signature sketches), not words. Two docs sharing a long run
+    # of words but differing at the edges: shingle-Jaccard is computable
+    # by hand and the emitted value must match it exactly.
+    from datafusion_python_spark.operators.dedup import near_dup_pairs_lsh
+
+    base = [f"w{i:03d}" for i in range(50)]
+    a = " ".join(base + ["enda"])
+    b = " ".join(["startb"] + base)
+    # shingles(k=3): A has 49 (48 base-only + 1 with enda); B has 49;
+    # shared = the 48 shingles fully inside base; union = 48 + 1 + 2...
+    # compute expected from first principles below instead of hand-math
+    def shingles(text):
+        ws = text.split()
+        return {" ".join(ws[i : i + 3]) for i in range(len(ws) - 2)}
+    sa, sb = shingles(a), shingles(b)
+    want = len(sa & sb) / len(sa | sb)
+    docs = spark.createDataFrame([(1, a), (2, b)], ["doc_id", "text"])
+    got = near_dup_pairs_lsh(
+        docs, "doc_id", "text", threshold=0.5, shingle_k=3
+    ).collect()
+    assert len(got) == 1
+    assert abs(got[0].jaccard - round(want, 4)) < 1e-9
+
+
 def test_near_dup_pairs_lsh_replica_recall(spark):
     # Replica-saturated corpus (the regime where exact all-pairs Jaccard
     # is quadratic): every replica pair has J = m/(m+4) ≈ 0.96 and must

@@ -43,6 +43,10 @@ from datafusion_python_spark.suite import ALL_QUERIES
 AMPLIFIERS_OK = {
     "pipe_minhash_lsh": "banded signature explosion is the LSH cost model",
     "pipe_jaccard_pairs": "pair generator: bucket self-join emits pairs",
+    "pipe_neardup_lsh_verify": "pair generator: LSH candidates + their "
+    "per-pair shingle arrays ARE the working set (the exact-verify join "
+    "ships each doc's set once per candidate); scan is only the small "
+    "docs parquet",
     "pipe_cosine_neardup": "pair generator: bucket self-join emits pairs",
     "pipe_fuzzy_match": "pair generator: blocked candidate pairs",
     "pipe_substring_dup": "inverted index explodes doc into shingles",
