@@ -212,7 +212,7 @@ def main() -> None:
         "(q2/q11/q16/q22, all under 0.8 s at SF1) are where the per-query "
         "floor amortizes least — read their ratios with the spread column."
         "",
-        "Remaining >1x ratios, diagnosed: **q16** is exchange-bound — an exact count(DISTINCT supplier) over ~5.5M nearly-unique (combo, suppkey) pairs must move every pair through one shuffle; the query already dictionary-encodes the group key and pins the repartition count (an AQE-coalescible bare repartition folded the distinct to one task — 10.4 s before the fix, 2.4 s after). The reference's in-RAM columnar distinct does this in 0.5 s; Spark's exchange serialization floor is the difference, and it shrinks with executor count on a real cluster (the shuffle is perfectly key-parallel). **q2** (1.9x, 0.68 s baseline) and **q11** (2.3x, 0.53 s baseline) sit on the per-query scheduling floor (~0.5-1 s of their time is fixed stage latency; both run 5-6 jobs). **q4** (1.2x) is a semi-join over orders x lineitem with no reduction trick available. q2 previously aggregated all of lineitem into nearly-unique (part, supp) groups and re-derived the per-part min with a self-join that recomputed its build side (9.3 s); it now pushes both broadcast dimension filters below the aggregate (~100x input cut) and uses a window for the min (1.3 s).",
+        "Remaining >1x ratios, diagnosed: **q16** is exchange-bound — an exact count(DISTINCT supplier) over ~5.5M nearly-unique (combo, suppkey) pairs must move every pair through one shuffle; the query already dictionary-encodes the group key and pins the repartition count (an AQE-coalescible bare repartition folded the distinct to one task — 10.4 s before the fix, 2.4 s after). The reference's in-RAM columnar distinct does this in 0.5 s; Spark's exchange serialization floor is the difference, and it shrinks with executor count on a real cluster (the shuffle is perfectly key-parallel). **q2** (1.9x, 0.68 s baseline) and **q11** (2.3x, 0.53 s baseline) sit on the per-query scheduling floor (~0.5-1 s of their time is fixed stage latency; both run 5-6 jobs). q4 previously broadcast the whole lineitem fact as a semi-join build side (4.1 s); flipping it to broadcast the date-filtered orders into an inner join + (order, priority) dedup — identical EXISTS semantics — brings it to ~1.5 s (0.5x). q2 previously aggregated all of lineitem into nearly-unique (part, supp) groups and re-derived the per-part min with a self-join that recomputed its build side (9.3 s); it now pushes both broadcast dimension filters below the aggregate (~100x input cut) and uses a window for the min (1.3 s).",
     ]
     with open(os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "SCALEBENCH.md"), "w") as fh:
