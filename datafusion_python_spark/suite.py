@@ -61,6 +61,7 @@ _PRIORITY = [
     # new this round
     "pipe_neardup_lsh_verify",
     "stream_restart_resume",
+    "stream_static_enrich",
     # r4 rows, staleness order
     "pipe_simhash",
     "pipe_cosine_topk",
@@ -110,7 +111,6 @@ _PRIORITY = [
     "evt_session_window",
     "evt_date_bin",
     "fn_bits_epoch",
-    "win_frames",
 ]
 
 ALL_QUERIES: dict[str, tuple] = {}

@@ -518,6 +518,43 @@ def stream_restart_resume(spark, sf_dir):
     )
 
 
+@_with_utc
+def stream_static_enrich(spark, sf_dir):
+    """Stream-STATIC broadcast-join enrichment: the live event stream
+    decorated with a dimension read as a plain batch table (customer
+    market segment), chained into the watermarked hourly rollup — the
+    one streaming join form not previously on the record
+    (stream-stream interval join is ``stream_interval_join``). Spark
+    re-plans the static side per micro-batch, so in production the dim
+    can be swapped/updated between batches without restarting the
+    query; the broadcast keeps the stream side shuffle-free before the
+    windowed aggregate. Over the bounded in-order replay streaming ==
+    batch, so the oracle is the plain batch join + rollup."""
+    from .streaming import tumbling_counts
+
+    src = _replay_events(spark, sf_dir)
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    enriched = src.join(F.broadcast(cust), src.user_id == cust.c_custkey)
+    out = tumbling_counts(
+        enriched, key_col="c_mktsegment", window="1 hour", watermark="30 minutes"
+    )
+    res = _drain(spark, out, "complete")
+    return res.select(
+        F.col("window_start").cast("timestamp_ntz").alias("hour_bucket"),
+        "c_mktsegment",
+        F.col("n").alias("n_events"),
+        F.round("total_value", 2).alias("sum_value"),
+    ).orderBy("hour_bucket", "c_mktsegment")
+
+
+STREAM_STATIC_ENRICH_SQL = """
+SELECT date_trunc('hour', ts) AS hour_bucket, c_mktsegment,
+       count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 STREAM_RESTART_RESUME_SQL = """
 SELECT date_trunc('hour', ts) AS hour_bucket, event_type,
        count(*) AS n_events, round(sum(value), 2) AS sum_value
@@ -545,4 +582,5 @@ STREAMING_QUERIES: dict[str, tuple] = {
     "stream_late_drop": (stream_late_drop, STREAM_LATE_DROP_SQL),
     "stream_windowed_hll": (stream_windowed_hll, STREAM_WINDOWED_HLL_SQL),
     "stream_restart_resume": (stream_restart_resume, STREAM_RESTART_RESUME_SQL),
+    "stream_static_enrich": (stream_static_enrich, STREAM_STATIC_ENRICH_SQL),
 }
