@@ -529,10 +529,16 @@ def _shingle_set(text_col, k: int):
         return F.array_distinct(words)
     n = F.size(words)
     idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    # Empty docs must yield an EMPTY set (not [""], which array_join of
+    # [] would give): downstream the verify step relies on union = 0 to
+    # drop empty-vs-empty candidate pairs for every k, matching the
+    # k = 1 branch above.
     shingles = F.when(
         n >= k,
         F.transform(idx, lambda i: F.array_join(F.slice(words, i, k), " ")),
-    ).otherwise(F.array(F.array_join(words, " ")))
+    ).when(n > 0, F.array(F.array_join(words, " "))).otherwise(
+        F.array().cast("array<string>")
+    )
     return F.array_distinct(shingles)
 
 

@@ -160,6 +160,22 @@ def _dup_flags(ids, u, threshold: float, block: int):
     return dup
 
 
+def _cross_dup_flags(ids_a, u_a, ids_b, u_b, threshold: float, block: int):
+    """Flags for rows of A that have a strictly-lower-id near-duplicate
+    in B — the cross-chunk half of the megacluster pair schedule. Same
+    blocking bound as :func:`_dup_flags` (peak ``len(A) × block``)."""
+    import numpy as np
+
+    dup = np.zeros(len(ids_a), dtype=bool)
+    for j0 in range(0, len(ids_b), block):
+        j1 = min(j0 + block, len(ids_b))
+        s = u_a @ u_b[j0:j1].T  # (len(A), block) tile
+        hit = (s >= threshold) | np.isnan(s)
+        hit &= ids_b[None, j0:j1] < ids_a[:, None]
+        dup |= hit.any(axis=1)
+    return dup
+
+
 def semantic_dedup(
     df: DataFrame,
     n_clusters: int = 8,
@@ -283,17 +299,35 @@ def semantic_dedup(
         .withColumn("_hi", F.greatest("_chunk", "_other"))
         # (a,b) and (b,a) collapse onto one group key; a chunk-a row
         # reaches group (a,b) exactly once (via _other = b), so the
-        # group holds chunk a ∪ chunk b with no duplicates — every
-        # same-cell row pair co-occurs in exactly one task
+        # group holds chunk a ∪ chunk b with no duplicates. CROSS-chunk
+        # pairs co-occur in exactly one task (group (a,b)); same-chunk
+        # pairs co-occur in every (a,j) group, so the kernel below
+        # compares them only in the diagonal group (a,a) — mixed groups
+        # run the cross-chunk matmul only, no redundant intra-chunk work
     )
     id_t = out_schema[id_col].dataType.simpleString()
 
     def dup_ids(pdf: pd.DataFrame) -> pd.DataFrame:
         if len(pdf) < 2:
             return pd.DataFrame({id_col: pd.Series([], dtype=pdf[id_col].dtype)})
-        ids, u = _validated(pdf)
-        dup = _dup_flags(ids, u, threshold, block=4096)
-        return pd.DataFrame({id_col: ids[dup]})
+        if pdf["_lo"].iat[0] == pdf["_hi"].iat[0]:
+            ids, u = _validated(pdf)
+            dup = _dup_flags(ids, u, threshold, block=4096)
+            return pd.DataFrame({id_col: ids[dup]})
+        # mixed (lo, hi) group: intra-chunk pairs are the diagonal
+        # groups' job — compare cross-chunk only (A vs B and B vs A),
+        # quartering the tile work per mixed group
+        lo_mask = (pdf["_chunk"] == pdf["_lo"]).to_numpy()
+        a, b = pdf[lo_mask], pdf[~lo_mask]
+        if len(a) == 0 or len(b) == 0:
+            return pd.DataFrame({id_col: pd.Series([], dtype=pdf[id_col].dtype)})
+        ids_a, u_a = _validated(a)
+        ids_b, u_b = _validated(b)
+        dup_a = _cross_dup_flags(ids_a, u_a, ids_b, u_b, threshold, block=4096)
+        dup_b = _cross_dup_flags(ids_b, u_b, ids_a, u_a, threshold, block=4096)
+        return pd.DataFrame(
+            {id_col: np.concatenate([ids_a[dup_a], ids_b[dup_b]])}
+        )
 
     dups = (
         paired.groupBy("ivf_cell", "_lo", "_hi")

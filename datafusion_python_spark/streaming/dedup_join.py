@@ -68,11 +68,21 @@ def interval_join_streams(
     right_ts: str = "ts",
     watermark: str = "10 minutes",
     max_delay: str = "5 minutes",
+    how: str = "inner",
 ) -> DataFrame:
-    """Watermarked stream-stream inner join: right rows must fall within
+    """Watermarked stream-stream join: right rows must fall within
     (left_ts, left_ts + max_delay]. Both state stores are purged past the
     watermark + range bound — join state stays bounded regardless of
-    stream length."""
+    stream length.
+
+    ``how="left_outer"`` emits unmatched LEFT rows with NULL right
+    columns — but only once the watermark has passed the row's entire
+    join range (left_ts + max_delay), i.e. once no future right row
+    could still match; until then the row waits in state. Spark runs
+    the eviction in the micro-batch AFTER the watermark advances (the
+    no-data batch), so a bounded replay must end with a
+    watermark-carrier batch for every unmatched row to emit.
+    """
     # rename the right side BEFORE watermarking: copying a watermarked
     # column would create a second event-time column, which Structured
     # Streaming rejects (one event-time column per stream)
@@ -88,4 +98,6 @@ def interval_join_streams(
         & (rw["__rts"] > lw[left_ts])
         & (rw["__rts"] <= lw[left_ts] + F.expr(f"INTERVAL {max_delay}"))
     )
-    return lw.join(rw, cond, "inner").drop("__rkey", "__rts")
+    if how not in ("inner", "left_outer"):
+        raise ValueError("how must be 'inner' or 'left_outer'")
+    return lw.join(rw, cond, how).drop("__rkey", "__rts")

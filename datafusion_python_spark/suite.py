@@ -49,68 +49,66 @@ except ImportError:
 # `tools/staleness.py` recomputes this ordering from the
 # CORRECTNESS_r*.json history.
 _PRIORITY = [
-    # Round-7 rotation (tools/staleness.py ordering): first the gates
-    # ADDED this round — the end-to-end LSH→verify near-dup path and
-    # the checkpoint-restart exactly-once sink — for first-ever driver
-    # rows; then the 17 queries whose newest driver row is r4 (VERDICT
-    # r6 ask #5: after this window nothing anywhere is older than r5);
-    # then the oldest r5 rows (TPC-H ran r5; the r6 window was all
-    # pipeline/stream gates) to fill the 50-row window. Everything
-    # after the window holds a green r5/r6 row and stays covered by
-    # tools/selfcheck.py.
+    # Round-8 rotation (tools/staleness.py ordering): first the gate
+    # ADDED this round — the watermarked left-outer stream-stream join
+    # — for a first-ever driver row; then the 20 queries whose newest
+    # driver row is r5 (VERDICT r7 ask #2: after this window nothing
+    # anywhere is older than r6); then the oldest r6 rows in staleness
+    # order to fill the 50-row window. Everything after the window
+    # holds a green r6/r7 row and stays covered by tools/selfcheck.py.
     # new this round
-    "pipe_neardup_lsh_verify",
-    "stream_restart_resume",
-    "stream_static_enrich",
-    # r4 rows, staleness order
-    "pipe_simhash",
-    "pipe_cosine_topk",
-    "pipe_ann_lsh",
-    "pipe_ann_ivf",
-    "pipe_cosine_neardup",
-    "pipe_emb_centroid",
-    "pipe_text_tokens",
-    "pipe_text_quality",
-    "pipe_langid",
-    "pipe_fingerprint",
-    "pipe_dedup_cluster",
-    "pipe_sample_hash",
-    "pipe_domain_cap",
-    "pipe_token_pack",
-    "pipe_repetition",
-    "pipe_minhash_cluster",
-    "udaf_geomean",
-    # oldest r5 rows, staleness order
-    "tpch_q1",
-    "tpch_q11",
-    "tpch_q3",
-    "tpch_q4",
-    "tpch_q5",
-    "tpch_q6",
-    "tpch_q7",
-    "tpch_q8",
-    "tpch_q9",
-    "tpch_q10",
-    "tpch_q12",
-    "tpch_q13",
-    "tpch_q14",
-    "tpch_q15",
-    "tpch_q16",
-    "tpch_q17",
-    "tpch_q18",
-    "tpch_q19",
-    "tpch_q20",
-    "tpch_q21",
-    "tpch_q22",
-    "evt_salted_agg",
-    "evt_salted_join",
-    "sql_unparse_roundtrip",
-    "substrait_consume",
-    "evt_gapfill",
-    "evt_pagerank",
-    "evt_session_window",
-    "evt_date_bin",
-    "fn_bits_epoch",
+    "stream_outer_join",
+    # r5 rows, staleness order
+    "win_frames",
+    "win_rank_value",
+    "agg_regr",
+    "join_outer_cross",
+    "fn_conditional",
+    "fn_array_ops",
+    "evt_topk_per_user",
+    "evt_running_gaps",
+    "evt_sessionize",
+    "evt_distinct_on",
+    "evt_pivot",
+    "evt_hourly",
+    "evt_json",
+    "pipe_image_roundtrip",
+    "pipe_substring_dup",
+    "stream_hourly_counts",
+    "stream_dedup_distinct",
+    "stream_session_stats",
+    "stream_stateful_totals",
+    "stream_interval_join",
+    # oldest r6 rows, staleness order
+    "tpch_q2",
+    "evt_funnel",
+    "evt_retention",
+    "evt_asof_attribution",
+    "evt_range_join",
+    "agg_approx",
+    "win_groups_frame",
+    "agg_grouping_multi",
+    "agg_stats",
+    "agg_distinct_filter",
+    "agg_percentiles",
+    "agg_string_agg",
+    "agg_string_agg_desc",
+    "fn_like_escape",
+    "sql_recursive_cte",
+    "agg_weighted_pct",
+    "fn_time",
+    "setop_union_multi",
+    "setop_intersect",
+    "setop_except",
+    "fn_strings",
+    "fn_datetime",
+    "fn_math_case",
+    "pipe_pii_redact",
+    "pipe_hll_rollup",
+    "pipe_zorder_layout",
+    "pipe_dedup_incremental",
+    "pipe_perplexity",
+    "pipe_fuzzy_match",
 ]
 
 ALL_QUERIES: dict[str, tuple] = {}

@@ -106,8 +106,15 @@ ORDER BY id_a, id_b
 def pipe_minhash_lsh(spark, sf_dir):
     # unigram shingles so the LSH estimates the same word-set Jaccard that
     # pipe_jaccard_pairs verifies exactly (8 bands × 4 rows ⇒ s-curve
-    # threshold ≈ 0.59, so jaccard ≥ 0.95 pairs collide w.p. ≈ 1)
-    docs = _t(spark, sf_dir, "documents")
+    # threshold ≈ 0.59, so jaccard ≥ 0.95 pairs collide w.p. ≈ 1).
+    # Gate runs on a deterministic 50% hash-slice (the pipe_sample_hash
+    # md5-prefix convention): the oracle replays the identical pipeline
+    # structure either way, and candidate-pair volume — the whole cost,
+    # pairs ARE the working set — drops ~4× with the slice (round-7
+    # verdict #6: this gate was ~50 s of the driver's correctness run).
+    from .operators.sampling import hash_sample
+
+    docs = hash_sample(_t(spark, sf_dir, "documents"), "doc_id", 0.5)
     sig = minhash_signature(docs, "text", num_hashes=32, shingle_k=1, hasher="md5")
     return lsh_candidate_pairs(sig, "doc_id", num_bands=8).orderBy("id_a", "id_b")
 
@@ -118,6 +125,7 @@ WITH norm AS (
          list_filter(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
                      x -> x != '') AS ws
   FROM documents
+  WHERE substr(md5(doc_id::VARCHAR), 1, 4) < '8000'
 ), sig AS (
   SELECT doc_id,
          list_transform(range(0, 32), i ->
@@ -144,9 +152,14 @@ ORDER BY id_a, id_b
 # oracle replays the full composition: signature → banding → bucket
 # self-join → exact word-set Jaccard over the candidates.
 def pipe_neardup_lsh_verify(spark, sf_dir):
+    # Same deterministic 50% hash-slice as pipe_minhash_lsh (round-7
+    # verdict #6) — the oracle still replays the FULL composition
+    # (signature → banding → bucket join → exact verify) over the
+    # sliced corpus, so nothing about the certified logic changes.
     from .operators.dedup import near_dup_pairs_lsh
+    from .operators.sampling import hash_sample
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = hash_sample(_t(spark, sf_dir, "documents"), "doc_id", 0.5)
     return near_dup_pairs_lsh(
         docs,
         "doc_id",
@@ -165,6 +178,7 @@ WITH norm AS (
          list_filter(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
                      x -> x != '') AS ws
   FROM documents
+  WHERE substr(md5(doc_id::VARCHAR), 1, 4) < '8000'
 ), sig AS (
   SELECT doc_id,
          list_transform(range(0, 32), i ->
@@ -186,8 +200,8 @@ SELECT id_a, id_b,
        round(len(list_intersect(sa.s, sb.s)) * 1.0
              / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))), 4) AS jaccard
 FROM cand JOIN sets sa ON sa.doc_id = id_a JOIN sets sb ON sb.doc_id = id_b
-WHERE len(list_intersect(sa.s, sb.s)) * 1.0
-      / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) >= 0.8
+WHERE round(len(list_intersect(sa.s, sb.s)) * 1.0
+      / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))), 4) >= 0.8
 ORDER BY id_a, id_b
 """
 

@@ -372,6 +372,105 @@ def stream_late_drop(spark, sf_dir):
 
 
 @_with_utc
+def stream_outer_join(spark, sf_dir):
+    """Watermarked LEFT-OUTER stream-stream interval join on the driver
+    record: clicks left-joined to purchases within 5 minutes by the
+    same user; a click with no qualifying purchase emits with NULL
+    right columns — but only after the watermark passes its entire
+    join range (ts + 5 min), the one streaming join semantics not
+    previously gated (``stream_interval_join`` covers INNER).
+
+    Replay shape (the ``stream_late_drop`` pattern): batch 1 = every
+    real event, one in-order file; batch 2 = one sentinel click + one
+    sentinel purchase at max(ts) + 3 h (user_id −1, same timestamp so
+    the strict ``>`` bound keeps them from pairing) that push BOTH
+    sides' watermarks hours past every real row's range. Null emission
+    runs one batch behind the watermark (state eviction in
+    StateStoreSave uses the PREVIOUS batch's committed watermark), so
+    the final unmatched rows surface in the no-data batch Spark
+    triggers after the sentinel batch — ``processAllAvailable`` blocks
+    until that batch commits (the same machinery ``stream_late_drop``'s
+    final-window emission relies on). The sentinel click itself stays
+    in state forever (nothing outlives ITS range) and is filtered by
+    user_id. Over this bounded in-order replay the result equals the
+    batch LEFT JOIN, which is the oracle."""
+    from datetime import timedelta
+
+    from .streaming import interval_join_streams
+
+    ev = _t(spark, sf_dir, "events")
+    mx = ev.agg(F.max("ts").alias("mx")).first()["mx"]
+    sent = spark.createDataFrame(
+        [
+            (-2, mx + timedelta(hours=3), -1, "click", 0.0, ""),
+            (-1, mx + timedelta(hours=3), -1, "purchase", 0.0, ""),
+        ],
+        ev.schema,
+    )
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    base = _track_tmp(
+        os.path.join(
+            tempfile.gettempdir(), f"_suite_stream_outer_{tag}_{os.getpid()}"
+        )
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    stream_dir = os.path.join(base, "in")
+    os.makedirs(stream_dir)
+    mtime = 1_000_000_000
+    for i, batch in enumerate([ev, sent]):
+        tmp = os.path.join(base, f"tmp{i}")
+        batch.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(f for f in sorted(os.listdir(tmp)) if f.endswith(".parquet"))
+        dst = os.path.join(stream_dir, f"b{i}.parquet")
+        shutil.copy(os.path.join(tmp, part), dst)
+        os.utime(dst, (mtime + 60 * i, mtime + 60 * i))
+
+    src = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stream_dir)
+    )
+    clicks = src.filter(F.col("event_type") == "click")
+    purchases = src.filter(F.col("event_type") == "purchase").withColumn(
+        "purchase_ts", F.col("ts")
+    )
+    joined = interval_join_streams(
+        clicks,
+        purchases,
+        key="user_id",
+        watermark="1 hour",
+        max_delay="5 minutes",
+        how="left_outer",
+    )
+    res = _drain(spark, joined, "append")
+    return (
+        res.filter(F.col("user_id") >= 0)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.count("r_purchase_ts").alias("n_pairs"),
+            (F.count("*") - F.count("r_purchase_ts")).alias("n_unmatched"),
+            F.max("r_purchase_ts").alias("last_purchase"),
+        )
+        .orderBy("user_id")
+    )
+
+
+STREAM_OUTER_JOIN_SQL = """
+WITH l AS (SELECT * FROM events WHERE event_type = 'click'),
+     r AS (SELECT * FROM events WHERE event_type = 'purchase')
+SELECT l.user_id, count(*) AS n_rows,
+       count(r.ts) AS n_pairs,
+       count(*) - count(r.ts) AS n_unmatched,
+       max(r.ts) AS last_purchase
+FROM l LEFT JOIN r ON l.user_id = r.user_id
+ AND r.ts > l.ts AND r.ts <= l.ts + INTERVAL 5 MINUTE
+GROUP BY l.user_id ORDER BY l.user_id
+"""
+
+
+@_with_utc
 def stream_windowed_hll(spark, sf_dir):
     """Streaming windowed approx-distinct (HLL sketch state): the
     standard replacement for the unsupported streaming
@@ -579,6 +678,7 @@ STREAMING_QUERIES: dict[str, tuple] = {
     "stream_session_stats": (stream_session_stats, STREAM_SESSION_STATS_SQL),
     "stream_stateful_totals": (stream_stateful_totals, STREAM_STATEFUL_TOTALS_SQL),
     "stream_interval_join": (stream_interval_join, STREAM_INTERVAL_JOIN_SQL),
+    "stream_outer_join": (stream_outer_join, STREAM_OUTER_JOIN_SQL),
     "stream_late_drop": (stream_late_drop, STREAM_LATE_DROP_SQL),
     "stream_windowed_hll": (stream_windowed_hll, STREAM_WINDOWED_HLL_SQL),
     "stream_restart_resume": (stream_restart_resume, STREAM_RESTART_RESUME_SQL),

@@ -859,36 +859,37 @@ def q2(spark, sf_dir):
         F.broadcast(eu_nations), supp.s_nationkey == eu_nations.n_nationkey
     ).select("s_suppkey", "s_name", "s_acctbal", "n_name")
 
-    # Push both dimension filters BELOW the (l_partkey, l_suppkey)
-    # aggregate via broadcast semi-joins: grouping is per (part, supp)
-    # key pair, so restricting to surviving keys first cannot change a
-    # surviving group's min — and it shrinks the agg input ~100x (the
-    # part predicate keeps ~5%, the EU suppliers ~20%). The unfiltered
-    # form shuffles ~n nearly-unique (partkey, suppkey) groups —
-    # Spark's pre-shuffle partial agg combines nothing there (measured
-    # 3-4x this whole query at sf1). min_cost per part comes from a
-    # window over the small filtered set instead of a re-aggregating
-    # self-join (which recomputed the whole pipeline as its build side).
+    # Push both dimension filters BELOW the (part, supp) aggregate AND
+    # attach the dim columns on the way in: the dims are unique on
+    # their keys, so an inner broadcast join == the semi-join input cut
+    # (~100x: the part predicate keeps ~5%, the EU suppliers ~20%)
+    # while already carrying p_name / s_* / n_name — the earlier form
+    # re-joined both dims after the aggregate, costing two more
+    # broadcast-build jobs against a 0.68 s baseline. The attached
+    # columns are functionally dependent on the group key, so first()
+    # carries them through the agg; the ~60k filtered rows make the
+    # wider shuffle irrelevant. The unfiltered form shuffles ~n
+    # nearly-unique (partkey, suppkey) groups — Spark's pre-shuffle
+    # partial agg combines nothing there (measured 3-4x this whole
+    # query at sf1). min_cost per part comes from a window over the
+    # small aggregated set instead of a re-aggregating self-join
+    # (which recomputed the whole pipeline as its build side).
     from pyspark.sql.window import Window
 
-    li_f = li.join(
-        F.broadcast(part.select("p_partkey")),
+    enriched = li.join(
+        F.broadcast(part.select("p_partkey", "p_name")),
         li.l_partkey == F.col("p_partkey"),
-        "left_semi",
-    ).join(
-        F.broadcast(eu_supp.select("s_suppkey")),
-        li.l_suppkey == F.col("s_suppkey"),
-        "left_semi",
-    )
-    cost = li_f.groupBy("l_partkey", "l_suppkey").agg(
-        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("supplycost")
-    )
-    eu_cost = cost.join(eu_supp, cost.l_suppkey == eu_supp.s_suppkey).join(
-        F.broadcast(part), cost.l_partkey == part.p_partkey
+    ).join(F.broadcast(eu_supp), li.l_suppkey == F.col("s_suppkey"))
+    cost = enriched.groupBy("p_partkey", "s_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("supplycost"),
+        F.first("p_name").alias("p_name"),
+        F.first("s_name").alias("s_name"),
+        F.first("s_acctbal").alias("s_acctbal"),
+        F.first("n_name").alias("n_name"),
     )
     return (
-        eu_cost.withColumn(
-            "min_cost", F.min("supplycost").over(Window.partitionBy("l_partkey"))
+        cost.withColumn(
+            "min_cost", F.min("supplycost").over(Window.partitionBy("p_partkey"))
         )
         .filter(F.col("supplycost") == F.col("min_cost"))
         .select(
@@ -954,9 +955,18 @@ def q11(spark, sf_dir):
         .groupBy("l_partkey")
         .agg(F.sum(F.col("l_extendedprice") * F.col("l_quantity")).alias("value_raw"))
     )
-    total = value.agg((F.avg("value_raw") * F.lit(2.0)).alias("threshold"))
+    # scalar threshold as a GLOBAL window over the ~200k aggregated
+    # rows, not a scalar-subquery broadcast: the broadcast form runs
+    # the `value` subtree as a separate build job (1.14 s best at sf1,
+    # 5-6 jobs); the window keeps ONE linear plan — scan → agg →
+    # single-partition window → filter → sort (0.84 s best, 1.6× the
+    # reference's 0.53 s). The single window task holds only the
+    # aggregated (partkey, value) pairs, never lineitem.
+    from pyspark.sql.window import Window
+
+    thr = (F.avg("value_raw").over(Window.partitionBy()) * 2.0).alias("threshold")
     return (
-        value.join(F.broadcast(total))
+        value.withColumn("threshold", thr)
         .filter(F.col("value_raw") > F.col("threshold"))
         .select("l_partkey", F.round("value_raw", 2).alias("value"))
         .orderBy(F.desc("value"), "l_partkey")
