@@ -264,7 +264,33 @@ def main() -> None:
             "every jq scans the same ~2.6 GB x.parquet, and a best-of-2 "
             "after one warm run still straddles cold-vs-warm OS file "
             "cache depending on what ran before it. Timings below use "
-            "best-of-3 after warm to tighten that; plans are unchanged.\n"
+            "best-of-3 after warm to tighten that; plans are unchanged.\n\n"
+            "gq6/gq10-at-1e8 note (round-7 verdict #7): both probed with "
+            "variant plans in clean single-query processes "
+            "(tools/gq_probe.py, best-of-4 each). gq6 (exact median + "
+            "stddev, 10k groups): current 10.7 s best / 11.2 s median. "
+            "Raising the ObjectHashAggregate sort-fallback threshold so "
+            "the typed-imperative percentile stays hash-based measured "
+            "WORSE (16.2 s — per-group ArrayBuffer hash maps beat the "
+            "sort only below ~128 groups, exactly why the default "
+            "falls back); splitting the agg families (median-only + "
+            "stddev-only joined) was a wash (10.9 s best, terrible "
+            "variance — two full scans); a sort-window median (row_number "
+            "+ middle-element avg, one shuffle) was 9.7 s best but 17 s "
+            "median — the full-width 1e8-row sort thrashes. The exact "
+            "percentile's value buffer is the honest cost; the stable "
+            "current plan stays. gq10 (six-column group key, ~n distinct "
+            "groups): current 8.6 s best. The q16 repartition-first "
+            "pattern measured WORSE (14.3 s best): unlike q16 there is "
+            "no second shuffle to save — the group-by exchange is the "
+            "only one either way, and pre-partitioning just moves the "
+            "same 1e8 wide rows without removing the partial agg's "
+            "useless hash build (Spark plans it either side of the "
+            "exchange, same work). Earlier 13.7/17.0 s readings were "
+            "loaded-run artifacts (the full suite shares one JVM and "
+            "page cache); the straggler gap vs peers is group-key "
+            "cardinality (1e8 nearly-unique groups must all cross the "
+            "wire), which is key-parallel at cluster scale.\n"
         )
         for n, blk in per_size.items():
             f.write(

@@ -57,11 +57,15 @@ def gq6_window(spark, x):
         F.row_number().over(w).alias("rn"),
         F.count("*").over(Window.partitionBy("id4", "id5")).alias("cnt"),
     )
+    # median = avg of the middle one (odd cnt) or two (even cnt) rows:
+    # lower middle = floor((cnt+1)/2), upper middle = floor(cnt/2)+1 —
+    # equal for odd cnt, adjacent for even (matches percentile(0.5)'s
+    # linear interpolation exactly at q=0.5)
     return mid.groupBy("id4", "id5").agg(
         F.avg(
             F.when(
-                (F.col("rn") == (F.col("cnt") + 1) / 2)
-                | (F.col("rn") == (F.col("cnt") + 2) / 2),
+                (F.col("rn") == F.floor((F.col("cnt") + 1) / 2))
+                | (F.col("rn") == F.floor(F.col("cnt") / 2) + 1),
                 F.col("v3"),
             )
         ).alias("median_v3"),

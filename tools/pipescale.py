@@ -553,6 +553,19 @@ def main() -> None:
             "`neardup_cluster`, measured above on exactly that corpus.)",
             "",
         ]
+    if "semantic_dedup" in results:
+        lines += [
+            "semantic_dedup runs with its default megacluster cap "
+            "(max_cell=65536 — hash-chunk PAIR scheduling for oversized "
+            "cells, same cell-global dup rule): the cap's cell-size "
+            "aggregate + checkpoint adds ~0.8 s of flat overhead visible "
+            "at 1x, and no cell here exceeds the cap so the fused "
+            "single-pass plan still executes; the skew bound is "
+            "pytest-pinned on a 50%-megacluster corpus "
+            "(test_semantic_dedup_megacluster_cap) and MEASURED at scale "
+            "in the semdedup_skew row above.",
+            "",
+        ]
     if {"ivf_ann", "semantic_dedup", "simhash"} & set(results):
         lines += [
             "ivf_ann / semantic_dedup / simhash rows are the Arrow "

@@ -141,6 +141,8 @@ def decompose(spark, sf_dir):
         .agg(F.count("*").alias("supplier_cnt")),
         "full_q16": TPCH_QUERIES["tpch_q16"][0](spark, sf_dir),
     }
+    from tools.shuffle_audit import audit_one
+
     for name, df in stages.items():
         df.write.format("noop").mode("overwrite").save()  # warm
         runs = []
@@ -149,6 +151,14 @@ def decompose(spark, sf_dir):
             df.write.format("noop").mode("overwrite").save()
             runs.append(time.perf_counter() - t0)
         print(f"{name}: best {min(runs):.3f}s runs={['%.2f' % r for r in runs]}")
+    # bytes-on-wire for the full plan (its output is 20 rows, safe to
+    # collect; intermediate stages above are millions of rows)
+    m = audit_one(stages["full_q16"])
+    print(
+        f"full_q16 metrics: scan {m['scan_bytes']:,}B, shuffle "
+        f"{m['shuffle_bytes']:,}B / {m['shuffle_records']:,} rows over "
+        f"{m['shuffles']} exchanges, spill {m['spill_bytes']:,}B"
+    )
 
 
 def main():
