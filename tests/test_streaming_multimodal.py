@@ -132,6 +132,77 @@ def test_interval_join_streams(spark, sf_dir):
     assert n == 50  # every left row matches exactly its +1min twin
 
 
+def test_interval_join_streams_left_outer(spark, sf_dir, tmp_path):
+    """LEFT-OUTER stream-stream join: unmatched left rows emit with NULL
+    right columns only after the watermark passes their join range —
+    driven as data-batch then sentinel-carrier batch (one file per
+    micro-batch, increasing mtimes), with the final nulls surfacing in
+    the no-data eviction batch."""
+    import os
+    import shutil
+    from datetime import timedelta
+
+    from datafusion_python_spark.streaming.dedup_join import interval_join_streams
+
+    left_b = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 50)
+    right_b = (
+        left_b.filter(F.col("event_id") % 2 == 0)
+        .withColumn("ts", F.col("ts") + F.expr("INTERVAL 1 MINUTE"))
+        .select("event_id", "ts", F.col("value").alias("rv"))
+    )
+    mx = left_b.agg(F.max("ts")).first()[0]
+    l_sent = spark.createDataFrame(
+        [(-1, mx + timedelta(hours=3), -1, "__sentinel__", 0.0, "")], left_b.schema
+    )
+    r_sent = spark.createDataFrame(
+        [(-1, mx + timedelta(hours=3), 0.0)], right_b.schema
+    )
+
+    dirs = {}
+    for side, batches in {
+        "l": [left_b, l_sent],
+        "r": [right_b, r_sent],
+    }.items():
+        d = str(tmp_path / f"in_{side}")
+        os.makedirs(d)
+        for i, b in enumerate(batches):
+            tmp = str(tmp_path / f"tmp_{side}{i}")
+            b.coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = next(f for f in sorted(os.listdir(tmp)) if f.endswith(".parquet"))
+            dst = os.path.join(d, f"b{i}.parquet")
+            shutil.copy(os.path.join(tmp, part), dst)
+            os.utime(dst, (1_000_000_000 + 60 * i,) * 2)
+        dirs[side] = d
+
+    ls = (
+        spark.readStream.schema(left_b.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(dirs["l"])
+    )
+    rs = (
+        spark.readStream.schema(right_b.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(dirs["r"])
+    )
+    out = interval_join_streams(
+        ls,
+        rs,
+        key="event_id",
+        watermark="1 hour",
+        max_delay="5 minutes",
+        how="left_outer",
+    )
+    _run_append_to_memory(out, "sojoin")
+    res = spark.sql(
+        "SELECT count(*) AS n, count(r_rv) AS matched FROM sojoin WHERE event_id >= 0"
+    ).first()
+    # 25 even ids match their +1min twin; 25 odd ids emit with NULLs
+    # once the sentinel batch pushes the watermark past their range;
+    # the sentinel left row itself never evicts (nothing outlives its
+    # own range) and is filtered by event_id
+    assert (res.n, res.matched) == (50, 25)
+
+
 def test_media_features(spark):
     media = synthetic_media(spark, n=32)
     feats = extract_features(media, dim=16).collect()
