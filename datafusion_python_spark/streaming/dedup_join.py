@@ -82,6 +82,11 @@ def interval_join_streams(
     the eviction in the micro-batch AFTER the watermark advances (the
     no-data batch), so a bounded replay must end with a
     watermark-carrier batch for every unmatched row to emit.
+    ``how="right_outer"`` / ``"full_outer"`` additionally emit unmatched
+    RIGHT rows under the mirrored eviction rule; for those modes the
+    output's ``key`` column is coalesced across sides (an unmatched
+    right row has no left columns) and the right event time surfaces as
+    ``r_<right_ts>``.
     """
     # rename the right side BEFORE watermarking: copying a watermarked
     # column would create a second event-time column, which Structured
@@ -98,6 +103,14 @@ def interval_join_streams(
         & (rw["__rts"] > lw[left_ts])
         & (rw["__rts"] <= lw[left_ts] + F.expr(f"INTERVAL {max_delay}"))
     )
-    if how not in ("inner", "left_outer"):
-        raise ValueError("how must be 'inner' or 'left_outer'")
-    return lw.join(rw, cond, how).drop("__rkey", "__rts")
+    if how not in ("inner", "left_outer", "right_outer", "full_outer"):
+        raise ValueError(
+            "how must be 'inner', 'left_outer', 'right_outer' or 'full_outer'"
+        )
+    joined = lw.join(rw, cond, how)
+    if how in ("right_outer", "full_outer"):
+        # unmatched RIGHT rows carry NULL left columns — coalesce the
+        # key across sides and keep the right event time as r_<right_ts>
+        joined = joined.withColumn(key, F.coalesce(lw[key], rw["__rkey"]))
+        joined = joined.withColumn(f"r_{right_ts}", rw["__rts"])
+    return joined.drop("__rkey", "__rts")

@@ -203,6 +203,75 @@ def test_interval_join_streams_left_outer(spark, sf_dir, tmp_path):
     assert (res.n, res.matched) == (50, 25)
 
 
+def test_interval_join_streams_full_outer(spark, sf_dir, tmp_path):
+    """FULL-OUTER: unmatched rows from BOTH sides emit after their join
+    range falls behind the watermark; the key column is coalesced so
+    right-only rows stay addressable."""
+    import os
+    import shutil
+    from datetime import timedelta
+
+    from datafusion_python_spark.streaming.dedup_join import interval_join_streams
+
+    ev = load_table(spark, sf_dir, "events")
+    left_b = ev.filter(F.col("event_id") < 50)
+    right_b = (
+        ev.filter((F.col("event_id") >= 25) & (F.col("event_id") < 75))
+        .withColumn("ts", F.col("ts") + F.expr("INTERVAL 1 MINUTE"))
+        .select("event_id", "ts", F.col("value").alias("rv"))
+    )
+    mx = ev.agg(F.max("ts")).first()[0]
+    l_sent = spark.createDataFrame(
+        [(-1, mx + timedelta(hours=3), -1, "__sentinel__", 0.0, "")], left_b.schema
+    )
+    r_sent = spark.createDataFrame(
+        [(-1, mx + timedelta(hours=3), 0.0)], right_b.schema
+    )
+
+    dirs = {}
+    for side, batches in {"l": [left_b, l_sent], "r": [right_b, r_sent]}.items():
+        d = str(tmp_path / f"fo_{side}")
+        os.makedirs(d)
+        for i, b in enumerate(batches):
+            tmp = str(tmp_path / f"fo_tmp_{side}{i}")
+            b.coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = next(f for f in sorted(os.listdir(tmp)) if f.endswith(".parquet"))
+            dst = os.path.join(d, f"b{i}.parquet")
+            shutil.copy(os.path.join(tmp, part), dst)
+            os.utime(dst, (1_000_000_000 + 60 * i,) * 2)
+        dirs[side] = d
+
+    ls = (
+        spark.readStream.schema(left_b.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(dirs["l"])
+    )
+    rs = (
+        spark.readStream.schema(right_b.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(dirs["r"])
+    )
+    out = interval_join_streams(
+        ls,
+        rs,
+        key="event_id",
+        watermark="1 hour",
+        max_delay="5 minutes",
+        how="full_outer",
+    )
+    _run_append_to_memory(out, "fojoin")
+    res = spark.sql(
+        "SELECT count(*) AS n, count(CASE WHEN r_rv IS NOT NULL AND value IS NOT NULL"
+        " THEN 1 END) AS matched,"
+        " count(CASE WHEN r_rv IS NULL THEN 1 END) AS left_only,"
+        " count(CASE WHEN value IS NULL THEN 1 END) AS right_only"
+        " FROM fojoin WHERE event_id >= 0"
+    ).first()
+    # ids 25-49 match their +1min twin; 0-24 are left-only; 50-74
+    # right-only (their left columns NULL, key kept via coalesce)
+    assert (res.n, res.matched, res.left_only, res.right_only) == (75, 25, 25, 25)
+
+
 def test_media_features(spark):
     media = synthetic_media(spark, n=32)
     feats = extract_features(media, dim=16).collect()
