@@ -457,6 +457,97 @@ def stream_outer_join(spark, sf_dir):
     )
 
 
+@_with_utc
+def stream_full_outer_join(spark, sf_dir):
+    """Watermarked FULL-OUTER stream-stream interval join: both sides'
+    unmatched rows emit with NULLs after the watermark passes their
+    join range. Same replay shape as ``stream_outer_join`` (sentinel
+    click + purchase at max(ts)+3 h advance both watermarks; the
+    no-data batch flushes the final evictions); the helper coalesces
+    the key across sides so right-only rows keep their user_id. Oracle
+    = the batch FULL JOIN."""
+    from datetime import timedelta
+
+    from .streaming import interval_join_streams
+
+    ev = _t(spark, sf_dir, "events")
+    mx = ev.agg(F.max("ts").alias("mx")).first()["mx"]
+    sent = spark.createDataFrame(
+        [
+            (-2, mx + timedelta(hours=3), -1, "click", 0.0, ""),
+            (-1, mx + timedelta(hours=3), -1, "purchase", 0.0, ""),
+        ],
+        ev.schema,
+    )
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    base = _track_tmp(
+        os.path.join(
+            tempfile.gettempdir(), f"_suite_stream_fouter_{tag}_{os.getpid()}"
+        )
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    stream_dir = os.path.join(base, "in")
+    os.makedirs(stream_dir)
+    mtime = 1_000_000_000
+    for i, batch in enumerate([ev, sent]):
+        tmp = os.path.join(base, f"tmp{i}")
+        batch.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(f for f in sorted(os.listdir(tmp)) if f.endswith(".parquet"))
+        dst = os.path.join(stream_dir, f"b{i}.parquet")
+        shutil.copy(os.path.join(tmp, part), dst)
+        os.utime(dst, (mtime + 60 * i, mtime + 60 * i))
+
+    src = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stream_dir)
+    )
+    clicks = src.filter(F.col("event_type") == "click").withColumn(
+        "click_ts", F.col("ts")
+    )
+    purchases = src.filter(F.col("event_type") == "purchase").withColumn(
+        "purchase_ts", F.col("ts")
+    )
+    joined = interval_join_streams(
+        clicks,
+        purchases,
+        key="user_id",
+        watermark="1 hour",
+        max_delay="5 minutes",
+        how="full_outer",
+    )
+    res = _drain(spark, joined, "append")
+    matched = F.col("click_ts").isNotNull() & F.col("r_purchase_ts").isNotNull()
+    return (
+        res.filter(F.col("user_id") >= 0)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.count(F.when(matched, 1)).alias("n_pairs"),
+            F.count(F.when(F.col("r_purchase_ts").isNull(), 1)).alias("left_only"),
+            F.count(F.when(F.col("click_ts").isNull(), 1)).alias("right_only"),
+            F.max("r_purchase_ts").alias("last_purchase"),
+        )
+        .orderBy("user_id")
+    )
+
+
+STREAM_FULL_OUTER_JOIN_SQL = """
+WITH l AS (SELECT * FROM events WHERE event_type = 'click'),
+     r AS (SELECT * FROM events WHERE event_type = 'purchase')
+SELECT coalesce(l.user_id, r.user_id) AS user_id,
+       count(*) AS n_rows,
+       count(CASE WHEN l.ts IS NOT NULL AND r.ts IS NOT NULL THEN 1 END) AS n_pairs,
+       count(CASE WHEN r.ts IS NULL THEN 1 END) AS left_only,
+       count(CASE WHEN l.ts IS NULL THEN 1 END) AS right_only,
+       max(r.ts) AS last_purchase
+FROM l FULL JOIN r ON l.user_id = r.user_id
+ AND r.ts > l.ts AND r.ts <= l.ts + INTERVAL 5 MINUTE
+GROUP BY 1 ORDER BY 1
+"""
+
+
 STREAM_OUTER_JOIN_SQL = """
 WITH l AS (SELECT * FROM events WHERE event_type = 'click'),
      r AS (SELECT * FROM events WHERE event_type = 'purchase')
@@ -679,6 +770,7 @@ STREAMING_QUERIES: dict[str, tuple] = {
     "stream_stateful_totals": (stream_stateful_totals, STREAM_STATEFUL_TOTALS_SQL),
     "stream_interval_join": (stream_interval_join, STREAM_INTERVAL_JOIN_SQL),
     "stream_outer_join": (stream_outer_join, STREAM_OUTER_JOIN_SQL),
+    "stream_full_outer_join": (stream_full_outer_join, STREAM_FULL_OUTER_JOIN_SQL),
     "stream_late_drop": (stream_late_drop, STREAM_LATE_DROP_SQL),
     "stream_windowed_hll": (stream_windowed_hll, STREAM_WINDOWED_HLL_SQL),
     "stream_restart_resume": (stream_restart_resume, STREAM_RESTART_RESUME_SQL),
