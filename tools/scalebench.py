@@ -212,7 +212,7 @@ def main() -> None:
         "(q2/q11/q16/q22, all under 0.8 s at SF1) are where the per-query "
         "floor amortizes least — read their ratios with the spread column.",
         "",
-        "Remaining >1x ratios, diagnosed: **q16** is exchange-bound — an exact count(DISTINCT supplier) over ~5.5M nearly-unique (combo, suppkey) pairs must move every pair through one shuffle; the query already dictionary-encodes the group key and pins the repartition count (an AQE-coalescible bare repartition folded the distinct to one task — 10.4 s before the fix, 2.4 s after). The round-8 decomposition (tools/q16_probe.py --variant decompose, quiet-machine best-of-3, SQLMetrics) attributes the residual: scan+broadcast-join+project of the 6M lineitem rows = 1.16 s, +the pinned exchange (5,992,175 pair rows, 58.6 MB on the wire, spill 0) = 2.02 s, +post-shuffle dedup = 2.34 s, full query 2.42 s — i.e. the scan floor plus ONE unavoidable 6M-row exchange is ~85% of the query, and every candidate rewrite measured WORSE in fresh quiet processes: packing the pair into one bigint shuffle key 4.80 s best (hashing two fixed-width cols was never the cost), pre-exchange partial dedup 11.3 s (the partial agg combines nothing over nearly-unique keys, re-confirming the r7 diagnosis), per-cid collect_set map-side sets 3.39 s. The reference's in-RAM columnar distinct does this in 0.5 s; Spark's exchange serialization floor is the difference, and it shrinks with executor count on a real cluster (the shuffle is perfectly key-parallel). **q11** was rewritten round 8: the scalar-threshold broadcast build re-ran the whole value-agg subtree as a separate job; a global window over the ~200k aggregated rows makes the plan one linear pass (1.14 -> 0.84 s best, 1.6x the 0.53 s baseline — under the bar). **q2** was rewritten round 8 to attach the broadcast-dim columns on the way IN (inner broadcast joins == the semi-join input cut, dims unique on key) and carry them through the agg with first(), eliminating the two post-agg re-join broadcast builds (0.98 -> 0.95 s best, ~1.4x the 0.68 s baseline). q4 previously broadcast the whole lineitem fact as a semi-join build side (4.1 s); flipping it to broadcast the date-filtered orders into an inner join + (order, priority) dedup — identical EXISTS semantics — brings it to ~1.5 s (0.5x).",
+        "Remaining >1x ratios, diagnosed: **q16** is exchange-bound — an exact count(DISTINCT supplier) over ~5.5M nearly-unique (combo, suppkey) pairs must move every pair through one shuffle; the query already dictionary-encodes the group key and pins the repartition count (an AQE-coalescible bare repartition folded the distinct to one task — 10.4 s before the fix, 2.4 s after). The round-8 decomposition (tools/q16_probe.py --variant decompose, quiet-machine best-of-3, SQLMetrics) attributes the residual: scan+broadcast-join+project of the 6M lineitem rows = 1.16 s, +the pinned exchange (5,992,175 pair rows, 58.6 MB on the wire, spill 0) = 2.02 s, +post-shuffle dedup = 2.34 s, full query 2.42 s — i.e. the scan floor plus ONE unavoidable 6M-row exchange is ~85% of the query, and every candidate rewrite measured WORSE in fresh quiet processes: packing the pair into one bigint shuffle key 4.80 s best (hashing two fixed-width cols was never the cost), pre-exchange partial dedup 11.3 s (the partial agg combines nothing over nearly-unique keys, re-confirming the r7 diagnosis), per-cid collect_set map-side sets 3.39 s. The reference's in-RAM columnar distinct does this in 0.5 s; Spark's exchange serialization floor is the difference, and it shrinks with executor count on a real cluster (the shuffle is perfectly key-parallel). **q11** was rewritten round 8: the scalar-threshold broadcast build re-ran the whole value-agg subtree as a separate job (1.14 s best); the aggregated (partkey, value) rows are now lazily localCheckpoint-ed so the threshold derives from the materialized distributed blocks (~0.88 s best, 1.7x the 0.53 s baseline — under the bar). A global window measured the same at sf1 (0.84 s) but was rejected: it funnels every aggregated row through one task, a scale-killer at a billion-part corpus, while the checkpoint threshold stays a partial-agged per-partition reduction. **q2** was rewritten round 8 to attach the broadcast-dim columns on the way IN (inner broadcast joins == the semi-join input cut, dims unique on key) and carry them through the agg with first(), eliminating the two post-agg re-join broadcast builds (0.98 -> 0.95 s best, ~1.4x the 0.68 s baseline). q4 previously broadcast the whole lineitem fact as a semi-join build side (4.1 s); flipping it to broadcast the date-filtered orders into an inner join + (order, priority) dedup — identical EXISTS semantics — brings it to ~1.5 s (0.5x).",
     ]
     with open(os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "SCALEBENCH.md"), "w") as fh:
