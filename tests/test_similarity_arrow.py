@@ -572,6 +572,24 @@ def test_near_dup_pairs_lsh_shingle_k3(spark):
     assert abs(got[0].jaccard - round(want, 4)) < 1e-9
 
 
+def test_near_dup_pairs_lsh_empty_docs_no_pair(spark):
+    # empty/whitespace docs must NOT pair with each other at any k:
+    # _shingle_set yields an EMPTY set for them (k>1 used to give [""],
+    # which made two empty docs emit jaccard 1.0), so union = 0 and the
+    # verify step drops the candidate
+    from datafusion_python_spark.operators.dedup import near_dup_pairs_lsh
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "real words here"), (4, "real words here")],
+        ["doc_id", "text"],
+    )
+    for k in (1, 2, 3):
+        got = near_dup_pairs_lsh(
+            docs, "doc_id", "text", threshold=0.8, shingle_k=k
+        ).collect()
+        assert [(r.id_a, r.id_b, r.jaccard) for r in got] == [(3, 4, 1.0)], k
+
+
 def test_near_dup_pairs_lsh_replica_recall(spark):
     # Replica-saturated corpus (the regime where exact all-pairs Jaccard
     # is quadratic): every replica pair has J = m/(m+4) ≈ 0.96 and must
