@@ -58,6 +58,7 @@ _PRIORITY = [
     # holds a green r6/r7 row and stays covered by tools/selfcheck.py.
     # new this round
     "stream_outer_join",
+    "stream_full_outer_join",
     # r5 rows, staleness order
     "win_frames",
     "win_rank_value",
@@ -108,7 +109,6 @@ _PRIORITY = [
     "pipe_zorder_layout",
     "pipe_dedup_incremental",
     "pipe_perplexity",
-    "pipe_fuzzy_match",
 ]
 
 ALL_QUERIES: dict[str, tuple] = {}
