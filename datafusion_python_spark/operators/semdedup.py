@@ -270,8 +270,27 @@ def semantic_dedup(
         dup = _dup_flags(ids, u, threshold, block=4096)
         return pdf[~dup]
 
+    # Pin the partition count on every applyInPandas grouping below: the
+    # group-key cardinality is small (n_clusters cells / tens of chunk
+    # pairs) and the grouped rows carry full embedding arrays, so AQE's
+    # size-based coalescing happily folds the exchange into 1-2 tasks
+    # and the per-group numpy kernels run SEQUENTIALLY in a couple of
+    # python workers (measured on the 64x skew corpus: ~95 s wall for
+    # ~38 s of kernel CPU; pinning restores one-task-per-group
+    # parallelism). A repartition on the exact grouping keys satisfies
+    # the applyInPandas distribution requirement, so no second exchange
+    # is inserted — same trap + fix as tpch_q16 / near_dup_pairs_lsh.
+    try:
+        n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        n_part = 200
+
     if max_cell is None:
-        return assigned.groupBy("ivf_cell").applyInPandas(survivors, out_schema)
+        return (
+            assigned.repartition(n_part, "ivf_cell")
+            .groupBy("ivf_cell")
+            .applyInPandas(survivors, out_schema)
+        )
 
     # Megacluster cap: materialize the assignment once (every branch
     # below reads it — without the checkpoint the size aggregate, both
@@ -287,7 +306,10 @@ def semantic_dedup(
     big = tagged.filter(F.col("_cell_n") > max_cell)
 
     small_out = (
-        small.drop("_cell_n").groupBy("ivf_cell").applyInPandas(survivors, out_schema)
+        small.drop("_cell_n")
+        .repartition(n_part, "ivf_cell")
+        .groupBy("ivf_cell")
+        .applyInPandas(survivors, out_schema)
     )
 
     n_chunks = F.ceil(F.col("_cell_n") / F.lit(max_cell)).cast("int")
@@ -330,7 +352,8 @@ def semantic_dedup(
         )
 
     dups = (
-        paired.groupBy("ivf_cell", "_lo", "_hi")
+        paired.repartition(n_part, "ivf_cell", "_lo", "_hi")
+        .groupBy("ivf_cell", "_lo", "_hi")
         .applyInPandas(dup_ids, f"{id_col} {id_t}")
         .distinct()
     )
