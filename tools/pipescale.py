@@ -436,7 +436,7 @@ def main() -> None:
 
         with open(md_path) as fh:
             for line in fh:
-                m = re.match(r"\|\s*(\w+)†?\s*\|", line)
+                m = re.match(r"\|\s*(\w+)[†‡]?\s*\|", line)
                 if not m or m.group(1) == "operator":
                     continue
                 name = m.group(1)
