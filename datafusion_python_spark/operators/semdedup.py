@@ -136,8 +136,18 @@ def semantic_dup_ids_arrow(
         dup = _dup_flags(ids, m / norms[:, None], threshold, block)
         return pd.DataFrame({id_col: ids[dup]})
 
+    # pin the exchange partition count: n_clusters cells of embedding
+    # arrays are AQE-coalescible into a couple of tasks, serializing the
+    # per-cell matmuls (same trap + fix as semantic_dedup's capped path)
+    try:
+        n_part = int(
+            assigned.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
+    except (TypeError, ValueError):
+        n_part = 200
     return (
         assigned.select(F.col(cell_col).alias("cell"), id_col, vec_col)
+        .repartition(n_part, "cell")
         .groupBy("cell")
         .applyInPandas(per_cell, out_schema)
     )

@@ -584,8 +584,17 @@ def cosine_near_dup_pairs_arrow(
         hi = np.maximum(ids[ia][keep], ids[ib][keep])
         return pd.DataFrame({"id_a": lo, "id_b": hi, "cosine": sv[keep]})
 
+    # pin the exchange partition count: 2^n_planes buckets of
+    # embedding arrays are AQE-coalescible into a couple of tasks,
+    # which would serialize the per-bucket matmuls (same trap + fix as
+    # semantic_dedup's chunk-pair schedule, measured 2.3x there)
+    try:
+        n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        n_part = 200
     return (
         sig.select(id_col, vec_col, "bucket")
+        .repartition(n_part, "bucket")
         .groupBy("bucket")
         .applyInPandas(per_bucket, out_schema)
     )
