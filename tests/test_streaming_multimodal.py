@@ -272,6 +272,53 @@ def test_interval_join_streams_full_outer(spark, sf_dir, tmp_path):
     assert (res.n, res.matched, res.left_only, res.right_only) == (75, 25, 25, 25)
 
 
+def test_rocksdb_state_store_provider(spark, sf_dir):
+    """The production state backend: the same watermarked windowed agg
+    under RocksDBStateStoreProvider (state off-heap/on-disk, the 100 TB
+    choice over the default heap-backed provider) must equal the batch
+    rollup; the progress metrics prove the provider was active."""
+    from datafusion_python_spark.streaming import tumbling_counts
+    from datafusion_python_spark.tables import load_table
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        ev = load_table(spark, sf_dir, "events")
+        path = "/tmp/_stream_rocksdb_src"
+        ev.write.mode("overwrite").parquet(path)
+        src = spark.readStream.schema(ev.schema).parquet(path)
+        out = tumbling_counts(src, window="1 hour", watermark="30 minutes")
+        q = (
+            out.writeStream.format("memory")
+            .queryName("rdb")
+            .outputMode("complete")
+            .start()
+        )
+        q.processAllAvailable()
+        sops = (q.recentProgress[-1] or {}).get("stateOperators", [])
+        q.stop()
+        assert any(
+            k.startswith("rocksdb")
+            for s in sops
+            for k in (s.get("customMetrics") or {})
+        ), "RocksDB provider was not active"
+        got = spark.table("rdb").count()
+        want = ev.select(
+            F.window(F.col("ts").cast("timestamp"), "1 hour"), "event_type"
+        ).distinct().count()
+        assert got == want
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+
 def test_media_features(spark):
     media = synthetic_media(spark, n=32)
     feats = extract_features(media, dim=16).collect()
