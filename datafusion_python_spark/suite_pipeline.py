@@ -92,7 +92,7 @@ WITH words AS (
 )
 SELECT id_a, id_b, round(inter * 1.0 / (sa.sz + sb.sz - inter), 4) AS jaccard
 FROM ov JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
-WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.95
+WHERE round(inter * 1.0 / (sa.sz + sb.sz - inter), 4) >= 0.95
 ORDER BY id_a, id_b
 """
 
@@ -388,7 +388,7 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
 FROM embeddings a, embeddings b
 WHERE a.vec_id < b.vec_id
-  AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45
+  AND round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.45
 ORDER BY id_a, id_b
 """
 
