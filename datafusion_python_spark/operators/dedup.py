@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ._util import shuffle_partitions
+
 
 def _norm_text(col):
     """Lowercase, collapse whitespace — the canonical form used for hashing."""
@@ -587,10 +589,7 @@ def near_dup_pairs_lsh(
     # rows are tiny and AQE's size-based coalescing would funnel the
     # array-attach joins into a couple of tasks (same trap documented in
     # ngram_jaccard_pairs_prefix).
-    try:
-        n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    except (TypeError, ValueError):
-        n_part = 200
+    n_part = shuffle_partitions(df.sparkSession)
     cands = cands.repartition(n_part, "id_a")
     sets = df.select(
         F.col(id_col).alias("doc"), _shingle_set(F.col(text_col), shingle_k).alias("ws")
@@ -700,12 +699,7 @@ def ngram_jaccard_pairs_prefix(
     # 20-min single-task straggler at the 64× near-duplicate point). An
     # explicit partition count is exempt from AQE coalescing and keys
     # the join's build side at the same time.
-    try:
-        n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    except (TypeError, ValueError):
-        # e.g. "auto" under Databricks AQE — any fixed fan-out works,
-        # the point is only to defeat size-based coalescing here
-        n_part = 200
+    n_part = shuffle_partitions(df.sparkSession)
     cands = cands.repartition(n_part, "id_a")
     wa = words.select(F.col("doc").alias("id_a"), "w")
     wb = words.select(F.col("doc").alias("id_b"), "w")

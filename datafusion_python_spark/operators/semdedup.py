@@ -28,6 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ._util import shuffle_partitions
 from .similarity import ivf_assign, ivf_centroids
 
 
@@ -139,12 +140,7 @@ def semantic_dup_ids_arrow(
     # pin the exchange partition count: n_clusters cells of embedding
     # arrays are AQE-coalescible into a couple of tasks, serializing the
     # per-cell matmuls (same trap + fix as semantic_dedup's capped path)
-    try:
-        n_part = int(
-            assigned.sparkSession.conf.get("spark.sql.shuffle.partitions")
-        )
-    except (TypeError, ValueError):
-        n_part = 200
+    n_part = shuffle_partitions(assigned.sparkSession)
     return (
         assigned.select(F.col(cell_col).alias("cell"), id_col, vec_col)
         .repartition(n_part, "cell")
@@ -290,10 +286,7 @@ def semantic_dedup(
     # parallelism). A repartition on the exact grouping keys satisfies
     # the applyInPandas distribution requirement, so no second exchange
     # is inserted — same trap + fix as tpch_q16 / near_dup_pairs_lsh.
-    try:
-        n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    except (TypeError, ValueError):
-        n_part = 200
+    n_part = shuffle_partitions(df.sparkSession)
 
     if max_cell is None:
         return (

@@ -47,6 +47,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ._util import shuffle_partitions
+
 
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
@@ -588,10 +590,7 @@ def cosine_near_dup_pairs_arrow(
     # embedding arrays are AQE-coalescible into a couple of tasks,
     # which would serialize the per-bucket matmuls (same trap + fix as
     # semantic_dedup's chunk-pair schedule, measured 2.3x there)
-    try:
-        n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    except (TypeError, ValueError):
-        n_part = 200
+    n_part = shuffle_partitions(df.sparkSession)
     return (
         sig.select(id_col, vec_col, "bucket")
         .repartition(n_part, "bucket")

@@ -85,8 +85,10 @@ def interval_join_streams(
     ``how="right_outer"`` / ``"full_outer"`` additionally emit unmatched
     RIGHT rows under the mirrored eviction rule; for those modes the
     output's ``key`` column is coalesced across sides (an unmatched
-    right row has no left columns) and the right event time surfaces as
-    ``r_<right_ts>``.
+    right row has no left columns). For every outer mode the right event
+    time surfaces as ``r_<right_ts>`` (NULL on unmatched left rows), so
+    matched and unmatched rows stay distinguishable even when the right
+    stream carries no payload columns beyond key + event time.
     """
     # rename the right side BEFORE watermarking: copying a watermarked
     # column would create a second event-time column, which Structured
@@ -110,7 +112,10 @@ def interval_join_streams(
     joined = lw.join(rw, cond, how)
     if how in ("right_outer", "full_outer"):
         # unmatched RIGHT rows carry NULL left columns — coalesce the
-        # key across sides and keep the right event time as r_<right_ts>
+        # key across sides
         joined = joined.withColumn(key, F.coalesce(lw[key], rw["__rkey"]))
+    if how != "inner":
+        # keep the right event time as r_<right_ts>: NULL marks an
+        # unmatched left row, so callers need no extra right payload
         joined = joined.withColumn(f"r_{right_ts}", rw["__rts"])
     return joined.drop("__rkey", "__rts")

@@ -272,7 +272,7 @@ def test_interval_join_streams_full_outer(spark, sf_dir, tmp_path):
     assert (res.n, res.matched, res.left_only, res.right_only) == (75, 25, 25, 25)
 
 
-def test_rocksdb_state_store_provider(spark, sf_dir):
+def test_rocksdb_state_store_provider(spark, sf_dir, tmp_path):
     """The production state backend: the same watermarked windowed agg
     under RocksDBStateStoreProvider (state off-heap/on-disk, the 100 TB
     choice over the default heap-backed provider) must equal the batch
@@ -289,7 +289,7 @@ def test_rocksdb_state_store_provider(spark, sf_dir):
     )
     try:
         ev = load_table(spark, sf_dir, "events")
-        path = "/tmp/_stream_rocksdb_src"
+        path = str(tmp_path / "rocksdb_src")
         ev.write.mode("overwrite").parquet(path)
         src = spark.readStream.schema(ev.schema).parquet(path)
         out = tumbling_counts(src, window="1 hour", watermark="30 minutes")

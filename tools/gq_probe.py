@@ -80,11 +80,10 @@ def gq10_current(spark, x):
 
 
 def gq10_repart(spark, x):
+    from datafusion_python_spark.operators._util import shuffle_partitions
+
     cols = ["id1", "id2", "id3", "id4", "id5", "id6"]
-    try:
-        n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    except (TypeError, ValueError):
-        n_part = 200
+    n_part = shuffle_partitions(spark)
     return (
         x.repartition(n_part, *cols)
         .groupBy(*cols)

@@ -434,21 +434,37 @@ def main() -> None:
     if os.path.exists(md_path):
         import re
 
+        # merge by FACTOR VALUE parsed from the committed table's header
+        # (`t@{f}x (s)` columns), not by position — a partial --ops
+        # re-run with different --factors must not carry old timings
+        # under the wrong factor columns
+        committed_factors: list[int] = []
         with open(md_path) as fh:
             for line in fh:
+                if not committed_factors:
+                    hdr = re.match(r"\|\s*operator\s*\|(.*)", line)
+                    if hdr:
+                        committed_factors = [
+                            int(f) for f in re.findall(r"t@(\d+)x", hdr.group(1))
+                        ]
+                    continue
                 m = re.match(r"\|\s*(\w+)[†‡]?\s*\|", line)
-                if not m or m.group(1) == "operator":
+                if not m:
                     continue
                 name = m.group(1)
                 if name in results or name not in OPS:
                     continue
                 cells = [c.strip() for c in line.strip().strip("|").split("|")]
-                try:
-                    results[name] = {
-                        f: float(cells[1 + i]) for i, f in enumerate(factors)
-                    }
-                except (ValueError, IndexError):
-                    continue
+                carried: dict[int, float] = {}
+                for i, f in enumerate(committed_factors):
+                    if f not in factors:
+                        continue
+                    try:
+                        carried[f] = float(cells[1 + i])
+                    except (ValueError, IndexError):
+                        continue
+                if carried:
+                    results[name] = carried
     # re-order to OPS order for a stable table
     results = {n: results[n] for n in OPS if n in results}
 

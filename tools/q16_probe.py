@@ -204,22 +204,3 @@ def main():
 
 if __name__ == "__main__":
     main()
-
-
-def q16_npart(spark, sf_dir, n_part):
-    combos, pdim = _combos(spark, sf_dir)
-    li = _t(spark, sf_dir, "lineitem")
-    pairs = (
-        li.join(F.broadcast(pdim), li.l_partkey == pdim.p_partkey)
-        .select("cid", "l_suppkey")
-        .repartition(n_part, "cid", "l_suppkey")
-        .distinct()
-    )
-    return (
-        pairs.groupBy("cid")
-        .agg(F.count("*").alias("supplier_cnt"))
-        .join(F.broadcast(combos), "cid")
-        .select("p_brand", "p_type", "p_size", "supplier_cnt")
-        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
-        .limit(20)
-    )
