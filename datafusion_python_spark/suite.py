@@ -49,66 +49,66 @@ except ImportError:
 # `tools/staleness.py` recomputes this ordering from the
 # CORRECTNESS_r*.json history.
 _PRIORITY = [
-    # Round-8 rotation (tools/staleness.py ordering): first the gate
-    # ADDED this round — the watermarked left-outer stream-stream join
-    # — for a first-ever driver row; then the 20 queries whose newest
-    # driver row is r5 (VERDICT r7 ask #2: after this window nothing
-    # anywhere is older than r6); then the oldest r6 rows in staleness
-    # order to fill the 50-row window. Everything after the window
-    # holds a green r6/r7 row and stays covered by tools/selfcheck.py.
+    # Round-9 rotation (tools/staleness.py ordering): first the gate
+    # ADDED this round — the end-to-end curation chain — for a
+    # first-ever driver row; then the 22 queries whose newest driver
+    # row is r6 (VERDICT r8 ask #1: after this window nothing anywhere
+    # is older than r7); then the oldest r7 rows in staleness order to
+    # fill the 50-row window. Everything after the window holds a
+    # green r7/r8 row and stays covered by tools/selfcheck.py.
     # new this round
-    "stream_outer_join",
-    "stream_full_outer_join",
-    # r5 rows, staleness order
-    "win_frames",
-    "win_rank_value",
-    "agg_regr",
-    "join_outer_cross",
-    "fn_conditional",
-    "fn_array_ops",
-    "evt_topk_per_user",
-    "evt_running_gaps",
-    "evt_sessionize",
-    "evt_distinct_on",
-    "evt_pivot",
-    "evt_hourly",
-    "evt_json",
-    "pipe_image_roundtrip",
-    "pipe_substring_dup",
-    "stream_hourly_counts",
-    "stream_dedup_distinct",
-    "stream_session_stats",
-    "stream_stateful_totals",
-    "stream_interval_join",
-    # oldest r6 rows, staleness order
-    "tpch_q2",
-    "evt_funnel",
-    "evt_retention",
-    "evt_asof_attribution",
-    "evt_range_join",
-    "agg_approx",
-    "win_groups_frame",
-    "agg_grouping_multi",
-    "agg_stats",
-    "agg_distinct_filter",
-    "agg_percentiles",
-    "agg_string_agg",
-    "agg_string_agg_desc",
-    "fn_like_escape",
-    "sql_recursive_cte",
-    "agg_weighted_pct",
-    "fn_time",
-    "setop_union_multi",
-    "setop_intersect",
-    "setop_except",
-    "fn_strings",
-    "fn_datetime",
-    "fn_math_case",
-    "pipe_pii_redact",
-    "pipe_hll_rollup",
-    "pipe_zorder_layout",
-    "pipe_dedup_incremental",
-    "pipe_perplexity",
+    "pipe_curation_e2e",
+    # r6 rows, staleness order
+    "pipe_fuzzy_match",
+    "pipe_tfidf",
+    "pipe_bm25",
+    "pipe_chunk",
+    "pipe_shuffle_order",
+    "pipe_rand_proj",
+    "pipe_quality_score",
+    "pipe_emb_quant",
+    "pipe_decontaminate",
+    "pipe_sample_stratified",
+    "pipe_mixture_sample",
+    "pipe_dedup_exact",
+    "pipe_jaccard_pairs",
+    "pipe_minhash_lsh",
+    "pipe_semantic_dedup",
+    "pipe_simhash_arrow",
+    "pipe_topk_arrow",
+    "pipe_ann_ivf_arrow",
+    "pipe_semdedup_arrow",
+    "pipe_neardup_arrow",
+    "stream_late_drop",
+    "stream_windowed_hll",
+    # oldest r7 rows, staleness order
+    "tpch_q1",
+    "tpch_q11",
+    "tpch_q3",
+    "tpch_q4",
+    "tpch_q5",
+    "tpch_q6",
+    "tpch_q7",
+    "tpch_q8",
+    "tpch_q9",
+    "tpch_q10",
+    "tpch_q12",
+    "tpch_q13",
+    "tpch_q14",
+    "tpch_q15",
+    "tpch_q16",
+    "tpch_q17",
+    "tpch_q18",
+    "tpch_q19",
+    "tpch_q20",
+    "tpch_q21",
+    "tpch_q22",
+    "evt_salted_agg",
+    "evt_salted_join",
+    "sql_unparse_roundtrip",
+    "substrait_consume",
+    "evt_gapfill",
+    "evt_pagerank",
 ]
 
 ALL_QUERIES: dict[str, tuple] = {}

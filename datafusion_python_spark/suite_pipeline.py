@@ -1664,7 +1664,259 @@ ORDER BY id_a, id_b
 
 PIPE_NEARDUP_BUCKETED_SQL = _neardup_bucketed_sql()
 
+
+# --------------------------------------------------------------------------
+# The END-TO-END curation pipeline (examples/curation_pipeline.py) as ONE
+# gated chain: quality gates → repetition gate → classifier score → PII
+# redaction → benchmark decontamination → exact substring (span) dedup →
+# MinHash-LSH dedup clustering (keep canonical) → per-domain cap →
+# deterministic sample → context-window chunking → epoch shuffle →
+# token-budget packing. Every stage runs in its oracle-replicable mode
+# (md5 hashers, string n-grams) so a single DuckDB query re-derives the
+# whole composition — this certifies the per-stage operators COMPOSE
+# (each stage consumes the previous stage's survivor set and rewritten
+# text), which no per-stage gate checks. The chain is one lazy Catalyst
+# plan except the connected-components fixpoint (inherently iterative;
+# localCheckpoint-truncated, see operators/cluster.py).
+def pipe_curation_e2e(spark, sf_dir):
+    from .operators.chunking import chunk_documents
+    from .operators.cluster import canonical_docs
+    from .operators.decontaminate import decontaminate
+    from .operators.dedup import lsh_star_edges, minhash_signature
+    from .operators.sampling import (
+        deterministic_shuffle,
+        domain_cap,
+        hash_sample,
+        token_pack,
+    )
+    from .operators.scoring import demo_weights, score_linear
+    from .operators.substring import strip_duplicate_spans
+    from .operators.text import quality_features, redact_pii, repetition_features
+
+    docs = _t(spark, sf_dir, "documents")
+    # 1-2. quality + repetition gates (map-only; thresholds tuned for the
+    # synthetic small-vocab corpus, as in the example)
+    gated = (
+        repetition_features(quality_features(docs))
+        .filter((F.col("n_words") >= 5) & (F.col("punct_ratio") < 0.3))
+        .filter(F.col("dup_2gram_frac") < 0.9)
+    )
+    # 3. hashed-BoW linear quality score (md5 buckets — engine-portable)
+    scored = score_linear(gated, "text", demo_weights(64), hasher="md5").filter(
+        F.col("score") > 0.2
+    )
+    # 4. PII redaction (chained regexp projection; downstream stages see
+    # the REDACTED text)
+    clean = (
+        redact_pii(scored, count=False)
+        .drop("text")
+        .withColumnRenamed("text_redacted", "text")
+    )
+    # 5. benchmark decontamination: drop docs sharing any 8-word-gram
+    # with the eval slice (string grams so the oracle replays them)
+    eval_df = docs.filter(F.col("doc_id") % 97 == 0)
+    clean = decontaminate(clean, eval_df, n=8, hash_grams=False)
+    # 5b. exact substring dedup: strip all-but-first occurrences of any
+    # repeated 10-token span corpus-wide (rewrites text)
+    clean = strip_duplicate_spans(clean, k=10, hasher="md5")
+    # 6. MinHash(md5) → LSH star edges → connected components → canonical
+    sig = minhash_signature(clean, "text", num_hashes=32, shingle_k=3, hasher="md5")
+    pairs = lsh_star_edges(sig, "doc_id", num_bands=8)
+    deduped = canonical_docs(clean, pairs)
+    # 7-8. per-domain cap, deterministic 50% sample
+    capped = domain_cap(deduped, "source", 20)
+    sampled = hash_sample(capped, "doc_id", 0.5)
+    # 9. 64-token chunks, 8-token overlap
+    chunks = chunk_documents(sampled, "doc_id", "text", chunk_tokens=64, overlap=8)
+    chunks = chunks.withColumn(
+        "sample_id", F.concat_ws("#", F.col("doc_id"), F.col("chunk_id"))
+    )
+    # 10-11. epoch shuffle (key kept for the oracle), token packing
+    shuffled = deterministic_shuffle(chunks, "sample_id", salt="epoch0", keep_key=True)
+    packed = token_pack(
+        shuffled.withColumnRenamed("chunk_tokens", "tokens"),
+        "tokens",
+        2048,
+        group_col="source",
+        id_col="sample_id",
+    )
+    return packed.select(
+        "sample_id", "source", "tokens", "pack_bin", "shuffle_key"
+    ).orderBy("sample_id")
+
+
+def _curation_e2e_sql() -> str:
+    from .operators.scoring import demo_weights
+    from .operators.text import _PII_PATTERNS
+
+    warr = ", ".join(repr(w) for w in demo_weights(64))
+    redacted = "text"
+    for tag, pat in _PII_PATTERNS:
+        lit = pat.replace("'", "''")
+        redacted = f"regexp_replace({redacted}, '{lit}', '[{tag}]', 'g')"
+    return rf"""
+WITH RECURSIVE
+-- 1-2. quality + repetition gates
+gate1 AS (
+  SELECT doc_id, text, source, n_chars,
+         len(w0) AS n_words,
+         round((length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g'))) * 1.0
+               / greatest(length(text), 1), 4) AS punct_ratio,
+         CASE WHEN len(w0) > 1
+              THEN round(1.0 - len(list_distinct(list_transform(range(1, len(w0)), i -> w0[i] || '_' || w0[i+1])))
+                         / (len(w0) - 1), 4) ELSE 0.0 END AS dup_2gram_frac,
+         w0
+  FROM (SELECT *, list_filter(string_split_regex(lower(text), '\s+'), w -> w != '') AS w0
+        FROM documents)
+),
+gated AS (
+  SELECT doc_id, text, source, n_chars, w0 FROM gate1
+  WHERE n_words >= 5 AND punct_ratio < 0.3 AND dup_2gram_frac < 0.9
+),
+-- 3. hashed-BoW linear score (md5 buckets, demo weights)
+wts AS (SELECT [{warr}]::DOUBLE[] AS warr),
+scored AS (
+  SELECT doc_id, text, source, n_chars FROM (
+    SELECT g.*,
+           1.0 / (1.0 + exp(-(CASE WHEN len(w0) > 0 THEN
+             list_sum(list_transform(w0,
+               x -> warr[(('0x' || substr(md5(x), 1, 8))::BIGINT % 64) + 1])) / len(w0)
+             ELSE 0.0 END))) AS score
+    FROM gated g, wts)
+  WHERE score > 0.2
+),
+-- 4. PII redaction
+red AS (SELECT doc_id, {redacted} AS text, source, n_chars FROM scored),
+-- 5. decontamination on 8-word-grams vs the eval slice (original text)
+evalg AS (
+  SELECT DISTINCT unnest(list_distinct([array_to_string(nw[i:i+7], ' ') for i in range(1, len(nw) - 6)])) AS g
+  FROM (SELECT list_filter(string_split_regex(lower(text), '\s+'), w -> w != '') AS nw
+        FROM documents WHERE doc_id % 97 = 0)
+  WHERE len(nw) >= 8
+),
+contaminated AS (
+  SELECT DISTINCT doc_id
+  FROM (SELECT doc_id,
+               unnest(list_distinct([array_to_string(rw[i:i+7], ' ') for i in range(1, len(rw) - 6)])) AS g
+        FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), w -> w != '') AS rw
+              FROM red)
+        WHERE len(rw) >= 8) cg
+  JOIN evalg USING (g)
+),
+decon AS (SELECT * FROM red WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+-- 5b. exact substring dedup: strip non-keeper 10-token span coverage
+stoks AS (SELECT doc_id, source, n_chars, text,
+                 string_split_regex(trim(text), '\s+') AS t
+          FROM decon),
+spans AS (
+  SELECT doc_id, CAST(u.i AS BIGINT) AS pos,
+         md5(array_to_string(t[u.i+1:u.i+10], ' ')) AS h
+  FROM stoks, UNNEST(range(0, greatest(len(t) - 9, 0))) AS u(i)
+  WHERE len(t) >= 10
+),
+marked AS (
+  SELECT doc_id, pos,
+         count(*) OVER (PARTITION BY h) AS cnt,
+         row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+  FROM spans
+),
+covered AS (
+  SELECT DISTINCT doc_id, CAST(u.ci AS BIGINT) AS ci
+  FROM marked, UNNEST(range(pos, pos + 10)) AS u(ci)
+  WHERE cnt > 1 AND rn > 1
+),
+cov_list AS (SELECT doc_id, list(ci) AS cov FROM covered GROUP BY doc_id),
+stripped AS (
+  SELECT s.doc_id, s.source, s.n_chars,
+         CASE WHEN cl.cov IS NULL THEN s.text
+              -- coalesce: DuckDB array_to_string([]) is NULL, Spark
+              -- concat_ws over an empty array is '' (fully-covered doc)
+              ELSE coalesce(array_to_string(list_transform(
+                     list_filter(range(1, len(s.t) + 1), ix -> NOT list_contains(cl.cov, ix - 1)),
+                     ix -> s.t[ix]), ' '), '')
+         END AS text
+  FROM stoks s LEFT JOIN cov_list cl USING (doc_id)
+),
+-- 6. MinHash(md5, 3-shingles) -> 8-band LSH -> reachability closure
+mwords AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x != '') AS ws
+           FROM stripped),
+shing AS (
+  SELECT doc_id,
+         CASE WHEN len(ws) >= 3
+              THEN [array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws) - 1)]
+              ELSE [coalesce(array_to_string(ws, ' '), '')] END AS sh
+  FROM mwords
+),
+sig AS (
+  SELECT doc_id,
+         list_transform(range(0, 32), i ->
+           list_min(list_transform(sh,
+             s -> ('0x' || substr(md5(s || '#' || i::VARCHAR), 1, 8))::BIGINT))) AS mh
+  FROM shing
+),
+banded AS (
+  SELECT doc_id, b.band,
+         array_to_string(mh[b.band * 4 + 1 : b.band * 4 + 4], ',') AS key
+  FROM sig, (SELECT unnest(range(0, 8)) AS band) b
+),
+lsh_pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+  FROM banded a JOIN banded c
+    ON a.band = c.band AND a.key = c.key AND a.doc_id < c.doc_id
+),
+edges AS (SELECT id_a AS s, id_b AS d FROM lsh_pairs
+          UNION SELECT id_b, id_a FROM lsh_pairs),
+walk AS (
+  SELECT s AS n, s AS r FROM edges
+  UNION
+  SELECT wk.n, e.d FROM walk wk JOIN edges e ON e.s = wk.r
+),
+canon AS (
+  SELECT st.* FROM stripped st
+  LEFT JOIN (SELECT n, min(r) AS comp FROM walk GROUP BY n) c ON c.n = st.doc_id
+  WHERE coalesce(c.comp, st.doc_id) = st.doc_id
+),
+-- 7-8. per-domain cap (by original n_chars), deterministic 50% sample
+capped AS (
+  SELECT * FROM (
+    SELECT canon.*,
+           row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rank_in_domain
+    FROM canon) WHERE rank_in_domain <= 20
+),
+sampled AS (SELECT * FROM capped WHERE substr(md5(doc_id::VARCHAR), 1, 4) < '8000'),
+-- 9. 64-token chunks, stride 56
+cwords AS (SELECT doc_id, source, list_filter(string_split_regex(lower(text), '\s+'), x -> x != '') AS ws
+           FROM sampled),
+chlist AS (
+  SELECT doc_id, source,
+         [array_to_string(ws[s:s+63], ' ') for s in range(1, len(ws) + 1, 56)] AS chunks
+  FROM cwords WHERE len(ws) > 0
+),
+chrows AS (
+  SELECT doc_id, source, generate_subscripts(chunks, 1) - 1 AS chunk_id,
+         unnest(chunks) AS chunk
+  FROM chlist
+),
+-- 10-11. epoch shuffle key + token packing (cumsum bins per source)
+final AS (
+  SELECT doc_id::VARCHAR || '#' || chunk_id::VARCHAR AS sample_id,
+         source,
+         len(string_split(chunk, ' '))::BIGINT AS tokens,
+         md5('epoch0' || doc_id::VARCHAR || '#' || chunk_id::VARCHAR) AS shuffle_key
+  FROM chrows
+)
+SELECT sample_id, source, tokens,
+       CAST(floor((sum(tokens) OVER (PARTITION BY source ORDER BY sample_id
+                                     ROWS UNBOUNDED PRECEDING) - tokens) / 2048.0) AS BIGINT) AS pack_bin,
+       shuffle_key
+FROM final ORDER BY sample_id
+"""
+
+
+PIPE_CURATION_E2E_SQL = _curation_e2e_sql()
+
 PIPELINE_QUERIES: dict[str, tuple] = {
+    "pipe_curation_e2e": (pipe_curation_e2e, PIPE_CURATION_E2E_SQL),
     "pipe_image_roundtrip": (pipe_image_roundtrip, PIPE_IMAGE_ROUNDTRIP_SQL),
     "pipe_pii_redact": (pipe_pii_redact, PIPE_PII_REDACT_SQL),
     "pipe_substring_dup": (pipe_substring_dup, PIPE_SUBSTRING_DUP_SQL),

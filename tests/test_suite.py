@@ -12,7 +12,16 @@ import pytest
 from datafusion_python_spark.suite import ALL_QUERIES
 from datafusion_python_spark.tables import TABLE_NAMES
 
-ORACLE_SAMPLE = ["tpch_q1", "tpch_q6", "evt_sessionize", "agg_grouping_multi", "fn_strings"]
+ORACLE_SAMPLE = [
+    "tpch_q1",
+    "tpch_q6",
+    "evt_sessionize",
+    "agg_grouping_multi",
+    "fn_strings",
+    # the end-to-end curation chain: the one gate that certifies the
+    # pipeline operators COMPOSE (full value check in tools/selfcheck.py)
+    "pipe_curation_e2e",
+]
 
 
 @pytest.mark.parametrize("name", sorted(ALL_QUERIES))
