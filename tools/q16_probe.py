@@ -113,11 +113,63 @@ def q16_packed_distinct_nopin(spark, sf_dir):
     )
 
 
+def q16_bitmap(spark, sf_dir):
+    # round-9 probe: per-(cid, bucket) suppkey BITMAPS — the group key
+    # drops to ~7.5k × n_buckets, so Spark's pre-exchange partial
+    # aggregate finally combines (OR-ing bitmaps map-side); the exchange
+    # then carries one 4 KB bitmap per (cid, bucket, map task) instead
+    # of raw pairs. Distinct count = popcount after the merge.
+    combos, pdim = _combos(spark, sf_dir)
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(pdim), li.l_partkey == pdim.p_partkey)
+        .select("cid", F.bitmap_bucket_number(F.col("l_suppkey")).alias("bkt"),
+                F.bitmap_bit_position(F.col("l_suppkey")).alias("pos"))
+        .groupBy("cid", "bkt")
+        .agg(F.bitmap_construct_agg(F.col("pos")).alias("bm"))
+        .groupBy("cid")
+        .agg(F.sum(F.bitmap_count(F.col("bm"))).alias("supplier_cnt"))
+        .join(F.broadcast(combos), "cid")
+        .select("p_brand", "p_type", "p_size", "supplier_cnt")
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+        .limit(20)
+    )
+
+
+def q16_sorted_lag(spark, sf_dir):
+    # round-9 probe: sort-based dedup — one exchange on cid only, sort
+    # within partition by suppkey, count first-occurrences via lag.
+    # Replaces the hash-distinct with a sort; same wire bytes.
+    combos, pdim = _combos(spark, sf_dir)
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("cid").orderBy("l_suppkey")
+    pairs = (
+        li.join(F.broadcast(pdim), li.l_partkey == pdim.p_partkey)
+        .select("cid", "l_suppkey")
+        .repartition(_npart(spark), "cid")
+    )
+    firsts = pairs.withColumn(
+        "is_new",
+        (F.lag("l_suppkey").over(w).isNull()
+         | (F.col("l_suppkey") != F.lag("l_suppkey").over(w))).cast("long"),
+    )
+    return (
+        firsts.groupBy("cid")
+        .agg(F.sum("is_new").alias("supplier_cnt"))
+        .join(F.broadcast(combos), "cid")
+        .select("p_brand", "p_type", "p_size", "supplier_cnt")
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+        .limit(20)
+    )
+
+
 VARIANTS = {
     "current": TPCH_QUERIES["tpch_q16"][0],
     "packed": q16_packed,
     "packed_nopin": q16_packed_distinct_nopin,
     "collect_set": q16_collect_set,
+    "bitmap": q16_bitmap,
+    "sorted_lag": q16_sorted_lag,
 }
 
 
