@@ -72,8 +72,14 @@ def pipe_jaccard_pairs(spark, sf_dir):
     # recomputes exact Jaccard from scratch either way, and pytest pins
     # prefix == plain across thresholds.
     from .operators.dedup import ngram_jaccard_pairs_prefix
+    from .operators.sampling import hash_sample
 
-    docs = _t(spark, sf_dir, "documents")
+    # Gate runs on a deterministic 50% hash-slice (the pipe_sample_hash
+    # md5-prefix convention, same as pipe_minhash_lsh): pair volume —
+    # the whole cost of the quadratic verify — drops ~4x, and the
+    # oracle replays the identical pipeline structure on the same slice
+    # (round-8 verdict #5: this gate was ~35 s of the audit run).
+    docs = hash_sample(_t(spark, sf_dir, "documents"), "doc_id", 0.5)
     return ngram_jaccard_pairs_prefix(docs, "doc_id", "text", threshold=0.95).orderBy(
         "id_a", "id_b"
     )
@@ -83,6 +89,7 @@ PIPE_JACCARD_SQL = """
 WITH words AS (
   SELECT doc_id, unnest(list_distinct(list_filter(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '), w -> w != ''))) AS w
   FROM documents
+  WHERE substr(md5(doc_id::VARCHAR), 1, 4) < '8000'
 ), sizes AS (
   SELECT doc_id, count(*) AS sz FROM words GROUP BY doc_id
 ), ov AS (
@@ -211,7 +218,14 @@ ORDER BY id_a, id_b
 # signed BIGINT in both engines; the oracle recomputes word hashes, bit
 # votes, 15-bit block candidates, and exact Hamming verify in DuckDB.
 def pipe_simhash(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    from .operators.sampling import hash_sample
+
+    # 50% deterministic hash-slice (same convention as pipe_jaccard_pairs
+    # / pipe_minhash_lsh): this is the interpreted-JVM parity twin of
+    # pipe_simhash_arrow — the slice halves the per-word bit-vote cost
+    # and quarters the pair join while the oracle replays the identical
+    # structure (round-8 verdict #5: this gate was ~38 s of the audit).
+    docs = hash_sample(_t(spark, sf_dir, "documents"), "doc_id", 0.5)
     sig = simhash(docs, "text", hasher="md5")
     return simhash_near_dups(sig, "doc_id", max_hamming=8, bits=60).orderBy(
         "id_a", "id_b"
@@ -224,6 +238,7 @@ WITH norm AS (
          list_filter(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
                      x -> x != '') AS ws
   FROM documents
+  WHERE substr(md5(doc_id::VARCHAR), 1, 4) < '8000'
 ), hs AS (
   SELECT doc_id,
          list_transform(ws, w -> ('0x' || substr(md5(w), 1, 15))::BIGINT) AS hh
