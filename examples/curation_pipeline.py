@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 from datafusion_python_spark.operators.chunking import chunk_documents
 from datafusion_python_spark.operators.cluster import canonical_docs
 from datafusion_python_spark.operators.decontaminate import decontaminate
-from datafusion_python_spark.operators.dedup import lsh_candidate_pairs, minhash_signature
+from datafusion_python_spark.operators.dedup import lsh_star_edges, minhash_signature
 from datafusion_python_spark.operators.sampling import (
     deterministic_shuffle,
     domain_cap,
@@ -89,7 +89,10 @@ clean = strip_duplicate_spans(clean, k=10)
 # this synthetic corpus — one 30-word vocab — would mark everything a
 # near-dup of everything and keep a single canonical doc.)
 sig = minhash_signature(clean, "text", num_hashes=32, shingle_k=3)
-pairs = lsh_candidate_pairs(sig, "doc_id", num_bands=8)
+# star edges (bucket-min -> member): same connected components as the
+# all-pairs bucket clique, LINEAR per bucket instead of quadratic — the
+# form that survives a bucket with 10^5 near-copies at 100 TB
+pairs = lsh_star_edges(sig, "doc_id", num_bands=8)
 deduped = canonical_docs(clean, pairs)
 
 # 7-8. per-domain cap, deterministic sample
