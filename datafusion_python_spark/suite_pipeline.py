@@ -263,6 +263,16 @@ FROM pairs WHERE bit_count(xor(sa, sb)) <= 8
 ORDER BY id_a, id_b
 """
 
+# Unsliced oracle for the Arrow twin: pipe_simhash_arrow keeps the FULL
+# corpus (the numpy bit-vote kernel is ~20x faster than the interpreted
+# JVM path, so the audit-time slice is only needed on the JVM parity
+# twin above) — it must therefore pair with an oracle without the 50%
+# hash-slice predicate.
+PIPE_SIMHASH_FULL_SQL = PIPE_SIMHASH_SQL.replace(
+    "\n  WHERE substr(md5(doc_id::VARCHAR), 1, 4) < '8000'", ""
+)
+assert PIPE_SIMHASH_FULL_SQL != PIPE_SIMHASH_SQL
+
 
 # --------------------------------------------------------------------------
 # Exact cosine top-k ANN (brute force baseline).
@@ -1971,7 +1981,7 @@ PIPELINE_QUERIES: dict[str, tuple] = {
     "pipe_repetition": (pipe_repetition, PIPE_REPETITION_SQL),
     "pipe_minhash_cluster": (pipe_minhash_cluster, PIPE_MINHASH_CLUSTER_SQL),
     "pipe_semantic_dedup": (pipe_semantic_dedup, PIPE_SEMANTIC_DEDUP_SQL),
-    "pipe_simhash_arrow": (pipe_simhash_arrow, PIPE_SIMHASH_SQL),
+    "pipe_simhash_arrow": (pipe_simhash_arrow, PIPE_SIMHASH_FULL_SQL),
     "pipe_topk_arrow": (pipe_topk_arrow, PIPE_COSINE_TOPK_SQL),
     "pipe_ann_ivf_arrow": (pipe_ann_ivf_arrow, PIPE_ANN_IVF_SQL),
     "pipe_semdedup_arrow": (pipe_semdedup_arrow, PIPE_SEMANTIC_DEDUP_SQL),
