@@ -125,6 +125,14 @@ def main() -> None:
             "(VERDICT r8 #3): quiet 3-run in round 9 measured 2.946/"
             "2.995/2.965 s with no plan changes — within noise of r7's "
             "2.86 s; no code regression to bisect",
+            "vm_floor": "absolute seconds are VM-instance-dependent: "
+            "mid-round-9 the sandbox VM was recycled (fresh boot) and "
+            "the SAME code re-measured 3.76/3.92/4.38 s quiet (idle, "
+            "one JVM, load <2) on the new instance — uniformly ~30% "
+            "slower on every query with zero plan changes vs the "
+            "2.946/2.995/2.965 s quiet series earlier in the round. "
+            "Compare rounds by ratio to a baseline re-measured on the "
+            "same instance, not by absolute seconds across rounds",
         }
     print(json.dumps(out))
 

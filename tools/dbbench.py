@@ -52,11 +52,38 @@ def _u(col, salt: int, n: int):
     return (F.pmod(_mix(col, salt), F.lit(n)) + 1).cast("int")
 
 
-def build(spark, n: int, k: int) -> str:
+# Disk-budget ceilings (the sandbox has ~80 GB free on one filesystem;
+# data + transient shuffle must both fit). A query — or a build step —
+# whose transient shuffle cannot fit alongside the data is skipped above
+# its ceiling and the rationale lands in DBBENCH.md. Arithmetic at
+# n=1e9, from measured 1e8 widths (lz4 shuffle ~0.6 ratio):
+#   x.parquet ≈ 30 GB on disk.
+#   gq10: the 6-column group key is ~n-distinct, so map-side partial agg
+#     combines nothing and the exchange writes ~1e9 × ~55 B ≈ 55 GB;
+#     30 + 55 > 80 even before DuckDB re-verifies the same aggregate.
+#   jq5: SMJ shuffles full-width x (~50 GB), and the `big` build itself
+#     is a dropDuplicates over n rows (~45 GB transient shuffle).
+# Everything else is a ≤1e7-group partial agg (combines to KB/task), a
+# narrow two-column window shuffle (gq8, ~15 GB), or a broadcast join
+# that never moves x. At a real 1000-executor cluster none of this
+# binds — both skipped plans are key-parallel with per-node shuffle
+# fractions of ~55 MB; the ceiling is the single-node sandbox disk.
+DISK_CEILING = {
+    "gq10_sum_v3_count_by_id1_id6": 300_000_000,
+    "jq5_big_inner_on_int": 300_000_000,
+}
+
+
+def build(spark, n: int, k: int, need_big: bool = True) -> str:
     out = f"{WORK}/n{n}_k{k}"
-    if os.path.exists(f"{out}/_DONE"):
-        return out
-    shutil.rmtree(out, ignore_errors=True)
+    done = f"{out}/_DONE"
+    if os.path.exists(done):
+        have_big = os.path.exists(f"{out}/big.parquet")
+        if have_big or not need_big:
+            return out
+        shutil.rmtree(out, ignore_errors=True)
+    else:
+        shutil.rmtree(out, ignore_errors=True)
     os.makedirs(out, exist_ok=True)
     nk = max(1, n // k)
     r = spark.range(n).withColumnRenamed("id", "i")
@@ -90,8 +117,9 @@ def build(spark, n: int, k: int) -> str:
         ).dropDuplicates(cols[:1])
     rhs(max(10, n // 1_000_000), ["id1", "id4"]).write.mode("overwrite").parquet(f"{out}/small.parquet")
     rhs(max(100, n // 1_000), ["id2", "id1", "id4", "id5"]).write.mode("overwrite").parquet(f"{out}/medium.parquet")
-    rhs(n, ["id3", "id1", "id2", "id4", "id5", "id6"]).write.mode("overwrite").parquet(f"{out}/big.parquet")
-    open(f"{out}/_DONE", "w").close()
+    if need_big:
+        rhs(n, ["id3", "id1", "id2", "id4", "id5", "id6"]).write.mode("overwrite").parquet(f"{out}/big.parquet")
+    open(done, "w").close()
     return out
 
 
@@ -159,16 +187,18 @@ def jq(spark, d):
     x = spark.read.parquet(f"{d}/x.parquet")
     small = spark.read.parquet(f"{d}/small.parquet")
     medium = spark.read.parquet(f"{d}/medium.parquet")
-    big = spark.read.parquet(f"{d}/big.parquet")
-    return {
+    out = {
         "jq1_small_inner_on_int": x.join(small.select("id1", F.col("v2j").alias("v2s")), "id1"),
         "jq2_medium_inner_on_int": x.join(medium.select("id2", F.col("v2j").alias("v2m")), "id2"),
         "jq3_medium_outer_on_int": x.join(medium.select("id2", F.col("v2j").alias("v2m")), "id2", "left"),
         "jq4_medium_inner_on_factor": x.join(
             medium.groupBy("id5").agg(F.min("v2j").alias("v2m")), "id5"
         ),
-        "jq5_big_inner_on_int": x.join(big.select("id3", F.col("v2j").alias("v2b")), "id3"),
     }
+    if os.path.exists(f"{d}/big.parquet"):
+        big = spark.read.parquet(f"{d}/big.parquet")
+        out["jq5_big_inner_on_int"] = x.join(big.select("id3", F.col("v2j").alias("v2b")), "id3")
+    return out
 
 
 J_CHK = {
@@ -189,21 +219,40 @@ def _duck_chk(d: str, sql: str) -> float:
     import duckdb
 
     con = duckdb.connect()
+    # Bound DuckDB's hash-agg/window memory so the 1e9 verifications
+    # spill instead of fighting the Spark JVM for the sandbox's RAM.
+    con.execute("SET memory_limit='48GB'")
+    con.execute("SET temp_directory='/tmp/duckdb_spill'")
     for t in ("x", "small", "medium", "big"):
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{d}/{t}.parquet/*.parquet')"
-        )
+        if os.path.exists(f"{d}/{t}.parquet"):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{d}/{t}.parquet/*.parquet')"
+            )
     return round(float(con.execute(sql).fetchone()[0]), 3)
+
+
+def _reclaim(spark) -> None:
+    """Release the just-run plan's shuffle files promptly. In local mode
+    ContextCleaner deletes a shuffle's files only after its RDD is GC'd
+    on the JVM; at 1e9 a single gq8-sized shuffle is ~15 GB, so letting
+    four timed repeats accumulate would blow the disk budget."""
+    import gc
+
+    gc.collect()
+    spark.sparkContext._jvm.System.gc()
 
 
 def main() -> None:
     sizes = [10_000_000]
     fresh = False
+    reap = False
     for a in sys.argv[1:]:
         if a.startswith("--n"):
             sizes = [int(x) for x in a.split("=", 1)[1].split(",")]
         elif a == "--fresh":
             fresh = True
+        elif a == "--reap":
+            reap = True
     if fresh:
         shutil.rmtree(WORK, ignore_errors=True)
     k = 100
@@ -212,14 +261,23 @@ def main() -> None:
 
     per_size: dict[int, dict] = {}
     for n in sizes:
-        d = build(spark, n, k)
+        need_big = n <= DISK_CEILING["jq5_big_inner_on_int"]
+        d = build(spark, n, k, need_big=need_big)
+        # Fewer timed repeats as the scans get cache-stable: at ≥3e8 a
+        # single scan is tens of seconds, run-to-run spread is <5%, and
+        # every repeat re-writes the full shuffle to the shared disk.
+        reps = 3 if n <= 100_000_000 else 2 if n < 1_000_000_000 else 1
         results = {}
+        skipped = []
         for task, queries, chks in (("groupby", gq(spark, d), G_CHK), ("join", jq(spark, d), J_CHK)):
             for name, df in queries.items():
+                if n > DISK_CEILING.get(name, n):
+                    skipped.append(name)
+                    continue
                 duck_sql, chk_cols = chks[name]
                 df.write.format("noop").mode("overwrite").save()  # warm
                 best = float("inf")
-                for _ in range(3):
+                for _ in range(reps):
                     t0 = time.perf_counter()
                     df.write.format("noop").mode("overwrite").save()
                     best = min(best, time.perf_counter() - t0)
@@ -230,10 +288,14 @@ def main() -> None:
                 ok = math.isclose(s_chk, d_chk, rel_tol=1e-6, abs_tol=1e-3)
                 results[name] = {"sec": round(best, 3), "chk": s_chk, "chk_ok": bool(ok)}
                 print(n, name, results[name], flush=True)
+                if n >= 300_000_000:
+                    _reclaim(spark)
         total = round(sum(r["sec"] for r in results.values()), 3)
         all_ok = all(r["chk_ok"] for r in results.values())
-        per_size[n] = {"results": results, "total": total, "all_ok": all_ok}
-        print(json.dumps({"metric": "dbbench_total", "value": total, "unit": "sec", "n_rows": n, "all_chk_ok": all_ok, "queries": {q: r["sec"] for q, r in results.items()}}))
+        per_size[n] = {"results": results, "total": total, "all_ok": all_ok, "skipped": skipped, "reps": reps}
+        print(json.dumps({"metric": "dbbench_total", "value": total, "unit": "sec", "n_rows": n, "all_chk_ok": all_ok, "skipped": skipped, "queries": {q: r["sec"] for q, r in results.items()}}))
+        if reap:
+            shutil.rmtree(d, ignore_errors=True)
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     with open(os.path.join(root, "DBBENCH.md"), "w") as f:
@@ -244,8 +306,9 @@ def main() -> None:
             "x has the h2o G1_*_1e2 shape (100 string/int groups, v3 "
             "uniform[0,100)); join sides small/medium/big per the h2o "
             "spec. Spark-generated data (xxhash64-mixed spark.range — "
-            "distributed, deterministic), best-of-2 after warm, noop "
-            "sink, local[32]. Every row's checksum (the h2o `chk` sum "
+            "distributed, deterministic), best-of-N after warm (N per "
+            "size-section header), noop sink, local[32]. Every row's "
+            "checksum (the h2o `chk` sum "
             "over the result) is verified against DuckDB computing the "
             "same question over the same parquet — timings are of "
             "verified-correct plans. The reference repo has no committed "
@@ -294,7 +357,7 @@ def main() -> None:
         )
         for n, blk in per_size.items():
             f.write(
-                f"\n## x = {n:,} rows\n\n"
+                f"\n## x = {n:,} rows (best of {blk.get('reps', 3)} after warm)\n\n"
                 "| query | sec | chk | chk==duckdb |\n|---|---|---|---|\n"
                 + "\n".join(
                     f"| {q} | {r['sec']} | {r['chk']} | {'OK' if r['chk_ok'] else 'MISMATCH'} |"
@@ -303,6 +366,18 @@ def main() -> None:
                 + f"\n\nTotal: **{blk['total']} s** over {len(blk['results'])} queries; "
                 + ("all checksums verified.\n" if blk["all_ok"] else "checksums **NOT** verified — investigate.\n")
             )
+            if blk.get("skipped"):
+                f.write(
+                    f"\nSkipped at this size (single-node disk budget, see "
+                    f"DISK_CEILING in tools/dbbench.py for the arithmetic): "
+                    + ", ".join(blk["skipped"])
+                    + ". Both plans are ~n-row shuffles that, with x.parquet "
+                    "resident, exceed the sandbox's ~80 GB free filesystem; "
+                    "at cluster scale the same shuffles are key-parallel "
+                    "(~55 MB per executor at 1000 nodes) and not a "
+                    "bottleneck — the ceiling is the one-disk sandbox, not "
+                    "the plan.\n"
+                )
     print("wrote DBBENCH.md")
 
 
