@@ -213,6 +213,38 @@ def main() -> None:
         "floor amortizes least — read their ratios with the spread column.",
         "",
         "Remaining >1x ratios, diagnosed: **q16** is exchange-bound — an exact count(DISTINCT supplier) over ~5.5M nearly-unique (combo, suppkey) pairs must move every pair through one shuffle; the query already dictionary-encodes the group key and pins the repartition count (an AQE-coalescible bare repartition folded the distinct to one task — 10.4 s before the fix, 2.4 s after). The round-8 decomposition (tools/q16_probe.py --variant decompose, quiet-machine best-of-3, SQLMetrics) attributes the residual: scan+broadcast-join+project of the 6M lineitem rows = 1.16 s, +the pinned exchange (5,992,175 pair rows, 58.6 MB on the wire, spill 0) = 2.02 s, +post-shuffle dedup = 2.34 s, full query 2.42 s — i.e. the scan floor plus ONE unavoidable 6M-row exchange is ~85% of the query, and every candidate rewrite measured WORSE in fresh quiet processes: packing the pair into one bigint shuffle key 4.80 s best (hashing two fixed-width cols was never the cost), pre-exchange partial dedup 11.3 s (the partial agg combines nothing over nearly-unique keys, re-confirming the r7 diagnosis), per-cid collect_set map-side sets 3.39 s. The reference's in-RAM columnar distinct does this in 0.5 s; Spark's exchange serialization floor is the difference, and it shrinks with executor count on a real cluster (the shuffle is perfectly key-parallel). **q11** was rewritten round 8: the scalar-threshold broadcast build re-ran the whole value-agg subtree as a separate job (1.14 s best); the aggregated (partkey, value) rows are now lazily localCheckpoint-ed so the threshold derives from the materialized distributed blocks (~0.88 s best, 1.7x the 0.53 s baseline — under the bar). A global window measured the same at sf1 (0.84 s) but was rejected: it funnels every aggregated row through one task, a scale-killer at a billion-part corpus, while the checkpoint threshold stays a partial-agged per-partition reduction. **q2** was rewritten round 8 to attach the broadcast-dim columns on the way IN (inner broadcast joins == the semi-join input cut, dims unique on key) and carry them through the agg with first(), eliminating the two post-agg re-join broadcast builds (0.98 -> 0.95 s best, ~1.4x the 0.68 s baseline). q4 previously broadcast the whole lineitem fact as a semi-join build side (4.1 s); flipping it to broadcast the date-filtered orders into an inner join + (order, priority) dedup — identical EXISTS semantics — brings it to ~1.5 s (0.5x).",
+        "",
+        "**q16 floor ACCEPTED (round 9).** The round-9 verdict's last "
+        "untried probe families were measured in fresh quiet processes "
+        "(tools/q16_probe.py, 5 runs each, sf≈1): (a) `bitmap` — "
+        "per-(cid, bucket) supplier bitmaps via bitmap_construct_agg/"
+        "bitmap_count, giving the partial aggregate a ~7.5k-key group so "
+        "map-side combine finally fires — 2.94 s best / 3.18 s median "
+        "(WORSE: each of the 32 map tasks emits a 4 KB bitmap per live "
+        "(cid, bucket) group, so the exchange carries more bytes than the "
+        "58.6 MB of raw pairs it replaces); (b) `sorted_lag` — one "
+        "exchange on cid only + sort-within-partition + lag()-based "
+        "first-occurrence count, replacing the hash distinct with a sort "
+        "— 2.20 s best / 2.62 s median (a wash: best within noise of the "
+        "committed 2.39 s, median worse). With the packed-key, "
+        "pre-exchange-dedup, collect_set, bitmap, and sort-dedup families "
+        "all measured at-or-worse, and the round-8 decomposition "
+        "attributing ~85% of the query to the scan floor plus one "
+        "unavoidable, perfectly key-parallel 6M-row exchange, the ~4.8× "
+        "ratio is accepted as Spark's single-node exchange-serialization "
+        "floor for this shape; it shrinks with executor count on a real "
+        "cluster. No further rounds spend on q16.",
+        "",
+        "**Instance note (round 9).** The sandbox VM was recycled "
+        "mid-round 9 and the SAME code re-measured uniformly slower on "
+        "the new instance with zero plan changes (bench.py sf0.1 quiet "
+        "suite 2.95 → 3.8–4.4 s; this table's Σ22 22.0 → 25.8 s). The "
+        "reference baseline is a fixed published number from unspecified "
+        "hardware (BASELINE.md), so per-query ratios drift with the "
+        "sandbox instance draw: q2 1.50×→1.69× and q11 1.39×→1.81× are "
+        "the identical plans on slower hardware, both still under the 2× "
+        "bar. Compare rounds by plan and by same-instance deltas, not by "
+        "cross-round absolute ratios.",
     ]
     with open(os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "SCALEBENCH.md"), "w") as fh:
