@@ -183,11 +183,106 @@ def run_size(spark, n: int) -> dict:
     return res
 
 
+DIM = 64
+
+
+def build_emb(spark, n: int) -> str:
+    """N embedding rows, dim 64, uniform[-1,1] entries; per 4-row cell
+    with base b, row b+3 is an EXACT copy of row b's vector — so
+    SemDeDup survivors are exactly 3N/4 (identical vectors always share
+    an argmax cell and have cosine 1.0; at threshold 0.9 a false random
+    dup needs a ~7-sigma cosine, expected count ≪ 1 corpus-wide)."""
+    out = f"{WORK}/emb{n}"
+    if os.path.exists(f"{out}/_DONE"):
+        return out
+    shutil.rmtree(out, ignore_errors=True)
+    r = spark.range(n).withColumnRenamed("id", "i")
+    seed = F.when(F.pmod(F.col("i"), F.lit(4)) == 3, F.col("i") - F.lit(3)).otherwise(
+        F.col("i")
+    )
+    vec = F.transform(
+        F.sequence(F.lit(1), F.lit(DIM)),
+        lambda j: (
+            (F.pmod(F.xxhash64(seed, j, F.lit(7)), F.lit(2_000_001)) - F.lit(1_000_000))
+            / F.lit(1_000_000.0)
+        ).cast("float"),
+    )
+    r.select(F.col("i").alias("vec_id"), vec.alias("embedding")).write.mode(
+        "overwrite"
+    ).parquet(f"{out}/embeddings.parquet")
+    open(f"{out}/_DONE", "w").close()
+    return out
+
+
+def run_emb_size(spark, n: int) -> dict:
+    from datafusion_python_spark.operators.semdedup import semantic_dedup
+    from datafusion_python_spark.operators.similarity import (
+        cosine_topk_arrow,
+        ivf_ann,
+    )
+
+    d = build_emb(spark, n)
+    emb = spark.read.parquet(f"{d}/embeddings.parquet")
+    n_clusters = max(64, int(math.sqrt(n)))
+    res: dict[str, dict] = {}
+
+    # --- SemDeDup (fused Arrow path): survivors must be exactly 3N/4
+    sec, rows = _timed(
+        semantic_dedup(emb, n_clusters=n_clusters, threshold=0.9, arrow=True)
+    )
+    res["semantic_dedup_arrow"] = {
+        "sec": round(sec, 2),
+        "out_rows": rows,
+        "verify": f"survivors == 3N/4 ({3 * n // 4}), k={n_clusters} clusters",
+        "ok": rows == 3 * n // 4,
+    }
+
+    # --- brute-force cosine top-k: the planted copy pair must lead
+    q = emb.filter(F.col("vec_id") == 0).head()["embedding"]
+    q = [float(v) for v in q]
+    sec, _ = _timed(cosine_topk_arrow(emb, q, k=10))
+    brute = [r["vec_id"] for r in cosine_topk_arrow(emb, q, k=10).collect()]
+    res["cosine_topk_arrow"] = {
+        "sec": round(sec, 2),
+        "out_rows": 10,
+        "verify": f"planted copies {{0,3}} in top-10: {sorted(brute[:2])}",
+        "ok": {0, 3} <= set(brute),
+    }
+
+    # --- IVF ANN (Arrow): probing ~2.5% of cells must still surface the
+    # planted pair (the query IS their vector, so their cell ranks first)
+    n_probe = max(2, n_clusters // 40)
+    sec, _ = _timed(
+        ivf_ann(emb, q, n_list=n_clusters, n_probe=n_probe, k=10, arrow=True)
+    )
+    ivf_ids = [
+        r["vec_id"]
+        for r in ivf_ann(
+            emb, q, n_list=n_clusters, n_probe=n_probe, k=10, arrow=True
+        ).collect()
+    ]
+    recall = len(set(ivf_ids) & set(brute)) / 10
+    res["ivf_ann_arrow"] = {
+        "sec": round(sec, 2),
+        "out_rows": 10,
+        "verify": f"planted {{0,3}} found, recall@10 vs brute = {recall:.2f} "
+        f"(n_probe {n_probe}/{n_clusters} cells — random-corpus tail recall "
+        "is the documented IVF trade)",
+        "ok": {0, 3} <= set(ivf_ids),
+    }
+    return res
+
+
 def main() -> None:
     sizes = [1_250_000, 10_000_000]
+    emb_sizes = [500_000, 4_000_000]
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     if args:
         sizes = [int(a) for a in args]
+        emb_sizes = []
+    for a in sys.argv[1:]:
+        if a.startswith("--emb="):
+            emb_sizes = [int(x) for x in a.split("=", 1)[1].split(",") if x]
     if "--fresh" in sys.argv:
         shutil.rmtree(WORK, ignore_errors=True)
     spark = get_spark("pipescale-xl")
@@ -197,6 +292,10 @@ def main() -> None:
     for n in sizes:
         per[n] = run_size(spark, n)
         print(json.dumps({"metric": "pipescale_xl", "n_docs": n, "ops": per[n]}), flush=True)
+    per_emb: dict[int, dict] = {}
+    for n in emb_sizes:
+        per_emb[n] = run_emb_size(spark, n)
+        print(json.dumps({"metric": "pipescale_xl_emb", "n_vecs": n, "ops": per_emb[n]}), flush=True)
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     lo, hi = min(per), max(per)
@@ -243,6 +342,46 @@ def main() -> None:
                 a = math.log(r_hi["sec"] / r_lo["sec"]) / math.log(ratio)
                 lines.append(f"| {op} | {a:.2f} |")
         lines.append("")
+    for n in sorted(per_emb):
+        lines += [
+            f"## {n:,} embedding vectors (dim {DIM}, planted exact-copy per 4-row cell)",
+            "",
+            "| op | sec | vecs/s | out rows | verification | ok |",
+            "|---|---|---|---|---|---|",
+        ]
+        for op, r in per_emb[n].items():
+            lines.append(
+                f"| {op} | {r['sec']} | {int(n / r['sec']):,} | "
+                f"{r['out_rows']:,} | {r['verify']} | "
+                f"{'PASS' if r['ok'] else '**FAIL**'} |"
+            )
+        lines.append("")
+    if len(per_emb) >= 2:
+        ns_e = sorted(per_emb)
+        lo_e, hi_e = ns_e[0], ns_e[-1]
+        ratio_e = hi_e / lo_e
+        lines += [
+            f"## Embedding scaling {lo_e:,} → {hi_e:,} vecs (alpha over {ratio_e:g}×)",
+            "",
+            "| op | alpha |",
+            "|---|---|",
+        ]
+        for op, r_lo in per_emb[lo_e].items():
+            r_hi = per_emb[hi_e].get(op)
+            if r_hi:
+                a = math.log(r_hi["sec"] / r_lo["sec"]) / math.log(ratio_e)
+                lines.append(f"| {op} | {a:.2f} |")
+        lines += [
+            "",
+            "SemDeDup's k grows with sqrt(N), so per-cell pair work stays "
+            "~N/k × N/k × k = N²/k = N·sqrt(N) per corpus — the fused "
+            "Arrow kernel's alpha reflects that √N-superlinearity by "
+            "design (the SemDeDup paper's trade); at fixed k it is "
+            "linear in N and at 100 TB k tracks corpus size the same "
+            "way. IVF probe cost is n_probe/n_list of the corpus per "
+            "query regardless of N.",
+            "",
+        ]
     lines += [
         "simhash_pairs stops at the small size by design: "
         "simhash_near_dups blocks the 64-bit signature into 4 x 16-bit "
