@@ -1,0 +1,240 @@
+"""Streaming at scale: 20M Spark-generated events driven through
+Structured Streaming in ~20 micro-batches (file source, 40 parquet
+files, maxFilesPerTrigger=2, availableNow), certifying what the 100k-row
+streaming gates cannot:
+
+  1. windowed_agg   — tumbling 1h count+sum in COMPLETE mode; the final
+                      memory-sink table must equal the batch aggregation
+                      EXACTLY (integer cents keep sums exact), and the
+                      state operator must hold only ~#windows rows (the
+                      state is bounded by key cardinality, not input).
+  2. rocksdb_dedup  — dropDuplicates over 20M events with 10% planted
+                      duplicate event_ids under RocksDBStateStoreProvider
+                      (the production disk-backed state store): the sum
+                      of numOutputRows across batches must be exactly
+                      the 18M planted-distinct count, with ~18M keys in
+                      state — real state pressure, off-heap. (Unbounded
+                      exact dedup is the HONEST semantics here; the
+                      bounded-state 100 TB variant is
+                      dropDuplicatesWithinWatermark, gated separately at
+                      sf0.01 as stream_dedup_distinct.)
+
+Ground truth is planted at generation time (per 10-row cell, row b+9
+reuses row b's event_id), so both checks are closed-form — no oracle
+engine needed at this size.
+
+Usage: python tools/streamscale.py [n_events] [--fresh]
+Writes STREAMSCALE.md and prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from datafusion_python_spark.session import get_spark
+
+WORK = "/tmp/streamscale"
+N_FILES = 40
+EPOCH = 1_700_000_000  # fixed start; 30-day event-time spread
+
+
+def build(spark, n: int) -> str:
+    out = f"{WORK}/n{n}"
+    if os.path.exists(f"{out}/_DONE"):
+        return out
+    shutil.rmtree(out, ignore_errors=True)
+    r = spark.range(n).withColumnRenamed("id", "i")
+    pos = F.pmod(F.col("i"), F.lit(10))
+    event_id = F.when(pos == 9, F.col("i") - F.lit(9)).otherwise(F.col("i"))
+    ts = F.timestamp_seconds(
+        F.lit(EPOCH) + F.pmod(F.xxhash64(F.col("i"), F.lit(3)), F.lit(30 * 24 * 3600))
+    )
+    cents = F.pmod(F.xxhash64(F.col("i"), F.lit(4)), F.lit(100_000))
+    (
+        r.select(
+            event_id.alias("event_id"),
+            ts.alias("ts"),
+            cents.alias("cents"),
+        )
+        .repartition(N_FILES)
+        .write.mode("overwrite")
+        .parquet(f"{out}/events.parquet")
+    )
+    open(f"{out}/_DONE", "w").close()
+    return out
+
+
+def _drain(q) -> tuple[float, list]:
+    t0 = time.perf_counter()
+    q.awaitTermination()
+    wall = time.perf_counter() - t0
+    return wall, list(q.recentProgress)
+
+
+def _src(spark, d, schema):
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(f"{d}/events.parquet")
+    )
+
+
+def run(spark, n: int) -> dict:
+    d = build(spark, n)
+    batch = spark.read.parquet(f"{d}/events.parquet")
+    schema = batch.schema
+    res: dict[str, dict] = {}
+
+    # ---- 1. windowed aggregation, COMPLETE mode, exact batch equality
+    agg = (
+        _src(spark, d, schema)
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"), F.sum("cents").alias("cents"))
+    )
+    ckpt = f"{WORK}/ckpt_agg_{n}"
+    shutil.rmtree(ckpt, ignore_errors=True)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("xl_windowed")
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    wall, progress = _drain(q)
+    got = sorted(
+        (r["w"]["start"], r["n"], r["cents"])
+        for r in spark.table("xl_windowed").collect()
+    )
+    want = sorted(
+        (r["w"]["start"], r["n"], r["cents"])
+        for r in batch.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"), F.sum("cents").alias("cents"))
+        .collect()
+    )
+    batches = [p for p in progress if p and p["numInputRows"] > 0]
+    state_rows = max(
+        (s["numRowsTotal"] for p in batches for s in p.get("stateOperators", [])),
+        default=0,
+    )
+    res["windowed_agg"] = {
+        "sec": round(wall, 2),
+        "rows_per_s": int(n / wall),
+        "micro_batches": len(batches),
+        "state_rows": state_rows,
+        "verify": f"streaming == batch on {len(want)} hourly windows "
+        f"(count+sum exact); state {state_rows} rows == #windows",
+        "ok": got == want and state_rows == len(want),
+    }
+
+    # ---- 2. RocksDB-backed exact dedup, planted distinct count
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        ckpt = f"{WORK}/ckpt_dedup_{n}"
+        shutil.rmtree(ckpt, ignore_errors=True)
+        dd = _src(spark, d, schema).dropDuplicates(["event_id"])
+        q = (
+            dd.writeStream.format("noop")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        wall, progress = _drain(q)
+        batches = [p for p in progress if p and p["numInputRows"] > 0]
+        out_rows = sum(int(p["sink"]["numOutputRows"]) for p in batches)
+        state_rows = max(
+            (s["numRowsTotal"] for p in batches for s in p.get("stateOperators", [])),
+            default=0,
+        )
+        rocks = any(
+            k.startswith("rocksdb")
+            for p in batches
+            for s in p.get("stateOperators", [])
+            for k in (s.get("customMetrics") or {})
+        )
+        expected = n - n // 10
+        res["rocksdb_dedup"] = {
+            "sec": round(wall, 2),
+            "rows_per_s": int(n / wall),
+            "micro_batches": len(batches),
+            "state_rows": state_rows,
+            "verify": f"first-seen output {out_rows} == planted distinct "
+            f"({expected}); {state_rows} keys in RocksDB state "
+            f"(provider active: {rocks})",
+            "ok": out_rows == expected and state_rows == expected and rocks,
+        }
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    return res
+
+
+def main() -> None:
+    n = 20_000_000
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    if args:
+        n = int(args[0])
+    if "--fresh" in sys.argv:
+        shutil.rmtree(WORK, ignore_errors=True)
+    spark = get_spark("streamscale")
+    spark.sparkContext.setLogLevel("ERROR")
+    res = run(spark, n)
+    print(json.dumps({"metric": "streamscale", "n_events": n, "ops": res}), flush=True)
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    lines = [
+        f"# STREAMSCALE — Structured Streaming over {n:,} events, planted ground truth",
+        "",
+        "File-source stream (40 Spark-generated parquet files, "
+        "maxFilesPerTrigger=2, availableNow trigger → ~20 micro-batches; "
+        "tools/streamscale.py). Event times spread over 30 days; per "
+        "10-row cell one event reuses the cell's event_id, so the "
+        "distinct count is closed-form. This extends the 100k-row "
+        "streaming gates (SHUFFLEAUDIT) by 200× and puts the RocksDB "
+        "state backend under real multi-million-key pressure.",
+        "",
+        "| query | sec | events/s | batches | state rows | verification | ok |",
+        "|---|---|---|---|---|---|---|",
+    ]
+    for op, r in res.items():
+        lines.append(
+            f"| {op} | {r['sec']} | {r['rows_per_s']:,} | "
+            f"{r['micro_batches']} | {r['state_rows']:,} | {r['verify']} | "
+            f"{'PASS' if r['ok'] else '**FAIL**'} |"
+        )
+    lines += [
+        "",
+        "windowed_agg's state is bounded by WINDOW CARDINALITY (720 hourly "
+        "windows for 30 days), not by input volume — the 100 TB shape: "
+        "20M rows in, ~720 state rows held. rocksdb_dedup is the opposite, "
+        "deliberate extreme: exact first-seen dedup must retain every "
+        "distinct key, so state grows to the distinct count (18M keys "
+        "here) and the production answer is the disk-backed RocksDB "
+        "provider measured above (the heap provider would hold all keys "
+        "on-heap); when event-time bounds apply, "
+        "dropDuplicatesWithinWatermark (gated as stream_dedup_distinct) "
+        "caps state by the watermark horizon instead.",
+        "",
+    ]
+    with open(os.path.join(root, "STREAMSCALE.md"), "w") as fh:
+        fh.write("\n".join(lines))
+    print("wrote STREAMSCALE.md")
+
+
+if __name__ == "__main__":
+    main()
