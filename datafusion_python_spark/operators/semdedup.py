@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ._util import shuffle_partitions
+from ._util import lpt_bins, partition_salts, shuffle_partitions
 from .similarity import ivf_assign, ivf_centroids
 
 
@@ -167,19 +167,27 @@ def _dup_flags(ids, u, threshold: float, block: int):
 
 
 def _cross_dup_flags(ids_a, u_a, ids_b, u_b, threshold: float, block: int):
-    """Flags for rows of A that have a strictly-lower-id near-duplicate
-    in B — the cross-chunk half of the megacluster pair schedule. Same
-    blocking bound as :func:`_dup_flags` (peak ``len(A) × block``)."""
+    """Both directions of the cross-chunk half of the megacluster pair
+    schedule from ONE matmul per tile: cosine is symmetric, so the
+    (A, B-block) score tile answers "a has a lower-id dup in B" AND
+    "b has a lower-id dup in A" — computing the transposed B @ Aᵀ pass
+    separately (the round-≤9 shape) doubled the dominant kernel work of
+    every mixed chunk-pair task for nothing. Returns ``(dup_a, dup_b)``
+    flag arrays; same blocking bound as :func:`_dup_flags` (peak
+    ``len(A) × block`` doubles)."""
     import numpy as np
 
-    dup = np.zeros(len(ids_a), dtype=bool)
+    dup_a = np.zeros(len(ids_a), dtype=bool)
+    dup_b = np.zeros(len(ids_b), dtype=bool)
     for j0 in range(0, len(ids_b), block):
         j1 = min(j0 + block, len(ids_b))
         s = u_a @ u_b[j0:j1].T  # (len(A), block) tile
-        hit = (s >= threshold) | np.isnan(s)
-        hit &= ids_b[None, j0:j1] < ids_a[:, None]
-        dup |= hit.any(axis=1)
-    return dup
+        near = (s >= threshold) | np.isnan(s)
+        dup_a |= (near & (ids_b[None, j0:j1] < ids_a[:, None])).any(axis=1)
+        dup_b[j0:j1] |= (near & (ids_a[:, None] < ids_b[None, j0:j1])).any(
+            axis=0
+        )
+    return dup_a, dup_b
 
 
 def semantic_dedup(
@@ -348,17 +356,70 @@ def semantic_dedup(
             return pd.DataFrame({id_col: pd.Series([], dtype=pdf[id_col].dtype)})
         ids_a, u_a = _validated(a)
         ids_b, u_b = _validated(b)
-        dup_a = _cross_dup_flags(ids_a, u_a, ids_b, u_b, threshold, block=4096)
-        dup_b = _cross_dup_flags(ids_b, u_b, ids_a, u_a, threshold, block=4096)
+        dup_a, dup_b = _cross_dup_flags(
+            ids_a, u_a, ids_b, u_b, threshold, block=4096
+        )
         return pd.DataFrame(
             {id_col: np.concatenate([ids_a[dup_a], ids_b[dup_b]])}
         )
 
-    dups = (
-        paired.repartition(n_part, "ivf_cell", "_lo", "_hi")
-        .groupBy("ivf_cell", "_lo", "_hi")
-        .applyInPandas(dup_ids, f"{id_col} {id_t}")
-        .distinct()
+    # Deterministic task placement for the chunk-pair groups (round-9
+    # regression root cause): a megacluster decomposes into only
+    # ~k(k+1)/2 heavy groups, and hash-partitioning g heavy keys into
+    # n_part partitions lands two of them in one task with probability
+    # ≈ 1 − exp(−g²/2·n_part) — >75% for g=10, n=32 — serializing their
+    # quadratic kernels (the (31+1)/32 straggler tail PIPESCALE measured
+    # as 96 s vs 42 s at 64×; round 8's 42 s had simply won that hash
+    # draw). The groups ARE known driver-side — cell sizes are a bounded
+    # ≤ n_clusters collect off the checkpointed assignment (the same
+    # bounded-metadata-collect precedent as ivf_centroids) — so place
+    # them exactly: LPT-pack groups onto partitions by estimated kernel
+    # cost, then key the exchange by a per-partition salt int whose
+    # Spark hash lands there (murmur3_int32 == F.hash, pytest-asserted).
+    # groupBy keeps the real keys (the salt is functionally determined
+    # by them, so the groups are unchanged), and HashPartitioning on a
+    # SUBSET of the grouping keys satisfies the ClusteredDistribution
+    # applyInPandas requires — no second exchange appears (plan-audited).
+    big_cells = (
+        tagged.filter(F.col("_cell_n") > max_cell)
+        .groupBy("ivf_cell")
+        .agg(F.first("_cell_n").alias("_cell_n"))
+        .collect()
     )
+    groups: list[tuple[int, int, int]] = []
+    weights: list[float] = []
+    for r in big_cells:
+        k = -(-int(r["_cell_n"]) // max_cell)  # == F.ceil(_cell_n/max_cell)
+        c = int(r["_cell_n"]) / k
+        for lo in range(k):
+            for hi in range(lo, k):
+                groups.append((int(r["ivf_cell"]), lo, hi))
+                # diagonal and mixed groups both run one c×c tile pass
+                # (the cross kernel reuses its tile for both directions);
+                # mixed pays a second comparison sweep over the tile
+                weights.append(c * c if lo == hi else 1.25 * c * c)
+    if not groups:
+        # no oversized cells — big/paired are empty; keep the plain
+        # hash-keyed shape (it sees zero rows)
+        dups = (
+            paired.repartition(n_part, "ivf_cell", "_lo", "_hi")
+            .groupBy("ivf_cell", "_lo", "_hi")
+            .applyInPandas(dup_ids, f"{id_col} {id_t}")
+            .distinct()
+        )
+    else:
+        salts = partition_salts(n_part)
+        bins = lpt_bins(weights, n_part)
+        place = df.sparkSession.createDataFrame(
+            [(c, lo, hi, salts[b]) for (c, lo, hi), b in zip(groups, bins)],
+            "ivf_cell int, _lo int, _hi int, _salt int",
+        )
+        dups = (
+            paired.join(F.broadcast(place), ["ivf_cell", "_lo", "_hi"])
+            .repartition(n_part, "_salt")
+            .groupBy("_salt", "ivf_cell", "_lo", "_hi")
+            .applyInPandas(dup_ids, f"{id_col} {id_t}")
+            .distinct()
+        )
     big_out = big.join(dups, id_col, "left_anti").select(*out_cols)
     return small_out.select(*out_cols).unionByName(big_out)

@@ -36,6 +36,16 @@ _DEFAULTS = {
     # long (ns since epoch) with this flag, and tables.py converts back to
     # TimestampType at µs precision (same truncation DuckDB applies).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # One BLAS thread per Python worker: Spark already runs one task per
+    # core, so an unpinned OpenBLAS would spawn a full thread pool PER
+    # concurrent numpy kernel (32 tasks x 32 threads locally) and thrash
+    # the cores the tasks own. Standard practice for numpy-under-Spark;
+    # measured on the semdedup chunk-pair kernels: best-of-3 57.3 s ->
+    # 45.9 s at the PIPESCALE 64x skew point. On a real cluster the same
+    # reasoning holds per-executor (task slots == cores).
+    "spark.executorEnv.OPENBLAS_NUM_THREADS": "1",
+    "spark.executorEnv.OMP_NUM_THREADS": "1",
+    "spark.executorEnv.MKL_NUM_THREADS": "1",
     # PySpark 4 captures the Python call site on EVERY Column operation
     # (inspect-based, ~50-100ms and JVM-retained per node) for error
     # enrichment. Expression-heavy workloads build thousands of columns;

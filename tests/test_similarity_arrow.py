@@ -361,6 +361,94 @@ def test_semantic_dedup_megacluster_cap(spark):
     assert grp.agg(F.max("count")).first()[0] <= 270
 
 
+def test_murmur3_int32_matches_spark_hash(spark):
+    # the driver-side placement math (semdedup chunk-pair scheduling)
+    # relies on predicting Spark's HashPartitioning: F.hash(int) ==
+    # murmur3_int32, and partition == floorMod(hash, n)
+    from pyspark.sql import functions as F
+
+    from datafusion_python_spark.operators._util import (
+        murmur3_int32,
+        partition_salts,
+    )
+
+    vals = list(range(0, 50)) + [2**31 - 1, -1, -(2**31), 12345678]
+    df = spark.createDataFrame([(v,) for v in vals], "v int")
+    got = {r.v: r.h for r in df.select("v", F.hash("v").alias("h")).collect()}
+    assert got == {v: murmur3_int32(v) for v in vals}
+    # the salts land their groups in the intended physical partition
+    salts = partition_salts(8)
+    placed = (
+        spark.createDataFrame([(s,) for s in salts], "s int")
+        .repartition(8, "s")
+        .select("s", F.spark_partition_id().alias("p"))
+        .collect()
+    )
+    assert sorted((r.s, r.p) for r in placed) == sorted(
+        (s, p) for p, s in enumerate(salts)
+    )
+
+
+def test_lpt_bins_spread():
+    from datafusion_python_spark.operators._util import lpt_bins
+
+    # 10 equal heavy groups into 32 bins -> all distinct bins (the exact
+    # collision the round-9 semdedup_skew straggler came from)
+    bins = lpt_bins([100.0] * 10, 32)
+    assert len(set(bins)) == 10
+    # more groups than bins: makespan stays near-optimal for equal items
+    bins = lpt_bins([1.0] * 64, 32)
+    assert max(bins.count(b) for b in set(bins)) == 2
+
+
+def test_semdedup_placement_one_group_per_task(spark):
+    # replay the capped path's exchange on a 4-chunk megacluster and
+    # assert the 10 chunk-pair groups occupy 10 DISTINCT tasks
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from datafusion_python_spark.operators._util import (
+        lpt_bins,
+        partition_salts,
+        shuffle_partitions,
+    )
+
+    rng = np.random.default_rng(11)
+    rows = [
+        (i, [float(x) for x in np.array([10.0, 0.0]) + rng.normal(0, 0.3, 2)])
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    n_part = shuffle_partitions(spark)
+    groups = [(0, lo, hi) for lo in range(4) for hi in range(lo, 4)]
+    weights = [100.0 * (1.0 if lo == hi else 2.0) for _, lo, hi in groups]
+    salts = partition_salts(n_part)
+    bins = lpt_bins(weights, n_part)
+    place = spark.createDataFrame(
+        [(c, lo, hi, salts[b]) for (c, lo, hi), b in zip(groups, bins)],
+        "ivf_cell int, _lo int, _hi int, _salt int",
+    )
+    n_chunks = F.lit(4)
+    paired = (
+        df.withColumn("ivf_cell", F.lit(0))
+        .withColumn("_chunk", F.pmod(F.xxhash64("vec_id"), n_chunks).cast("int"))
+        .withColumn("_other", F.explode(F.sequence(F.lit(0), n_chunks - 1)))
+        .withColumn("_lo", F.least("_chunk", "_other"))
+        .withColumn("_hi", F.greatest("_chunk", "_other"))
+    )
+    got = (
+        paired.join(F.broadcast(place), ["ivf_cell", "_lo", "_hi"])
+        .repartition(n_part, "_salt")
+        .select("_lo", "_hi", F.spark_partition_id().alias("p"))
+        .distinct()
+        .collect()
+    )
+    assert len(got) == 10  # no group straddles two partitions
+    by_group = {(r._lo, r._hi): r.p for r in got}
+    assert len(by_group) == 10  # every group in exactly one partition
+    assert len(set(by_group.values())) == 10  # and no two share a task
+
+
 def test_ivf_ann_arrow_matches_jvm(spark, sf_dir):
     from datafusion_python_spark.operators.similarity import ivf_ann
 

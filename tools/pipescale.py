@@ -408,13 +408,18 @@ def main() -> None:
         )
         for name, fn in run:
             corpus = fd if name in FRESH_OPS else sd if name in SKEW_OPS else d
-            # warm once (scan caches, codegen), then best-of-3
+            # warm once (scan caches, codegen), then best-of-3; sub-5 s
+            # rows get two extra runs (best-of-5) — at that magnitude VM
+            # scheduling noise rivals the measurement (the r9 table had
+            # dedup_exact@8x > @64x from a single noisy draw)
             fn(spark, corpus, factor).write.format("noop").mode("overwrite").save()
             best = float("inf")
-            for _ in range(3):
+            runs = 0
+            while runs < 3 or (best < 5.0 and runs < 5):
                 t0 = time.perf_counter()
                 fn(spark, corpus, factor).write.format("noop").mode("overwrite").save()
                 best = min(best, time.perf_counter() - t0)
+                runs += 1
             results.setdefault(name, {})[factor] = round(best, 4)
         print(
             json.dumps(
@@ -582,9 +587,24 @@ def main() -> None:
             "in the semdedup_skew row above. Round 8 pinned the "
             "applyInPandas exchanges' partition count (the few-group "
             "keys were AQE-coalescible into 1-2 tasks, serializing the "
-            "per-group numpy kernels — the tpch_q16 trap): "
-            "semantic_dedup 3.32 -> 1.47 s and semdedup_skew "
-            "96 -> 46 s at 64x, survivor sets unchanged.",
+            "per-group numpy kernels — the tpch_q16 trap), but the pin "
+            "alone was a LUCKY hash draw: with only ~10 heavy chunk-pair "
+            "groups hashed into 32 partitions, two heavy groups collide "
+            "into one task with probability ≈ 1−exp(−g²/2n) > 75% "
+            "(birthday bound), which round 9 measured as a 96 s "
+            "(31+1)/32 straggler tail vs the lucky 42 s. Round 10 "
+            "root-caused and removed the draw: the chunk-pair groups are "
+            "enumerable driver-side from the (bounded, ≤ n_clusters) "
+            "cell-size collect, so they are now LPT-packed onto "
+            "partitions by estimated kernel cost and the exchange is "
+            "keyed by a salt whose Spark murmur3 hash lands each group "
+            "in its assigned partition exactly (one kernel per task by "
+            "construction — murmur parity and placement are "
+            "pytest-asserted); the mixed-group kernel also halved by "
+            "computing both dup directions from ONE cross matmul tile, "
+            "and worker BLAS pools are pinned to 1 thread (32 tasks × "
+            "32-thread OpenBLAS oversubscription). Survivor sets "
+            "unchanged (same oracle + planted-XL invariants).",
             "",
         ]
     if {"ivf_ann", "semantic_dedup", "simhash"} & set(results):
