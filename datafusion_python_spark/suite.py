@@ -49,16 +49,88 @@ except ImportError:
 # `tools/staleness.py` recomputes this ordering from the
 # CORRECTNESS_r*.json history.
 _PRIORITY = [
-    # Round-9 rotation (tools/staleness.py ordering): first the gate
-    # ADDED this round — the end-to-end curation chain — for a
-    # first-ever driver row; then the 22 queries whose newest driver
-    # row is r6 (VERDICT r8 ask #1: after this window nothing anywhere
-    # is older than r7); then the oldest r7 rows in staleness order to
-    # fill the 50-row window. Everything after the window holds a
-    # green r7/r8 row and stays covered by tools/selfcheck.py.
-    # new this round
+    # Round-10 rotation (tools/staleness.py ordering): the 23 queries
+    # whose newest driver row is r7 (VERDICT r9 ask #3: after this
+    # window nothing anywhere is older than r8), then the oldest r8
+    # rows to fill the 50-row window. Everything after the window
+    # holds a green r8/r9 row and stays covered by tools/selfcheck.py.
+    # newest driver row: r07
+    "evt_session_window",
+    "evt_date_bin",
+    "fn_bits_epoch",
+    "pipe_neardup_lsh_verify",
+    "pipe_simhash",
+    "pipe_cosine_topk",
+    "pipe_ann_lsh",
+    "pipe_ann_ivf",
+    "pipe_cosine_neardup",
+    "pipe_emb_centroid",
+    "pipe_text_tokens",
+    "pipe_text_quality",
+    "pipe_langid",
+    "pipe_fingerprint",
+    "pipe_dedup_cluster",
+    "pipe_sample_hash",
+    "pipe_domain_cap",
+    "pipe_token_pack",
+    "pipe_repetition",
+    "pipe_minhash_cluster",
+    "udaf_geomean",
+    "stream_restart_resume",
+    "stream_static_enrich",
+    # newest driver row: r08
+    "tpch_q2",
+    "evt_funnel",
+    "evt_retention",
+    "evt_asof_attribution",
+    "evt_range_join",
+    "agg_approx",
+    "win_frames",
+    "win_groups_frame",
+    "win_rank_value",
+    "agg_regr",
+    "join_outer_cross",
+    "fn_conditional",
+    "fn_array_ops",
+    "evt_topk_per_user",
+    "evt_running_gaps",
+    "evt_sessionize",
+    "evt_distinct_on",
+    "evt_pivot",
+    "evt_hourly",
+    "evt_json",
+    "agg_grouping_multi",
+    "agg_stats",
+    "agg_distinct_filter",
+    "agg_percentiles",
+    "agg_string_agg",
+    "agg_string_agg_desc",
+    "fn_like_escape",
+    "sql_recursive_cte",
+    "agg_weighted_pct",
+    "fn_time",
+    "setop_union_multi",
+    "setop_intersect",
+    "setop_except",
+    "fn_strings",
+    "fn_datetime",
+    "fn_math_case",
+    "pipe_image_roundtrip",
+    "pipe_pii_redact",
+    "pipe_substring_dup",
+    "pipe_hll_rollup",
+    "pipe_zorder_layout",
+    "pipe_dedup_incremental",
+    "pipe_perplexity",
+    "stream_hourly_counts",
+    "stream_dedup_distinct",
+    "stream_session_stats",
+    "stream_stateful_totals",
+    "stream_interval_join",
+    "stream_outer_join",
+    "stream_full_outer_join",
+    # newest driver row: r09
     "pipe_curation_e2e",
-    # r6 rows, staleness order
     "pipe_fuzzy_match",
     "pipe_tfidf",
     "pipe_bm25",
@@ -81,7 +153,6 @@ _PRIORITY = [
     "pipe_neardup_arrow",
     "stream_late_drop",
     "stream_windowed_hll",
-    # oldest r7 rows, staleness order
     "tpch_q1",
     "tpch_q11",
     "tpch_q3",
