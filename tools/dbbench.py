@@ -370,17 +370,27 @@ def main() -> None:
                 + ("all checksums verified.\n" if blk["all_ok"] else "checksums **NOT** verified — investigate.\n")
             )
             if blk.get("skipped"):
+                skipped = list(blk["skipped"])
+                names = ", ".join(
+                    s
+                    + (
+                        " (its n-row `big` build side is not generated "
+                        "above the ceiling — the dropDuplicates build "
+                        "shuffle alone is ~45 GB)"
+                        if s.startswith("jq5")
+                        else ""
+                    )
+                    for s in skipped
+                )
                 f.write(
                     f"\nSkipped at this size (single-node disk budget, see "
                     f"DISK_CEILING in tools/dbbench.py for the arithmetic): "
-                    + ", ".join(blk["skipped"])
-                    + ". These plans are ~n-row shuffles that, with x.parquet "
-                    "resident, exceed the sandbox's ~80 GB free filesystem "
-                    "(jq5's n-row `big` build side is not even generated "
-                    "above the ceiling — its dropDuplicates build shuffle "
-                    "alone is ~45 GB); at cluster scale the same shuffles "
-                    "are key-parallel (~55 MB per executor at 1000 nodes) "
-                    "and not a bottleneck — the ceiling is the one-disk "
+                    + names
+                    + ". Both plans are ~n-row shuffles that, with "
+                    "x.parquet resident, exceed the sandbox's ~80 GB free "
+                    "filesystem; at cluster scale the same shuffles are "
+                    "key-parallel (~55 MB per executor at 1000 nodes) and "
+                    "not a bottleneck — the ceiling is the one-disk "
                     "sandbox, not the plan.\n"
                 )
         if len(per_size) >= 2:
@@ -409,11 +419,12 @@ def main() -> None:
                 "the per-node share of the same shuffle shrinks with "
                 "executor count. The usual culprits here are cold scans "
                 "(at 1e9 the ~30 GB x.parquet no longer fits the OS page "
-                "cache, so broadcast-join jq rows become disk-bandwidth-"
-                "bound full-table reads — the join itself stays broadcast), "
-                "single-run timing at the largest size, and the exact-"
-                "median value buffers (gq6) spilling once per-group data "
-                "outgrows the heap share.\n"
+                "cache, so the broadcast-join jq rows become disk-"
+                "bandwidth-bound full-table reads — jq1 at 135 s over "
+                "~30 GB is ~220 MB/s, the disk, while its executed join "
+                "stays a BroadcastHashJoin), single-run timing at the "
+                "largest size, and the exact-median value buffers (gq6) "
+                "spilling once per-group data outgrows the heap share.\n"
             )
     print("wrote DBBENCH.md")
 

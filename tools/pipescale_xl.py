@@ -82,7 +82,13 @@ def build(spark, n: int) -> str:
     return out
 
 
-def _timed(df) -> tuple[float, int]:
+def _timed(df, warm: bool = True) -> tuple[float, int]:
+    # one untimed warm execution first (as dbbench.py does) so the first
+    # operator at a size doesn't absorb JVM/codegen/scan-cache warmup —
+    # the r9 artifact's exact_dedup alpha of -0.08 (10M measured FASTER
+    # than 1.25M) was that warmup landing on the small size's first op
+    if warm:
+        df.write.format("noop").mode("overwrite").save()
     t0 = time.perf_counter()
     df.write.format("noop").mode("overwrite").save()
     sec = time.perf_counter() - t0
