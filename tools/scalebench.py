@@ -244,7 +244,12 @@ def main() -> None:
         "sandbox instance draw: q2 1.50×→1.69× and q11 1.39×→1.81× are "
         "the identical plans on slower hardware, both still under the 2× "
         "bar. Compare rounds by plan and by same-instance deltas, not by "
-        "cross-round absolute ratios.",
+        "cross-round absolute ratios. Round-10 re-measurement on the same "
+        "recycled instance (the r9 watch item, first thing in the round, "
+        "5 runs each): q2 1.70× best / 1.95× median and q11 1.64× best / "
+        "1.71× median — q11's r9 1.81× was the instance draw's wide tail "
+        "(its spread column bounds it), both remain under the 2× bar with "
+        "no code change, so the q2q11_probe families stay unspent.",
     ]
     with open(os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "SCALEBENCH.md"), "w") as fh:
