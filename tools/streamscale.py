@@ -18,6 +18,16 @@ streaming gates cannot:
                       bounded-state 100 TB variant is
                       dropDuplicatesWithinWatermark, gated separately at
                       sf0.01 as stream_dedup_distinct.)
+  3. interval_join  — watermarked LEFT-OUTER stream-stream interval join
+                      (streaming/dedup_join.py) over time-sliced files:
+                      per 4 left rows, 3 have a planted right match
+                      within the 5-minute range and 1 has none, so the
+                      matched/unmatched emission counts are closed-form
+                      (3L/4 and L/4); a sentinel batch pushes both
+                      watermarks past every real row's range so the
+                      final no-data batch flushes all null emissions,
+                      and END-OF-RUN state must be exactly the 2
+                      sentinel rows — eviction measured, not assumed.
 
 Ground truth is planted at generation time (per 10-row cell, row b+9
 reuses row b's event_id), so both checks are closed-form — no oracle
@@ -70,6 +80,146 @@ def build(spark, n: int) -> str:
     )
     open(f"{out}/_DONE", "w").close()
     return out
+
+
+def build_join(spark, n: int) -> tuple[str, int]:
+    """Two-sided corpus for the stream-stream interval join, planted:
+    L = n/2 left rows with monotone event times over 30 days; left row i
+    gets a right-side match at ts + [1, 300] s iff i % 4 != 3. Files are
+    TIME-SLICED (one per 18 h of event time, mtime-ordered) so the
+    watermark never drops an in-order row, plus a final sentinel file
+    (one row per side at max ts + 3 h, keys -1/-2) that pushes both
+    sides' watermarks past every real row's join range."""
+    L = (n // 8) * 4  # left rows, divisible by 4; right side adds 3L/4
+    out = f"{WORK}/join{n}"
+    stream_dir = f"{out}/in"
+    if os.path.exists(f"{out}/_DONE"):
+        return out, L
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(stream_dir)
+    span = 30 * 24 * 3600
+    r = spark.range(L).withColumnRenamed("id", "i")
+    lsec = F.lit(EPOCH) + (F.col("i") * span / F.lit(L)).cast("long")
+    left = r.select(
+        F.col("i").alias("k"),
+        F.lit("L").alias("side"),
+        F.timestamp_seconds(lsec).alias("ts"),
+    )
+    rsec = lsec + F.pmod(F.xxhash64("i", F.lit(8)), F.lit(300)) + 1
+    right = r.filter(F.pmod(F.col("i"), F.lit(4)) != 3).select(
+        F.col("i").alias("k"),
+        F.lit("R").alias("side"),
+        F.timestamp_seconds(rsec).alias("ts"),
+    )
+    slice_s = span // N_FILES  # 18 h of event time per file
+    fid = F.least(
+        F.lit(N_FILES - 1),
+        ((F.unix_timestamp("ts") - F.lit(EPOCH)) / F.lit(slice_s)).cast("int"),
+    )
+    tmp = f"{out}/tmp"
+    (
+        left.unionByName(right)
+        .withColumn("fid", fid)
+        .repartition(N_FILES, "fid")  # one part file per fid directory
+        .write.partitionBy("fid")
+        .mode("overwrite")
+        .parquet(tmp)
+    )
+    mtime = 1_000_000_000
+    for f in range(N_FILES):
+        fdir = f"{tmp}/fid={f}"
+        part = next(p for p in sorted(os.listdir(fdir)) if p.endswith(".parquet"))
+        dst = f"{stream_dir}/b{f:02d}.parquet"
+        shutil.copy(f"{fdir}/{part}", dst)
+        os.utime(dst, (mtime + 60 * f, mtime + 60 * f))
+    sent_sec = EPOCH + span + 3 * 3600
+    sent = spark.createDataFrame(
+        [(-1, "L", sent_sec), (-2, "R", sent_sec)], "k long, side string, sec long"
+    ).select("k", "side", F.timestamp_seconds("sec").alias("ts"))
+    sent.coalesce(1).write.mode("overwrite").parquet(f"{tmp}/sent")
+    part = next(
+        p for p in sorted(os.listdir(f"{tmp}/sent")) if p.endswith(".parquet")
+    )
+    dst = f"{stream_dir}/b{N_FILES:02d}.parquet"
+    shutil.copy(f"{tmp}/sent/{part}", dst)
+    os.utime(dst, (mtime + 60 * N_FILES, mtime + 60 * N_FILES))
+    shutil.rmtree(tmp, ignore_errors=True)
+    open(f"{out}/_DONE", "w").close()
+    return out, L
+
+
+def run_join(spark, n: int) -> dict:
+    from datafusion_python_spark.streaming.dedup_join import interval_join_streams
+
+    d, L = build_join(spark, n)
+    schema = spark.read.parquet(f"{d}/in/b00.parquet").schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(f"{d}/in")
+    )
+    joined = interval_join_streams(
+        src.filter(F.col("side") == "L").select("k", "ts"),
+        src.filter(F.col("side") == "R").select("k", "ts"),
+        key="k",
+        watermark="10 minutes",
+        max_delay="5 minutes",
+        how="left_outer",
+    )
+    counts = {"total": 0, "matched": 0}
+
+    def fb(bdf, _bid):
+        row = bdf.filter(F.col("k") >= 0).agg(
+            F.count("*").alias("t"), F.count("r_ts").alias("m")
+        ).first()
+        counts["total"] += row["t"]
+        counts["matched"] += row["m"]
+
+    ckpt = f"{WORK}/ckpt_join_{n}"
+    shutil.rmtree(ckpt, ignore_errors=True)
+    q = (
+        joined.writeStream.foreachBatch(fb)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    wall, progress = _drain(q)
+    n_in = L + L * 3 // 4 + 2
+    batches = [p for p in progress if p and p["numInputRows"] > 0]
+    max_state = max(
+        (s["numRowsTotal"] for p in progress for s in p.get("stateOperators", [])),
+        default=0,
+    )
+    final_state = next(
+        (
+            s["numRowsTotal"]
+            for p in reversed(progress)
+            for s in p.get("stateOperators", [])
+        ),
+        None,
+    )
+    unmatched = counts["total"] - counts["matched"]
+    ok = (
+        counts["total"] == L
+        and counts["matched"] == L * 3 // 4
+        and unmatched == L // 4
+        and final_state == 2  # only the 2 sentinel rows outlive eviction
+        and max_state < 0.2 * n_in  # bounded by the slice horizon, not n
+    )
+    return {
+        "interval_join": {
+            "sec": round(wall, 2),
+            "rows_per_s": int(n_in / wall),
+            "micro_batches": len(batches),
+            "state_rows": max_state,
+            "verify": f"emitted {counts['total']} == L ({L}); matched "
+            f"{counts['matched']} == 3L/4, unmatched {unmatched} == L/4 "
+            f"(planted); end-of-run state {final_state} rows == the 2 "
+            f"sentinels (all real rows evicted); peak state {max_state:,} "
+            f"≪ {n_in:,} input rows",
+            "ok": ok,
+        }
+    }
 
 
 def _drain(q) -> tuple[float, list]:
@@ -181,6 +331,9 @@ def run(spark, n: int) -> dict:
             spark.conf.unset(key)
         else:
             spark.conf.set(key, prev)
+
+    # ---- 3. watermarked left-outer stream-stream interval join
+    res.update(run_join(spark, n))
     return res
 
 
@@ -229,6 +382,20 @@ def main() -> None:
         "on-heap); when event-time bounds apply, "
         "dropDuplicatesWithinWatermark (gated as stream_dedup_distinct) "
         "caps state by the watermark horizon instead.",
+        "",
+        "interval_join streams TWO sides (left = n/2 rows, right = 3/8·n "
+        "planted matches within the 5-minute join range) from time-sliced "
+        "files — 18 h of event time per file, so in-order arrival and the "
+        "10-minute watermark never drops a real row — through the "
+        "left-outer watermarked interval join the sf0.01 gates certify at "
+        "100k rows (streaming/dedup_join.py). Both emission classes are "
+        "planted closed-form (3 matched + 1 null-right per 4 left rows), "
+        "and eviction is MEASURED: after the sentinel batch advances both "
+        "watermarks past every real row's range, the no-data batch must "
+        "flush the last null emissions and leave exactly the 2 sentinel "
+        "rows in state — symmetric join state is bounded by the watermark "
+        "horizon (peak ≈ one trigger's two 18 h slices + one batch of "
+        "eviction lag), never by stream length.",
         "",
     ]
     with open(os.path.join(root, "STREAMSCALE.md"), "w") as fh:
