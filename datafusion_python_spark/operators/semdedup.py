@@ -278,11 +278,13 @@ def semantic_dedup(
         return ids, m / norms[:, None]
 
     def survivors(pdf: pd.DataFrame) -> pd.DataFrame:
+        # select out_cols explicitly: the placed exchange below carries a
+        # _salt routing column that must not reach the output schema
         if len(pdf) < 2:
-            return pdf
+            return pdf[out_cols]
         ids, u = _validated(pdf)
         dup = _dup_flags(ids, u, threshold, block=4096)
-        return pdf[~dup]
+        return pdf.loc[~dup, out_cols]
 
     # Pin the partition count on every applyInPandas grouping below: the
     # group-key cardinality is small (n_clusters cells / tens of chunk
@@ -316,12 +318,61 @@ def semantic_dedup(
     small = tagged.filter(F.col("_cell_n") <= max_cell)
     big = tagged.filter(F.col("_cell_n") > max_cell)
 
-    small_out = (
-        small.drop("_cell_n")
-        .repartition(n_part, "ivf_cell")
-        .groupBy("ivf_cell")
-        .applyInPandas(survivors, out_schema)
-    )
+    # Deterministic task placement for EVERY per-cell kernel (round-9
+    # regression root cause; see the chunk-pair comment below): collect
+    # the cell sizes once (bounded ≤ n_clusters rows, off the
+    # checkpointed assignment — the same bounded-metadata-collect
+    # precedent as ivf_centroids), enumerate all kernel groups — one per
+    # small cell, one per oversized-cell chunk pair — and LPT-pack them
+    # JOINTLY onto the task slots by estimated kernel cost, so no two
+    # heavy kernels serialize in one task.
+    cell_sizes = [
+        (int(r["ivf_cell"]), int(r["_cell_n"]))
+        for r in tagged.groupBy("ivf_cell")
+        .agg(F.first("_cell_n").alias("_cell_n"))
+        .collect()
+    ]
+    groups: list[tuple] = []  # ("s", cell) | ("b", cell, lo, hi)
+    weights: list[float] = []
+    for cell, n_rows in cell_sizes:
+        if n_rows <= max_cell:
+            groups.append(("s", cell))
+            weights.append(float(n_rows) * n_rows)
+        else:
+            k = -(-n_rows // max_cell)  # == F.ceil(_cell_n / max_cell)
+            c = n_rows / k
+            for lo in range(k):
+                for hi in range(lo, k):
+                    groups.append(("b", cell, lo, hi))
+                    # diagonal and mixed groups both run one c×c tile
+                    # pass (the cross kernel reuses its tile for both
+                    # directions); mixed pays a second comparison sweep
+                    weights.append(c * c if lo == hi else 1.25 * c * c)
+    salts = partition_salts(n_part)
+    bins = lpt_bins(weights, n_part) if groups else []
+    placed = {g: salts[b] for g, b in zip(groups, bins)}
+    small_groups = [g for g in groups if g[0] == "s"]
+    big_groups = [g for g in groups if g[0] == "b"]
+
+    if small_groups:
+        place_s = df.sparkSession.createDataFrame(
+            [(cell, placed[g]) for g in small_groups for cell in [g[1]]],
+            "ivf_cell int, _salt int",
+        )
+        small_out = (
+            small.drop("_cell_n")
+            .join(F.broadcast(place_s), "ivf_cell")
+            .repartition(n_part, "_salt")
+            .groupBy("_salt", "ivf_cell")
+            .applyInPandas(survivors, out_schema)
+        )
+    else:
+        small_out = (
+            small.drop("_cell_n")
+            .repartition(n_part, "ivf_cell")
+            .groupBy("ivf_cell")
+            .applyInPandas(survivors, out_schema)
+        )
 
     n_chunks = F.ceil(F.col("_cell_n") / F.lit(max_cell)).cast("int")
     chunk = F.pmod(F.xxhash64(F.col(id_col)), n_chunks).cast("int")
@@ -363,42 +414,21 @@ def semantic_dedup(
             {id_col: np.concatenate([ids_a[dup_a], ids_b[dup_b]])}
         )
 
-    # Deterministic task placement for the chunk-pair groups (round-9
+    # Why placement instead of a plain keyed repartition (round-9
     # regression root cause): a megacluster decomposes into only
-    # ~k(k+1)/2 heavy groups, and hash-partitioning g heavy keys into
-    # n_part partitions lands two of them in one task with probability
-    # ≈ 1 − exp(−g²/2·n_part) — >75% for g=10, n=32 — serializing their
-    # quadratic kernels (the (31+1)/32 straggler tail PIPESCALE measured
-    # as 96 s vs 42 s at 64×; round 8's 42 s had simply won that hash
-    # draw). The groups ARE known driver-side — cell sizes are a bounded
-    # ≤ n_clusters collect off the checkpointed assignment (the same
-    # bounded-metadata-collect precedent as ivf_centroids) — so place
-    # them exactly: LPT-pack groups onto partitions by estimated kernel
-    # cost, then key the exchange by a per-partition salt int whose
-    # Spark hash lands there (murmur3_int32 == F.hash, pytest-asserted).
-    # groupBy keeps the real keys (the salt is functionally determined
-    # by them, so the groups are unchanged), and HashPartitioning on a
-    # SUBSET of the grouping keys satisfies the ClusteredDistribution
+    # ~k(k+1)/2 heavy chunk-pair groups, and hash-partitioning g heavy
+    # keys into n_part partitions lands two of them in one task with
+    # probability ≈ 1 − exp(−g²/2·n_part) — >75% for g=10, n=32 —
+    # serializing their quadratic kernels (the (31+1)/32 straggler tail
+    # PIPESCALE measured as 96 s vs 42 s at 64×; round 8's 42 s had
+    # simply won that hash draw). The exchange is instead keyed by a
+    # per-group salt int whose Spark hash lands in the LPT-chosen
+    # partition (murmur3_int32 == F.hash, pytest-asserted). groupBy
+    # keeps the real keys (the salt is functionally determined by them,
+    # so the groups are unchanged), and HashPartitioning on a SUBSET of
+    # the grouping keys satisfies the ClusteredDistribution
     # applyInPandas requires — no second exchange appears (plan-audited).
-    big_cells = (
-        tagged.filter(F.col("_cell_n") > max_cell)
-        .groupBy("ivf_cell")
-        .agg(F.first("_cell_n").alias("_cell_n"))
-        .collect()
-    )
-    groups: list[tuple[int, int, int]] = []
-    weights: list[float] = []
-    for r in big_cells:
-        k = -(-int(r["_cell_n"]) // max_cell)  # == F.ceil(_cell_n/max_cell)
-        c = int(r["_cell_n"]) / k
-        for lo in range(k):
-            for hi in range(lo, k):
-                groups.append((int(r["ivf_cell"]), lo, hi))
-                # diagonal and mixed groups both run one c×c tile pass
-                # (the cross kernel reuses its tile for both directions);
-                # mixed pays a second comparison sweep over the tile
-                weights.append(c * c if lo == hi else 1.25 * c * c)
-    if not groups:
+    if not big_groups:
         # no oversized cells — big/paired are empty; keep the plain
         # hash-keyed shape (it sees zero rows)
         dups = (
@@ -408,14 +438,12 @@ def semantic_dedup(
             .distinct()
         )
     else:
-        salts = partition_salts(n_part)
-        bins = lpt_bins(weights, n_part)
-        place = df.sparkSession.createDataFrame(
-            [(c, lo, hi, salts[b]) for (c, lo, hi), b in zip(groups, bins)],
+        place_b = df.sparkSession.createDataFrame(
+            [(cell, lo, hi, placed[g]) for g in big_groups for (_, cell, lo, hi) in [g]],
             "ivf_cell int, _lo int, _hi int, _salt int",
         )
         dups = (
-            paired.join(F.broadcast(place), ["ivf_cell", "_lo", "_hi"])
+            paired.join(F.broadcast(place_b), ["ivf_cell", "_lo", "_hi"])
             .repartition(n_part, "_salt")
             .groupBy("_salt", "ivf_cell", "_lo", "_hi")
             .applyInPandas(dup_ids, f"{id_col} {id_t}")
