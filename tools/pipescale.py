@@ -519,7 +519,11 @@ def main() -> None:
         "",
         "alpha = log(t_hi/t_lo) / log(N_hi/N_lo) over the outer factor "
         "pair — 1.0 is linear scaling; sub-linear means the constant "
-        "floor still dominates at the low point.",
+        "floor still dominates at the low point. Sub-second cells sit AT "
+        "that floor (job scheduling + AQE replanning, ~0.2-0.3 s), where "
+        "run-to-run jitter can exceed the data-dependent term even at "
+        "best-of-5 — a sub-second cell reading slightly above a larger "
+        "factor's cell (e.g. dedup_exact) is floor noise, not scaling.",
         "",
         "| operator | " + " | ".join(f"t@{f}x (s)" for f in factors)
         + " | alpha | rows/s @top |",
