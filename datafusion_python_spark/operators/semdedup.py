@@ -356,7 +356,7 @@ def semantic_dedup(
 
     if small_groups:
         place_s = df.sparkSession.createDataFrame(
-            [(cell, placed[g]) for g in small_groups for cell in [g[1]]],
+            [(g[1], placed[g]) for g in small_groups],
             "ivf_cell int, _salt int",
         )
         small_out = (
@@ -439,7 +439,7 @@ def semantic_dedup(
         )
     else:
         place_b = df.sparkSession.createDataFrame(
-            [(cell, lo, hi, placed[g]) for g in big_groups for (_, cell, lo, hi) in [g]],
+            [(g[1], g[2], g[3], placed[g]) for g in big_groups],
             "ivf_cell int, _lo int, _hi int, _salt int",
         )
         dups = (

@@ -379,11 +379,15 @@ def main() -> None:
                 lines.append(f"| {op} | {a:.2f} |")
         lines += [
             "",
-            "SemDeDup's k grows with sqrt(N), so per-cell pair work stays "
-            "~N/k × N/k × k = N²/k = N·sqrt(N) per corpus — the fused "
-            "Arrow kernel's alpha reflects that √N-superlinearity by "
-            "design (the SemDeDup paper's trade); at fixed k it is "
-            "linear in N and at 100 TB k tracks corpus size the same "
+            "SemDeDup's k grows with sqrt(N), so per-cell pair work is "
+            "~N/k × N/k × k = N²/k = N·sqrt(N) per corpus — the "
+            "theoretical alpha is 1.5 (the SemDeDup paper's trade), and "
+            "a measured alpha near 1.0 means the quadratic tile term has "
+            "not yet overtaken the linear scan/assignment/exchange floor "
+            "at these sizes (round 10's collision-proof kernel placement "
+            "and single-threaded worker BLAS removed the scheduling "
+            "artifacts that previously inflated it); at fixed k the op "
+            "is linear in N and at 100 TB k tracks corpus size the same "
             "way. IVF probe cost is n_probe/n_list of the corpus per "
             "query regardless of N.",
             "",
