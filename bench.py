@@ -132,7 +132,9 @@ def main() -> None:
             "slower on every query with zero plan changes vs the "
             "2.946/2.995/2.965 s quiet series earlier in the round. "
             "Compare rounds by ratio to a baseline re-measured on the "
-            "same instance, not by absolute seconds across rounds",
+            "same instance, not by absolute seconds across rounds. "
+            "Round-10 quiet series on the same recycled instance: "
+            "3.405/3.465/3.593 s — identical plans, the instance band",
         }
     print(json.dumps(out))
 

@@ -28,8 +28,9 @@ def murmur3_int32(value: int, seed: int = 42) -> int:
     Lets the driver predict which shuffle partition a key lands in
     (``floorMod(hash, n)`` — Spark's HashPartitioning), which is what
     makes exact few-group task placement possible (see
-    :func:`plan_group_salts`). Conformance with the JVM is
-    pytest-asserted against ``F.hash`` (test_semdedup: murmur parity).
+    :func:`partition_salts` / :func:`lpt_bins`). Conformance with the
+    JVM is pytest-asserted against ``F.hash``
+    (test_similarity_arrow.test_murmur3_int32_matches_spark_hash).
     """
     m = 0xFFFFFFFF
     k = (value & m) * 0xCC9E2D51 & m
