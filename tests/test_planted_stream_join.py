@@ -28,11 +28,15 @@ def _work(tmp_path_factory):
 
 
 def test_interval_join_planted_truth(spark):
-    n = 80_000  # L = 40,000 left rows + 30,000 planted right matches
-    res = ss.run_join(spark, n)["interval_join"]
-    assert res["ok"], res
+    # L = 40,000 left + 30,000 planted right matches + 5,000 right-only
+    n = 80_000
+    res = ss.run_join(spark, n)
     L = (n // 8) * 4
-    # the verify string embeds the exact closed-form counts; re-assert
-    # the structural bounds independently of the string
-    assert res["micro_batches"] >= 20  # 41 files at 2/trigger
-    assert res["state_rows"] < 0.2 * (L + L * 3 // 4 + 2)
+    n_in = L + L * 3 // 4 + L // 8 + 2
+    for tag in ("interval_join", "interval_join_full"):
+        r = res[tag]
+        assert r["ok"], r
+        # the verify string embeds the exact closed-form counts;
+        # re-assert the structural bounds independently of the string
+        assert r["micro_batches"] >= 20  # 41 files at 2/trigger
+        assert r["state_rows"] < 0.2 * n_in

@@ -18,12 +18,16 @@ streaming gates cannot:
                       bounded-state 100 TB variant is
                       dropDuplicatesWithinWatermark, gated separately at
                       sf0.01 as stream_dedup_distinct.)
-  3. interval_join  — watermarked LEFT-OUTER stream-stream interval join
+  3. interval_join(+_full) — watermarked LEFT-OUTER and FULL-OUTER
+                      stream-stream interval joins
                       (streaming/dedup_join.py) over time-sliced files:
                       per 4 left rows, 3 have a planted right match
-                      within the 5-minute range and 1 has none, so the
-                      matched/unmatched emission counts are closed-form
-                      (3L/4 and L/4); a sentinel batch pushes both
+                      within the 5-minute range and 1 has none, and L/8
+                      right-only rows (keys with no left partner) plant
+                      the full-outer right-null class — so all three
+                      emission classes are closed-form (matched 3L/4,
+                      left-null L/4, right-null L/8 in full mode / 0 in
+                      left mode); a sentinel batch pushes both
                       watermarks past every real row's range so the
                       final no-data batch flushes all null emissions,
                       and END-OF-RUN state must be exactly the 2
@@ -83,15 +87,20 @@ def build(spark, n: int) -> str:
 
 
 def build_join(spark, n: int) -> tuple[str, int]:
-    """Two-sided corpus for the stream-stream interval join, planted:
+    """Two-sided corpus for the stream-stream interval joins, planted:
     L = n/2 left rows with monotone event times over 30 days; left row i
-    gets a right-side match at ts + [1, 300] s iff i % 4 != 3. Files are
-    TIME-SLICED (one per 18 h of event time, mtime-ordered) so the
-    watermark never drops an in-order row, plus a final sentinel file
-    (one row per side at max ts + 3 h, keys -1/-2) that pushes both
-    sides' watermarks past every real row's join range."""
-    L = (n // 8) * 4  # left rows, divisible by 4; right side adds 3L/4
-    out = f"{WORK}/join{n}"
+    gets a right-side match at ts + [1, 300] s iff i % 4 != 3, and L/8
+    extra RIGHT-ONLY rows (keys >= L, no left partner, same 30-day
+    spread) plant the full-outer right-null class. Files are TIME-SLICED
+    (one per 18 h of event time, mtime-ordered) so the watermark never
+    drops an in-order row, plus a final sentinel file (one row per side
+    at max ts + 3 h, keys -1/-2) that pushes both sides' watermarks past
+    every real row's join range."""
+    L = (n // 8) * 4  # left rows, divisible by 8; right side adds 3L/4
+    # v2: the corpus layout is versioned in the path so a cached _DONE
+    # from an older generator (without the right-only class) can't leak
+    # into a run of the new closed forms
+    out = f"{WORK}/join{n}_v2"
     stream_dir = f"{out}/in"
     if os.path.exists(f"{out}/_DONE"):
         return out, L
@@ -111,6 +120,13 @@ def build_join(spark, n: int) -> tuple[str, int]:
         F.lit("R").alias("side"),
         F.timestamp_seconds(rsec).alias("ts"),
     )
+    ro = spark.range(L // 8).withColumnRenamed("id", "j")
+    rosec = F.lit(EPOCH) + (F.col("j") * span / F.lit(L // 8)).cast("long")
+    right_only = ro.select(
+        (F.col("j") + F.lit(L)).alias("k"),
+        F.lit("R").alias("side"),
+        F.timestamp_seconds(rosec).alias("ts"),
+    )
     slice_s = span // N_FILES  # 18 h of event time per file
     fid = F.least(
         F.lit(N_FILES - 1),
@@ -119,6 +135,7 @@ def build_join(spark, n: int) -> tuple[str, int]:
     tmp = f"{out}/tmp"
     (
         left.unionByName(right)
+        .unionByName(right_only)
         .withColumn("fid", fid)
         .repartition(N_FILES, "fid")  # one part file per fid directory
         .write.partitionBy("fid")
@@ -153,73 +170,81 @@ def run_join(spark, n: int) -> dict:
 
     d, L = build_join(spark, n)
     schema = spark.read.parquet(f"{d}/in/b00.parquet").schema
-    src = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "2")
-        .parquet(f"{d}/in")
-    )
-    joined = interval_join_streams(
-        src.filter(F.col("side") == "L").select("k", "ts"),
-        src.filter(F.col("side") == "R").select("k", "ts"),
-        key="k",
-        watermark="10 minutes",
-        max_delay="5 minutes",
-        how="left_outer",
-    )
-    counts = {"total": 0, "matched": 0}
+    n_in = L + L * 3 // 4 + L // 8 + 2
+    res: dict[str, dict] = {}
 
-    def fb(bdf, _bid):
-        row = bdf.filter(F.col("k") >= 0).agg(
-            F.count("*").alias("t"), F.count("r_ts").alias("m")
-        ).first()
-        counts["total"] += row["t"]
-        counts["matched"] += row["m"]
+    for how, tag in (("left_outer", "interval_join"), ("full_outer", "interval_join_full")):
+        src = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "2")
+            .parquet(f"{d}/in")
+        )
+        joined = interval_join_streams(
+            src.filter(F.col("side") == "L").select("k", "ts"),
+            src.filter(F.col("side") == "R").select("k", "ts"),
+            key="k",
+            watermark="10 minutes",
+            max_delay="5 minutes",
+            how=how,
+        )
+        counts = {"matched": 0, "left_only": 0, "right_only": 0}
 
-    ckpt = f"{WORK}/ckpt_join_{n}"
-    shutil.rmtree(ckpt, ignore_errors=True)
-    q = (
-        joined.writeStream.foreachBatch(fb)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    wall, progress = _drain(q)
-    n_in = L + L * 3 // 4 + 2
-    batches = [p for p in progress if p and p["numInputRows"] > 0]
-    max_state = max(
-        (s["numRowsTotal"] for p in progress for s in p.get("stateOperators", [])),
-        default=0,
-    )
-    final_state = next(
-        (
-            s["numRowsTotal"]
-            for p in reversed(progress)
-            for s in p.get("stateOperators", [])
-        ),
-        None,
-    )
-    unmatched = counts["total"] - counts["matched"]
-    ok = (
-        counts["total"] == L
-        and counts["matched"] == L * 3 // 4
-        and unmatched == L // 4
-        and final_state == 2  # only the 2 sentinel rows outlive eviction
-        and max_state < 0.2 * n_in  # bounded by the slice horizon, not n
-    )
-    return {
-        "interval_join": {
+        def fb(bdf, _bid, counts=counts):
+            row = bdf.filter(F.col("k") >= 0).agg(
+                F.count(
+                    F.when(F.col("ts").isNotNull() & F.col("r_ts").isNotNull(), 1)
+                ).alias("m"),
+                F.count(F.when(F.col("r_ts").isNull(), 1)).alias("lo"),
+                F.count(F.when(F.col("ts").isNull(), 1)).alias("ro"),
+            ).first()
+            counts["matched"] += row["m"]
+            counts["left_only"] += row["lo"]
+            counts["right_only"] += row["ro"]
+
+        ckpt = f"{WORK}/ckpt_{tag}_{n}"
+        shutil.rmtree(ckpt, ignore_errors=True)
+        q = (
+            joined.writeStream.foreachBatch(fb)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        wall, progress = _drain(q)
+        batches = [p for p in progress if p and p["numInputRows"] > 0]
+        max_state = max(
+            (s["numRowsTotal"] for p in progress for s in p.get("stateOperators", [])),
+            default=0,
+        )
+        final_state = next(
+            (
+                s["numRowsTotal"]
+                for p in reversed(progress)
+                for s in p.get("stateOperators", [])
+            ),
+            None,
+        )
+        want_ro = L // 8 if how == "full_outer" else 0
+        ok = (
+            counts["matched"] == L * 3 // 4
+            and counts["left_only"] == L // 4
+            and counts["right_only"] == want_ro
+            and final_state == 2  # only the 2 sentinel rows outlive eviction
+            and max_state < 0.2 * n_in  # bounded by slice horizon, not n
+        )
+        res[tag] = {
             "sec": round(wall, 2),
             "rows_per_s": int(n_in / wall),
             "micro_batches": len(batches),
             "state_rows": max_state,
-            "verify": f"emitted {counts['total']} == L ({L}); matched "
-            f"{counts['matched']} == 3L/4, unmatched {unmatched} == L/4 "
-            f"(planted); end-of-run state {final_state} rows == the 2 "
-            f"sentinels (all real rows evicted); peak state {max_state:,} "
-            f"≪ {n_in:,} input rows",
+            "verify": f"{how}: matched {counts['matched']} == 3L/4, "
+            f"left-null {counts['left_only']} == L/4, right-null "
+            f"{counts['right_only']} == {'L/8 (planted right-only keys)' if want_ro else '0'}; "
+            f"end-of-run state {final_state} rows == the 2 sentinels "
+            f"(all real rows evicted); peak state {max_state:,} ≪ "
+            f"{n_in:,} input rows",
             "ok": ok,
         }
-    }
+    return res
 
 
 def _drain(q) -> tuple[float, list]:
@@ -383,19 +408,23 @@ def main() -> None:
         "dropDuplicatesWithinWatermark (gated as stream_dedup_distinct) "
         "caps state by the watermark horizon instead.",
         "",
-        "interval_join streams TWO sides (left = n/2 rows, right = 3/8·n "
-        "planted matches within the 5-minute join range) from time-sliced "
-        "files — 18 h of event time per file, so in-order arrival and the "
-        "10-minute watermark never drops a real row — through the "
-        "left-outer watermarked interval join the sf0.01 gates certify at "
-        "100k rows (streaming/dedup_join.py). Both emission classes are "
-        "planted closed-form (3 matched + 1 null-right per 4 left rows), "
-        "and eviction is MEASURED: after the sentinel batch advances both "
-        "watermarks past every real row's range, the no-data batch must "
-        "flush the last null emissions and leave exactly the 2 sentinel "
-        "rows in state — symmetric join state is bounded by the watermark "
-        "horizon (peak ≈ one trigger's two 18 h slices + one batch of "
-        "eviction lag), never by stream length.",
+        "interval_join / interval_join_full stream TWO sides (left = n/2 "
+        "rows; right = 3/8·n planted matches within the 5-minute join "
+        "range + n/16 right-only keys with no left partner) from "
+        "time-sliced files — 18 h of event time per file, so in-order "
+        "arrival and the 10-minute watermark never drops a real row — "
+        "through the left-outer and full-outer watermarked interval "
+        "joins the sf0.01 gates certify at 100k rows "
+        "(streaming/dedup_join.py). All three emission classes are "
+        "planted closed-form (3 matched + 1 null-right per 4 left rows; "
+        "the right-only keys emit as null-left exactly once in full mode "
+        "and never in left mode), and eviction is MEASURED: after the "
+        "sentinel batch advances both watermarks past every real row's "
+        "range, the no-data batch must flush the last null emissions and "
+        "leave exactly the 2 sentinel rows in state — symmetric join "
+        "state is bounded by the watermark horizon (peak ≈ one trigger's "
+        "two 18 h slices + one batch of eviction lag), never by stream "
+        "length.",
         "",
     ]
     with open(os.path.join(root, "STREAMSCALE.md"), "w") as fh:
