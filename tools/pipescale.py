@@ -560,7 +560,13 @@ def main() -> None:
             "across tasks), so alpha > 1 here measures the problem, not "
             "the plan; the relevant claims are bounded per-task memory "
             "(~2·max_cell×dim) and the unchanged-output check"
-            + (f": {skew_check}." if skew_check else "."),
+            + (f": {skew_check}." if skew_check else ".")
+            + " Context spread on this VM: the 64x cell re-measures "
+            "28-39 s depending on whether the full suite ran first "
+            "(page-cache + JVM warmth; the committed value is a "
+            "standalone run — the reading a fresh reproduction gets) — "
+            "both ends are well under the 96 s collided draw and round "
+            "8's 42.4 s lucky draw on a faster instance.",
             "",
         ]
     if FRESH_OPS & set(results):
