@@ -49,63 +49,12 @@ except ImportError:
 # `tools/staleness.py` recomputes this ordering from the
 # CORRECTNESS_r*.json history.
 _PRIORITY = [
-    # Round-10 rotation (tools/staleness.py ordering): the 23 queries
-    # whose newest driver row is r7 (VERDICT r9 ask #3: after this
-    # window nothing anywhere is older than r8), then the oldest r8
+    # Round-11 rotation (tools/staleness.py ordering): the 23 queries
+    # whose newest driver row is r8 (VERDICT r10 ask #2: after this
+    # window nothing anywhere is older than r9), then the oldest r9
     # rows to fill the 50-row window. Everything after the window
-    # holds a green r8/r9 row and stays covered by tools/selfcheck.py.
-    # newest driver row: r07
-    "evt_session_window",
-    "evt_date_bin",
-    "fn_bits_epoch",
-    "pipe_neardup_lsh_verify",
-    "pipe_simhash",
-    "pipe_cosine_topk",
-    "pipe_ann_lsh",
-    "pipe_ann_ivf",
-    "pipe_cosine_neardup",
-    "pipe_emb_centroid",
-    "pipe_text_tokens",
-    "pipe_text_quality",
-    "pipe_langid",
-    "pipe_fingerprint",
-    "pipe_dedup_cluster",
-    "pipe_sample_hash",
-    "pipe_domain_cap",
-    "pipe_token_pack",
-    "pipe_repetition",
-    "pipe_minhash_cluster",
-    "udaf_geomean",
-    "stream_restart_resume",
-    "stream_static_enrich",
+    # holds a green r9/r10 row and stays covered by tools/selfcheck.py.
     # newest driver row: r08
-    "tpch_q2",
-    "evt_funnel",
-    "evt_retention",
-    "evt_asof_attribution",
-    "evt_range_join",
-    "agg_approx",
-    "win_frames",
-    "win_groups_frame",
-    "win_rank_value",
-    "agg_regr",
-    "join_outer_cross",
-    "fn_conditional",
-    "fn_array_ops",
-    "evt_topk_per_user",
-    "evt_running_gaps",
-    "evt_sessionize",
-    "evt_distinct_on",
-    "evt_pivot",
-    "evt_hourly",
-    "evt_json",
-    "agg_grouping_multi",
-    "agg_stats",
-    "agg_distinct_filter",
-    "agg_percentiles",
-    "agg_string_agg",
-    "agg_string_agg_desc",
-    "fn_like_escape",
     "sql_recursive_cte",
     "agg_weighted_pct",
     "fn_time",
@@ -180,6 +129,57 @@ _PRIORITY = [
     "substrait_consume",
     "evt_gapfill",
     "evt_pagerank",
+    # newest driver row: r10
+    "evt_session_window",
+    "evt_date_bin",
+    "fn_bits_epoch",
+    "pipe_neardup_lsh_verify",
+    "pipe_simhash",
+    "pipe_cosine_topk",
+    "pipe_ann_lsh",
+    "pipe_ann_ivf",
+    "pipe_cosine_neardup",
+    "pipe_emb_centroid",
+    "pipe_text_tokens",
+    "pipe_text_quality",
+    "pipe_langid",
+    "pipe_fingerprint",
+    "pipe_dedup_cluster",
+    "pipe_sample_hash",
+    "pipe_domain_cap",
+    "pipe_token_pack",
+    "pipe_repetition",
+    "pipe_minhash_cluster",
+    "udaf_geomean",
+    "stream_restart_resume",
+    "stream_static_enrich",
+    "tpch_q2",
+    "evt_funnel",
+    "evt_retention",
+    "evt_asof_attribution",
+    "evt_range_join",
+    "agg_approx",
+    "win_frames",
+    "win_groups_frame",
+    "win_rank_value",
+    "agg_regr",
+    "join_outer_cross",
+    "fn_conditional",
+    "fn_array_ops",
+    "evt_topk_per_user",
+    "evt_running_gaps",
+    "evt_sessionize",
+    "evt_distinct_on",
+    "evt_pivot",
+    "evt_hourly",
+    "evt_json",
+    "agg_grouping_multi",
+    "agg_stats",
+    "agg_distinct_filter",
+    "agg_percentiles",
+    "agg_string_agg",
+    "agg_string_agg_desc",
+    "fn_like_escape",
 ]
 
 ALL_QUERIES: dict[str, tuple] = {}
