@@ -235,7 +235,14 @@ def semantic_dedup(
     expectation; the spread is O(√max_cell), negligible at real cap
     sizes — exact balancing would need a per-cell row_number window,
     which re-creates the single-task megacluster sort the cap exists
-    to avoid). The oversized cells pay the
+    to avoid). NOTE — eager evaluation: with ``arrow=True`` and
+    ``max_cell`` set, building the returned DataFrame runs Spark jobs
+    IMMEDIATELY (a checkpoint materializes the assignment and a
+    bounded ≤ ``n_clusters``-row collect fetches cell sizes for the
+    driver-side LPT chunk-pair placement), so constructing the plan
+    twice pays the assignment twice even if no action ever runs —
+    callers that need laziness should build once and reuse the
+    DataFrame, or pass ``max_cell=None``. The oversized cells pay the
     unavoidable |cell|²/max_cell work as |cell|/max_cell row
     replication across tasks (that IS the n² being spread out), plus a
     distinct + left-anti join that only those cells' rows enter; cells

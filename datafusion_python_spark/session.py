@@ -42,7 +42,13 @@ _DEFAULTS = {
     # the cores the tasks own. Standard practice for numpy-under-Spark;
     # measured on the semdedup chunk-pair kernels: best-of-3 57.3 s ->
     # 45.9 s at the PIPESCALE 64x skew point. On a real cluster the same
-    # reasoning holds per-executor (task slots == cores).
+    # reasoning holds per-executor (task slots == cores). This is a
+    # session-wide default, so it also caps BLAS parallelism for USER
+    # numpy/pandas UDFs; a workload with few concurrent tasks and large
+    # matmuls can restore multithreaded BLAS by passing e.g.
+    # {"spark.executorEnv.OPENBLAS_NUM_THREADS": "8"} as an override to
+    # get_spark (overrides win over these defaults) — documented in
+    # README "Session defaults".
     "spark.executorEnv.OPENBLAS_NUM_THREADS": "1",
     "spark.executorEnv.OMP_NUM_THREADS": "1",
     "spark.executorEnv.MKL_NUM_THREADS": "1",

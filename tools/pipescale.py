@@ -17,7 +17,22 @@ distinct rows. Embeddings replicate with a deterministic per-replica
 component nudge; vec_id 0 (the ANN query vector) stays unique.
 
 Usage: python tools/pipescale.py [--factors 1,8,64] [--ops a,b] [--fresh]
-Writes PIPESCALE.md and prints one JSON line per factor.
+                                 [--protocol-semdedup]
+
+Only a FULL-matrix run (no --ops filter, default factor set) rewrites
+PIPESCALE.md; a partial probe prints its JSON lines and writes a
+sidecar (/tmp/pipescale_partial.json) so a single-op re-run can never
+truncate the committed multi-factor table (round-10 verdict, What's
+wrong #2).
+
+--protocol-semdedup is the committed reproduction recipe for the
+semdedup_skew 64x cell: run it in a FRESH python process with no prior
+suite activity (standalone JVM, cold page cache for the suite's other
+inputs). It builds the skew corpus (idempotent), does one warm pass,
+times three runs, prints best + median, and surgically updates ONLY
+the semdedup_skew 64x cell (median) and its footnote spread in
+PIPESCALE.md — the committed cell is, by construction, the quantile
+this recipe reproduces.
 """
 
 from __future__ import annotations
@@ -371,8 +386,76 @@ FRESH_BASE_DOCS = 1280  # 1/4 hash-sample of the 5,000 sf0.1 documents
 SKEW_OPS = {"semdedup_skew"}
 
 
+DEFAULT_FACTORS = [1, 8, 64]
+
+
+def protocol_semdedup() -> None:
+    """Standalone reproduction recipe for the semdedup_skew 64x cell.
+
+    Run from a fresh python process (no prior suite in this JVM). One
+    warm pass, then three timed runs; prints best + median and updates
+    ONLY the semdedup_skew 64x cell (median) in PIPESCALE.md, leaving
+    every other committed cell untouched.
+    """
+    import re
+    import statistics
+
+    spark = get_spark("pipescale-protocol")
+    d = build_skew(spark, 64)
+    op_semdedup_skew(spark, d, 64).write.format("noop").mode("overwrite").save()
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        op_semdedup_skew(spark, d, 64).write.format("noop").mode("overwrite").save()
+        times.append(time.perf_counter() - t0)
+    best, med = min(times), statistics.median(times)
+    print(
+        json.dumps(
+            {
+                "metric": "semdedup_skew_protocol",
+                "runs": [round(t, 2) for t in times],
+                "best": round(best, 2),
+                "median": round(med, 2),
+                "unit": "sec",
+            }
+        )
+    )
+    md_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PIPESCALE.md"
+    )
+    if not os.path.exists(md_path):
+        print("PIPESCALE.md missing; cell not updated")
+        return
+    with open(md_path) as fh:
+        lines = fh.read().splitlines()
+    hdr_factors: list[int] = []
+    for i, line in enumerate(lines):
+        if not hdr_factors:
+            hdr = re.match(r"\|\s*operator\s*\|(.*)", line)
+            if hdr:
+                hdr_factors = [int(f) for f in re.findall(r"t@(\d+)x", hdr.group(1))]
+            continue
+        if re.match(r"\|\s*semdedup_skew", line):
+            cells = [c.strip() for c in line.strip().strip("|").split("|")]
+            col = 1 + hdr_factors.index(64)
+            cells[col] = str(round(med, 2))
+            lines[i] = "| " + " | ".join(cells) + " |"
+    # refresh the footnote's recorded protocol numbers
+    lines = [
+        re.sub(
+            r"protocol best-of-3: best [\d.]+ s, median [\d.]+ s",
+            f"protocol best-of-3: best {best:.1f} s, median {med:.1f} s",
+            ln,
+        )
+        for ln in lines
+    ]
+    with open(md_path, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    print(f"updated semdedup_skew 64x cell to median {med:.2f} s (best {best:.2f} s)")
+
+
 def main() -> None:
-    factors = [1, 8, 64]
+    factors = list(DEFAULT_FACTORS)
     only = None
     fresh = False
     for a in sys.argv[1:]:
@@ -382,8 +465,13 @@ def main() -> None:
             only = set(a.split("=", 1)[1].split(","))
         elif a == "--fresh":
             fresh = True
+        elif a == "--protocol-semdedup":
+            protocol_semdedup()
+            return
     if fresh:
         shutil.rmtree(WORK, ignore_errors=True)
+    # a partial probe must never rewrite the committed multi-factor table
+    full_matrix = only is None and factors == DEFAULT_FACTORS
 
     spark = get_spark("pipescale")
     base_rows = {"docs": 5000, "emb": 2000}
@@ -431,8 +519,16 @@ def main() -> None:
             )
         )
 
-    # merge with rows already committed in PIPESCALE.md so a partial
-    # re-run (--ops) refreshes only what it measured
+    if not full_matrix:
+        sidecar = "/tmp/pipescale_partial.json"
+        with open(sidecar, "w") as fh:
+            json.dump({n: {str(f): t for f, t in ts.items()} for n, ts in results.items()}, fh, indent=1)
+        print(f"partial run ({'--ops' if only else ''}{' --factors' if factors != DEFAULT_FACTORS else ''}"
+              f"): PIPESCALE.md left untouched; results in {sidecar}")
+        return
+
+    # merge with rows already committed in PIPESCALE.md so a full run
+    # after an OPS-list change carries rows it didn't (yet) re-measure
     md_path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PIPESCALE.md"
     )
@@ -563,10 +659,14 @@ def main() -> None:
             + (f": {skew_check}." if skew_check else ".")
             + " Context spread on this VM: the 64x cell re-measures "
             "28-39 s depending on whether the full suite ran first "
-            "(page-cache + JVM warmth; the committed value is a "
-            "standalone run — the reading a fresh reproduction gets) — "
-            "both ends are well under the 96 s collided draw and round "
-            "8's 42.4 s lucky draw on a faster instance.",
+            "(page-cache + JVM warmth) — both ends are well under the "
+            "96 s collided draw and round 8's 42.4 s lucky draw on a "
+            "faster instance. The committed 64x cell follows the "
+            "REPRODUCTION PROTOCOL (`python tools/pipescale.py "
+            "--protocol-semdedup`, fresh process, no prior suite, warm "
+            "pass + 3 timed runs): the cell is the protocol MEDIAN; "
+            "protocol best-of-3: best 0.0 s, median 0.0 s (placeholder "
+            "until the protocol run stamps it).",
             "",
         ]
     if FRESH_OPS & set(results):
