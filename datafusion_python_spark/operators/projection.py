@@ -111,8 +111,10 @@ def random_projection_arrow(
 
     from pyspark.sql.types import ArrayType, DoubleType, StructField, StructType
 
+    from ._util import ensure_fast_blas
     from .similarity import _batch_matrix, _spark_round
 
+    ensure_fast_blas(df.sparkSession)
     probe = df.select(F.size(F.col(emb_col)).alias("n")).first()
     if probe is None or probe["n"] is None:
         raise ValueError("cannot infer embedding dimension from empty input")

@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ._util import lpt_bins, partition_salts, shuffle_partitions
+from ._util import ensure_fast_blas, lpt_bins, partition_salts, shuffle_partitions
 from .similarity import ivf_assign, ivf_centroids
 
 
@@ -114,6 +114,7 @@ def semantic_dup_ids_arrow(
     import numpy as np
     import pandas as pd
 
+    ensure_fast_blas(assigned.sparkSession)
     id_t = assigned.schema[id_col].dataType.simpleString()
     out_schema = f"{id_col} {id_t}"
 
@@ -264,6 +265,7 @@ def semantic_dedup(
 
     from .similarity import ivf_assign_arrow
 
+    ensure_fast_blas(df.sparkSession)
     assigned = ivf_assign_arrow(df, cents, vec_col=vec_col)
     out_schema = assigned.schema
     out_cols = [f.name for f in out_schema.fields]

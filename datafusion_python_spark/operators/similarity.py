@@ -47,7 +47,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ._util import shuffle_partitions
+from ._util import ensure_fast_blas, shuffle_partitions
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -212,6 +212,7 @@ def cosine_topk_arrow(
     import numpy as np
     import pyarrow as pa
 
+    ensure_fast_blas(df.sparkSession)
     qv = [float(v) for v in query_vec]
     if sum(v * v for v in qv) == 0.0:
         raise ValueError("cosine_topk_arrow: query vector has zero norm")
@@ -393,6 +394,7 @@ def ivf_assign_arrow(
 
     from pyspark.sql.types import IntegerType, StructField, StructType
 
+    ensure_fast_blas(df.sparkSession)
     cents = [[float(v) for v in c] for c in centroids]
     if any(sum(v * v for v in c) == 0.0 for c in cents):
         raise ValueError(
@@ -555,6 +557,7 @@ def cosine_near_dup_pairs_arrow(
     import numpy as np
     import pandas as pd
 
+    ensure_fast_blas(df.sparkSession)
     id_t = df.schema[id_col].dataType.simpleString()
     out_schema = f"id_a {id_t}, id_b {id_t}, cosine double"
     sig = lsh_signature(df, dim=dim, vec_col=vec_col, n_planes=n_planes)
