@@ -63,8 +63,25 @@ def tf_idf(
     log-tf form (engine-agnostic, no zero-division). The per-doc top-k
     is a row_number window that Spark prunes partially per partition
     (WindowGroupLimit), so the full scored set never materializes.
+
+    Plan shape (r11): tf rows come straight from the explode+aggregate —
+    NOT from :func:`doc_terms` — because TF-IDF never reads the document
+    length, and the ``dl`` attach join (corpus-wide: one row per doc) was
+    pure overhead here: it cost an extra scan of the corpus plus a
+    per-doc join on BOTH the tf and the df branches (at 100 TB that side
+    is too big to broadcast, so it would be two extra corpus shuffles).
+    Dropping it also makes the df branch's subtree identical to the tf
+    branch, so AQE reuses one exchange for both. Join semantics are
+    unchanged: every tf doc appears in dl by construction, so the inner
+    join never filtered anything (and the DuckDB oracle always computed
+    df from the tf rows directly). ``doc_terms``/``doc_frequencies``
+    keep their contracts for BM25, which does need ``dl``.
     """
-    t = doc_terms(df, id_col, text_col)
+    t = (
+        df.select(F.col(id_col), F.explode(_words(F.col(text_col))).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+    )
     n_docs = df.select(F.count("*").alias("n_docs"))
     dfreq = doc_frequencies(t, id_col)
     scored = (
