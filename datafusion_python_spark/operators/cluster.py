@@ -42,11 +42,28 @@ def connected_components(
     id; the label table is the only state and shrinks-in-place, never
     collected to the driver.
     """
+    from ._util import shuffle_partitions
+
+    # Edges are STATIC across iterations and are the big side of every
+    # round's join, so partition them by the probe key ONCE and pin the
+    # layout in the cache: InMemoryRelation preserves outputPartitioning,
+    # so each iteration's edges⋈labels join re-uses this exchange instead
+    # of re-shuffling the full edge set every round (guide §2.4 — a
+    # localCheckpoint would NOT work here: its LogicalRDD reports
+    # UnknownPartitioning, measured in plans/r11/pipe_dedup_cluster_
+    # before.txt, which is exactly why the old per-round plans paid an
+    # edges exchange per iteration at scale). Cache-not-checkpoint is
+    # safe for edges: eviction recomputes a pure union+distinct, there is
+    # no iterated lineage to truncate. The per-round LABEL table keeps
+    # the eager localCheckpoint — it is re-derived every round, so its
+    # lineage must be cut, and it is the nodes-sized (smaller) side.
+    n_part = shuffle_partitions(pairs.sparkSession)
     edges = (
         pairs.select(F.col(src).alias("s"), F.col(dst).alias("d"))
         .union(pairs.select(F.col(dst).alias("s"), F.col(src).alias("d")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .repartition(n_part, "d")
+        .cache()
     )
     labels = (
         edges.select(F.col("s").alias("n"))
@@ -76,6 +93,9 @@ def connected_components(
         labels = new_labels.select("n", "comp")
         if changed == 0:
             break
+    # the returned labels are checkpointed (no lineage back to edges), so
+    # the pinned edge partitions can be released immediately
+    edges.unpersist()
     return labels.select(F.col("n").alias("node"), F.col("comp").alias("component"))
 
 
