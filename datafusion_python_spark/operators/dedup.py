@@ -307,6 +307,18 @@ def lsh_candidate_pairs(
     self-join: both join branches would otherwise recompute the whole
     signature pipeline (at scale, stage the banded table once — this is
     the single-cluster equivalent of writing it to a staging table).
+
+    Deliberately NOT repartition(band, band_hash)+cache (the r11 trick
+    that pays off in :func:`lsh_star_edges` and connected_components):
+    pinning the bucket layout would remove both self-join exchanges, but
+    it also pins every hot LSH bucket into one task and — because an
+    InMemoryRelation's partitioning is fixed — takes AQE's skew-join
+    splitting OFF the table for a join whose per-bucket work is
+    QUADRATIC in bucket size. Measured on the 64x replica-saturated
+    corpus (interleaved A/B, best-of-4): checkpoint 15.2 s vs pinned
+    cache 20.9 s (medians 20.2 vs 30.3) — the skew-split exchanges are
+    cheaper than the stragglers they prevent. The star form keeps the
+    pin because its per-bucket work is linear.
     """
     banded = _banded(sig_df, id_col, num_bands, sig_col).localCheckpoint(eager=False)
     a = banded.select(F.col("band"), F.col("band_hash"), F.col(id_col).alias("id_a"))
@@ -481,10 +493,32 @@ def lsh_star_edges(
     One shuffle keyed on (band, band_hash), then a map-side min-join.
     Use :func:`lsh_candidate_pairs` when per-pair scores (verify step)
     are needed; use this for clustering. The banded table is
-    localCheckpoint-materialized so the mins/members branches share one
-    signature computation.
+    materialized once so the mins/members branches share one signature
+    computation — r11: repartition-by-bucket-key + cache instead of
+    localCheckpoint: the preserved hash(band, band_hash) layout feeds
+    the bucket-min aggregate AND the member join back with zero further
+    exchanges, where the checkpoint's UnknownPartitioning forced one
+    per consumer (plans/r11/lsh_star_new_probe.txt). Unlike the pair
+    form (see :func:`lsh_candidate_pairs`, where the same pin LOST),
+    per-bucket work here is LINEAR in bucket size, so pinning a hot
+    bucket into one task is safe. Interleaved A/B on the 64x
+    replica-saturated corpus: 15.1 → 11.4 s best-of-4 (16.4 → 14.9
+    median). The cache entry lives until session eviction (LRU,
+    memory-and-disk); eviction merely recomputes a pure map-side
+    banding. EAGER: building this DataFrame runs the banding job once
+    (same documented eager contract as ``semantic_dedup(max_cell=...)``)
+    — an unmaterialized cached plan is AQE-wrapped and reports no
+    partitioning, so the planner would re-insert the consumer exchanges
+    this pin exists to remove.
     """
-    banded = _banded(sig_df, id_col, num_bands, sig_col).localCheckpoint(eager=False)
+    n_part = shuffle_partitions(sig_df.sparkSession)
+    banded = (
+        _banded(sig_df, id_col, num_bands, sig_col)
+        .repartition(n_part, "band", "band_hash")
+        .cache()
+    )
+    # eager so the pinned layout is visible when consumers are planned
+    banded.count()
     mins = banded.groupBy("band", "band_hash").agg(
         F.min(id_col).alias("id_a"), F.count("*").alias("_sz")
     )
