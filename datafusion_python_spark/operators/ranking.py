@@ -31,15 +31,31 @@ from .text import _words
 def doc_terms(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Explode to one row per (doc, term) with the within-doc term count
     ``tf`` and the document token length ``dl``. The single corpus-side
-    shuffle every ranking below reuses."""
-    staged = df.select(
-        F.col(id_col), F.explode(_words(F.col(text_col))).alias("term")
+    shuffle every ranking below reuses.
+
+    Plan shape (r11): ONE corpus pass — ``dl`` rides the exploded rows
+    and ``first(dl)`` recovers it per (doc, term) group. The previous
+    shape computed ``dl`` from a SECOND scan of the corpus (re-reading
+    and re-tokenizing every document) and attached it with a per-doc
+    join; at 100 TB that side is corpus-sized, so the join was a second
+    full shuffle on top of the extra scan. Carrying the one extra long
+    through the explode costs 8 bytes per token row instead.
+    ``first(dl)`` is exact, not a sample: dl is functionally dependent
+    on the doc id, so every row in a (doc, term) group carries the same
+    value. Docs with zero tokens are absent either way (explode emits
+    nothing; the old inner join dropped them).
+    """
+    words = _words(F.col(text_col))
+    staged = df.select(F.col(id_col), words.alias("__w")).select(
+        F.col(id_col),
+        F.size("__w").cast("long").alias("dl"),
+        F.explode("__w").alias("term"),
     )
-    tf = staged.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
-    dl = df.select(
-        F.col(id_col), F.size(_words(F.col(text_col))).cast("long").alias("dl")
+    return (
+        staged.groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"), F.first("dl").alias("dl"))
+        .select(id_col, "term", "tf", "dl")
     )
-    return tf.join(dl, id_col)
 
 
 def doc_frequencies(terms: DataFrame, id_col: str) -> DataFrame:
