@@ -625,9 +625,17 @@ def near_dup_pairs_lsh(
     # ngram_jaccard_pairs_prefix).
     n_part = shuffle_partitions(df.sparkSession)
     cands = cands.repartition(n_part, "id_a")
+    # Stage the per-doc shingle arrays ONCE (lazy checkpoint): sa and sb
+    # join cands on DIFFERENT keys (id_a vs id_b), so there is no
+    # exchange reuse between the legs and, unstaged, each leg re-scans
+    # the corpus and re-tokenizes every document (normalize + split +
+    # distinct + sort per doc — the expensive part). Checkpoint, not a
+    # pinned cache: the attach joins are keyed on doc id and must keep
+    # AQE skew flexibility (the lsh_candidate_pairs lesson). Interleaved
+    # A/B at the 64x fresh-vocab corpus: see OPTIMIZATION_r11.md §6.
     sets = df.select(
         F.col(id_col).alias("doc"), _shingle_set(F.col(text_col), shingle_k).alias("ws")
-    )
+    ).localCheckpoint(eager=False)
     sa = sets.select(F.col("doc").alias("id_a"), F.col("ws").alias("ws_a"))
     sb = sets.select(F.col("doc").alias("id_b"), F.col("ws").alias("ws_b"))
     inter = F.size(F.array_intersect(F.col("ws_a"), F.col("ws_b")))
@@ -689,6 +697,15 @@ def ngram_jaccard_pairs_prefix(
     MinHash-LSH candidate generation with per-candidate Jaccard
     verification (both in this module), not any exact all-pairs form.
     """
+    # The exploded token subtree is consumed four times (freq, ranked,
+    # wa, wb) and deliberately RECOMPUTED, not checkpoint-staged: an
+    # interleaved 64x A/B of a lazy-checkpoint staging measured
+    # best-of-4 WORSE (77.6 s recompute vs 93.3 s staged; medians
+    # noise-bound the other way) — the explode is cheap map-side work,
+    # and materializing the token-row RDD costs more than re-deriving
+    # it from the columnar scan. Contrast near_dup_pairs_lsh, where the
+    # staged subtree (per-doc sorted distinct shingle ARRAYS) is far
+    # more expensive per row and staging wins decisively.
     words = df.select(
         F.col(id_col).alias("doc"),
         F.explode(
