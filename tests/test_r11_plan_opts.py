@@ -1,0 +1,149 @@
+"""Round-11 optimization pins: structural plan assertions for the
+operator-internals changes (OPTIMIZATION_r11.md §2, §4, §5, §6).
+
+Not timing tests — each asserts the plan property the optimization
+bought, so a planner/refactor regression that silently reintroduces the
+removed work fails loudly.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from datafusion_python_spark.plans import explain_str
+from datafusion_python_spark.tables import load_table
+
+
+def _tree(plan: str) -> str:
+    """The operator-tree section of a formatted explain (stops before the
+    per-node detail section, whose text repeats operator names)."""
+    return plan.split("\n\n(1)", 1)[0]
+
+
+def _docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents")
+
+
+def test_doc_terms_single_corpus_pass(spark, sf_dir):
+    # §5: dl rides the explode — ONE corpus scan, no per-doc attach join
+    from datafusion_python_spark.operators.ranking import doc_terms
+
+    t = doc_terms(_docs(spark, sf_dir), "doc_id", "text")
+    tree = _tree(explain_str(t))
+    assert len(re.findall(r"Scan parquet", tree)) == 1
+    assert "Join" not in tree
+    # and the output contract is unchanged
+    assert t.columns == ["doc_id", "term", "tf", "dl"]
+
+
+def test_tfidf_no_dl_join(spark, sf_dir):
+    # §2: the dl attach join is gone from tf_idf; one corpus-scan subtree
+    # (AQE may still plan the tf/df branches as two identical scans and
+    # reuse the exchange at runtime — assert no join carries dl)
+    from datafusion_python_spark.operators.ranking import tf_idf
+
+    plan = explain_str(tf_idf(_docs(spark, sf_dir), "doc_id", "text", top_terms=5))
+    assert "dl" not in re.findall(r"Join \w+, \[([^\]]*)\]", plan).__str__()
+
+
+def test_lsh_star_banded_pinned_and_consumed_exchange_free(spark, sf_dir):
+    # §4: the banded table is an InMemoryRelation pre-partitioned on
+    # (band, band_hash), and BOTH consumers (bucket-min aggregate +
+    # member join-back) read it without a further exchange.
+    from datafusion_python_spark.operators.dedup import (
+        lsh_star_edges,
+        minhash_signature,
+    )
+
+    sig = minhash_signature(_docs(spark, sf_dir), "text", num_hashes=32, shingle_k=1)
+    edges = lsh_star_edges(sig, "doc_id", num_bands=8)
+    tree = _tree(explain_str(edges))
+    # both legs read the cache
+    assert len(re.findall(r"InMemoryTableScan", tree)) == 2
+    # the only shuffle exchange OUTSIDE the cache-build subtree is the
+    # final distinct (the mins leg may broadcast at test scale); the
+    # cache build's repartition lives under InMemoryRelation
+    pre_cache = tree.split("InMemoryRelation", 1)[0]
+    assert len(re.findall(r"[+:]- Exchange \(\d+\)", pre_cache)) == 1
+
+
+def test_lsh_pairs_keeps_checkpoint_not_pinned_cache(spark, sf_dir):
+    # §4 rejection: the pair form must NOT pin the banded layout (a fixed
+    # InMemoryRelation partitioning would disable AQE skew-splitting on
+    # the quadratic self-join) — it stages via localCheckpoint instead.
+    from datafusion_python_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signature,
+    )
+
+    sig = minhash_signature(_docs(spark, sf_dir), "text", num_hashes=32, shingle_k=1)
+    pairs = lsh_candidate_pairs(sig, "doc_id", num_bands=8)
+    tree = _tree(explain_str(pairs))
+    assert "InMemoryTableScan" not in tree
+    assert "ExistingRDD" in tree
+
+
+def test_neardup_lsh_sets_staged_once(spark, sf_dir):
+    # §6: the shingle-set attach reads a staged RDD on both legs — the
+    # final plan scans NO parquet (candidates come from the checkpointed
+    # banded table, sets from the checkpointed array table).
+    from datafusion_python_spark.operators.dedup import near_dup_pairs_lsh
+
+    pairs = near_dup_pairs_lsh(
+        _docs(spark, sf_dir), "doc_id", "text", threshold=0.9, num_bands=4, shingle_k=1
+    )
+    tree = _tree(explain_str(pairs))
+    assert "Scan parquet" not in tree
+    assert len(re.findall(r"ExistingRDD", tree)) >= 3  # banded + sa + sb
+
+
+def test_connected_components_edges_pinned(spark, sf_dir):
+    # §3: CC's static edge set is partitioned by the probe key and cached
+    # (InMemoryRelation preserves the layout across iterations). The
+    # returned labels are checkpointed, so assert on the operator's
+    # internals via a single hand-built iteration instead: a cached
+    # repartition(d) feeds the per-round join without a new exchange.
+    from datafusion_python_spark.operators._util import shuffle_partitions
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        n_part = shuffle_partitions(spark)
+        pairs = spark.range(0, 200).select(
+            (F.col("id") % 37).alias("a"), ((F.col("id") * 13 + 5) % 37).alias("b")
+        )
+        edges = (
+            pairs.select(F.col("a").alias("s"), F.col("b").alias("d"))
+            .union(pairs.select(F.col("b").alias("s"), F.col("a").alias("d")))
+            .distinct()
+            .repartition(n_part, "d")
+            .cache()
+        )
+        try:
+            edges.count()
+            labels = edges.select(F.col("s").alias("n")).distinct().withColumn(
+                "comp", F.col("n")
+            )
+            joined = edges.join(
+                labels.withColumnRenamed("n", "d"), "d"
+            ).groupBy("s").agg(F.min("comp").alias("mc"))
+            tree = _tree(explain_str(joined))
+            # the edges leg reads the cache with no exchange above it:
+            # no "Exchange" line directly between the join and the
+            # InMemoryTableScan on the edges side
+            m = re.search(
+                r"SortMergeJoin[\s\S]*?InMemoryTableScan", tree
+            )
+            assert m is not None
+            edges_leg = m.group(0)
+            # the d-keyed edges leg contributes no new Exchange; the only
+            # exchange(s) in the join window belong to the labels leg
+            # (which is re-derived every round and must shuffle)
+            sides = edges_leg.split(":- Sort", 1)
+            assert "InMemoryTableScan" in sides[-1]
+        finally:
+            edges.unpersist()
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
