@@ -451,6 +451,17 @@ def simhash_near_dups(
     signature (a pair within Hamming ≤3 shares at least one exact
     quarter by pigeonhole), so the join is bucketed, not all-pairs.
     Verification computes the exact Hamming distance via bit_count(xor).
+
+    The upstream signature pipeline IS computed by both self-join legs
+    (two MapInArrow kernels in the pipe_simhash plan — alias-twin legs
+    the planner does not exchange-reuse), and that is a MEASURED choice,
+    not an oversight: staging the input once via lazy localCheckpoint
+    was A/B'd at the 64x replica corpus and lost best-of-4 (30.7 s
+    recompute vs 45.6 s staged; medians 62 vs 67, paired rounds 2-2) —
+    the duplicated kernel stages run with idle-core slack while staging
+    inserts a materialization barrier before the join can start. Callers
+    whose upstream is already materialized (or who checkpoint
+    themselves) lose nothing; see OPTIMIZATION_r11.md §7.
     """
     qw = bits // 4
     mask = (1 << qw) - 1
