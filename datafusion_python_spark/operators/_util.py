@@ -130,6 +130,30 @@ def shuffle_partitions(spark, default: int = 200) -> int:
         return default
 
 
+def spread_small_input(df):
+    """Round-robin repartition a small-scan input up to the session's
+    default parallelism so expensive per-row compute downstream (e.g.
+    the 32-family MinHash fold) doesn't ride a handful of file splits.
+
+    Scale-adaptive by construction: a production-sized input already
+    has >= cores file splits (128 MB each), so this is a NO-OP there —
+    it only fires when the scan yields fewer partitions than the
+    session has cores (small files / single row-group parquet), where
+    the text shuffle it adds is by definition tiny. Without it, every
+    projection between the scan and the first exchange — including the
+    whole signature pipeline — runs serially on the scan's 1-2 tasks
+    (measured: the sf0.1 banded-table build is a single-task stage).
+    """
+    spark = df.sparkSession
+    try:
+        target = spark.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() >= target:
+            return df
+    except Exception:
+        return df
+    return df.repartition(target)
+
+
 def murmur3_int32(value: int, seed: int = 42) -> int:
     """Spark's ``F.hash`` of a 32-bit int: Murmur3_x86_32.hashInt with
     seed 42, returned as a SIGNED 32-bit int (public algorithm, Appleby's

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ._util import shuffle_partitions
+from ._util import shuffle_partitions, spread_small_input
 
 
 def _norm_text(col):
@@ -117,6 +117,12 @@ def minhash_signature(
     lets the LSH gate run against a full DuckDB oracle. Production use
     stays on xxhash64.
     """
+    # Spread a few-partition input before the expensive per-doc fold:
+    # every projection up to the first exchange rides the scan's
+    # parallelism, and the num_hashes × shingles fold is the costliest
+    # map work in the module (no-op at production scale — see
+    # spread_small_input).
+    df = spread_small_input(df)
     if hasher == "md5":
         w, tmp = "__mh_words", "__mh_shs"
         staged = df.withColumn(
@@ -618,50 +624,89 @@ def near_dup_pairs_lsh(
     DETERMINISTIC, which is what lets the driver gate replay it in a
     SQL oracle.
 
-    Verify shape: candidates join the per-doc sorted distinct shingle
-    array twice (shuffle keyed on id — arrays travel once per
-    candidate), then ``size(array_intersect(...))`` evaluates JVM-side
-    per pair — no token-exploded join, no per-pair Python. Emission is
-    expression-identical to :func:`ngram_jaccard_pairs`
-    (``round(jac, 4) >= threshold``), so for any candidate pair the
-    verdict is bit-equal to the exact operator's.
+    Verify shape (r11, threshold > 0): the inverted-index form —
+    explode each candidate against its doc's distinct shingles and
+    COUNT the shared ones with two hash joins + one aggregate, instead
+    of attaching both shingle ARRAYS per pair and evaluating
+    ``array_intersect`` per candidate. The array form was measured
+    pathologically expensive at sf0.1 (2M candidates): the jaccard
+    CASE lands in the second join's CONDITION (Catalyst pushes the
+    filter into the join), where it re-evaluates ``array_intersect`` up
+    to 3x per match — 1024-8712 executor-core-seconds across probes vs
+    ~35 for a single projected intersect, and wall times swinging
+    4-666 s with this host's throughput band. The count form is pure
+    codegen'd hash-join probes + a count aggregate (no per-pair array
+    allocation), measured stable, and its filter sits above the
+    aggregate where Catalyst cannot push it into a join. Per-doc set
+    sizes ride the exploded rows and ``first()`` recovers them per pair
+    (the bm25 ``dl`` pattern — exact: n is functionally dependent on
+    the doc id). Output is bit-identical: i = |A∩B| exactly (the
+    shingle sets are distinct), u = na+nb−i, and
+    ``round(when(u > 0, i/u), 4) >= threshold`` is the same expression
+    over the same integer values (checksum-verified at sf0.01 and
+    sf0.1: 9,003 / 741,389 rows, equal bit_xor(xxhash64)). Pairs with
+    i = 0 never reach the aggregate, which is why this form requires
+    threshold > 0 (their jaccard is 0 or NULL — filtered either way);
+    the degenerate threshold <= 0 call keeps the array form.
     """
     sig = minhash_signature(
         df, text_col, num_hashes=num_hashes, shingle_k=shingle_k, hasher=hasher
     )
     cands = lsh_candidate_pairs(sig, id_col, num_bands=num_bands)
-    # Re-spread candidates before attaching the shingle arrays: candidate
-    # rows are tiny and AQE's size-based coalescing would funnel the
-    # array-attach joins into a couple of tasks (same trap documented in
-    # ngram_jaccard_pairs_prefix).
+    # Re-spread candidates before the verify: candidate rows are tiny
+    # and AQE's size-based coalescing would funnel the verify joins into
+    # a couple of tasks (same trap documented in
+    # ngram_jaccard_pairs_prefix). Keyed on BOTH ids so the layout
+    # already satisfies the verify aggregate's (id_a, id_b) grouping —
+    # no further exchange between the candidate set and the output.
     n_part = shuffle_partitions(df.sparkSession)
-    cands = cands.repartition(n_part, "id_a")
-    # Stage the per-doc shingle arrays ONCE (lazy checkpoint): sa and sb
-    # join cands on DIFFERENT keys (id_a vs id_b), so there is no
-    # exchange reuse between the legs and, unstaged, each leg re-scans
-    # the corpus and re-tokenizes every document (normalize + split +
-    # distinct + sort per doc — the expensive part). Checkpoint, not a
-    # pinned cache: the attach joins are keyed on doc id and must keep
-    # AQE skew flexibility (the lsh_candidate_pairs lesson). Interleaved
-    # A/B at the 64x fresh-vocab corpus: see OPTIMIZATION_r11.md §6.
+    cands = cands.repartition(n_part, "id_a", "id_b")
+    # The per-doc shingle sets are deliberately RECOMPUTED per token
+    # leg, NOT staged: a lazy-localCheckpoint staging of this table won
+    # a 64x fresh-vocab A/B but was a measured CATASTROPHE on the real
+    # sf0.1 corpus (25 s -> 431 s cold / 1028 s warm; stat-less
+    # LogicalRDD => both legs broadcast the whole table + serial
+    # materialization through the scan's few input partitions). See
+    # OPTIMIZATION_r11.md §6/§8.
     sets = df.select(
         F.col(id_col).alias("doc"), _shingle_set(F.col(text_col), shingle_k).alias("ws")
-    ).localCheckpoint(eager=False)
-    sa = sets.select(F.col("doc").alias("id_a"), F.col("ws").alias("ws_a"))
-    sb = sets.select(F.col("doc").alias("id_b"), F.col("ws").alias("ws_b"))
-    inter = F.size(F.array_intersect(F.col("ws_a"), F.col("ws_b")))
-    union = F.size("ws_a") + F.size("ws_b") - inter
-    # empty-vs-empty candidates (degenerate signatures collide in every
-    # band) have union 0 — Jaccard undefined, and ANSI raises on the
-    # double division; null them out, the >= filter then drops them,
-    # matching ngram_jaccard_pairs (empty docs never index a token there)
-    jac = F.when(union > 0, inter / union)
-    return (
-        cands.join(sa, "id_a")
-        .join(sb, "id_b")
-        .select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
     )
+    if threshold <= 0:
+        # Degenerate regime (emit every candidate, even zero-overlap
+        # ones): keep the array-attach verify, whose i = 0 pairs
+        # survive the filter.
+        sa = sets.select(F.col("doc").alias("id_a"), F.col("ws").alias("ws_a"))
+        sb = sets.select(F.col("doc").alias("id_b"), F.col("ws").alias("ws_b"))
+        inter = F.size(F.array_intersect(F.col("ws_a"), F.col("ws_b")))
+        union = F.size("ws_a") + F.size("ws_b") - inter
+        jac = F.when(union > 0, inter / union)
+        return (
+            cands.join(sa, "id_a")
+            .join(sb, "id_b")
+            .select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
+            .filter(F.col("jaccard") >= threshold)
+        )
+    tok = sets.select("doc", F.size("ws").alias("n"), F.explode("ws").alias("w"))
+    ta = tok.select(F.col("doc").alias("id_a"), F.col("n").alias("na"), "w")
+    tb = tok.select(F.col("doc").alias("id_b"), F.col("n").alias("nb"), "w")
+    shared = (
+        cands.join(ta, "id_a")
+        .join(tb, ["id_b", "w"])
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.count("*").alias("i"),
+            F.first("na").alias("na"),
+            F.first("nb").alias("nb"),
+        )
+    )
+    # same expression as the exact operator over the same integer
+    # values: u > 0 guards the ANSI double division (here u >= 1 by
+    # construction, the guard is kept for expression-identical output)
+    union = F.col("na") + F.col("nb") - F.col("i")
+    jac = F.when(union > 0, F.col("i") / union)
+    return shared.select(
+        "id_a", "id_b", F.round(jac, 4).alias("jaccard")
+    ).filter(F.col("jaccard") >= threshold)
 
 
 def ngram_jaccard_pairs_prefix(

@@ -86,18 +86,66 @@ def test_lsh_pairs_keeps_checkpoint_not_pinned_cache(spark, sf_dir):
     assert "ExistingRDD" in tree
 
 
-def test_neardup_lsh_sets_staged_once(spark, sf_dir):
-    # §6: the shingle-set attach reads a staged RDD on both legs — the
-    # final plan scans NO parquet (candidates come from the checkpointed
-    # banded table, sets from the checkpointed array table).
+def test_neardup_lsh_sets_recomputed_not_staged(spark, sf_dir):
+    # §6 REVERSAL: the shingle-set attach legs must stay parquet-derived
+    # (two pruned corpus scans), NOT a staged checkpoint RDD — the staged
+    # form won a 64x synthetic A/B but measured 25 s -> 431/1028 s on the
+    # real sf0.1 corpus (stat-less LogicalRDD => both legs broadcast the
+    # whole shingle-array table; serial checkpoint materialization).
     from datafusion_python_spark.operators.dedup import near_dup_pairs_lsh
 
     pairs = near_dup_pairs_lsh(
         _docs(spark, sf_dir), "doc_id", "text", threshold=0.9, num_bands=4, shingle_k=1
     )
     tree = _tree(explain_str(pairs))
-    assert "Scan parquet" not in tree
-    assert len(re.findall(r"ExistingRDD", tree)) >= 3  # banded + sa + sb
+    # the two set-attach legs scan the corpus parquet directly
+    assert len(re.findall(r"Scan parquet", tree)) == 2
+    # only the banded candidate table is a staged RDD (its checkpoint is
+    # the lsh_candidate_pairs skew-flexibility design, kept)
+    assert len(re.findall(r"ExistingRDD", tree)) <= 2
+
+
+def test_neardup_lsh_verify_is_count_form(spark, sf_dir):
+    # §8: for threshold > 0 the verify is the inverted-index COUNT form
+    # (two token joins + one aggregate), NOT the array-attach form whose
+    # jaccard CASE Catalyst pushes into the join condition and
+    # re-evaluates array_intersect up to 3x per probed pair (measured
+    # 5-500+ s swings at sf0.1 vs a stable 14-23 s for the count form).
+    from datafusion_python_spark.operators.dedup import near_dup_pairs_lsh
+
+    pairs = near_dup_pairs_lsh(
+        _docs(spark, sf_dir), "doc_id", "text", threshold=0.9, num_bands=4, shingle_k=1
+    )
+    plan = explain_str(pairs)
+    assert "array_intersect" not in plan
+    # the shared-shingle count aggregates ABOVE the joins, so the
+    # threshold filter cannot be pushed into a join condition
+    assert "HashAggregate" in _tree(plan)
+    # degenerate threshold <= 0 keeps the array form (i = 0 pairs must
+    # survive), and its output contract is unchanged
+    degen = near_dup_pairs_lsh(
+        _docs(spark, sf_dir), "doc_id", "text", threshold=0.0, num_bands=4, shingle_k=1
+    )
+    assert "array_intersect" in explain_str(degen)
+
+
+def test_minhash_signature_spreads_small_scan(spark, sf_dir):
+    # §9: a few-partition corpus scan is round-robin-spread to the
+    # session's default parallelism BEFORE the per-doc signature fold
+    # (the costliest map work in the module rode 1 task at sf0.1:
+    # medians 13.3 -> 5.7 s). No-op when the scan already has >= cores
+    # partitions, so production-scale inputs add no exchange.
+    from datafusion_python_spark.operators._util import spread_small_input
+    from datafusion_python_spark.operators.dedup import minhash_signature
+
+    docs = _docs(spark, sf_dir)
+    target = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < target:
+        sig = minhash_signature(docs, "text", num_hashes=8, shingle_k=1)
+        assert "RoundRobinPartitioning" in explain_str(sig)
+    # already-wide inputs pass through untouched (object identity)
+    wide = spark.range(0, 1000).repartition(target)
+    assert spread_small_input(wide) is wide
 
 
 def test_connected_components_edges_pinned(spark, sf_dir):
