@@ -341,7 +341,14 @@ def _simhash_word_hashes(df: DataFrame, text_col: str, hasher: str) -> DataFrame
     """Stage the per-word hash array once (own projection — inlining it
     into the bit-lambdas would re-split and re-hash the text bits×
     per row). Shared verbatim by the JVM and Arrow vote stages, which
-    is what makes their signatures identical by construction."""
+    is what makes their signatures identical by construction.
+
+    The input is spread first (see spread_small_input): the vote stage
+    downstream — words × bits interpreted folds (JVM) or the Arrow
+    kernel — is the costliest map work in the simhash family and rides
+    the scan's parallelism; a single-row-group corpus runs it serially
+    otherwise. No-op at production scale."""
+    df = spread_small_input(df)
     words = F.filter(F.split(_norm_text(F.col(text_col)), " "), lambda w: w != "")
     if hasher == "xxhash64":
         word_hash = lambda w: F.xxhash64(w)  # noqa: E731
@@ -762,6 +769,13 @@ def ngram_jaccard_pairs_prefix(
     # it from the columnar scan. Contrast near_dup_pairs_lsh, where the
     # staged subtree (per-doc sorted distinct shingle ARRAYS) is far
     # more expensive per row and staging wins decisively.
+    #
+    # Each of the four consumers re-runs the per-doc tokenize
+    # (normalize + split + distinct) as map work BEFORE its first
+    # exchange, i.e. at the scan's parallelism — spread a few-partition
+    # input once so all four passes run wide (no-op at production
+    # scale; see spread_small_input).
+    df = spread_small_input(df)
     words = df.select(
         F.col(id_col).alias("doc"),
         F.explode(
@@ -833,6 +847,9 @@ def ngram_jaccard_pairs(
     |A∩B| / (|A|+|B|−|A∩B|). Exact — used as the verifier behind the
     MinHash candidate generator at scale.
     """
+    # per-doc tokenize rides the scan parallelism (see the prefix
+    # variant's comment) — spread a few-partition input first
+    df = spread_small_input(df)
     words = df.select(
         F.col(id_col).alias("doc"),
         F.explode(

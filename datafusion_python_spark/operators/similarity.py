@@ -47,7 +47,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ._util import ensure_fast_blas, shuffle_partitions
+from ._util import ensure_fast_blas, shuffle_partitions, spread_small_input
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -625,7 +625,15 @@ def cosine_near_dup_pairs(
     higher-order lambdas are interpreted per element and the pair count
     is what explodes, so this cuts the dominant term ~3× while keeping
     the cosine expression ``dot/(na*nb)`` bit-identical to before.
+
+    The input is spread first (see spread_small_input): the per-pair
+    dot fold runs at the STREAMED side's parallelism — for the exact
+    path that is a BroadcastNestedLoopJoin whose task count equals the
+    scan's partition count, so a single-row-group input evaluates every
+    pair serially (measured at sf0.1: one task owned all ~12M pair
+    folds). No-op at production scale.
     """
+    df = spread_small_input(df)
     emb = F.col(vec_col).cast("array<double>")
     if exact:
         a = df.select(F.col(id_col).alias("id_a"), emb.alias("va"), _norm(emb).alias("na"))

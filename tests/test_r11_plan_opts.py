@@ -195,3 +195,35 @@ def test_connected_components_edges_pinned(spark, sf_dir):
             edges.unpersist()
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_spread_at_expensive_map_sites(spark, sf_dir):
+    # §10: the minhash spread (§9) extended to the other expensive
+    # pre-exchange map stages, each A/B-verified at sf0.1 with
+    # bit-identical output: simhash word hashes (JVM 17.5 -> 1.4 s,
+    # arrow medians 1.47 -> 1.19 s), the jaccard tokenizes (prefix
+    # medians 9.43 -> 8.89 s; plain feeds pipe_dedup_cluster at parity),
+    # and cosine_near_dup_pairs' per-pair fold (21.5 -> 1.4 s: the exact
+    # path's BroadcastNestedLoopJoin task count equals the scan's
+    # partition count). No-op for already-wide production inputs.
+    from datafusion_python_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_prefix,
+        simhash,
+    )
+    from datafusion_python_spark.operators.similarity import cosine_near_dup_pairs
+
+    docs = _docs(spark, sf_dir)
+    target = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() >= target:
+        pytest.skip("scan already wide; spread is an identity no-op")
+    for df in (
+        simhash(docs, "text", hasher="md5"),
+        ngram_jaccard_pairs_prefix(docs, "doc_id", "text", threshold=0.9),
+        ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.9),
+    ):
+        assert "RoundRobinPartitioning" in explain_str(df)
+    emb = load_table(spark, sf_dir, "embeddings")
+    if emb.rdd.getNumPartitions() < target:
+        pairs = cosine_near_dup_pairs(emb, dim=64, threshold=0.45, exact=True)
+        assert "RoundRobinPartitioning" in explain_str(pairs)
