@@ -655,6 +655,14 @@ def near_dup_pairs_lsh(
     i = 0 never reach the aggregate, which is why this form requires
     threshold > 0 (their jaccard is 0 or NULL — filtered either way);
     the degenerate threshold <= 0 call keeps the array form.
+
+    A candidate-level LENGTH FILTER (the AllPairs size bound) runs
+    before the token explosion: jaccard <= min(na,nb)/max(na,nb), so
+    candidates failing ``round(min/max, 4) >= threshold`` can never be
+    emitted — measured at sf0.1 it removes 31% of candidates and 29%
+    of the verify joins' fan-out for two one-row-per-doc attach joins
+    (best 13.3 -> 10.3 s, bit-identical output; the in-body comment
+    carries the monotonicity argument).
     """
     sig = minhash_signature(
         df, text_col, num_hashes=num_hashes, shingle_k=shingle_k, hasher=hasher
@@ -693,9 +701,35 @@ def near_dup_pairs_lsh(
             .select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
             .filter(F.col("jaccard") >= threshold)
         )
-    tok = sets.select("doc", F.size("ws").alias("n"), F.explode("ws").alias("w"))
-    ta = tok.select(F.col("doc").alias("id_a"), F.col("n").alias("na"), "w")
-    tb = tok.select(F.col("doc").alias("id_b"), F.col("n").alias("nb"), "w")
+    # Length filter BEFORE the token explosion (the AllPairs size bound):
+    # i <= min(na, nb) and u >= max(na, nb), so jaccard <= min/max and —
+    # round being monotone non-decreasing — round(jaccard, 4) <=
+    # round(min/max, 4): a candidate failing round(min/max, 4) >=
+    # threshold can never be emitted (na = 0 or nb = 0 => ratio NULL =>
+    # dropped, matching i = 0). The sizes table is ONE ROW PER DOC (~25x
+    # fewer rows than the token legs here), so the two attach joins are
+    # thin at any scale; measured at sf0.1 it drops 31% of candidates
+    # (2,029,617 -> 1,392,542) and 29% of the join-1 fan-out (51.2M ->
+    # 36.6M token rows) — best 13.3 -> 10.3 s, output bit-identical.
+    # id_b attached first so the id_a attach's hash(id_a) layout is
+    # reused by the ta join directly. na/nb now ride the candidate row,
+    # leaving the exploded token legs as thin (doc, w) pairs.
+    sizes = sets.select("doc", F.size("ws").alias("n"))
+    ratio = F.when(
+        F.greatest("na", "nb") > 0, F.least("na", "nb") / F.greatest("na", "nb")
+    )
+    cands = (
+        cands.join(
+            sizes.select(F.col("doc").alias("id_b"), F.col("n").alias("nb")), "id_b"
+        )
+        .join(
+            sizes.select(F.col("doc").alias("id_a"), F.col("n").alias("na")), "id_a"
+        )
+        .filter(F.round(ratio, 4) >= threshold)
+    )
+    tok = sets.select("doc", F.explode("ws").alias("w"))
+    ta = tok.select(F.col("doc").alias("id_a"), "w")
+    tb = tok.select(F.col("doc").alias("id_b"), "w")
     shared = (
         cands.join(ta, "id_a")
         .join(tb, ["id_b", "w"])

@@ -98,8 +98,10 @@ def test_neardup_lsh_sets_recomputed_not_staged(spark, sf_dir):
         _docs(spark, sf_dir), "doc_id", "text", threshold=0.9, num_bands=4, shingle_k=1
     )
     tree = _tree(explain_str(pairs))
-    # the two set-attach legs scan the corpus parquet directly
-    assert len(re.findall(r"Scan parquet", tree)) == 2
+    # the two token legs AND the two thin size legs (the §11 length
+    # filter) scan the corpus parquet directly — 4 pruned scans, no
+    # staged set table
+    assert len(re.findall(r"Scan parquet", tree)) == 4
     # only the banded candidate table is a staged RDD (its checkpoint is
     # the lsh_candidate_pairs skew-flexibility design, kept)
     assert len(re.findall(r"ExistingRDD", tree)) <= 2
