@@ -1718,7 +1718,19 @@ def pipe_curation_e2e(spark, sf_dir):
     from .operators.substring import strip_duplicate_spans
     from .operators.text import quality_features, redact_pii, repetition_features
 
-    docs = _t(spark, sf_dir, "documents")
+    from .operators._util import spread_small_input
+
+    # Spread a few-partition corpus scan first (no-op at production
+    # scale): stages 1-5's map work — quality/repetition features, the
+    # hashed-BoW score, the PII regex chain, decontamination grams —
+    # otherwise all run BEFORE the chain's first corpus exchange, i.e.
+    # serially on the scan's single sf0.1 task. Measured (interleaved
+    # A/B, 4 paired rounds, outputs bit-identical): best 9.55 -> 3.97 s,
+    # median 10.4 -> 7.8 s. Every downstream stage is key-deterministic
+    # (domain_cap/token_pack carry explicit id tie-breaks; sampling and
+    # shuffle are md5-keyed; CC's min-label fixpoint is order-free), so
+    # input partitioning cannot change the output.
+    docs = spread_small_input(_t(spark, sf_dir, "documents"))
     # 1-2. quality + repetition gates (map-only; thresholds tuned for the
     # synthetic small-vocab corpus, as in the example)
     gated = (
