@@ -229,3 +229,16 @@ def test_spread_at_expensive_map_sites(spark, sf_dir):
     if emb.rdd.getNumPartitions() < target:
         pairs = cosine_near_dup_pairs(emb, dim=64, threshold=0.45, exact=True)
         assert "RoundRobinPartitioning" in explain_str(pairs)
+    # §13: span_index's k-window hash explode (pipe_substring_dup
+    # 3.0 -> 1.0 s, 4-0). tf_idf/bm25 measured and REJECTED (their
+    # tokenize is cheap; the added exchange lost 0.91 -> 1.13 /
+    # 0.60 -> 0.84 s) — no spread there.
+    from datafusion_python_spark.operators.ranking import tf_idf
+    from datafusion_python_spark.operators.substring import span_index
+
+    assert "RoundRobinPartitioning" in explain_str(
+        span_index(docs, k=10, hasher="md5")
+    )
+    assert "RoundRobinPartitioning" not in explain_str(
+        tf_idf(docs, "doc_id", "text")
+    )
