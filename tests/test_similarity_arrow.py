@@ -449,6 +449,74 @@ def test_semdedup_placement_one_group_per_task(spark):
     assert len(set(by_group.values())) == 10  # and no two share a task
 
 
+def test_semdedup_salted_applyinpandas_single_exchange(spark):
+    # ADVICE r10 #3: the straggler fix depends on Spark inserting NO
+    # second exchange for groupBy(_salt, full keys) after
+    # repartition(n_part, "_salt") — HashPartitioning on a SUBSET of
+    # the grouping keys satisfies the ClusteredDistribution
+    # applyInPandas requires. The placement test above pins the bare
+    # repartition; this one pins the EXECUTED applyInPandas pipeline:
+    # (a) its physical plan holds exactly ONE Exchange, and (b) inside
+    # the kernel each chunk-pair group sees a DISTINCT TaskContext
+    # partition — a future planner change re-adding an exchange on the
+    # full keys (re-hashing groups into birthday collisions) fails both.
+    import re
+
+    import pandas as pd
+    from pyspark import TaskContext
+    from pyspark.sql import functions as F
+
+    from datafusion_python_spark.operators._util import (
+        lpt_bins,
+        partition_salts,
+        shuffle_partitions,
+    )
+    from datafusion_python_spark.plans import explain_str
+
+    n_part = shuffle_partitions(spark)
+    n_chunks = F.lit(4)
+    paired = (
+        spark.range(400)
+        .select(F.col("id").cast("int").alias("vec_id"))
+        .withColumn("ivf_cell", F.lit(0))
+        .withColumn("_chunk", F.pmod(F.xxhash64("vec_id"), n_chunks).cast("int"))
+        .withColumn("_other", F.explode(F.sequence(F.lit(0), n_chunks - 1)))
+        .withColumn("_lo", F.least("_chunk", "_other"))
+        .withColumn("_hi", F.greatest("_chunk", "_other"))
+    )
+    groups = [(0, lo, hi) for lo in range(4) for hi in range(lo, 4)]
+    salts = partition_salts(n_part)
+    bins = lpt_bins([1.0 if lo == hi else 2.0 for _, lo, hi in groups], n_part)
+    place = spark.createDataFrame(
+        [(c, lo, hi, salts[b]) for (c, lo, hi), b in zip(groups, bins)],
+        "ivf_cell int, _lo int, _hi int, _salt int",
+    )
+
+    def report(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "_lo": [int(pdf["_lo"].iat[0])],
+                "_hi": [int(pdf["_hi"].iat[0])],
+                "task": [TaskContext.get().partitionId()],
+            }
+        )
+
+    out = (
+        paired.join(F.broadcast(place), ["ivf_cell", "_lo", "_hi"])
+        .repartition(n_part, "_salt")
+        .groupBy("_salt", "ivf_cell", "_lo", "_hi")
+        .applyInPandas(report, "_lo int, _hi int, task int")
+    )
+    tree = explain_str(out).split("\n\n(1)", 1)[0]
+    exchanges = re.findall(r"\bExchange\b", tree)
+    assert len(exchanges) == 1, tree  # only the salt repartition
+    rows = out.collect()
+    assert len(rows) == 10
+    tasks = {(r._lo, r._hi): r.task for r in rows}
+    assert len(tasks) == 10
+    assert len(set(tasks.values())) == 10  # one kernel per task, executed
+
+
 def test_ivf_ann_arrow_matches_jvm(spark, sf_dir):
     from datafusion_python_spark.operators.similarity import ivf_ann
 

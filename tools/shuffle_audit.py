@@ -43,11 +43,19 @@ from datafusion_python_spark.suite import ALL_QUERIES
 AMPLIFIERS_OK = {
     "pipe_minhash_lsh": "banded signature explosion is the LSH cost model",
     "pipe_jaccard_pairs": "pair generator: bucket self-join emits pairs",
-    "pipe_neardup_lsh_verify": "pair generator: LSH candidates + their "
-    "per-pair shingle arrays ARE the working set (the exact-verify join "
-    "ships each doc's set once per candidate); scan is only the small "
-    "docs parquet",
+    "pipe_neardup_lsh_verify": "pair generator: LSH candidates fan out to "
+    "per-candidate token rows for the inverted-index count verify "
+    "(OPTIMIZATION_r11.md §8/§11: 56x in r10's array form, now ~11x after "
+    "the count rewrite + length filter); scan is only the small docs "
+    "parquet",
     "pipe_cosine_neardup": "pair generator: bucket self-join emits pairs",
+    "pipe_simhash": "r11 input spread: the few-partition sf0.1 corpus scan "
+    "is round-robin-spread before the word-hash bit-vote fold (guide §2.5 "
+    "input skew; OPTIMIZATION_r11.md §10) — a no-op at production scale "
+    "where the scan already has >= cores splits, so the added text shuffle "
+    "does not exist at 100 TB",
+    "pipe_simhash_arrow": "same r11 input spread as pipe_simhash (shared "
+    "_simhash_word_hashes site); no-op at production scale",
     "pipe_fuzzy_match": "pair generator: blocked candidate pairs",
     "pipe_substring_dup": "inverted index explodes doc into shingles",
     "pipe_tfidf": "(doc, term) explosion IS the working set (one shuffle)",
