@@ -49,63 +49,12 @@ except ImportError:
 # `tools/staleness.py` recomputes this ordering from the
 # CORRECTNESS_r*.json history.
 _PRIORITY = [
-    # Round-11 rotation (tools/staleness.py ordering): the 23 queries
-    # whose newest driver row is r8 (VERDICT r10 ask #2: after this
-    # window nothing anywhere is older than r9), then the oldest r9
-    # rows to fill the 50-row window. Everything after the window
-    # holds a green r9/r10 row and stays covered by tools/selfcheck.py.
-    # newest driver row: r08
-    "sql_recursive_cte",
-    "agg_weighted_pct",
-    "fn_time",
-    "setop_union_multi",
-    "setop_intersect",
-    "setop_except",
-    "fn_strings",
-    "fn_datetime",
-    "fn_math_case",
-    "pipe_image_roundtrip",
-    "pipe_pii_redact",
-    "pipe_substring_dup",
-    "pipe_hll_rollup",
-    "pipe_zorder_layout",
-    "pipe_dedup_incremental",
-    "pipe_perplexity",
-    "stream_hourly_counts",
-    "stream_dedup_distinct",
-    "stream_session_stats",
-    "stream_stateful_totals",
-    "stream_interval_join",
-    "stream_outer_join",
-    "stream_full_outer_join",
+    # Round-12 rotation (tools/staleness.py ordering): the 23 queries
+    # whose newest driver row is r9 first (VERDICT r11 ask #6: after
+    # this window nothing anywhere is older than r10), then the oldest
+    # r10 rows to fill the 50-row window. Everything after the window
+    # holds a green r10/r11 row and stays covered by tools/selfcheck.py.
     # newest driver row: r09
-    "pipe_curation_e2e",
-    "pipe_fuzzy_match",
-    "pipe_tfidf",
-    "pipe_bm25",
-    "pipe_chunk",
-    "pipe_shuffle_order",
-    "pipe_rand_proj",
-    "pipe_quality_score",
-    "pipe_emb_quant",
-    "pipe_decontaminate",
-    "pipe_sample_stratified",
-    "pipe_mixture_sample",
-    "pipe_dedup_exact",
-    "pipe_jaccard_pairs",
-    "pipe_minhash_lsh",
-    "pipe_semantic_dedup",
-    "pipe_simhash_arrow",
-    "pipe_topk_arrow",
-    "pipe_ann_ivf_arrow",
-    "pipe_semdedup_arrow",
-    "pipe_neardup_arrow",
-    "stream_late_drop",
-    "stream_windowed_hll",
-    "tpch_q1",
-    "tpch_q11",
-    "tpch_q3",
-    "tpch_q4",
     "tpch_q5",
     "tpch_q6",
     "tpch_q7",
@@ -180,6 +129,57 @@ _PRIORITY = [
     "agg_string_agg",
     "agg_string_agg_desc",
     "fn_like_escape",
+    # newest driver row: r11
+    "sql_recursive_cte",
+    "agg_weighted_pct",
+    "fn_time",
+    "setop_union_multi",
+    "setop_intersect",
+    "setop_except",
+    "fn_strings",
+    "fn_datetime",
+    "fn_math_case",
+    "pipe_image_roundtrip",
+    "pipe_pii_redact",
+    "pipe_substring_dup",
+    "pipe_hll_rollup",
+    "pipe_zorder_layout",
+    "pipe_dedup_incremental",
+    "pipe_perplexity",
+    "stream_hourly_counts",
+    "stream_dedup_distinct",
+    "stream_session_stats",
+    "stream_stateful_totals",
+    "stream_interval_join",
+    "stream_outer_join",
+    "stream_full_outer_join",
+    "pipe_curation_e2e",
+    "pipe_fuzzy_match",
+    "pipe_tfidf",
+    "pipe_bm25",
+    "pipe_chunk",
+    "pipe_shuffle_order",
+    "pipe_rand_proj",
+    "pipe_quality_score",
+    "pipe_emb_quant",
+    "pipe_decontaminate",
+    "pipe_sample_stratified",
+    "pipe_mixture_sample",
+    "pipe_dedup_exact",
+    "pipe_jaccard_pairs",
+    "pipe_minhash_lsh",
+    "pipe_semantic_dedup",
+    "pipe_simhash_arrow",
+    "pipe_topk_arrow",
+    "pipe_ann_ivf_arrow",
+    "pipe_semdedup_arrow",
+    "pipe_neardup_arrow",
+    "stream_late_drop",
+    "stream_windowed_hll",
+    "tpch_q1",
+    "tpch_q11",
+    "tpch_q3",
+    "tpch_q4",
 ]
 
 ALL_QUERIES: dict[str, tuple] = {}

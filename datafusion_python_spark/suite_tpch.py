@@ -890,6 +890,14 @@ def q2(spark, sf_dir):
     # third sort. Column-form repartition (no explicit count) stays
     # AQE-coalescible; fresh-process sf≈1 probe: best 1.447 -> 1.238 s
     # median-of-bests over 5 interleaved rounds, output identical.
+    # PRECONDITION (r12, ADVICE r11 #2): the explicit repartition lifts
+    # BOTH agg phases above the exchange, so map-side combine is lost —
+    # the win holds because (p_partkey, s_suppkey) pairs are near-unique
+    # in this data (combine saved ~nothing). On classic TPC-H
+    # multiplicities (~4-8 lineitems/pair) the surviving exchange
+    # carries the un-combined enriched rows (incl. the name strings), so
+    # one exchange is removed but the other grows ~pair-multiplicity-x;
+    # re-measure shuffle bytes before porting this shape elsewhere.
     enriched = enriched.repartition(F.col("p_partkey"))
     cost = enriched.groupBy("p_partkey", "s_suppkey").agg(
         F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("supplycost"),

@@ -17,10 +17,8 @@ from datafusion_python_spark.plans import explain_str
 from datafusion_python_spark.tables import load_table
 
 
-def _tree(plan: str) -> str:
-    """The operator-tree section of a formatted explain (stops before the
-    per-node detail section, whose text repeats operator names)."""
-    return plan.split("\n\n(1)", 1)[0]
+# shared with test_similarity_arrow via conftest (ADVICE r11 #3)
+from conftest import plan_tree as _tree  # noqa: E402
 
 
 def _docs(spark, sf_dir):

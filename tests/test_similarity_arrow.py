@@ -455,13 +455,14 @@ def test_semdedup_salted_applyinpandas_single_exchange(spark):
     # repartition(n_part, "_salt") — HashPartitioning on a SUBSET of
     # the grouping keys satisfies the ClusteredDistribution
     # applyInPandas requires. The placement test above pins the bare
-    # repartition; this one pins the EXECUTED applyInPandas pipeline:
-    # (a) its physical plan holds exactly ONE Exchange, and (b) inside
-    # the kernel each chunk-pair group sees a DISTINCT TaskContext
-    # partition — a future planner change re-adding an exchange on the
-    # full keys (re-hashing groups into birthday collisions) fails both.
-    import re
-
+    # repartition; this one pins the EXECUTED applyInPandas pipeline
+    # (ADVICE r11 #3: the plan is captured AFTER collect() via the
+    # same executed-plan walk tools/shuffle_audit.py uses, not the
+    # pre-execution explain): (a) the executed plan holds exactly ONE
+    # ShuffleExchangeExec, and (b) inside the kernel each chunk-pair
+    # group sees a DISTINCT TaskContext partition — a future planner
+    # change re-adding an exchange on the full keys (re-hashing groups
+    # into birthday collisions) fails both.
     import pandas as pd
     from pyspark import TaskContext
     from pyspark.sql import functions as F
@@ -507,14 +508,15 @@ def test_semdedup_salted_applyinpandas_single_exchange(spark):
         .groupBy("_salt", "ivf_cell", "_lo", "_hi")
         .applyInPandas(report, "_lo int, _hi int, task int")
     )
-    tree = explain_str(out).split("\n\n(1)", 1)[0]
-    exchanges = re.findall(r"\bExchange\b", tree)
-    assert len(exchanges) == 1, tree  # only the salt repartition
     rows = out.collect()
     assert len(rows) == 10
     tasks = {(r._lo, r._hi): r.task for r in rows}
     assert len(tasks) == 10
     assert len(set(tasks.values())) == 10  # one kernel per task, executed
+    from conftest import count_executed_shuffles
+
+    # only the salt repartition — counted on the EXECUTED plan
+    assert count_executed_shuffles(out) == 1, explain_str(out)
 
 
 def test_ivf_ann_arrow_matches_jvm(spark, sf_dir):
