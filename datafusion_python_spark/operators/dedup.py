@@ -727,6 +727,17 @@ def near_dup_pairs_lsh(
         )
         .filter(F.round(ratio, 4) >= threshold)
     )
+    # The token legs deliberately keep the shingle STRING as the join
+    # key. The exact dictionary-encode alternative (r12 probe: w ->
+    # xxhash64 long + a broadcast collision table so colliding hashes
+    # fall back to string equality — exactness preserved) was measured
+    # and REJECTED: outputs bit-identical, join keys long as hoped, but
+    # sf0.1 timing is parity in BOTH regimes (broadcast shape medians
+    # 13.18 -> 13.43 s; exchange-bound shape steady rounds 22.9/22.9 vs
+    # 23.2/25.4 s) and shuffle bytes drop only 13% (640 -> 557 MiB) —
+    # the k=1 word shingles are already ~hash-width, and the encode
+    # costs a 5th corpus scan + tokenize plus two broadcast joins.
+    # Probe plan: plans/r12/neardup_dict_encode_rejected_probe.txt.
     tok = sets.select("doc", F.explode("ws").alias("w"))
     ta = tok.select(F.col("doc").alias("id_a"), "w")
     tb = tok.select(F.col("doc").alias("id_b"), "w")
