@@ -590,7 +590,9 @@ def test_minhash_arrow_matches_jvm(spark, sf_dir):
     assert list(ours) == jvm
 
     docs = load_table(spark, sf_dir, "documents")
-    a = {r.doc_id: list(r.minhash) for r in minhash_signature(docs, "text").select("doc_id", "minhash").collect()}
+    # arrow=False pins the JVM fold as the comparison arm (the default
+    # xxhash64 path routes to the arrow kernel since r12)
+    a = {r.doc_id: list(r.minhash) for r in minhash_signature(docs, "text", arrow=False).select("doc_id", "minhash").collect()}
     b = {r.doc_id: list(r.minhash) for r in minhash_signature_arrow(docs, "text").select("doc_id", "minhash").collect()}
     assert a == b and len(a) > 0
     # degenerate texts: short, empty, null — all stage a 1-hash array
@@ -598,9 +600,23 @@ def test_minhash_arrow_matches_jvm(spark, sf_dir):
         [(1, "hello world foo bar"), (2, "x"), (3, ""), (4, None)],
         "doc_id int, text string",
     )
-    a = {r.doc_id: list(r.minhash) for r in minhash_signature(edf, "text").collect()}
+    a = {r.doc_id: list(r.minhash) for r in minhash_signature(edf, "text", arrow=False).collect()}
     b = {r.doc_id: list(r.minhash) for r in minhash_signature_arrow(edf, "text").collect()}
     assert a == b
+    # shingle_k=1 degenerates: empty/null text stages an EMPTY (resp.
+    # NULL) hash array, and the JVM fold yields [null]*num_hashes — the
+    # kernel must reproduce those rows exactly (r12, found when routing
+    # the xxhash64 default through the kernel)
+    a1 = {
+        r.doc_id: list(r.minhash)
+        for r in minhash_signature(edf, "text", shingle_k=1, arrow=False).collect()
+    }
+    b1 = {
+        r.doc_id: list(r.minhash)
+        for r in minhash_signature_arrow(edf, "text", shingle_k=1).collect()
+    }
+    assert a1 == b1
+    assert a1[3] == [None] * 32 and a1[4] == [None] * 32
 
 
 def test_xxh64_twins_random_sweep(spark):
