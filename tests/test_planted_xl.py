@@ -70,3 +70,20 @@ def test_doc_generator_shape(spark):
         != F.concat(F.col("base_text"), F.lit(" t"), F.col("doc_id").cast("string"))
     ).count()
     assert bad == 0
+
+
+def test_curation_chain_planted_truth(spark):
+    """r12 (VERDICT r11 ask #3): every stage of the pipe_curation_e2e
+    composition matches the closed-form planted model at pytest size —
+    the same helper the XL artifact run uses, so a regression in any
+    stage operator (or in the model's mirror arithmetic) fails here
+    before the long-running artifact run can be poisoned."""
+    n = 4_000
+    res = xl.run_curation_size(spark, n, per_stage=True)
+    assert res["ok"], res.get("mismatches", res)
+    # the model itself must see the planted structure, not degenerate
+    m = res["model"]
+    assert m["decontam"] < n  # decontamination dropped something
+    assert m["strip_empty"] > 0 and m["strip_single"] > 0
+    assert m["canonical"] == m["decontam"] - (m["strip_empty"] - 1)
+    assert 0 < m["packed"] <= m["sampled"] * 2

@@ -279,6 +279,63 @@ def run_emb_size(spark, n: int) -> dict:
     return res
 
 
+def _curation_main(sizes: list[int]) -> None:
+    """--curation mode: run the chain cert and SURGICALLY update only
+    the '## Curation chain' section of PIPESCALE_XL.md (never the
+    committed op tables — the r10 partial-rewrite lesson)."""
+    spark = get_spark("pipescale-xl")
+    spark.sparkContext.setLogLevel("ERROR")
+    rows = []
+    for n in sizes:
+        r = run_curation_size(spark, n, per_stage=(n <= 2_000_000))
+        print(json.dumps({"metric": "pipescale_xl_curation", "n_docs": n, "res": r}),
+              flush=True)
+        rows.append((n, r))
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    path = os.path.join(root, "PIPESCALE_XL.md")
+    marker = "## Curation chain"
+    lines = [
+        marker + " (r12): pipe_curation_e2e's 12-stage composition, per-stage "
+        "survivor counts pinned to the closed-form planted model",
+        "",
+        "Production hashers (xxhash64 / hashed grams); same stage sequence, "
+        "thresholds and rewrite semantics as the sf gate (which certifies the "
+        "md5 values against DuckDB at sf0.01). Model: tools/pipescale_xl.py "
+        "`_curation_model` (numpy mirror of the generator arithmetic + the "
+        "planted-cell interaction analysis; pytest-pinned at small n in "
+        "tests/test_planted_xl.py). Per-stage counts checked at the small "
+        "size; final packed count checked at every size. Wall time includes "
+        "chain construction (the LSH-star banding job and the CC fixpoint "
+        "execute eagerly by contract).",
+        "",
+        "| n docs | per-stage counts | final packed rows | all pinned | chain sec | docs/s |",
+        "|---|---|---|---|---|---|",
+    ]
+    for n, r in rows:
+        staged = ", ".join(
+            f"{k}={v:,}" for k, v in r["measured"].items() if k != "packed"
+        ) or "(final only)"
+        lines.append(
+            f"| {n:,} | {staged} | {r['measured']['packed']:,} "
+            f"(model {r['model']['packed']:,}) | "
+            f"{'PASS' if r['ok'] else '**FAIL: ' + '; '.join(r.get('mismatches', [])) + '**'} | "
+            f"{r['sec']} | {r['docs_per_sec']:,} |"
+        )
+    lines.append("")
+    block = "\n".join(lines)
+    with open(path) as f:
+        md = f.read()
+    if marker in md:
+        start = md.index(marker)
+        nxt = md.find("\n## ", start + 1)
+        md = md[:start] + block + (md[nxt + 1:] if nxt != -1 else "")
+    else:
+        md = md.rstrip("\n") + "\n\n" + block
+    with open(path, "w") as f:
+        f.write(md)
+    print(f"updated {path} ({marker!r} section only)", flush=True)
+
+
 def main() -> None:
     sizes = [1_250_000, 10_000_000]
     emb_sizes = [500_000, 4_000_000]
@@ -291,6 +348,9 @@ def main() -> None:
             emb_sizes = [int(x) for x in a.split("=", 1)[1].split(",") if x]
     if "--fresh" in sys.argv:
         shutil.rmtree(WORK, ignore_errors=True)
+    if "--curation" in sys.argv:
+        _curation_main(sizes)
+        return
     spark = get_spark("pipescale-xl")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -411,3 +471,259 @@ def main() -> None:
 
 if __name__ == "__main__":
     main()
+
+
+# --------------------------------------------------------------------------
+# Curation chain at XL size (r12, VERDICT r11 ask #3): the
+# pipe_curation_e2e stage sequence on the planted corpus, with EVERY
+# stage's survivor count pinned against a closed-form model.
+#
+# The model mirrors the generator arithmetic in numpy (the _xxh64_*
+# twins are pytest-pinned bit-equal to Spark's xxhash64) plus the
+# planted-cell interaction analysis:
+#   - quality/repetition gates and the score gate pass ALL docs in
+#     closed form: texts are 30-69 plain alnum tokens (punct_ratio = 0,
+#     dup_2gram_frac ~ 0) and demo_weights lie in [-0.5, 0.5], so the
+#     mean-weight sigmoid is >= sigmoid(-0.5) = 0.378 > 0.2 for every
+#     doc;
+#   - PII redaction is the identity on this corpus (asserted);
+#   - decontamination drops, per eval doc e (doc_id % 97 == 0): its
+#     whole {b, b+8, b+9} trio when e is one of them (they share every
+#     8-gram of b), else just e — cross-cell 8-gram collisions are
+#     ~2^-64-scale, the same stance the committed XL gates take;
+#   - span-strip (k=10) leaves counts unchanged and rewrites surviving
+#     pos-8 rows (exact copies: every window duplicates b's, keeper is
+#     min(doc, pos) = b) to EMPTY text and pos-9 rows (b + unique tail)
+#     to exactly the 1 tail token (windows 0..m-11 duplicate b's and
+#     cover tokens 0..m-2); both asserted structurally;
+#   - all surviving empties share one degenerate minhash signature, so
+#     LSH-star + CC merge them into ONE cluster whose min id survives
+#     canonical selection; single-token and unique random texts have no
+#     collisions (banding FP ~2^-64-scale) — keepers = survivors -
+#     (n_empty - 1);
+#   - domain_cap/hash_sample/chunking/packing are mirrored exactly
+#     (40-doc id-range domains ranked by original n_chars desc with id
+#     tie-break; md5 hex-prefix slice; 64-token windows at stride 56).
+#
+# Hashers run in PRODUCTION mode (xxhash64 / hashed grams) rather than
+# the gate's DuckDB-portable md5 — same stage structure, thresholds and
+# rewrite semantics; the oracle gate already certifies the md5 values
+# at sf0.01, this artifact certifies the composition's behavior AT SIZE.
+
+CURATION_DOMAIN = 40  # docs per synthetic source domain (4 cells)
+
+
+def _curation_model(n: int) -> dict:
+    import hashlib
+
+    import numpy as np
+
+    from datafusion_python_spark.operators.dedup import _xxh64_int, _xxh64_long
+
+    ids = np.arange(n, dtype=np.int64)
+    pos = ids % 10
+    seed = np.where(pos >= 8, ids - pos, ids)
+    h_seed = _xxh64_long(seed.view(np.uint64), np.uint64(42))
+    nw = np.mod(_xxh64_int(np.uint32(1), h_seed).view(np.int64), 40) + 30
+    n_tok_orig = np.where(pos == 9, nw + 1, nw)
+
+    # original text length: len("w" + str(v_j)) per word + spaces + the
+    # pos-9 " t<id>" tail
+    n_chars = np.zeros(n, dtype=np.int64)
+    for j in range(1, int(nw.max()) + 1):
+        hj = _xxh64_int(np.uint32(2), _xxh64_int(np.uint32(j), h_seed)).view(np.int64)
+        v = np.mod(hj, VOCAB)
+        nd = np.select([v < 10, v < 100, v < 1000, v < 10000], [1, 2, 3, 4], 5)
+        n_chars += np.where(nw >= j, 1 + nd, 0)
+    n_chars += nw - 1  # single spaces
+    d_id = np.select([ids < 10**k for k in range(1, 9)], list(range(1, 9)), 9)
+    n_chars = np.where(pos == 9, n_chars + 2 + d_id, n_chars)
+
+    # decontamination
+    dropped = np.zeros(n, dtype=bool)
+    evals = ids[ids % 97 == 0]
+    ep = evals % 10
+    trio_base = (evals[(ep == 0) | (ep == 8) | (ep == 9)] // 10) * 10
+    for off in (0, 8, 9):
+        dropped[trio_base + off] = True
+    dropped[evals[(ep >= 1) & (ep <= 7)]] = True
+    surv = ~dropped
+
+    # span strip: counts unchanged; post-strip token counts
+    tok = n_tok_orig.copy()
+    tok[pos == 8] = 0
+    tok[pos == 9] = 1
+    n_empty = int((surv & (pos == 8)).sum())
+    n_single = int((surv & (pos == 9)).sum())
+
+    # dedup: all empties form one cluster; min id is canonical
+    surv2 = surv.copy()
+    empt = ids[surv & (pos == 8)]
+    if empt.size:
+        surv2[empt] = False
+        surv2[empt.min()] = True
+
+    # domain cap: 20 per 40-id domain, by (n_chars desc, id asc)
+    sid = ids[surv2]
+    nch = n_chars[surv2]
+    order = np.lexsort((sid, -nch, sid // CURATION_DOMAIN))
+    s = sid[order]
+    dom = s // CURATION_DOMAIN
+    starts = np.r_[0, np.flatnonzero(np.diff(dom)) + 1]
+    run_len = np.diff(np.r_[starts, s.size])
+    rank = np.arange(s.size) - np.repeat(starts, run_len)
+    capped = np.sort(s[rank < 20])
+
+    # hash_sample 0.5: md5(str(id))[:4] < '8000'
+    keep = np.fromiter(
+        (hashlib.md5(str(int(i)).encode()).hexdigest()[:4] < "8000" for i in capped),
+        bool,
+        capped.size,
+    )
+    sampled = capped[keep]
+
+    # chunking: windows at 1, 57, 113, ... -> 1 + (t-1)//56 chunks (0 for empty)
+    t = tok[sampled]
+    chunks = np.where(t > 0, 1 + (np.maximum(t, 1) - 1) // 56, 0)
+
+    return {
+        "gated": n,
+        "scored": n,
+        "decontam": int(surv.sum()),
+        "stripped": int(surv.sum()),
+        "strip_empty": n_empty,
+        "strip_single": n_single,
+        "canonical": int(surv2.sum()),
+        "capped": int(capped.size),
+        "sampled": int(sampled.size),
+        "packed": int(chunks.sum()),
+    }
+
+
+def _curation_stages(spark, d: str):
+    """pipe_curation_e2e's stage sequence over the XL corpus; returns
+    the stage-boundary DataFrames (same operators, same thresholds,
+    production hashers)."""
+    from datafusion_python_spark.operators._util import spread_small_input
+    from datafusion_python_spark.operators.chunking import chunk_documents
+    from datafusion_python_spark.operators.cluster import canonical_docs
+    from datafusion_python_spark.operators.decontaminate import decontaminate
+    from datafusion_python_spark.operators.dedup import (
+        lsh_star_edges,
+        minhash_signature,
+    )
+    from datafusion_python_spark.operators.sampling import (
+        deterministic_shuffle,
+        domain_cap,
+        hash_sample,
+        token_pack,
+    )
+    from datafusion_python_spark.operators.scoring import demo_weights, score_linear
+    from datafusion_python_spark.operators.substring import strip_duplicate_spans
+    from datafusion_python_spark.operators.text import (
+        quality_features,
+        redact_pii,
+        repetition_features,
+    )
+
+    docs = (
+        spark.read.parquet(f"{d}/documents.parquet")
+        .withColumn(
+            "source",
+            F.concat(F.lit("s"), (F.col("doc_id") / CURATION_DOMAIN).cast("long")),
+        )
+        .withColumn("n_chars", F.length("text"))
+    )
+    docs = spread_small_input(docs)
+    gated = (
+        repetition_features(quality_features(docs))
+        .filter((F.col("n_words") >= 5) & (F.col("punct_ratio") < 0.3))
+        .filter(F.col("dup_2gram_frac") < 0.9)
+    )
+    scored = score_linear(gated, "text", demo_weights(64), hasher="xxhash64").filter(
+        F.col("score") > 0.2
+    )
+    clean = (
+        redact_pii(scored, count=False)
+        .drop("text")
+        .withColumnRenamed("text_redacted", "text")
+    )
+    eval_df = docs.filter(F.col("doc_id") % 97 == 0)
+    decon = decontaminate(clean, eval_df, n=8, hash_grams=True)
+    stripped = strip_duplicate_spans(decon, k=10, hasher="xxhash64")
+    sig = minhash_signature(stripped, "text", num_hashes=32, shingle_k=3)
+    pairs = lsh_star_edges(sig, "doc_id", num_bands=8)
+    deduped = canonical_docs(stripped, pairs)
+    capped = domain_cap(deduped, "source", 20)
+    sampled = hash_sample(capped, "doc_id", 0.5)
+    chunks = chunk_documents(sampled, "doc_id", "text", chunk_tokens=64, overlap=8)
+    chunks = chunks.withColumn(
+        "sample_id", F.concat_ws("#", F.col("doc_id"), F.col("chunk_id"))
+    )
+    shuffled = deterministic_shuffle(chunks, "sample_id", salt="epoch0", keep_key=True)
+    packed = token_pack(
+        shuffled.withColumnRenamed("chunk_tokens", "tokens"),
+        "tokens",
+        2048,
+        group_col="source",
+        id_col="sample_id",
+    ).select("sample_id", "source", "tokens", "pack_bin", "shuffle_key")
+    return {
+        "gated": gated,
+        "scored": scored,
+        "clean": clean,
+        "decontam": decon,
+        "stripped": stripped,
+        "deduped": deduped,
+        "capped": capped,
+        "sampled": sampled,
+        "packed": packed,
+    }
+
+
+def run_curation_size(spark, n: int, per_stage: bool = True) -> dict:
+    """Run the chain at size n; pin per-stage counts (and the strip
+    structure) against the closed-form model; time the full chain."""
+    d = build(spark, n)
+    model = _curation_model(n)
+    stages = _curation_stages(spark, d)
+    res: dict = {"model": model, "measured": {}, "ok": True}
+    sc = spark.sparkContext
+
+    def check(name: str, got: int, want: int):
+        res["measured"][name] = got
+        if got != want:
+            res["ok"] = False
+            res.setdefault("mismatches", []).append(f"{name}: got {got} want {want}")
+
+    if per_stage:
+        sc.setJobDescription(f"curation-xl n={n} stage counts")
+        check("gated", stages["gated"].count(), model["gated"])
+        check("scored", stages["scored"].count(), model["scored"])
+        # PII redaction must be the identity here (plain alnum tokens)
+        n_redacted = (
+            stages["clean"].filter(F.col("text").contains("[")).count()
+        )
+        check("pii_rewrites", n_redacted, 0)
+        check("decontam", stages["decontam"].count(), model["decontam"])
+        strip = stages["stripped"]
+        toks = F.size(
+            F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda w: w != "")
+        )
+        check("stripped", strip.count(), model["stripped"])
+        check("strip_empty", strip.filter(toks == 0).count(), model["strip_empty"])
+        check("strip_single", strip.filter(toks == 1).count(), model["strip_single"])
+        check("canonical", stages["deduped"].count(), model["canonical"])
+        check("capped", stages["capped"].count(), model["capped"])
+        check("sampled", stages["sampled"].count(), model["sampled"])
+    check("packed", stages["packed"].count(), model["packed"])
+    # timed run: constructing the chain already executes the LSH-star
+    # banding job and the whole CC fixpoint (eager-by-contract), so the
+    # honest wall time REBUILDS the stages inside the timed region
+    sc.setJobDescription(f"curation-xl n={n} timed chain")
+    spark.catalog.clearCache()
+    t0 = time.time()
+    _curation_stages(spark, d)["packed"].write.format("noop").mode("overwrite").save()
+    res["sec"] = round(time.time() - t0, 2)
+    res["docs_per_sec"] = int(n / res["sec"])
+    return res
